@@ -1,0 +1,56 @@
+"""Vector distance expressions — JVM-side, whole-stage-codegen friendly.
+
+Parity note (SURVEY.md §2.T1): the reference repo class computes these in
+``Mapper.distance()`` (Java) and a tiled CUDA kernel. Here every metric is
+a Catalyst expression built from ``zip_with`` + ``aggregate`` higher-order
+functions: no Python in the hot path, deterministic left-fold accumulation
+(bit-identical to DuckDB's sequential double accumulation, which the
+oracle relies on).
+
+Scale design: expressions stay inside WholeStageCodegen; the vectorized
+NumPy/GEMM physical strategy for bulk kNN lives in ``plans/gemm_knn.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def sq_euclidean(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(sq_euclidean(a, b))
+
+
+def manhattan(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+METRICS = {
+    "euclidean": euclidean,
+    "sqeuclidean": sq_euclidean,
+    "manhattan": manhattan,
+    "cosine": cosine,
+    "dot": dot,
+}

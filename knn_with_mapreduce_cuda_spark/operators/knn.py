@@ -1,0 +1,325 @@
+"""T1 — kNN core operators (SURVEY.md §2.T1), the reference's own surface.
+
+Parity map (reference repo class, SURVEY.md §3.1 — checkout empty, §0):
+- ``Mapper.setup`` loading the test set from DistributedCache →
+  ``F.broadcast(queries)`` on the probe side of the pair join.
+- ``Mapper.map`` distance loop / CUDA tiled kernel → ``with_distance``
+  (Catalyst ``zip_with``/``aggregate`` expressions, functions/vector.py).
+- ``Combiner``/``Reducer`` bounded top-k + majority vote →
+  ``topk`` (window ``row_number``; Spark ≥3.5 pushes a partial
+  WindowGroupLimit before the shuffle — the Combiner, for free) and
+  ``majority_vote``.
+
+Scale design (SURVEY.md §4): the probe/query side is broadcast (never
+shuffled); the train side streams partition-local; top-k is pruned
+map-side by WindowGroupLimit before the exchange. The cross product is
+never materialized to disk — it exists only inside the join stage. For
+bulk kNN at 100 TB the GEMM path in ``plans/gemm_knn.py`` replaces the
+expression evaluation with blockwise NumPy (CuPy drop-in for GPU).
+
+Oracle conventions (SURVEY.md §7.2): round(4) every float, tie-break every
+window on a unique id, cast arrays to double, alias both sides alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import col
+
+from .. import tables
+from ..functions.vector import METRICS, euclidean, l2_norm
+
+K_DEFAULT = 10
+K_JOIN = 5
+
+
+# ---------------------------------------------------------------- operators
+
+
+def split_test(e: DataFrame) -> DataFrame:
+    """Deterministic test split (vec_id % 5 == 0) — oracle-reproducible,
+    unlike randomSplit (SURVEY.md §2.T1 knn_split)."""
+    return e.filter(col("vec_id") % 5 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb"), col("label").alias("qlabel")
+    )
+
+
+def train_all(e: DataFrame) -> DataFrame:
+    return e.select(
+        col("vec_id").alias("tid"), col("emb").alias("temb"), col("label").alias("tlabel")
+    )
+
+
+def all_pairs(q: DataFrame, t: DataFrame) -> DataFrame:
+    """Candidate pairs, self excluded. The small query side is broadcast —
+    the DistributedCache / pinned-device-memory analog. Physically a
+    BroadcastNestedLoopJoin streaming the (big) train side."""
+    return t.join(F.broadcast(q), col("qid") != col("tid"))
+
+
+def with_distance(pairs: DataFrame, metric: str = "euclidean") -> DataFrame:
+    return pairs.withColumn("dist", METRICS[metric]("qemb", "temb"))
+
+
+def topk(pairs_with_dist: DataFrame, k: int = K_DEFAULT) -> DataFrame:
+    """Per-query k smallest distances; ties broken on tid (total order).
+    InferWindowGroupLimit prunes to k per partition before the shuffle —
+    the MapReduce Combiner, supplied by Catalyst."""
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return pairs_with_dist.withColumn("rnk", F.row_number().over(w)).filter(col("rnk") <= k)
+
+
+def majority_vote(topk_df: DataFrame) -> DataFrame:
+    """Mode of neighbor labels; ties → smallest label (Reducer tail)."""
+    votes = topk_df.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "tlabel")
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(col("vr") == 1)
+        .select(
+            "qid",
+            col("tlabel").alias("pred_label"),
+            col("qlabel").alias("true_label"),
+            (col("tlabel") == col("qlabel")).cast("int").alias("correct"),
+            "votes",
+        )
+    )
+
+
+def classify(spark: SparkSession, sf_dir: str, k: int = K_DEFAULT) -> DataFrame:
+    """Full kNN classification pipeline — the flagship (SURVEY.md §7.3 P1)."""
+    e = tables.embeddings(spark, sf_dir)
+    return majority_vote(topk(with_distance(all_pairs(split_test(e), train_all(e))), k))
+
+
+def knn_self_join(spark: SparkSession, sf_dir: str, k: int = K_JOIN) -> DataFrame:
+    """kNN self-join: every point gets its k nearest (SURVEY.md [P:Zhang12])."""
+    e = tables.embeddings(spark, sf_dir)
+    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"), col("label").alias("qlabel"))
+    pairs = with_distance(all_pairs(q, train_all(e)))
+    return topk(pairs, k).select(
+        "qid", "tid", col("rnk").cast("long").alias("rnk"), F.round("dist", 4).alias("dist")
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+
+def _q_scan(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("emb").cast("long").alias("dim"),
+        F.round(l2_norm("emb"), 4).alias("norm"),
+    )
+
+
+def _q_normalize_minmax(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    ex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    w = Window.partitionBy("pos")
+    return ex.select(
+        "vec_id",
+        col("pos").cast("long").alias("pos"),
+        F.round(
+            (col("val") - F.min("val").over(w)) / (F.max("val").over(w) - F.min("val").over(w)), 4
+        ).alias("scaled"),
+    )
+
+
+def _q_normalize_zscore(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    ex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    w = Window.partitionBy("pos")
+    return ex.select(
+        "vec_id",
+        col("pos").cast("long").alias("pos"),
+        F.round((col("val") - F.avg("val").over(w)) / F.stddev_pop("val").over(w), 4).alias(
+            "scaled"
+        ),
+    )
+
+
+def _q_split(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        "label",
+        F.when(col("vec_id") % 5 == 0, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def _pairs(spark, sf_dir, metric="euclidean"):
+    e = tables.embeddings(spark, sf_dir)
+    return with_distance(all_pairs(split_test(e), train_all(e)), metric)
+
+
+def _q_allpairs(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return all_pairs(split_test(e), train_all(e)).select("qid", "tid")
+
+
+def _q_dist(metric):
+    def q(spark, sf_dir):
+        return _pairs(spark, sf_dir, metric).select(
+            "qid", "tid", F.round("dist", 4).alias("dist")
+        )
+
+    return q
+
+
+def _q_topk(spark, sf_dir):
+    return topk(_pairs(spark, sf_dir), K_DEFAULT).select(
+        "qid", "tid", col("rnk").cast("long").alias("rnk"), F.round("dist", 4).alias("dist")
+    )
+
+
+def _q_classify(spark, sf_dir):
+    return classify(spark, sf_dir, K_DEFAULT)
+
+
+def _q_regress(spark, sf_dir):
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    return t.groupBy("qid").agg(
+        F.round(F.avg(col("tlabel").cast("double")), 4).alias("pred_value")
+    )
+
+
+def _q_join(spark, sf_dir):
+    return knn_self_join(spark, sf_dir, K_JOIN)
+
+
+def _q_accuracy(spark, sf_dir):
+    pred = classify(spark, sf_dir, K_DEFAULT)
+    return pred.agg(
+        F.round(F.avg(col("correct").cast("double")), 4).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_confusion(spark, sf_dir):
+    pred = classify(spark, sf_dir, K_DEFAULT)
+    return pred.groupBy("true_label", "pred_label").agg(F.count("*").alias("cnt"))
+
+
+QUERIES = {
+    "knn_scan": _q_scan,
+    "knn_normalize_minmax": _q_normalize_minmax,
+    "knn_normalize_zscore": _q_normalize_zscore,
+    "knn_split": _q_split,
+    "knn_allpairs": _q_allpairs,
+    "knn_dist_euclidean": _q_dist("euclidean"),
+    "knn_dist_sqeuclidean": _q_dist("sqeuclidean"),
+    "knn_dist_manhattan": _q_dist("manhattan"),
+    "knn_dist_cosine": _q_dist("cosine"),
+    "knn_topk": _q_topk,
+    "knn_classify": _q_classify,
+    "knn_regress": _q_regress,
+    "knn_join": _q_join,
+    "knn_accuracy": _q_accuracy,
+    "knn_confusion": _q_confusion,
+}
+
+
+# ------------------------------------------------------------------- oracle
+
+_EMB = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)"
+
+_PAIRS = (
+    "pairs AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, t.label AS tlabel, "
+    "list_distance(q.emb, t.emb) AS dist "
+    "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id)"
+)
+
+_TOPK = (
+    "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk "
+    "FROM pairs), topk AS (SELECT * FROM ranked WHERE rnk <= 10)"
+)
+
+_PRED = (
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, qlabel, tlabel, votes, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr FROM votes)"
+)
+
+_CLASSIFY_SELECT = (
+    "SELECT qid, tlabel AS pred_label, qlabel AS true_label, "
+    "CAST(tlabel = qlabel AS INTEGER) AS correct, votes FROM pred WHERE vr = 1"
+)
+
+_EX = (
+    "ex AS (SELECT vec_id, i AS pos, emb[CAST(i + 1 AS INTEGER)] AS val "
+    "FROM emb, range(64) t(i))"
+)
+
+ORACLE = {
+    "knn_scan": (
+        f"WITH {_EMB} SELECT vec_id, label, CAST(len(emb) AS BIGINT) AS dim, "
+        "round(sqrt(list_inner_product(emb, emb)), 4) AS norm FROM emb"
+    ),
+    "knn_normalize_minmax": (
+        f"WITH {_EMB}, {_EX} "
+        "SELECT vec_id, pos, round((val - min(val) OVER (PARTITION BY pos)) / "
+        "(max(val) OVER (PARTITION BY pos) - min(val) OVER (PARTITION BY pos)), 4) AS scaled "
+        "FROM ex"
+    ),
+    "knn_normalize_zscore": (
+        f"WITH {_EMB}, {_EX} "
+        "SELECT vec_id, pos, round((val - avg(val) OVER (PARTITION BY pos)) / "
+        "stddev_pop(val) OVER (PARTITION BY pos), 4) AS scaled FROM ex"
+    ),
+    "knn_split": (
+        "SELECT vec_id, label, CASE WHEN vec_id % 5 = 0 THEN 'test' ELSE 'train' END AS split "
+        "FROM embeddings"
+    ),
+    "knn_allpairs": f"WITH {_EMB}, {_PAIRS} SELECT qid, tid FROM pairs",
+    "knn_dist_euclidean": (
+        f"WITH {_EMB}, {_PAIRS} SELECT qid, tid, round(dist, 4) AS dist FROM pairs"
+    ),
+    "knn_dist_sqeuclidean": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_manhattan": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+        "p -> abs(p[1] - p[2])), 'sum'), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_cosine": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_cosine_similarity(q.emb, t.emb), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_topk": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK} "
+        "SELECT qid, tid, rnk, round(dist, 4) AS dist FROM topk"
+    ),
+    "knn_classify": f"WITH {_EMB}, {_PAIRS}, {_TOPK}, {_PRED} {_CLASSIFY_SELECT}",
+    "knn_regress": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK} "
+        "SELECT qid, round(avg(CAST(tlabel AS DOUBLE)), 4) AS pred_value FROM topk GROUP BY qid"
+    ),
+    "knn_join": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) "
+        "AS rnk FROM pairs) "
+        f"SELECT qid, tid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= {K_JOIN}"
+    ),
+    "knn_accuracy": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, {_PRED} "
+        "SELECT round(avg(CAST(CAST(tlabel = qlabel AS INTEGER) AS DOUBLE)), 4) AS accuracy, "
+        "count(*) AS n FROM pred WHERE vr = 1"
+    ),
+    "knn_confusion": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, {_PRED} "
+        "SELECT qlabel AS true_label, tlabel AS pred_label, count(*) AS cnt FROM pred "
+        "WHERE vr = 1 GROUP BY qlabel, tlabel"
+    ),
+}

@@ -1,0 +1,89 @@
+"""Local replica of the driver's t2 DuckDB-oracle gate (SURVEY.md §5.2).
+
+Runs each ``queries()[name]`` on Spark and ``oracle_sql()[name]`` on
+DuckDB over the same parquet fixtures, then compares row count, column
+names, and values (order-insensitive, strict after the §7.2 rounding
+conventions). Failures surface here before the grading driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from .tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # squash -0.0 and representation noise one digit beyond round(4)
+        return round(v + 0.0, 6)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_cell(v.item())
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int = -1
+    duck_rows: int = -1
+
+
+def compare(name: str, spark_df, sql: str, con) -> CompareResult:
+    try:
+        spdf = spark_df.toPandas()
+    except Exception as e:  # noqa: BLE001
+        return CompareResult(name, False, f"spark error: {str(e)[:500]}")
+    try:
+        dpdf = con.execute(sql).fetchdf()
+    except Exception as e:  # noqa: BLE001
+        return CompareResult(name, False, f"duckdb error: {str(e)[:500]}")
+
+    res = CompareResult(name, True, "", len(spdf), len(dpdf))
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        res.ok = False
+        res.detail = f"columns differ: spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+        return res
+    if len(spdf) != len(dpdf):
+        res.ok = False
+        res.detail = f"row count differs: spark={len(spdf)} duck={len(dpdf)}"
+        return res
+    s_rows, d_rows = canonical_rows(spdf), canonical_rows(dpdf)
+    if s_rows != d_rows:
+        bad = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
+        first = next(((a, b) for a, b in zip(s_rows, d_rows) if a != b), None)
+        res.ok = False
+        res.detail = f"{bad}/{len(s_rows)} rows differ; first: spark={first[0]} duck={first[1]}"
+    return res

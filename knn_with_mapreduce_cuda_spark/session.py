@@ -1,0 +1,72 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Parity note (SURVEY.md §3.1): the reference repo class configures its
+runtime via Hadoop ``JobConf`` / CUDA launch parameters; our equivalent is
+one SparkSession with UTC session time, AQE on, and the legacy
+nanos-as-long parquet flag required by the ``events`` fixture
+(SURVEY.md §7.1 hazard).
+
+Scale design: nothing here assumes local mode. ``SPARK_MASTER`` /
+``SPARK_GRAFT_CPUS`` env vars select the cluster; shuffle partitions
+default to 32 locally but should be ~2-3x total cores on a real cluster
+(or left to AQE coalescing, which is enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable and required for correctness no matter
+#: who built the session (the grading driver builds its own).
+RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
+    # this legacy flag maps it to bigint nanoseconds (SURVEY.md §7.1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for timestamp functions so the
+    # DuckDB oracle (naive timestamps) and Spark agree.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs to an externally built session.
+
+    Called from every table loader so the engine works inside the grading
+    driver's own SparkSession, not just ours.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf locked by the host session: proceed; reads that need it
+            # will raise a clear error of their own.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "knn-mapreduce-cuda-spark") -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    local[{SPARK_GRAFT_CPUS}] by default; on a real cluster pass
+    SPARK_MASTER. AQE handles skew-join splitting and post-shuffle
+    coalescing at scale (SURVEY.md §4).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,70 @@
+"""Canonical table loaders over the driver fixtures (FIXTURES.md).
+
+Parity note (SURVEY.md §1): the reference repo class parses positional
+CSV/text records into (id, feature-vector, label); our catalog is the
+driver's parquet star schema + events/documents/embeddings, loaded as
+DataFrames with canonical casts:
+
+- ``events.ts`` arrives as bigint nanoseconds (nanosAsLong workaround,
+  SURVEY.md §7.1) and is converted to a microsecond timestamp with exact
+  integer division (``ts div 1000`` — double division would lose precision
+  above 2^53 ns).
+- ``embeddings.embedding`` (array<float>) is cast to array<double> before
+  any arithmetic so results match DuckDB's double math (SURVEY.md §7.2).
+
+Scale design: loaders return lazy DataFrames straight off the parquet
+scan — no caching, no collect — so Catalyst can push filters/column
+pruning into the scan regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import ensure_runtime_confs
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical casts applied."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Keep raw nanos for arithmetic; expose ts as a µs timestamp.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return df
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector cast to array<double> as ``emb``."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for spark.sql queries."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
