@@ -1,0 +1,693 @@
+"""T2 — relational operator surface (SURVEY.md §2.T2).
+
+The engine layer the reference repo class never had (its only "query" is
+the kNN CLI invocation — SURVEY.md §1.1): scans, joins of every shape,
+hash/rollup aggregation, windows, set ops, subqueries, and the scalar
+function library, all declarative DataFrame/SQL so Catalyst supplies
+pushdown, pruning, partial aggregation, and join selection (SURVEY.md §4).
+
+Scale notes per operator family:
+- Joins: dimension sides are broadcast (`F.broadcast`); fact-fact joins
+  use sort-merge (hinted where the local fixtures are small enough that
+  Catalyst would otherwise broadcast); AQE handles skew at runtime.
+- Aggregations: expressed as groupBy().agg() so partial aggregation
+  (map-side combine) happens before the exchange.
+- Monetary sums are integerized to cents *before* summing
+  (``round(x*100)::bigint``): integer sums are order-independent, so the
+  result is bit-identical across Spark's partitioned sum, a 1000-executor
+  cluster sum, and DuckDB's sequential sum — the float-determinism
+  convention of SURVEY.md §7.2 taken to its safe endpoint.
+- Window/top-k: every ORDER BY ends in a unique key (total order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from .. import tables
+
+
+def cents(x: Column) -> Column:
+    """Integerize a monetary double to exact cents (order-independent sum)."""
+    return F.round(x * 100, 0).cast("long")
+
+
+_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
+
+
+def _sum_cents_sql(x: str) -> str:
+    return f"CAST(sum({_CENTS.format(x=x)}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_scan_project_filter(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.filter(
+        col("l_quantity").between(5, 30)
+        & col("l_returnflag").isin("A", "R")
+        & col("l_shipdate").isNotNull()
+        & ((col("l_discount") < 0.05) | (col("l_tax") > 0.04))
+        & col("l_linestatus").like("F%")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def _q_join_broadcast(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    part = tables.table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias("revenue_cents"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def _q_join_shuffle(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders")
+    li = tables.table(spark, sf_dir, "lineitem")
+    joined = orders.hint("merge").join(li, col("o_orderkey") == col("l_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(col("l_extendedprice"))).alias("price_cents"),
+    )
+
+
+def _q_join_outer(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer").filter(col("c_custkey") <= 1000)
+    ordagg = (
+        tables.table(spark, sf_dir, "orders")
+        .filter(col("o_custkey") >= 500)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    cond = col("c_custkey") == col("o_custkey")
+    sel = [
+        col("c_custkey"),
+        col("o_custkey"),
+        col("n_orders"),
+    ]
+    left = cust.join(ordagg, cond, "left").select(lit("L").alias("side"), *sel)
+    right = cust.join(ordagg, cond, "right").select(lit("R").alias("side"), *sel)
+    full = cust.join(ordagg, cond, "full").select(lit("F").alias("side"), *sel)
+    return left.unionByName(right).unionByName(full)
+
+
+def _q_join_semi_anti(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders")
+    cond = col("c_custkey") == col("o_custkey")
+    semi = cust.join(orders, cond, "left_semi").select(lit("semi").alias("kind"), "c_custkey")
+    anti = cust.join(orders, cond, "left_anti").select(lit("anti").alias("kind"), "c_custkey")
+    return semi.unionByName(anti)
+
+
+def _q_join_theta_range(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    a = ev.select(col("event_id").alias("a_id"), col("user_id").alias("a_user"), col("ts_us").alias("a_ts"))
+    b = ev.select(col("event_id").alias("b_id"), col("user_id").alias("b_user"), col("ts_us").alias("b_ts"))
+    return a.join(
+        b,
+        (col("a_user") == col("b_user"))
+        & (col("b_ts") > col("a_ts"))
+        & (col("b_ts") <= col("a_ts") + lit(600_000_000)),
+    ).select("a_id", "b_id", (col("b_ts") - col("a_ts")).alias("gap_us"))
+
+
+def _q_join_asof(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"), col("user_id").alias("p_user"), col("ts_us").alias("p_ts")
+    )
+    c = ev.filter(col("event_type") == "click").select(
+        col("event_id").alias("c_id"), col("user_id").alias("c_user"), col("ts_us").alias("c_ts")
+    )
+    j = p.join(c, (col("p_user") == col("c_user")) & (col("c_ts") <= col("p_ts")), "left")
+    w = Window.partitionBy("p_id").orderBy(
+        F.desc_nulls_last("c_ts"), F.desc_nulls_last("c_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("p_id", "c_id", (col("p_ts") - col("c_ts")).alias("gap_us"))
+    )
+
+
+def _q_agg_hash(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    disc_price = col("l_extendedprice") * (1 - col("l_discount"))
+    charge = disc_price * (1 + col("l_tax"))
+    return (
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.sum(cents(col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(cents(charge)).alias("sum_charge_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_agg_distinct(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.round(F.sum_distinct(col("l_quantity")), 4).alias("sum_dist_qty"),
+    )
+
+
+def _q_agg_approx(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    )
+    return agg.select(
+        "exact_cnt",
+        (
+            F.abs(col("approx") - col("exact_cnt")) / col("exact_cnt") < 0.05
+        ).alias("within_5pct"),
+    )
+
+
+def _q_agg_grouping_sets(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(col("l_extendedprice"))).alias("price_cents"),
+        (F.grouping("l_returnflag").cast("long") * 2 + F.grouping("l_linestatus").cast("long")).alias(
+            "g_id"
+        ),
+    )
+
+
+def _q_window_rank(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(col("rn") <= 3)
+    )
+
+
+def _q_window_analytic(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_value"),
+        F.last("value").over(wf).alias("last_value"),
+        (col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+def _q_window_frame(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    mov = w.rowsBetween(-3, 0)
+    rng = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-600_000_000, 0)
+    return ev.select(
+        "event_id",
+        F.round(F.avg("value").over(mov), 4).alias("mov_avg"),
+        F.count("*").over(rng).alias("rng_cnt"),
+    )
+
+
+def _q_sort_limit(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+def _q_setop_union(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    supp = tables.table(spark, sf_dir, "supplier")
+    a = cust.filter(col("c_mktsegment") == "BUILDING").select(col("c_nationkey").alias("nkey"))
+    b = supp.select(col("s_nationkey").alias("nkey"))
+    dist = a.union(b).distinct().select(lit("dist").alias("kind"), "nkey")
+    allrows = a.union(b).select(lit("all").alias("kind"), "nkey")
+    return dist.unionByName(allrows)
+
+
+def _q_setop_intersect_except(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    supp = tables.table(spark, sf_dir, "supplier")
+    a = cust.select(col("c_nationkey").alias("nkey"))
+    b = supp.select(col("s_nationkey").alias("nkey"))
+    out = (
+        a.intersect(b).select(lit("intersect").alias("kind"), "nkey")
+        .unionByName(a.exceptAll(b).select(lit("except_all").alias("kind"), "nkey"))
+        .unionByName(a.subtract(b).select(lit("except").alias("kind"), "nkey"))
+        .unionByName(a.intersectAll(b).select(lit("intersect_all").alias("kind"), "nkey"))
+    )
+    return out
+
+
+def _q_subquery(spark, sf_dir):
+    tables.table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    tables.table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+          AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+        """
+    )
+
+
+def _q_fn_string(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lower("c_name").alias("lo"),
+        F.upper("c_mktsegment").alias("up"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.trim(F.lpad("c_name", 25, " ")).alias("trimmed"),
+        F.lpad(col("c_custkey").cast("string"), 9, "0").alias("padded"),
+        F.size(F.split("c_name", "#")).cast("long").alias("n_parts"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+        F.length("c_name").cast("long").alias("len"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+    )
+
+
+def _q_fn_date(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_days"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), lit(1)), "yyyy-MM-dd"
+        ).alias("made"),
+    )
+
+
+def _q_fn_math(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(col("l_discount") - 0.05).alias("a"),
+        F.ceil("l_extendedprice").cast("long").alias("c"),
+        F.floor("l_extendedprice").cast("long").alias("f"),
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.pow("l_quantity", 2).alias("q2"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+        F.round(F.exp("l_discount"), 4).alias("ex"),
+        F.round(F.log(lit(1.0) + col("l_discount")), 4).alias("ln1p"),
+        F.round(F.log10("l_extendedprice"), 4).alias("lg"),
+        F.signum(col("l_discount") - 0.05).cast("long").alias("sgn"),
+        F.greatest("l_quantity", "l_discount", "l_tax").alias("g"),
+        F.least("l_quantity", "l_discount", "l_tax").alias("l"),
+        (col("l_orderkey") % 7).alias("m7"),
+    )
+
+
+def _q_fn_conditional(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif("c_mktsegment", lit("BUILDING")), lit("NONE")).alias("seg_nb"),
+        F.nvl(F.nullif(col("c_nationkey"), lit(0)), lit(-1)).alias("nat_nz"),
+    )
+
+
+def _q_fn_array(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("dim"),
+        F.round(F.element_at("emb", 1), 4).alias("first_el"),
+        F.round(F.array_min("emb"), 4).alias("min_el"),
+        F.round(F.array_max("emb"), 4).alias("max_el"),
+        F.size(F.filter("emb", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate("emb", lit(0.0), lambda s, x: s + x), 4).alias("sum_el"),
+        F.size(F.array_distinct("emb")).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(F.slice(F.sort_array("emb"), 1, 8), lit(0.0), lambda s, x: s + x), 4
+        ).alias("bottom8_sum"),
+    )
+
+
+def _q_fn_map_struct(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    m = F.create_map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name"))
+    st = F.struct(col("c_custkey").alias("k"), col("c_acctbal").alias("bal"))
+    return cust.select(
+        "c_custkey",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "seg").alias("seg_val"),
+        st.getField("bal").alias("st_bal"),
+        F.map_contains_key(m, "name").alias("has_name"),
+    )
+
+
+def _q_fn_json(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        F.from_json("props", "k INT").getField("k").alias("k_from"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _q_sample(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    bucket = F.substring(F.md5(col("l_orderkey").cast("string")), 1, 2)
+    return li.filter(bucket < "1a").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _q_pivot(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return piv.select("user_id", *[col(t).cast("long").alias(t) for t in types])
+
+
+QUERIES = {
+    "rel_scan_project_filter": _q_scan_project_filter,
+    "rel_join_broadcast": _q_join_broadcast,
+    "rel_join_shuffle": _q_join_shuffle,
+    "rel_join_outer": _q_join_outer,
+    "rel_join_semi_anti": _q_join_semi_anti,
+    "rel_join_theta_range": _q_join_theta_range,
+    "rel_join_asof": _q_join_asof,
+    "rel_agg_hash": _q_agg_hash,
+    "rel_agg_distinct": _q_agg_distinct,
+    "rel_agg_approx": _q_agg_approx,
+    "rel_agg_grouping_sets": _q_agg_grouping_sets,
+    "rel_window_rank": _q_window_rank,
+    "rel_window_analytic": _q_window_analytic,
+    "rel_window_frame": _q_window_frame,
+    "rel_sort_limit": _q_sort_limit,
+    "rel_topk_per_group": _q_topk_per_group,
+    "rel_setop_union": _q_setop_union,
+    "rel_setop_intersect_except": _q_setop_intersect_except,
+    "rel_subquery": _q_subquery,
+    "rel_fn_string": _q_fn_string,
+    "rel_fn_date": _q_fn_date,
+    "rel_fn_math": _q_fn_math,
+    "rel_fn_conditional": _q_fn_conditional,
+    "rel_fn_array": _q_fn_array,
+    "rel_fn_map_struct": _q_fn_map_struct,
+    "rel_fn_json": _q_fn_json,
+    "rel_dedup_exact": _q_dedup_exact,
+    "rel_sample": _q_sample,
+    "rel_explain_pivot": _q_pivot,
+}
+
+
+# ------------------------------------------------------------------- oracle
+
+_EV = (
+    "ev AS (SELECT event_id, user_id, event_type, value, props, "
+    "epoch_us(ts) AS ts_us FROM events)"
+)
+
+ORACLE = {
+    "rel_scan_project_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_quantity BETWEEN 5 AND 30 AND l_returnflag IN ('A','R') "
+        "AND l_shipdate IS NOT NULL AND (l_discount < 0.05 OR l_tax > 0.04) "
+        "AND l_linestatus LIKE 'F%'"
+    ),
+    "rel_join_broadcast": (
+        "SELECT p_brand, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS revenue_cents, count(*) AS cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+    ),
+    "rel_join_shuffle": (
+        "SELECT o_orderpriority, count(*) AS cnt, "
+        + _sum_cents_sql("l_extendedprice")
+        + " AS price_cents "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"
+    ),
+    "rel_join_outer": (
+        "WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey <= 1000), "
+        "b AS (SELECT o_custkey, count(*) AS n_orders FROM orders WHERE o_custkey >= 500 "
+        "GROUP BY o_custkey) "
+        "SELECT 'L' AS side, c_custkey, o_custkey, n_orders FROM a LEFT JOIN b "
+        "ON c_custkey = o_custkey "
+        "UNION ALL SELECT 'R', c_custkey, o_custkey, n_orders FROM a RIGHT JOIN b "
+        "ON c_custkey = o_custkey "
+        "UNION ALL SELECT 'F', c_custkey, o_custkey, n_orders FROM a FULL JOIN b "
+        "ON c_custkey = o_custkey"
+    ),
+    "rel_join_semi_anti": (
+        "SELECT 'semi' AS kind, c_custkey FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT 'anti', c_custkey FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "rel_join_theta_range": (
+        f"WITH {_EV} "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, b.ts_us - a.ts_us AS gap_us "
+        "FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts_us > a.ts_us "
+        "AND b.ts_us <= a.ts_us + 600000000"
+    ),
+    "rel_join_asof": (
+        f"WITH {_EV}, "
+        "p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM ev "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
+        "WHERE event_type = 'click'), "
+        "j AS (SELECT p.p_id, c.c_id, p.p_ts, c.c_ts, row_number() OVER ("
+        "PARTITION BY p.p_id ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn "
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts) "
+        "SELECT p_id, c_id, p_ts - c_ts AS gap_us FROM j WHERE rn = 1"
+    ),
+    "rel_agg_hash": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+        + _sum_cents_sql("l_extendedprice")
+        + " AS sum_base_cents, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS sum_disc_cents, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+        + " AS sum_charge_cents, "
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, "
+        "round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "rel_agg_distinct": (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, "
+        "count(DISTINCT l_suppkey) AS nd_supp, "
+        "round(sum(DISTINCT l_quantity), 4) AS sum_dist_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "rel_agg_approx": (
+        "SELECT count(DISTINCT l_partkey) AS exact_cnt, true AS within_5pct FROM lineitem"
+    ),
+    "rel_agg_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        + _sum_cents_sql("l_extendedprice")
+        + " AS price_cents, "
+        "CAST(grouping(l_returnflag) AS BIGINT) * 2 + CAST(grouping(l_linestatus) AS BIGINT) "
+        "AS g_id FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "rel_window_rank": (
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn, "
+        "ntile(4) OVER w AS quartile FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) "
+        "WHERE rn <= 3"
+    ),
+    "rel_window_analytic": (
+        f"WITH {_EV} "
+        "SELECT event_id, user_id, lag(value) OVER w AS prev_value, "
+        "lead(value) OVER w AS next_value, "
+        "first_value(value) OVER wf AS first_value, last_value(value) OVER wf AS last_value, "
+        "ts_us - lag(ts_us) OVER w AS gap_us FROM ev "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id), "
+        "wf AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "rel_window_frame": (
+        f"WITH {_EV} "
+        "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts_us "
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS rng_cnt FROM ev"
+    ),
+    "rel_sort_limit": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+    ),
+    "rel_topk_per_group": (
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM ("
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, "
+        "row_number() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) "
+        "WHERE rn <= 3"
+    ),
+    "rel_setop_union": (
+        "WITH a AS (SELECT c_nationkey AS nkey FROM customer WHERE c_mktsegment = 'BUILDING'), "
+        "b AS (SELECT s_nationkey AS nkey FROM supplier) "
+        "SELECT 'dist' AS kind, nkey FROM (SELECT nkey FROM a UNION SELECT nkey FROM b) "
+        "UNION ALL "
+        "SELECT 'all' AS kind, nkey FROM (SELECT nkey FROM a UNION ALL SELECT nkey FROM b)"
+    ),
+    "rel_setop_intersect_except": (
+        "WITH a AS (SELECT c_nationkey AS nkey FROM customer), "
+        "b AS (SELECT s_nationkey AS nkey FROM supplier) "
+        "SELECT 'intersect' AS kind, nkey FROM (SELECT nkey FROM a INTERSECT SELECT nkey FROM b) "
+        "UNION ALL SELECT 'except_all', nkey FROM (SELECT nkey FROM a EXCEPT ALL "
+        "SELECT nkey FROM b) "
+        "UNION ALL SELECT 'except', nkey FROM (SELECT nkey FROM a EXCEPT SELECT nkey FROM b) "
+        "UNION ALL SELECT 'intersect_all', nkey FROM (SELECT nkey FROM a INTERSECT ALL "
+        "SELECT nkey FROM b)"
+    ),
+    "rel_subquery": (
+        "SELECT p_partkey, p_retailprice FROM part "
+        "WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) "
+        "AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)"
+    ),
+    "rel_fn_string": (
+        "SELECT c_custkey, lower(c_name) AS lo, upper(c_mktsegment) AS up, "
+        "substring(c_name, 1, 8) AS sub, "
+        "concat_ws('|', c_mktsegment, c_name) AS joined, "
+        "trim(lpad(c_name, 25, ' ')) AS trimmed, "
+        "lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded, "
+        "CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts, "
+        "regexp_extract(c_name, '([0-9]+)', 1) AS digits, "
+        "regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked, "
+        "CAST(length(c_name) AS BIGINT) AS len, "
+        "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos "
+        "FROM customer"
+    ),
+    "rel_fn_date": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, "
+        "CAST(month(o_orderdate) AS BIGINT) AS mo, "
+        "CAST(day(o_orderdate) AS BIGINT) AS dom, "
+        "strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start, "
+        "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30, "
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) "
+        "AS epoch_days, "
+        "strftime(make_date(CAST(year(o_orderdate) AS INTEGER), "
+        "CAST(month(o_orderdate) AS INTEGER), 1), '%Y-%m-%d') AS made FROM orders"
+    ),
+    "rel_fn_math": (
+        "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS a, "
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS c, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS f, "
+        "round(l_extendedprice, 1) AS r1, "
+        "pow(l_quantity, 2) AS q2, round(sqrt(l_extendedprice), 4) AS sq, "
+        "round(exp(l_discount), 4) AS ex, round(ln(1.0 + l_discount), 4) AS ln1p, "
+        "round(log10(l_extendedprice), 4) AS lg, "
+        "CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn, "
+        "greatest(l_quantity, l_discount, l_tax) AS g, "
+        "least(l_quantity, l_discount, l_tax) AS l, "
+        "l_orderkey % 7 AS m7 FROM lineitem"
+    ),
+    "rel_fn_conditional": (
+        "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' "
+        "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket, "
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_nb, "
+        "coalesce(nullif(c_nationkey, 0), -1) AS nat_nz FROM customer"
+    ),
+    "rel_fn_array": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim, round(emb[1], 4) AS first_el, "
+        "round(list_aggregate(emb, 'min'), 4) AS min_el, "
+        "round(list_aggregate(emb, 'max'), 4) AS max_el, "
+        "CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos, "
+        "round(list_aggregate(emb, 'sum'), 4) AS sum_el, "
+        "CAST(len(list_distinct(emb)) AS BIGINT) AS n_distinct, "
+        "round(list_aggregate(list_slice(list_sort(emb), 1, 8), 'sum'), 4) AS bottom8_sum "
+        "FROM emb"
+    ),
+    "rel_fn_map_struct": (
+        "SELECT c_custkey, array_to_string(map_keys(MAP {'seg': c_mktsegment, 'name': c_name}), "
+        "',') AS keys_csv, "
+        "map_extract(MAP {'seg': c_mktsegment, 'name': c_name}, 'seg')[1] AS seg_val, "
+        "{'k': c_custkey, 'bal': c_acctbal}.bal AS st_bal, "
+        "list_contains(map_keys(MAP {'seg': c_mktsegment, 'name': c_name}), 'name') AS has_name "
+        "FROM customer"
+    ),
+    "rel_fn_json": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_get, "
+        "CAST(json_extract(props, '$.k') AS INTEGER) AS k_from FROM events"
+    ),
+    "rel_dedup_exact": (
+        "SELECT user_id, event_type, event_id FROM ("
+        "SELECT user_id, event_type, event_id, row_number() OVER ("
+        "PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) WHERE rn = 1"
+    ),
+    "rel_sample": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '1a'"
+    ),
+    "rel_explain_pivot": (
+        "SELECT user_id, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
+        "FROM events GROUP BY user_id"
+    ),
+}

