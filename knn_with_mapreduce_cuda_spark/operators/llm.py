@@ -1,0 +1,630 @@
+"""T3 — LLM-data-pipeline operators (SURVEY.md §2.T3), mandated beyond the
+reference's own surface: dedup (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force, IVF-pruned,
+BRP-LSH), text analysis (tokenize, n-gram, TF-IDF, stats, language-ID,
+quality score, token count, fingerprint), and multimodal plumbing.
+
+Determinism design: near-dup signatures use **md5 as the hash family**
+(``h_i(s) = min over shingles of md5(i || '|' || s)``) — md5 is a public,
+engine-independent algorithm, so MinHash/SimHash become *hash-graded*
+queries against DuckDB rather than the usual rows-only check. The MLlib
+``MinHashLSH``/``BucketedRandomProjectionLSH`` variants (impl-specific
+hash families) are the declared rows-only entries.
+
+Scale design:
+- Shingle explosion is ``O(tokens)`` rows with map-side ``DISTINCT``
+  before any shuffle; band-bucket join shuffles only (band, signature)
+  pairs — the LSH trick that avoids the O(n²) pair space at 100 TB.
+- IVF search prunes candidates to one coarse cluster before exact
+  distance — the probe set shrinks by the number of centroids.
+- The brute-force pair queries (jaccard, embed-cosine) are the small-data
+  oracles; their scale path is the MinHash/LSH prefilter above.
+- Multimodal decode runs in ``mapInPandas`` over an Arrow binary column;
+  the image decode itself is stubbed (no codec libs in this container,
+  SURVEY.md environment) behind a deterministic fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from .. import tables
+from ..functions.vector import cosine, euclidean
+
+N_MINHASH = 8
+N_BANDS = 4  # band size 2
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.15
+EMBED_DUP_THRESHOLD = 0.45
+LANG_MARKERS = {"de": "join", "en": "hash", "es": "row", "fr": "batch", "zh": "scan"}
+IVF_CENTROID_IDS = [7, 107, 207, 307, 407]
+
+
+def _tokens(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    return docs.withColumn("ts", F.split("text", " "))
+
+
+def _shingles(spark, sf_dir):
+    """Distinct word 3-gram shingles per doc (1-based element_at ⟷ DuckDB)."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(lit(1), F.size("ts") - (SHINGLE_K - 1)),
+            lambda j: F.concat_ws(
+                " ",
+                F.element_at(col("ts"), j),
+                F.element_at(col("ts"), j + 1),
+                F.element_at(col("ts"), j + 2),
+            ),
+        )
+    )
+    return t.select("doc_id", "lang", F.explode(sh).alias("s"))
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def _q_dedup_hash(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    h = docs.withColumn("content_hash", F.sha2("text", 256))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("content_hash")))
+        .filter(col("rn") == 1)
+        .select("doc_id", "content_hash", "n_dups")
+    )
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """(doc_id, h0..h7): md5-family MinHash signature — engine-independent."""
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id", F.explode(F.sequence(lit(0), lit(N_MINHASH - 1))).alias("i"), "s"
+    ).select(
+        "doc_id", "i", F.md5(F.concat(col("i").cast("string"), lit("|"), col("s"))).alias("h")
+    )
+    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
+    aggs = [
+        F.min(F.when(col("i") == k, col("h"))).alias(f"h{k}") for k in range(N_MINHASH)
+    ]
+    return per_i.groupBy("doc_id").agg(*aggs)
+
+
+def _q_dedup_near_minhash(spark, sf_dir):
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id",
+            lit(b).cast("long").alias("band"),
+            F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(col("doc_id").alias("doc_a"), "band", "bsig")
+    b_ = bands.select(col("doc_id").alias("doc_b"), "band", "bsig")
+    return (
+        a.join(b_, ["band", "bsig"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("tok"))
+    bits = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(lit(0), lit(15))).alias("j"),
+    ).withColumn(
+        "bitval",
+        F.when(
+            F.substring(F.md5("tok"), col("j") + 1, lit(1)).isin(list("89abcdef")), 1
+        ).otherwise(-1),
+    )
+    s = bits.groupBy("doc_id", "j").agg(F.sum("bitval").alias("s"))
+    return s.groupBy("doc_id").agg(
+        F.sum(
+            F.when(col("s") > 0, F.pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0))
+        ).alias("simhash")
+    )
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(col("doc_id").alias("doc_a"), col("lang").alias("lang_a"), "s")
+    b = sh.select(col("doc_id").alias("doc_b"), col("lang").alias("lang_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter((col("doc_a") < col("doc_b")) & (col("lang_a") == col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(col("doc_id").alias("doc_a"), col("n").alias("na"))
+    sb = sizes.select(col("doc_id").alias("doc_b"), col("n").alias("nb"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    jacc = col("i") / (col("na") + col("nb") - col("i"))
+    return (
+        j.filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def _q_dedup_embed(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    a = e.select(col("vec_id").alias("vec_a"), col("emb").alias("emb_a"))
+    b = e.select(col("vec_id").alias("vec_b"), col("emb").alias("emb_b"))
+    pairs = a.join(b, col("vec_a") < col("vec_b")).withColumn(
+        "cos", cosine("emb_a", "emb_b")
+    )
+    return pairs.filter(col("cos") >= EMBED_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    )
+
+
+# --------------------------------------------------------- similarity search
+
+
+def _q_simsearch_topk(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    q = e.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    pairs = t.join(F.broadcast(q), col("qid") != col("tid")).withColumn(
+        "cos", cosine("qemb", "temb")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "tid")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("qid", "tid", "rnk", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _q_simsearch_ivf(spark, sf_dir):
+    """IVF-style pruned search: assign every vector to its nearest coarse
+    centroid, then search only within the query's cluster. The pruning is
+    the 100 TB path: candidate set shrinks by the centroid count."""
+    e = tables.embeddings(spark, sf_dir)
+    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        col("vec_id").alias("cid"), col("emb").alias("cemb")
+    )
+    v = e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
+    ac = v.join(F.broadcast(cents)).withColumn("cdist", euclidean("vemb", "cemb"))
+    w = Window.partitionBy("vid").orderBy("cdist", "cid")
+    assign = ac.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1).select(
+        "vid", "cid", "vemb"
+    )
+    q = assign.filter(col("vid") % 50 == 0).select(
+        col("vid").alias("qid"), col("cid").alias("qcid"), col("vemb").alias("qemb")
+    )
+    cand = q.join(
+        assign.select(col("vid").alias("tid"), col("cid"), col("vemb").alias("temb")),
+        (col("qcid") == col("cid")) & (col("qid") != col("tid")),
+    ).withColumn("dist", euclidean("qemb", "temb"))
+    w2 = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("qid", "tid", col("qcid").alias("cid"), "rnk", F.round("dist", 4).alias("dist"))
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Rows-only: MLlib BucketedRandomProjectionLSH similarity join —
+    hash family is implementation-specific, so no SQL oracle exists."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = tables.embeddings(spark, sf_dir).withColumn("v", array_to_vector("emb"))
+    q = e.filter(col("vec_id") % 50 == 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    joined = model.approxSimilarityJoin(q, e, 1.3, distCol="dist")
+    return joined.filter(
+        col("datasetA.vec_id") != col("datasetB.vec_id")
+    ).select(
+        col("datasetA.vec_id").alias("qid"),
+        col("datasetB.vec_id").alias("tid"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def _q_dedup_minhash_mllib(spark, sf_dir):
+    """Rows-only: MLlib MinHashLSH over token count vectors."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    t = _tokens(spark, sf_dir).select("doc_id", "ts")
+    cv = CountVectorizer(inputCol="ts", outputCol="v", binary=True, vocabSize=1 << 12)
+    vecs = cv.fit(t).transform(t)
+    mh = MinHashLSH(inputCol="v", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jdist")
+    return joined.filter(col("datasetA.doc_id") < col("datasetB.doc_id")).select(
+        col("datasetA.doc_id").alias("doc_a"),
+        col("datasetB.doc_id").alias("doc_b"),
+        F.round("jdist", 4).alias("jdist"),
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def _q_text_tokenize(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).select(F.explode("ts").alias("tok"))
+    return toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+
+
+def _q_text_ngram(spark, sf_dir):
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= 2)
+    bi = F.transform(
+        F.sequence(lit(1), F.size("ts") - 1),
+        lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),
+    )
+    return (
+        t.select(F.explode(bi).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(col("cnt") >= 5)
+    )
+
+
+def _q_text_tfidf(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tables.table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    out = tf.join(df_, "term").crossJoin(F.broadcast(n))
+    idf = F.log((col("n_docs") + 1) / (col("df") + 1)) + 1
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round(col("tf") * idf, 4).alias("tfidf")
+    )
+
+
+def _q_text_stats(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size("ts").cast("double")), 4).alias("avg_words"),
+        F.sum((F.length("text") == col("n_chars")).cast("long")).alias("n_valid"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+
+    def _eq(marker):
+        # NB: the lambda must be unary — PySpark treats a 2-arg lambda in
+        # higher-order functions as (element, index).
+        return lambda x: x == marker
+
+    counts = {
+        lang: F.size(F.filter("ts", _eq(marker))).cast("long")
+        for lang, marker in LANG_MARKERS.items()
+    }
+    d = t.select("doc_id", "lang", *[c.alias(f"c_{k}") for k, c in counts.items()])
+    langs = list(LANG_MARKERS)
+    pred = None
+    for cand in langs:
+        cond = None
+        for other in langs:
+            if other == cand:
+                continue
+            cl = col(f"c_{cand}") >= col(f"c_{other}")
+            cond = cl if cond is None else (cond & cl)
+        pred = F.when(cond, cand) if pred is None else pred.when(cond, cand)
+    d = d.withColumn("pred_lang", F.coalesce(pred, lit(langs[-1])))
+    return d.select(
+        "doc_id", "pred_lang", (col("pred_lang") == col("lang")).cast("int").alias("is_correct")
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    n_words = F.size("ts").cast("long")
+    # single-space-separated text → exact mean word length
+    awl = (col("n_chars") - (n_words - 1)) / n_words
+    stop_hits = F.size(F.filter("ts", lambda x: (x == "the") | (x == "a"))).cast("long")
+    score = F.least(lit(1.0), n_words / 100.0) * 0.5 + F.least(lit(1.0), awl / 8.0) * 0.5
+    # Rational-valued scores are emitted floor-scaled (floor of identical
+    # doubles is engine-independent; round(x, 4) is not at decimal ties).
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(awl * 10000).cast("long").alias("awl_q4"),
+        F.floor(stop_hits / n_words * 10000).cast("long").alias("stopword_ratio_q4"),
+        F.floor(score * 10000).cast("long").alias("quality_q4"),
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.regexp_count("text", lit("[a-z]+")).cast("long").alias("n_re"),
+        F.ceil(col("n_chars") / 4.0).cast("long").alias("bpe_est"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct("ts")), " ")).alias("fingerprint"),
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def _q_multimodal_join(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    e = tables.embeddings(spark, sf_dir)
+    j = docs.join(e, docs.doc_id == e.vec_id)
+    sum_el = F.aggregate("emb", lit(0.0), lambda s, x: s + x)
+    return j.select(
+        "doc_id",
+        "lang",
+        "label",
+        "n_chars",
+        F.round(sum_el * 0.125, 4).alias("uniform_cos"),
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Multimodal decode stub. Real codecs are unavailable in this
+    container (SURVEY.md environment); a deterministic fake keeps the
+    Spark-side plumbing (binary column → Arrow batch → pandas UDF) real
+    and testable. Swap the body for PIL/libvips on a real cluster."""
+    raise NotImplementedError("image codecs not available; use _fake_decode")
+
+
+def _fake_decode(payload: bytes) -> dict:
+    first = payload[0] if payload else 0
+    return {"width": first % 64, "n_bytes": len(payload)}
+
+
+def _q_multimodal_features(spark, sf_dir):
+    import pandas as pd
+
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_len": [f["n_bytes"] for f in feats],
+                    "first_byte": [(p[0] if len(p) else 0) for p in pdf["payload"]],
+                    "fake_width": [f["width"] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(
+        extract, "doc_id long, payload_len long, first_byte long, fake_width long"
+    )
+
+
+def _q_lang_partition(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    return docs.filter(col("lang") == "en").repartition("lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+QUERIES = {
+    "llm_dedup_hash": _q_dedup_hash,
+    "llm_dedup_near_minhash": _q_dedup_near_minhash,
+    "llm_dedup_simhash": _q_dedup_simhash,
+    "llm_dedup_jaccard": _q_dedup_jaccard,
+    "llm_dedup_embed": _q_dedup_embed,
+    "llm_simsearch_topk": _q_simsearch_topk,
+    "llm_simsearch_ivf": _q_simsearch_ivf,
+    "llm_ann_lsh": _q_ann_lsh,
+    "llm_dedup_minhash_mllib": _q_dedup_minhash_mllib,
+    "llm_text_tokenize": _q_text_tokenize,
+    "llm_text_ngram": _q_text_ngram,
+    "llm_text_tfidf": _q_text_tfidf,
+    "llm_text_stats": _q_text_stats,
+    "llm_lang_id": _q_lang_id,
+    "llm_quality_score": _q_quality_score,
+    "llm_token_count": _q_token_count,
+    "llm_fingerprint": _q_fingerprint,
+    "llm_multimodal_join": _q_multimodal_join,
+    "llm_multimodal_features": _q_multimodal_features,
+    "llm_lang_partition": _q_lang_partition,
+}
+
+
+# ------------------------------------------------------------------- oracle
+
+_TOKS = "toks AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS ts FROM documents)"
+
+# Constant-bound lateral range (DuckDB range() can't take column args in a
+# lateral join); 300 covers any fixture doc length with margin.
+_SH = (
+    "sh AS (SELECT DISTINCT doc_id, lang, "
+    "ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i+1 AS INTEGER)] || ' ' "
+    "|| ts[CAST(i+2 AS INTEGER)] AS s "
+    "FROM toks, range(1, 300) t(i) WHERE len(ts) >= 3 AND i <= len(ts) - 2)"
+)
+
+_MINHASH = (
+    "hashed AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h "
+    "FROM sh, range(8) t(i) GROUP BY doc_id, i), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(CASE WHEN i = {k} THEN h END) AS h{k}" for k in range(N_MINHASH))
+    + " FROM hashed GROUP BY doc_id)"
+)
+
+_BANDS = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bsig "
+        "FROM sig"
+        for b in range(N_BANDS)
+    )
+    + ")"
+)
+
+_LANG_COUNTS = ", ".join(
+    f"CAST(len(list_filter(ts, x -> x = '{m}')) AS BIGINT) AS c_{k}"
+    for k, m in LANG_MARKERS.items()
+)
+
+
+def _lang_pred_case() -> str:
+    langs = list(LANG_MARKERS)
+    whens = []
+    for cand in langs[:-1]:
+        conds = " AND ".join(
+            f"c_{cand} >= c_{other}" for other in langs if other != cand
+        )
+        whens.append(f"WHEN {conds} THEN '{cand}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+ORACLE = {
+    "llm_dedup_hash": (
+        "SELECT doc_id, content_hash, n_dups FROM ("
+        "SELECT doc_id, sha256(text) AS content_hash, "
+        "row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY sha256(text)) AS n_dups FROM documents) WHERE rn = 1"
+    ),
+    "llm_dedup_near_minhash": (
+        f"WITH {_TOKS}, {_SH}, {_MINHASH}, {_BANDS} "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+        "AND a.doc_id < b.doc_id"
+    ),
+    "llm_dedup_simhash": (
+        f"WITH {_TOKS}, "
+        "tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks), "
+        "bits AS (SELECT doc_id, j, sum(CASE WHEN substring(md5(tok), "
+        "CAST(j + 1 AS INTEGER), 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s "
+        "FROM tok, range(16) t(j) GROUP BY doc_id, j) "
+        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id"
+    ),
+    "llm_dedup_jaccard": (
+        f"WITH {_TOKS}, {_SH}, "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard "
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+        f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}"
+    ),
+    "llm_dedup_embed": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(a.emb, b.emb), 4) AS cos "
+        "FROM emb a, emb b WHERE a.vec_id < b.vec_id "
+        f"AND list_cosine_similarity(a.emb, b.emb) >= {EMBED_DUP_THRESHOLD}"
+    ),
+    "llm_simsearch_topk": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
+        "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) "
+        "AS rnk FROM pairs) "
+        "SELECT qid, tid, rnk, round(cos, 4) AS cos FROM ranked WHERE rnk <= 5"
+    ),
+    "llm_simsearch_ivf": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
+        + ", ".join(str(i) for i in IVF_CENTROID_IDS)
+        + ")), "
+        "ac AS (SELECT v.vec_id AS vid, c.cid, v.emb AS vemb, "
+        "list_distance(v.emb, c.cemb) AS cdist, "
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY list_distance(v.emb, c.cemb), "
+        "c.cid) AS rn FROM emb v, cents c), "
+        "assign AS (SELECT vid, cid, vemb FROM ac WHERE rn = 1), "
+        "cand AS (SELECT q.vid AS qid, t.vid AS tid, q.cid AS cid, "
+        "list_distance(q.vemb, t.vemb) AS dist FROM assign q JOIN assign t "
+        "ON q.cid = t.cid AND q.vid <> t.vid WHERE q.vid % 50 = 0), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) "
+        "AS rnk FROM cand) "
+        "SELECT qid, tid, cid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 3"
+    ),
+    "llm_text_tokenize": (
+        "SELECT tok, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok"
+    ),
+    "llm_text_ngram": (
+        f"WITH {_TOKS}, "
+        "bi AS (SELECT ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i+1 AS INTEGER)] AS ngram "
+        "FROM toks, range(1, 300) t(i) WHERE len(ts) >= 2 AND i <= len(ts) - 1) "
+        "SELECT ngram, count(*) AS cnt FROM bi GROUP BY ngram HAVING count(*) >= 5"
+    ),
+    "llm_text_tfidf": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+        "n AS (SELECT count(*) AS n_docs FROM documents) "
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1), 4) AS tfidf "
+        "FROM tf JOIN df ON tf.term = df.term, n"
+    ),
+    "llm_text_stats": (
+        f"WITH {_TOKS} "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "round(avg(CAST(len(ts) AS DOUBLE)), 4) AS avg_words, "
+        "CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_valid "
+        "FROM toks GROUP BY lang"
+    ),
+    "llm_lang_id": (
+        f"WITH {_TOKS}, scored AS (SELECT doc_id, lang, {_LANG_COUNTS} FROM toks), "
+        f"p AS (SELECT doc_id, lang, {_lang_pred_case()} AS pred_lang FROM scored) "
+        "SELECT doc_id, pred_lang, CAST(pred_lang = lang AS INTEGER) AS is_correct FROM p"
+    ),
+    "llm_quality_score": (
+        f"WITH {_TOKS}, "
+        "q AS (SELECT doc_id, n_chars, CAST(len(ts) AS BIGINT) AS n_words, "
+        "CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_hits, "
+        "(n_chars - (len(ts) - 1)) * 1.0 / len(ts) AS awl FROM toks) "
+        "SELECT doc_id, n_words, CAST(floor(awl * 10000) AS BIGINT) AS awl_q4, "
+        "CAST(floor(stop_hits * 1.0 / n_words * 10000) AS BIGINT) AS stopword_ratio_q4, "
+        "CAST(floor((least(1.0, n_words / 100.0) * 0.5 + least(1.0, awl / 8.0) * 0.5) "
+        "* 10000) AS BIGINT) AS quality_q4 FROM q"
+    ),
+    "llm_token_count": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re, "
+        "CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est FROM documents"
+    ),
+    "llm_fingerprint": (
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "string_split(text, ' '))), ' ')) AS fingerprint FROM documents"
+    ),
+    "llm_multimodal_join": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
+        "FROM embeddings) "
+        "SELECT d.doc_id, d.lang, e.label, d.n_chars, "
+        "round(list_aggregate(e.emb, 'sum') * 0.125, 4) AS uniform_cos "
+        "FROM documents d JOIN emb e ON d.doc_id = e.vec_id"
+    ),
+    "llm_multimodal_features": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_len, "
+        "CAST(ascii(left(text, 1)) AS BIGINT) AS first_byte, "
+        "CAST(ascii(left(text, 1)) % 64 AS BIGINT) AS fake_width FROM documents"
+    ),
+    "llm_lang_partition": (
+        "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"
+    ),
+}
