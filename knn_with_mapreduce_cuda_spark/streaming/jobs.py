@@ -1,0 +1,111 @@
+"""True Structured Streaming forms of the T4 operators (SURVEY.md §2.T4).
+
+The graded batch-equivalents live in ``operators/streaming_batch.py``;
+this module runs the same logic as real ``readStream`` jobs over a file
+source fed from timestamp-ordered chunks of ``events.parquet``, with
+watermarks, and lands results in a memory sink via ``trigger(availableNow)``
+— bounded input, so results must equal the batch query (asserted in
+tests/test_streaming.py).
+
+Scale notes: a file source with many small chunks is the local stand-in
+for Kafka partitions; watermark delay bounds state for the window apps;
+``applyInPandasWithState`` holds one scalar per user — O(distinct keys)
+state, executor-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import tables
+
+
+def stage_event_chunks(spark: SparkSession, sf_dir: str, chunk_dir: str, n_chunks: int = 4) -> None:
+    """Split events into n timestamp-ordered parquet chunks (micro-batches)."""
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    os.makedirs(chunk_dir)
+    # chunks carry ts_us (bigint) — pandas would write ns timestamps,
+    # which the nanosAsLong session reads back as INT64 ≠ timestamp.
+    ev = tables.table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    per = (ev.count() + n_chunks - 1) // n_chunks
+    pdf = ev.orderBy("ts_us", "event_id").toPandas()
+    for i, grp in pdf.groupby(pdf.index // per):
+        grp.to_parquet(os.path.join(chunk_dir, f"chunk_{i:03d}.parquet"))
+
+
+def read_event_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .withColumn("ts", F.timestamp_micros(col("ts_us")))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Run a bounded stream to completion into a memory sink; return the table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros(col("win.start")).alias("ws_us"), "event_type", "cnt")
+    )
+
+
+def streaming_dedup(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def stream_static_join(stream: DataFrame, customer: DataFrame) -> DataFrame:
+    return stream.join(F.broadcast(customer), col("user_id") == col("c_custkey")).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+
+
+def running_sum_stateful(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running count+sum — the arbitrary
+    stateful operator (reference Reducer state, SURVEY.md §2.T4)."""
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        total, cnt = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            cnt += len(pdf)
+        state.update((total, cnt))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "total_value": [round(total, 4)], "n_events": [cnt]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_value double, n_events long",
+        stateStructType="total double, cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,34 @@
+"""Driver-contract checks: entry() smoke, registry key consistency
+(SURVEY.md §5 t1 + the queries()/oracle_sql() shape the grader relies on)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_SMOKE
+
+
+def test_registry_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 70
+    assert set(oracles) <= set(qs)
+    # the declared rows-only set stays short and explicit (SURVEY.md §7.2)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"llm_ann_lsh", "llm_dedup_minhash_mllib"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"qid", "pred_label", "true_label", "correct", "votes"} == set(df.columns)
+
+
+def test_queries_run_at_smoke_sf(spark):
+    # spot-check one query per tier runs at sf0.001 (full oracle matching
+    # is run_oracle.py / the driver's t2 at sf0.01)
+    qs = entrymod.queries()
+    for key in ["knn_topk", "rel_agg_hash", "llm_text_stats", "str_window_session",
+                "udf_map_arrow"]:
+        assert qs[key](spark, SF_SMOKE).count() > 0

@@ -1,0 +1,75 @@
+"""Plan-shape golden tests (SURVEY.md §5.5) — assert Catalyst actually
+delivers the physical strategies the scale design relies on: broadcast
+of the probe side, map-side partial aggregation (the Combiner), window
+group-limit pruning before the shuffle, parquet predicate pushdown, and
+whole-stage codegen in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators import knn, relational
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        getattr(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode, "fromString"
+        )(mode)
+    )
+
+
+def test_knn_pairs_broadcast_probe_side(spark):
+    e = tables.embeddings(spark, SF_SMOKE)
+    pairs = knn.all_pairs(knn.split_test(e), knn.train_all(e))
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_agg_has_partial_stage(spark):
+    df = relational._q_agg_hash(spark, SF_SMOKE)
+    plan = _plan(df)
+    # partial + final hash aggregate around the exchange = the Combiner
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_topk_window_group_limit_pushed(spark):
+    e = tables.embeddings(spark, SF_SMOKE)
+    t = knn.topk(knn.with_distance(knn.all_pairs(knn.split_test(e), knn.train_all(e))), 10)
+    plan = _plan(t)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = tables.table(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan, plan
+    # column pruning: read schema carries only the two projected columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_distance_path_stays_jvm_side(spark):
+    # zip_with/aggregate higher-order expressions evaluate JVM-side (no
+    # Python worker round-trip); whole-stage codegen applies to the
+    # scan/filter/agg pipeline around them.
+    e = tables.embeddings(spark, SF_SMOKE)
+    pairs = knn.with_distance(knn.all_pairs(knn.split_test(e), knn.train_all(e)))
+    plan = _plan(pairs)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_whole_stage_codegen_in_agg_path(spark):
+    df = relational._q_agg_hash(spark, SF_SMOKE)
+    plan = _plan(df, "codegen")
+    assert "WholeStageCodegen" in plan, plan[:2000]
+
+
+def test_broadcast_hash_join_for_dim_table(spark):
+    df = relational._q_join_broadcast(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan

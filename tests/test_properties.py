@@ -1,0 +1,88 @@
+"""Property-based kNN invariants (SURVEY.md §5.4) over small synthetic
+vector sets — hypothesis drives the data, Spark computes, NumPy checks."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from knn_with_mapreduce_cuda_spark.functions.vector import METRICS
+from knn_with_mapreduce_cuda_spark.operators import knn
+from pyspark.sql import functions as F
+
+
+def _vec_sets(dim=4, max_n=8):
+    finite = st.floats(-10, 10, allow_nan=False, width=32)
+    vec = st.lists(finite, min_size=dim, max_size=dim)
+    return st.lists(vec, min_size=2, max_size=max_n)
+
+
+def _df(spark, vecs):
+    rows = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>, label int")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_sets())
+def test_distance_symmetry_and_self_zero(spark, vecs):
+    e = _df(spark, vecs)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    b = e.select(F.col("vec_id").alias("tid"), F.col("emb").alias("temb"))
+    pairs = a.crossJoin(b).withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
+    pdf = pairs.toPandas()
+    d = {(r.qid, r.tid): r.dist for r in pdf.itertuples()}
+    for (i, j), v in d.items():
+        assert abs(v - d[(j, i)]) < 1e-9
+        if i == j:
+            assert v == 0.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_sets(), k1=st.integers(1, 3), k2=st.integers(4, 6))
+def test_topk_monotone_in_k(spark, vecs, k1, k2):
+    e = _df(spark, vecs)
+    q = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("label").alias("qlabel"))
+    pairs = knn.with_distance(knn.all_pairs(q, knn.train_all(e)))
+    small = knn.topk(pairs, k1).select("qid", "tid").toPandas()
+    big = knn.topk(pairs, k2).select("qid", "tid").toPandas()
+    s = set(map(tuple, small.itertuples(index=False)))
+    b = set(map(tuple, big.itertuples(index=False)))
+    assert s <= b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_sets(dim=4, max_n=6))
+def test_topk_matches_numpy_argsort(spark, vecs):
+    e = _df(spark, vecs)
+    q = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("label").alias("qlabel"))
+    got = (
+        knn.topk(knn.with_distance(knn.all_pairs(q, knn.train_all(e))), 2)
+        .select("qid", "tid", "rnk")
+        .toPandas()
+    )
+    mat = np.array(vecs, dtype=float)
+    for qi in range(len(vecs)):
+        d = np.sqrt(((mat - mat[qi]) ** 2).sum(axis=1))
+        order = sorted((float(d[j]), j) for j in range(len(vecs)) if j != qi)[:2]
+        expected = [j for _, j in order]
+        mine = got[got.qid == qi].sort_values("rnk")["tid"].tolist()
+        assert mine == expected
+
+
+def test_cosine_equiv_l2_on_unit_vectors(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(6, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    e = _df(spark, vecs.tolist())
+    a = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    b = e.select(F.col("vec_id").alias("tid"), F.col("emb").alias("temb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter("qid < tid")
+        .withColumn("l2", METRICS["euclidean"]("qemb", "temb"))
+        .withColumn("cos", METRICS["cosine"]("qemb", "temb"))
+        .toPandas()
+    )
+    # on unit vectors: ||a-b||^2 = 2(1 - cos)
+    assert np.allclose(pairs["l2"] ** 2, 2 * (1 - pairs["cos"]), atol=1e-9)

@@ -1,0 +1,83 @@
+"""Structured Streaming demos (SURVEY.md §5.6): feed events.parquet as
+timestamp-ordered micro-batch files through readStream and check the
+bounded-stream results equal the batch-equivalent graded queries."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators import streaming_batch
+from knn_with_mapreduce_cuda_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark):
+    d = tempfile.mkdtemp(prefix="evchunks_")
+    jobs.stage_event_chunks(spark, SF_SMOKE, d, n_chunks=4)
+    yield d
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).toPandas().itertuples(index=False)))
+
+
+def test_stream_tumbling_equals_batch(spark, chunk_dir):
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    got = jobs.run_to_memory(jobs.tumbling_counts(stream), "t_tumb", "append")
+    # append mode only emits windows the watermark passed: at end-of-stream
+    # wm = max_ts - 1h delay, so windows ending after wm stay open. Compare
+    # against the batch result restricted to closed windows.
+    max_us = tables.table(spark, SF_SMOKE, "events").agg(F.max("ts_us")).collect()[0][0]
+    wm_us = max_us - 3_600_000_000
+    batch = (
+        streaming_batch._q_window_tumbling(spark, SF_SMOKE)
+        .filter(F.col("ws_us") + 3_600_000_000 <= F.lit(wm_us))
+        .select("ws_us", "event_type", "cnt")
+    )
+    got_rows = _rows(got, ["ws_us", "event_type", "cnt"])
+    batch_rows = _rows(batch, ["ws_us", "event_type", "cnt"])
+    assert set(batch_rows) <= set(got_rows)
+    # and nothing emitted disagrees with batch on the full (unfiltered) result
+    full = _rows(
+        streaming_batch._q_window_tumbling(spark, SF_SMOKE), ["ws_us", "event_type", "cnt"]
+    )
+    assert set(got_rows) <= set(full)
+
+
+def test_stream_dedup_passes_unique_ids(spark, chunk_dir):
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    got = jobs.run_to_memory(jobs.streaming_dedup(stream), "t_dedup", "append")
+    n_events = tables.table(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_events  # event_id is unique → dedup is identity
+
+
+def test_stream_static_join_equals_batch(spark, chunk_dir):
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    cust = tables.table(spark, SF_SMOKE, "customer")
+    got = jobs.run_to_memory(jobs.stream_static_join(stream, cust), "t_join", "append")
+    batch = streaming_batch._q_join_stream_static(spark, SF_SMOKE)
+    assert _rows(got, ["event_id", "c_mktsegment"]) == _rows(batch, ["event_id", "c_mktsegment"])
+
+
+def test_stateful_running_sum_final_state(spark, chunk_dir):
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    got = jobs.run_to_memory(jobs.running_sum_stateful(stream), "t_state", "update")
+    # last update per user = final running total == batch per-user sum
+    gpdf = got.toPandas()
+    finals = gpdf.loc[gpdf.groupby("user_id")["n_events"].idxmax()]
+    batch = (
+        tables.table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    b = batch.set_index("user_id")
+    for r in finals.itertuples():
+        assert r.n_events == b.loc[r.user_id, "n"]
+        assert abs(r.total_value - round(b.loc[r.user_id, "total"], 4)) < 1e-6
