@@ -1,0 +1,101 @@
+"""Source/sink graded queries — prove the connector layer round-trips
+exactly (SURVEY.md §1.1 source formats; writers in sources/readers.py).
+
+Each query writes a fixture out through a connector, reads it back, and
+aggregates; the oracle computes the same aggregate straight from the
+original parquet — any loss in the round-trip (schema drift, float
+formatting, header handling) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from .. import tables
+from ..sources import readers
+from .relational import cents, _sum_cents_sql
+from .streaming_batch import SCRATCH
+
+
+def _q_csv_roundtrip(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    path = os.path.join(SCRATCH, "csv_customer")
+    readers.write_csv(cust, path)
+    back = readers.read_csv(
+        spark,
+        path,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(col("c_acctbal"))).alias("bal_cents"),
+        F.min("c_name").alias("first_name"),
+    )
+
+
+def _q_jsonl_roundtrip(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(SCRATCH, "jsonl_orders")
+    readers.write_jsonl(orders, path)
+    back = readers.read_jsonl(
+        spark,
+        path,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(col("o_totalprice"))).alias("price_cents"),
+    )
+
+
+def _q_knn_text_roundtrip(spark, sf_dir):
+    """Reference-format train file (label,f1,…,f64) written then re-parsed
+    (SURVEY.md §1.1): Java Double.toString round-trips doubles exactly, so
+    per-label min/max of the first coordinate must equal the parquet
+    originals."""
+    e = tables.embeddings(spark, sf_dir)
+    lines = e.select(
+        F.concat_ws(
+            ",", col("label").cast("string"), F.concat_ws(",", col("emb").cast("array<string>"))
+        ).alias("value")
+    )
+    path = os.path.join(SCRATCH, "knn_text")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    back = readers.read_knn_text(spark, path, dim=64)
+    return back.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min(F.element_at("emb", 1)), 4).alias("min_f1"),
+        F.round(F.max(F.element_at("emb", 1)), 4).alias("max_f1"),
+        F.min(F.size("emb")).cast("long").alias("dim"),
+    )
+
+
+QUERIES = {
+    "src_csv_roundtrip": _q_csv_roundtrip,
+    "src_jsonl_roundtrip": _q_jsonl_roundtrip,
+    "src_knn_text_roundtrip": _q_knn_text_roundtrip,
+}
+
+ORACLE = {
+    "src_csv_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS cnt, "
+        + _sum_cents_sql("c_acctbal")
+        + " AS bal_cents, min(c_name) AS first_name FROM customer GROUP BY c_mktsegment"
+    ),
+    "src_jsonl_roundtrip": (
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        + _sum_cents_sql("o_totalprice")
+        + " AS price_cents FROM orders GROUP BY o_orderstatus"
+    ),
+    "src_knn_text_roundtrip": (
+        "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings) "
+        "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
+        "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
+        "FROM emb GROUP BY label"
+    ),
+}

@@ -19,6 +19,7 @@ _MODULES = [
     "knn_with_mapreduce_cuda_spark.operators.llm",
     "knn_with_mapreduce_cuda_spark.operators.streaming_batch",
     "knn_with_mapreduce_cuda_spark.operators.udf",
+    "knn_with_mapreduce_cuda_spark.operators.sources_io",
 ]
 
 
