@@ -26,7 +26,7 @@ from pyspark.sql.functions import col
 
 from knn_with_mapreduce_cuda_spark import tables
 from knn_with_mapreduce_cuda_spark.operators import knn, relational, streaming_batch
-from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+from knn_with_mapreduce_cuda_spark.plans.gemm_knn import cosine_topk_gemm, knn_topk_gemm
 from knn_with_mapreduce_cuda_spark.session import get_spark
 
 
@@ -63,11 +63,19 @@ def knn_join_full_gemm(spark, sf_dir):
     return knn_topk_gemm(q, t, 10)
 
 
+def simsearch_full_gemm(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    return cosine_topk_gemm(q, t, 10)
+
+
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
     "knn_classify": knn_classify_gemm,
     "knn_join_2000x2000": knn_join_full_gemm,
+    "simsearch_cosine_topk": simsearch_full_gemm,
     "str_window_session": streaming_batch._q_window_session,
 }
 

@@ -79,3 +79,48 @@ def knn_topk_gemm(
         .filter(col("rnk") <= k)
         .select("qid", "tid", "rnk", "dist")
     )
+
+
+def cosine_topk_gemm(
+    queries_df: DataFrame,
+    train_df: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k by cosine similarity (descending) — the similarity-search
+    twin of knn_topk_gemm: scores for a whole partition come from one
+    ``q @ tᵀ`` GEMM over norm-scaled matrices. Returns (qid, tid, rnk,
+    cos), ties broken on tid."""
+    spark = queries_df.sparkSession
+    qpdf = queries_df.toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.stack(qpdf["qemb"].to_numpy())
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def block_sim(batches):
+        b_qids, b_qmat = q_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tid"].to_numpy()
+            tmat = np.stack(pdf["temb"].to_numpy())
+            tmat = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)
+            cos = b_qmat @ tmat.T
+            if exclude_self:
+                cos[b_qids[:, None] == tids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(b_qids, kk)
+            rows_t = tids[idx.ravel()]
+            rows_c = np.take_along_axis(cos, idx, axis=1).ravel()
+            keep = np.isfinite(rows_c)
+            yield pd.DataFrame({"qid": rows_q[keep], "tid": rows_t[keep], "cos": rows_c[keep]})
+
+    local = train_df.mapInPandas(block_sim, "qid long, tid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "tid")
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("qid", "tid", "rnk", "cos")
+    )
