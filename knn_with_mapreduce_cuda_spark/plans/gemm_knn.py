@@ -30,11 +30,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col
 
 
+#: rows per GEMM block below which fan-out costs more than it buys
+#: (task scheduling + Python worker spin-up vs a sub-ms BLAS call).
+BLOCK_ROWS = 65_536
+
+
+def _ensure_parallel(train_df: DataFrame, min_partitions: int | None) -> DataFrame:
+    """A narrow scan (one parquet file → one partition) would serialize
+    the GEMM stage. Repartition only when partitions actually hold more
+    than BLOCK_ROWS rows — so tiny local fixtures skip the shuffle, and a
+    wide cluster relation (already thousands of partitions) is a no-op;
+    the branch only fires for the awkward middle (few huge partitions)."""
+    sc = train_df.sparkSession.sparkContext
+    current = train_df.rdd.getNumPartitions()
+    cap = min_partitions or sc.defaultParallelism
+    if current >= cap:
+        return train_df
+    n = train_df.count()  # parquet metadata count — cheap
+    if n // max(current, 1) <= BLOCK_ROWS:
+        return train_df
+    target = min(cap, max(current + 1, (n + BLOCK_ROWS - 1) // BLOCK_ROWS))
+    return train_df.repartition(target)
+
+
 def knn_topk_gemm(
     queries_df: DataFrame,
     train_df: DataFrame,
     k: int = 10,
     exclude_self: bool = True,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors of each query among train, GEMM-accelerated.
 
@@ -42,7 +66,10 @@ def knn_topk_gemm(
     temb array<double>). Returns (qid, tid, rnk, dist) with rnk 1..k,
     ties broken on tid — same contract as operators.knn.topk.
     """
+    import pyarrow as pa
+
     spark = queries_df.sparkSession
+    train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
@@ -51,11 +78,18 @@ def knn_topk_gemm(
     def block_knn(batches):
         b_qids, b_qmat = q_bc.value
         qnorm = (b_qmat * b_qmat).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            tids = pdf["tid"].to_numpy()
-            tmat = np.stack(pdf["temb"].to_numpy())
+            tids = batch.column("tid").to_numpy()
+            # zero-copy: flatten the fixed-width list column and reshape —
+            # no per-row Python objects (the np.stack path is ~10× slower)
+            tmat = (
+                batch.column("temb")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(tids), -1)
+            )
             tnorm = (tmat * tmat).sum(axis=1)
             # (n_q, n_t) squared distances via one GEMM
             d2 = qnorm[:, None] + tnorm[None, :] - 2.0 * (b_qmat @ tmat.T)
@@ -68,11 +102,11 @@ def knn_topk_gemm(
             rows_t = tids[idx.ravel()]
             rows_d = np.sqrt(np.take_along_axis(d2, idx, axis=1).ravel())
             keep = np.isfinite(rows_d)
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {"qid": rows_q[keep], "tid": rows_t[keep], "dist": rows_d[keep]}
             )
 
-    local = train_df.mapInPandas(block_knn, "qid long, tid long, dist double")
+    local = train_df.mapInArrow(block_knn, "qid long, tid long, dist double")
     w = Window.partitionBy("qid").orderBy("dist", "tid")
     return (
         local.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -86,12 +120,16 @@ def cosine_topk_gemm(
     train_df: DataFrame,
     k: int = 10,
     exclude_self: bool = True,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine similarity (descending) — the similarity-search
     twin of knn_topk_gemm: scores for a whole partition come from one
     ``q @ tᵀ`` GEMM over norm-scaled matrices. Returns (qid, tid, rnk,
     cos), ties broken on tid."""
+    import pyarrow as pa
+
     spark = queries_df.sparkSession
+    train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
@@ -100,11 +138,16 @@ def cosine_topk_gemm(
 
     def block_sim(batches):
         b_qids, b_qmat = q_bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            tids = pdf["tid"].to_numpy()
-            tmat = np.stack(pdf["temb"].to_numpy())
+            tids = batch.column("tid").to_numpy()
+            tmat = (
+                batch.column("temb")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(tids), -1)
+            )
             tmat = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)
             cos = b_qmat @ tmat.T
             if exclude_self:
@@ -115,9 +158,11 @@ def cosine_topk_gemm(
             rows_t = tids[idx.ravel()]
             rows_c = np.take_along_axis(cos, idx, axis=1).ravel()
             keep = np.isfinite(rows_c)
-            yield pd.DataFrame({"qid": rows_q[keep], "tid": rows_t[keep], "cos": rows_c[keep]})
+            yield pa.RecordBatch.from_pydict(
+                {"qid": rows_q[keep], "tid": rows_t[keep], "cos": rows_c[keep]}
+            )
 
-    local = train_df.mapInPandas(block_sim, "qid long, tid long, cos double")
+    local = train_df.mapInArrow(block_sim, "qid long, tid long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "tid")
     return (
         local.withColumn("rnk", F.row_number().over(w).cast("long"))
