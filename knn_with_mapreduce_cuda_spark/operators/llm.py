@@ -95,14 +95,21 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
 
 def _q_dedup_near_minhash(spark, sf_dir):
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            lit(b).cast("long").alias("band"),
-            F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode instead of a 4-way union: a union of per-band projections
+    # re-evaluates the whole shingle→minhash pipeline once per band (seen
+    # in the plan audit as 4× the scans), an O(bands) waste at scale.
+    band_structs = F.array(
+        *[
+            F.struct(
+                lit(b).cast("long").alias("band"),
+                F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
+    )
     a = bands.select(col("doc_id").alias("doc_a"), "band", "bsig")
     b_ = bands.select(col("doc_id").alias("doc_b"), "band", "bsig")
     return (
