@@ -413,6 +413,44 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_window_percentiles(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # percent_rank/cume_dist are rationals → floor-scaled (round() half-tie
+    # hazard, see quality_score)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.percent_rank().over(w) * 10000).cast("long").alias("pr_q4"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("long").alias("cd_q4"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+    )
+
+
+def _q_string_agg(spark, sf_dir):
+    supp = tables.table(spark, sf_dir, "supplier")
+    nation = tables.table(spark, sf_dir, "nation")
+    j = supp.join(F.broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.count("*").alias("n_supp"),
+    )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Skew-mitigation join (SURVEY.md §4): salt the big side's key with a
+    random-uniform shard id and explode the small side across all shards,
+    so one hot key spreads over n_salts reducers instead of one. AQE's
+    skew-join split handles moderate skew automatically; this is the
+    explicit operator for pathological keys. Result ≡ plain inner join
+    (asserted in tests)."""
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = big.sparkSession.range(n_salts).select(col("id").cast("int").alias("_salt"))
+    salted_small = small.crossJoin(F.broadcast(salts))
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
 def _q_sample(spark, sf_dir):
     li = tables.table(spark, sf_dir, "lineitem")
     bucket = F.substring(F.md5(col("l_orderkey").cast("string")), 1, 2)
@@ -456,6 +494,8 @@ QUERIES = {
     "rel_dedup_exact": _q_dedup_exact,
     "rel_sample": _q_sample,
     "rel_explain_pivot": _q_pivot,
+    "rel_window_percentiles": _q_window_percentiles,
+    "rel_string_agg": _q_string_agg,
 }
 
 
@@ -680,6 +720,20 @@ ORACLE = {
     "rel_sample": (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
         "WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '1a'"
+    ),
+    "rel_window_percentiles": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_q4, "
+        "CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_q4, "
+        "nth_value(o_totalprice, 3) OVER wf AS third_price FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), "
+        "wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "rel_string_agg": (
+        "SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers, "
+        "count(*) AS n_supp FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name"
     ),
     "rel_explain_pivot": (
         "SELECT user_id, "
