@@ -39,6 +39,13 @@ def manhattan(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def chebyshev(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda s, x: F.greatest(s, x)
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -51,6 +58,7 @@ METRICS = {
     "euclidean": euclidean,
     "sqeuclidean": sq_euclidean,
     "manhattan": manhattan,
+    "chebyshev": chebyshev,
     "cosine": cosine,
     "dot": dot,
 }

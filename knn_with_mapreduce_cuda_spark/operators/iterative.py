@@ -1,0 +1,234 @@
+"""Iterative distributed algorithms — the tier beyond single-pass SQL.
+
+Parity note (SURVEY.md §2/§4): the reference repo class ships only
+single-job kNN; an engine serving the same users at 100 TB also needs the
+iterative ML/graph primitives that MapReduce-era pipelines chained across
+jobs: Lloyd's k-means (the centroid structure behind the IVF similarity
+index in ``plans/approx_knn.py``) and connected components (turning
+near-dup *pairs* from MinHash-LSH into dup *clusters*, the actual unit of
+deduplication in an LLM data pipeline).
+
+Both are **hash-graded** against DuckDB despite being iterative:
+
+- k-means is made engine-independent by (a) deterministic seeding (fixed
+  ``vec_id`` seeds, not kmeans++ RNG), (b) rounding centroid coordinates
+  and distances to 4 decimals after every step so double sum-order
+  nondeterminism cannot flip an argmin, and (c) total-order tie-breaks
+  (cluster id) in every argmin. The oracle unrolls the same two Lloyd
+  iterations as SQL CTEs.
+- connected components is pure integer min-propagation — deterministic by
+  construction; the oracle is a recursive-CTE transitive closure.
+
+Scale design:
+- k-means: centroids (k × dim doubles) are broadcast every iteration —
+  the classic kNN-IS/MLlib layout; the only shuffle per iteration is the
+  (cluster, dim) partial-avg aggregation, which map-side-combines to at
+  most k·dim rows per partition regardless of input size.
+- components: label propagation shuffles (node → min neighbor label)
+  per round; rounds = graph diameter. Near-dup graphs are
+  shallow (dup clusters are cliques-ish), so 2-4 rounds suffice; the
+  large-star/small-star optimization (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) is the documented
+  upgrade path for adversarial diameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from .. import tables
+from ..functions.vector import sq_euclidean
+from .llm import _q_dedup_near_minhash
+
+KMEANS_SEED_IDS = [7, 107, 207, 307, 407]
+KMEANS_ITERS = 2
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def _seed_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic seeds: the embeddings at fixed vec_ids, numbered 0..k-1
+    in vec_id order (no RNG — oracle-reproducible, SURVEY.md §7.2.5)."""
+    w = Window.orderBy("vec_id")
+    return (
+        e.filter(col("vec_id").isin(KMEANS_SEED_IDS))
+        .select((F.row_number().over(w) - 1).alias("c"), col("emb").alias("cent"))
+    )
+
+
+def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Argmin-distance assignment. Distances rounded to 4 decimals and
+    tie-broken on cluster id so both engines pick the same cluster even
+    when two centroids are equidistant in the last ulp."""
+    d = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.round(sq_euclidean(col("emb"), col("cent")), 4)
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("vec_id", "c")
+    )
+
+
+def kmeans_update(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """Mean of member vectors per cluster, per dimension, rounded to 4
+    decimals (the cross-engine determinism canonicalization).
+
+    Scale: posexplode → groupBy(c, dim) partial-aggregates map-side to
+    ≤ k·dim rows per partition before the shuffle — the Combiner pattern.
+    """
+    exploded = (
+        assign.join(e, "vec_id")
+        .select("c", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("c", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("v"))
+    )
+    return exploded.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+        ).alias("cent")
+    )
+
+
+def kmeans_lloyd(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """``iters`` Lloyd rounds from the fixed seeds; returns the final
+    (vec_id, cluster) assignment."""
+    centroids = _seed_centroids(e)
+    assign = kmeans_assign(e, centroids)
+    for _ in range(iters - 1):
+        centroids = kmeans_update(e, assign)
+        assign = kmeans_assign(e, centroids)
+    return assign
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.embeddings(spark, sf_dir)
+    assign = kmeans_lloyd(e)
+    return assign.select("vec_id", col("c").cast("long").alias("cluster"))
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Min-label propagation to a fixpoint.
+
+    ``nodes``: (id); ``edges``: (a, b) undirected. Returns (id, cluster)
+    where cluster = min id reachable. Driver loop with a convergence
+    check — the per-round collect is one scalar, not data.
+    """
+    sess = nodes.sparkSession
+    sym = edges.select(col("a").alias("x"), col("b").alias("y")).unionByName(
+        edges.select(col("b").alias("x"), col("a").alias("y"))
+    )
+    labels = nodes.select(col("id"), col("id").alias("cluster"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("cluster").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id", F.least(col("cluster"), F.coalesce(col("nbr"), col("cluster"))).alias("cluster")
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(col("n.cluster") != col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents").select(col("doc_id").alias("id"))
+    pairs = _q_dedup_near_minhash(spark, sf_dir).select(
+        col("doc_a").alias("a"), col("doc_b").alias("b")
+    )
+    comp = connected_components(docs, pairs)
+    sizes = comp.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster")
+        .select(col("id").alias("doc_id"), "cluster", "cluster_size")
+    )
+
+
+QUERIES = {
+    "ml_kmeans_lloyd": _q_kmeans,
+    "graph_components_dedup": _q_components,
+}
+
+
+from .llm import _BANDS, _MINHASH, _SH, _TOKS  # noqa: E402  (proven oracle CTEs)
+
+_EMB_D = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+_SEED_LIST = ", ".join(str(i) for i in KMEANS_SEED_IDS)
+
+# Same left-fold sum-of-squares form the graded knn_dist_sqeuclidean oracle
+# uses — bit-compatible with Spark's aggregate(zip_with(...)) fold.
+_SQDIST = (
+    "round(list_aggregate(list_transform(list_zip(e.emb, s.cent), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 4)"
+)
+
+# Two unrolled Lloyd iterations; every float canonicalized with round(,4)
+# exactly as the Spark side does.
+_KMEANS_SQL = f"""
+WITH {_EMB_D},
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cent
+  FROM emb WHERE vec_id IN ({_SEED_LIST})
+),
+a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, s.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_SQDIST}, s.c) AS rn
+    FROM emb e CROSS JOIN seeds s) WHERE rn = 1
+),
+c1d AS (
+  SELECT a1.c, r.range AS dim, round(avg(e.emb[CAST(r.range + 1 AS INT)]), 4) AS v
+  FROM a1 JOIN emb e USING (vec_id), range(64) r
+  GROUP BY a1.c, r.range
+),
+cent1 AS (SELECT c, list(v ORDER BY dim) AS cent FROM c1d GROUP BY c),
+a2 AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, s.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_SQDIST}, s.c) AS rn
+    FROM emb e CROSS JOIN cent1 s) WHERE rn = 1
+)
+SELECT vec_id, c AS cluster FROM a2
+"""
+
+# Transitive closure by recursive CTE over the SAME minhash band pairs the
+# graded llm_dedup_near_minhash oracle produces; cluster = min reachable id.
+_COMPONENTS_SQL = (
+    f"WITH RECURSIVE {_TOKS}, {_SH}, {_MINHASH}, {_BANDS}, "
+    "pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+    "AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT da AS x, db AS y FROM pairs "
+    "UNION ALL SELECT db, da FROM pairs), "
+    "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+    "UNION SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id), "
+    "comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) "
+    "SELECT c.id AS doc_id, c.cluster, "
+    "count(*) OVER (PARTITION BY c.cluster) AS cluster_size FROM comp c"
+)
+
+ORACLE = {
+    "ml_kmeans_lloyd": _KMEANS_SQL,
+    "graph_components_dedup": _COMPONENTS_SQL,
+}

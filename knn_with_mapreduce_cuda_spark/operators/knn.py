@@ -212,6 +212,7 @@ QUERIES = {
     "knn_dist_euclidean": _q_dist("euclidean"),
     "knn_dist_sqeuclidean": _q_dist("sqeuclidean"),
     "knn_dist_manhattan": _q_dist("manhattan"),
+    "knn_dist_chebyshev": _q_dist("chebyshev"),
     "knn_dist_cosine": _q_dist("cosine"),
     "knn_topk": _q_topk,
     "knn_classify": _q_classify,
@@ -288,6 +289,12 @@ ORACLE = {
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
         "p -> abs(p[1] - p[2])), 'sum'), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_chebyshev": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+        "p -> abs(p[1] - p[2])), 'max'), 4) AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_cosine": (

@@ -451,6 +451,64 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 16) -
     return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
 
 
+def _q_agg_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation) — the order-statistics
+    aggregate family. Scale note: exact percentile needs a per-group sort;
+    the sketch path at 100 TB is approx_percentile (t-digest), declared in
+    the rel_agg_approx style with an error gate."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+    )
+
+
+def _q_fn_bitwise(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        (k.bitwiseAND(lit(15))).alias("k_and"),
+        (k.bitwiseOR(lit(32))).alias("k_or"),
+        (k.bitwiseXOR(lit(21))).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 1).alias("k_shr"),
+    )
+
+
+BUCKET_US = 600_000_000  # == the theta-range band width
+
+
+def _q_join_range_bucket(spark, sf_dir):
+    """Bucketed range join — the 100 TB physical strategy for
+    rel_join_theta_range. A band predicate |t2-t1| <= W becomes an
+    EQUI-join on coarse time buckets of width W (each left row probes its
+    own bucket and the next one), turning the O(n²) BroadcastNestedLoopJoin
+    into a shuffle hash join keyed on (user, bucket) + a residual filter.
+    Semantics (and oracle) identical to the plain theta join."""
+    ev = tables.table(spark, sf_dir, "events")
+    bkt = F.floor(col("ts_us") / BUCKET_US)
+    a = ev.select(
+        col("event_id").alias("a_id"),
+        "user_id",
+        col("ts_us").alias("a_ts"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bucket"),
+    )
+    b = ev.select(
+        col("event_id").alias("b_id"),
+        "user_id",
+        col("ts_us").alias("b_ts"),
+        bkt.alias("bucket"),
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter((col("b_ts") > col("a_ts")) & (col("b_ts") <= col("a_ts") + lit(BUCKET_US)))
+        .select("a_id", "b_id", (col("b_ts") - col("a_ts")).alias("gap_us"))
+    )
+
+
 def _q_sample(spark, sf_dir):
     li = tables.table(spark, sf_dir, "lineitem")
     bucket = F.substring(F.md5(col("l_orderkey").cast("string")), 1, 2)
@@ -496,6 +554,9 @@ QUERIES = {
     "rel_explain_pivot": _q_pivot,
     "rel_window_percentiles": _q_window_percentiles,
     "rel_string_agg": _q_string_agg,
+    "rel_agg_percentile": _q_agg_percentile,
+    "rel_fn_bitwise": _q_fn_bitwise,
+    "rel_join_range_bucket": _q_join_range_bucket,
 }
 
 
@@ -734,6 +795,30 @@ ORACLE = {
         "SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers, "
         "count(*) AS n_supp FROM supplier JOIN nation ON s_nationkey = n_nationkey "
         "GROUP BY n_name"
+    ),
+    "rel_agg_percentile": (
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_quantity, 0.25), 4) AS p25, "
+        "round(quantile_cont(l_quantity, 0.5), 4) AS median, "
+        "round(quantile_cont(l_quantity, 0.75), 4) AS p75, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "rel_fn_bitwise": (
+        f"WITH {_EV} SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) & 15 AS k_and, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) | 32 AS k_or, "
+        "xor(CAST(json_extract(props, '$.k') AS BIGINT), 21) AS k_xor, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) << 2 AS k_shl, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) >> 1 AS k_shr FROM ev"
+    ),
+    "rel_join_range_bucket": (
+        # identical semantics to rel_join_theta_range — the bucket join is a
+        # physical strategy, not a semantic change.
+        f"WITH {_EV} "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, b.ts_us - a.ts_us AS gap_us "
+        "FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts_us > a.ts_us "
+        "AND b.ts_us <= a.ts_us + 600000000"
     ),
     "rel_explain_pivot": (
         "SELECT user_id, "
