@@ -92,6 +92,60 @@ def classify(spark: SparkSession, sf_dir: str, k: int = K_DEFAULT) -> DataFrame:
     return majority_vote(topk(with_distance(all_pairs(split_test(e), train_all(e))), k))
 
 
+def weighted_vote(topk_df: DataFrame) -> DataFrame:
+    """Distance-weighted vote (the standard kNN variant beside majority).
+
+    Weights are integerized — ``floor(10000 / (round(dist,4) + 1))`` — so
+    per-label weight sums are exact integers: order-independent under any
+    partitioning (the cents convention applied to votes, SCALE.md §3).
+    """
+    weighted = topk_df.withColumn(
+        "w", F.floor(10000.0 / (F.round("dist", 4) + 1.0)).cast("long")
+    )
+    votes = weighted.groupBy("qid", "qlabel", "tlabel").agg(F.sum("w").alias("wsum"))
+    w = Window.partitionBy("qid").orderBy(F.desc("wsum"), "tlabel")
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(col("vr") == 1)
+        .select(
+            "qid",
+            col("tlabel").alias("pred_label"),
+            col("qlabel").alias("true_label"),
+            (col("tlabel") == col("qlabel")).cast("int").alias("correct"),
+            "wsum",
+        )
+    )
+
+
+K_SWEEP = [1, 3, 5, 10]
+
+
+def k_sweep_accuracy(spark: SparkSession, sf_dir: str, ks: list[int] | None = None) -> DataFrame:
+    """Hyperparameter sweep: accuracy at several k from ONE top-k pass.
+
+    The candidate top-max(k) set is computed once; each k reuses it via a
+    rank filter — k values add no extra distance work or shuffles.
+    """
+    ks = ks or K_SWEEP
+    top = topk(_pairs(spark, sf_dir), max(ks))
+    kdf = top.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    votes = (
+        top.join(F.broadcast(kdf), col("rnk") <= col("k"))
+        .groupBy("k", "qid", "qlabel", "tlabel")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("k", "qid").orderBy(F.desc("votes"), "tlabel")
+    pred = votes.withColumn("vr", F.row_number().over(w)).filter(col("vr") == 1)
+    return (
+        pred.groupBy("k")
+        .agg(
+            F.round(F.avg((col("tlabel") == col("qlabel")).cast("double")), 4).alias("accuracy"),
+            F.count("*").alias("n_test"),
+        )
+        .select(col("k").cast("long").alias("k"), "accuracy", "n_test")
+    )
+
+
 def knn_self_join(spark: SparkSession, sf_dir: str, k: int = K_JOIN) -> DataFrame:
     """kNN self-join: every point gets its k nearest (SURVEY.md [P:Zhang12])."""
     e = tables.embeddings(spark, sf_dir)
@@ -220,6 +274,10 @@ QUERIES = {
     "knn_join": _q_join,
     "knn_accuracy": _q_accuracy,
     "knn_confusion": _q_confusion,
+    "knn_classify_weighted": lambda spark, sf_dir: weighted_vote(
+        topk(_pairs(spark, sf_dir), K_DEFAULT)
+    ),
+    "knn_k_sweep": k_sweep_accuracy,
 }
 
 
@@ -328,5 +386,27 @@ ORACLE = {
         f"WITH {_EMB}, {_PAIRS}, {_TOPK}, {_PRED} "
         "SELECT qlabel AS true_label, tlabel AS pred_label, count(*) AS cnt FROM pred "
         "WHERE vr = 1 GROUP BY qlabel, tlabel"
+    ),
+    "knn_classify_weighted": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "
+        "wv AS (SELECT qid, qlabel, tlabel, "
+        "CAST(floor(10000.0 / (round(dist, 4) + 1.0)) AS BIGINT) AS w FROM topk), "
+        "votes AS (SELECT qid, qlabel, tlabel, CAST(sum(w) AS BIGINT) AS wsum FROM wv "
+        "GROUP BY qid, qlabel, tlabel), "
+        "pred AS (SELECT qid, qlabel, tlabel, wsum, "
+        "row_number() OVER (PARTITION BY qid ORDER BY wsum DESC, tlabel) AS vr FROM votes) "
+        "SELECT qid, tlabel AS pred_label, qlabel AS true_label, "
+        "CAST(tlabel = qlabel AS INTEGER) AS correct, wsum FROM pred WHERE vr = 1"
+    ),
+    "knn_k_sweep": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "
+        "ks AS (SELECT unnest([1, 3, 5, 10]) AS k), "
+        "votes AS (SELECT k, qid, qlabel, tlabel, count(*) AS votes "
+        "FROM topk JOIN ks ON rnk <= k GROUP BY k, qid, qlabel, tlabel), "
+        "pred AS (SELECT k, qid, qlabel, tlabel, votes, "
+        "row_number() OVER (PARTITION BY k, qid ORDER BY votes DESC, tlabel) AS vr FROM votes) "
+        "SELECT CAST(k AS BIGINT) AS k, "
+        "round(avg(CAST(CAST(tlabel = qlabel AS INTEGER) AS DOUBLE)), 4) AS accuracy, "
+        "count(*) AS n_test FROM pred WHERE vr = 1 GROUP BY k"
     ),
 }

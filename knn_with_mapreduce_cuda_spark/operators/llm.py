@@ -93,7 +93,16 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return per_i.groupBy("doc_id").agg(*aggs)
 
 
-def _q_dedup_near_minhash(spark, sf_dir):
+def near_dup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
+    """Candidate near-dup pairs from MinHash band buckets.
+
+    ``max_bucket_size``: the 100 TB guard (SCALE.md §6) — a bucket with B
+    members explodes to B² candidate pairs, so one boilerplate bucket can
+    dominate the job; buckets above the cap are dropped before the
+    self-join (a dropped bucket is a data-quality signal to surface, not
+    silently eat). The graded query passes None: fixture buckets are tiny
+    and the oracle must see every pair.
+    """
     sig = minhash_signatures(spark, sf_dir)
     # one explode instead of a 4-way union: a union of per-band projections
     # re-evaluates the whole shingle→minhash pipeline once per band (seen
@@ -110,6 +119,13 @@ def _q_dedup_near_minhash(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bsig")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(w))
+            .filter(col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = bands.select(col("doc_id").alias("doc_a"), "band", "bsig")
     b_ = bands.select(col("doc_id").alias("doc_b"), "band", "bsig")
     return (
@@ -118,6 +134,10 @@ def _q_dedup_near_minhash(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _q_dedup_near_minhash(spark, sf_dir):
+    return near_dup_pairs(spark, sf_dir)
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -431,6 +451,37 @@ def _q_lang_partition(spark, sf_dir):
     )
 
 
+def _q_pipeline_e2e(spark, sf_dir):
+    """The training-data prep chain as ONE declarative plan: language
+    filter → quality gate → exact dedup → embedding join → features.
+
+    Scale note: this is the shape a 100 TB corpus job actually runs —
+    Catalyst fuses the filters into the scan, the dedup is one shuffle on
+    the content hash, the embedding join one shuffle on the id (zero if
+    both tables are bucketed by id, see SCALE.md §2)."""
+    t = _tokens(spark, sf_dir).filter(col("lang") == "en")
+    n_words = F.size("ts").cast("long")
+    q = t.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        F.floor(F.size(F.array_distinct("ts")) / F.size("ts") * 10000)
+        .cast("long")
+        .alias("uniq_q4"),
+    ).filter(col("n_words") >= 30)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    ded = q.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1)
+    e = tables.embeddings(spark, sf_dir)
+    return ded.join(e, ded.doc_id == e.vec_id).select(
+        "doc_id",
+        "n_words",
+        "uniq_q4",
+        F.round(F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x), lit(0.0),
+                                   lambda s, x: s + x)), 4).alias("norm"),
+        "label",
+    )
+
+
 QUERIES = {
     "llm_dedup_hash": _q_dedup_hash,
     "llm_dedup_near_minhash": _q_dedup_near_minhash,
@@ -452,6 +503,7 @@ QUERIES = {
     "llm_multimodal_join": _q_multimodal_join,
     "llm_multimodal_features": _q_multimodal_features,
     "llm_lang_partition": _q_lang_partition,
+    "llm_pipeline_e2e": _q_pipeline_e2e,
 }
 
 
@@ -633,5 +685,17 @@ ORACLE = {
     ),
     "llm_lang_partition": (
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"
+    ),
+    "llm_pipeline_e2e": (
+        f"WITH {_TOKS}, "
+        "en AS (SELECT doc_id, text, len(ts) AS n_words, "
+        "CAST(floor(len(list_distinct(ts)) * 10000.0 / len(ts)) AS BIGINT) AS uniq_q4 "
+        "FROM toks WHERE lang = 'en' AND len(ts) >= 30), "
+        "ded AS (SELECT en.*, row_number() OVER (PARTITION BY sha256(text) "
+        "ORDER BY doc_id) AS rn FROM en), "
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings) "
+        "SELECT d.doc_id, d.n_words, d.uniq_q4, "
+        "round(sqrt(list_inner_product(e.emb, e.emb)), 4) AS norm, e.label "
+        "FROM ded d JOIN emb e ON d.doc_id = e.vec_id WHERE d.rn = 1"
     ),
 }
