@@ -109,3 +109,43 @@ def running_sum_stateful(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_sum_tws(stream: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState: typed per-key ValueState, timers, and
+    schema-evolvable state. Same per-user running aggregate so the two
+    stateful APIs are directly comparable in tests. Requires the RocksDB
+    state-store provider (set by the caller / test)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "total double, cnt long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, cnt = self._agg.get() if self._agg.exists() else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                cnt += len(pdf)
+            self._agg.update((total, cnt))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [round(total, 4)],
+                    "n_events": [cnt],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="user_id long, total_value double, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -81,3 +81,50 @@ def test_stateful_running_sum_final_state(spark, chunk_dir):
     for r in finals.itertuples():
         assert r.n_events == b.loc[r.user_id, "n"]
         assert abs(r.total_value - round(b.loc[r.user_id, "total"], 4)) < 1e-6
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' state-server protocol needs "
+    "google.protobuf, absent in this container (no pip install allowed); "
+    "the operator is implemented in jobs.running_sum_tws and this test "
+    "runs wherever protobuf exists",
+)
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, chunk_dir):
+    """Spark 4 transformWithStateInPandas must produce the same final
+    per-user state as the legacy applyInPandasWithState operator."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.read_event_stream(spark, chunk_dir)
+        got = jobs.run_to_memory(jobs.running_sum_tws(stream), "t_tws", "update")
+        gpdf = got.toPandas()
+        finals = gpdf.loc[gpdf.groupby("user_id")["n_events"].idxmax()]
+        batch = (
+            tables.table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 4).alias("total"), F.count("*").alias("n"))
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert len(finals) == len(batch)
+        for r in finals.itertuples():
+            assert r.n_events == batch.loc[r.user_id, "n"]
+            assert abs(r.total_value - round(batch.loc[r.user_id, "total"], 4)) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
