@@ -91,7 +91,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -86,6 +86,26 @@ def cmd_classify_files(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the fixture catalog — the engine's third entry
+    point (SURVEY.md §3.2): every fixture registered as a temp view, the
+    statement run through the same Catalyst pipeline as the DataFrame
+    queries."""
+    from . import tables
+    from .session import get_spark
+
+    spark = get_spark("knn-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables.register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    rows = df.limit(args.limit).collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(f"-- {len(rows)} row(s) shown (limit {args.limit})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="knn_with_mapreduce_cuda_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -105,6 +125,12 @@ def main(argv=None) -> int:
     f.add_argument("--strategy", choices=["expr", "gemm"], default="gemm")
     f.add_argument("--out", default=None)
     f.set_defaults(fn=cmd_classify_files)
+
+    s = sub.add_parser("sql", help="run SQL over the fixture tables")
+    s.add_argument("query")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

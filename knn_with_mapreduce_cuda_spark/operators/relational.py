@@ -509,6 +509,23 @@ def _q_join_range_bucket(spark, sf_dir):
     )
 
 
+def _q_unpivot(spark, sf_dir):
+    """unpivot/melt — wide measures to (measure, value) rows. Scale note:
+    unpivot is a generate (no shuffle); row count multiplies by the
+    measure count, so project the id/measure columns first."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .select("l_orderkey", "l_linenumber", "measure", F.round("val", 4).alias("val"))
+    )
+
+
 def _q_sample(spark, sf_dir):
     li = tables.table(spark, sf_dir, "lineitem")
     bucket = F.substring(F.md5(col("l_orderkey").cast("string")), 1, 2)
@@ -557,6 +574,7 @@ QUERIES = {
     "rel_agg_percentile": _q_agg_percentile,
     "rel_fn_bitwise": _q_fn_bitwise,
     "rel_join_range_bucket": _q_join_range_bucket,
+    "rel_unpivot": _q_unpivot,
 }
 
 
@@ -819,6 +837,14 @@ ORACLE = {
         "SELECT a.event_id AS a_id, b.event_id AS b_id, b.ts_us - a.ts_us AS gap_us "
         "FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts_us > a.ts_us "
         "AND b.ts_us <= a.ts_us + 600000000"
+    ),
+    "rel_unpivot": (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+        "round(l_quantity, 4) AS val FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "round(l_discount, 4) FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+        "round(l_tax, 4) FROM lineitem"
     ),
     "rel_explain_pivot": (
         "SELECT user_id, "

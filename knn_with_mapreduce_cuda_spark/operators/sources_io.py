@@ -75,10 +75,28 @@ def _q_knn_text_roundtrip(spark, sf_dir):
     )
 
 
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC — the second Spark-native columnar format (same pushdown and
+    pruning machinery as parquet). Timestamps go through ORC natively."""
+    li = tables.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    path = os.path.join(SCRATCH, "orc_lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(col("l_extendedprice"))).alias("price_cents"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip": _q_csv_roundtrip,
     "src_jsonl_roundtrip": _q_jsonl_roundtrip,
     "src_knn_text_roundtrip": _q_knn_text_roundtrip,
+    "src_orc_roundtrip": _q_orc_roundtrip,
 }
 
 ORACLE = {
@@ -97,5 +115,12 @@ ORACLE = {
         "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
         "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
         "FROM emb GROUP BY label"
+    ),
+    "src_orc_roundtrip": (
+        "SELECT l_returnflag, count(*) AS cnt, "
+        + _sum_cents_sql("l_extendedprice")
+        + " AS price_cents, round(sum(l_quantity), 4) AS qty, "
+        "strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
 }

@@ -73,3 +73,19 @@ def test_bucketed_table_join_has_no_shuffle(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_cli_sql_subcommand(capsys):
+    from knn_with_mapreduce_cuda_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT r_name FROM region ORDER BY r_name LIMIT 2",
+            "--sf-dir",
+            SF_SMOKE,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "r_name" in out and "row(s) shown" in out
