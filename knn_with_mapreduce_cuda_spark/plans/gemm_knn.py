@@ -115,6 +115,38 @@ def knn_topk_gemm(
     )
 
 
+def knn_topk_gemm_chunked(
+    queries_df: DataFrame,
+    train_df: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+    query_block_rows: int = 100_000,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Outer loop over bounded query blocks (SCALE.md §5) for probe sets
+    too large to broadcast whole.
+
+    Each query's top-k is independent of every other query, so the union
+    of per-block results is the exact global answer — the [P:Maillo17]
+    kNN-IS job layout. Blocks are selected by ``qid % n_blocks``
+    (deterministic, no shuffle: the predicate is pushed into the query
+    scan). Per-block broadcast is bounded by ``query_block_rows × dim``
+    doubles; at true scale each block's result would be flushed to the
+    sink before the next block's broadcast so only one block is resident
+    at a time.
+    """
+    n = queries_df.count()
+    n_blocks = max(1, -(-n // query_block_rows))
+    if n_blocks == 1:
+        return knn_topk_gemm(queries_df, train_df, k, exclude_self, min_partitions)
+    out = None
+    for b in range(n_blocks):
+        qb = queries_df.filter(F.pmod(col("qid"), n_blocks) == b)
+        r = knn_topk_gemm(qb, train_df, k, exclude_self, min_partitions)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def cosine_topk_gemm(
     queries_df: DataFrame,
     train_df: DataFrame,

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — live physical-plan evidence for SCALE.md claims.
+
+Run from the repo root: python scripts/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators import knn, relational
+from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+from knn_with_mapreduce_cuda_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+HEADER = """# PLANS — physical-plan evidence for the SCALE.md claims
+
+Auto-generated from live `.explain()` output at sf0.001 (regenerate:
+`python scripts/gen_plans.py`). Each section pairs a scale claim with the
+plan fragment that proves Catalyst actually delivers it; the same
+assertions run as tests in `tests/test_plans.py`.
+"""
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan(df, mode="formatted"):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
+    sections = []
+
+    def add(title, claim, df, grep):
+        lines = [l for l in plan(df).splitlines() if any(g in l for g in grep)]
+        sections.append(f"## {title}\n\n{claim}\n\n```\n" + "\n".join(lines) + "\n```\n")
+
+    li = (
+        tables.table(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_quantity")
+    )
+    add(
+        "Parquet pushdown + pruning (rel_scan_project_filter)",
+        "The filter reaches the scan (`PushedFilters`) and only the two "
+        "projected columns are read (`ReadSchema`):",
+        li,
+        ["PushedFilters", "ReadSchema"],
+    )
+    add(
+        "Partial aggregation — the Combiner (rel_agg_hash)",
+        "HashAggregate appears twice around the Exchange: map-side partial, "
+        "reduce-side final. One row per (partition × group) crosses the wire:",
+        relational._q_agg_hash(spark, SF),
+        ["HashAggregate", "Exchange", "Scan parquet"],
+    )
+    add(
+        "Broadcast hash join for dimensions (rel_join_broadcast)",
+        "The dimension side broadcasts; the fact side never shuffles for the join:",
+        relational._q_join_broadcast(spark, SF),
+        ["BroadcastHashJoin", "BroadcastExchange", "Exchange hash"],
+    )
+    e = tables.embeddings(spark, SF)
+    top = knn.topk(
+        knn.with_distance(knn.all_pairs(knn.split_test(e), knn.train_all(e))), 10
+    )
+    add(
+        "Window group-limit pushdown (knn_topk)",
+        "`row_number() <= k` becomes a partial WindowGroupLimit BEFORE the "
+        "exchange — Catalyst derives the reference's bounded-TreeMap Combiner; "
+        "the query side is broadcast (BroadcastNestedLoopJoin = DistributedCache):",
+        top,
+        ["WindowGroupLimit", "BroadcastNestedLoopJoin", "Exchange hash"],
+    )
+    q = e.selectExpr("vec_id as qid", "emb as qemb")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    add(
+        "GEMM physical strategy (plans/gemm_knn.py)",
+        "The custom stage: ArrowEvalPython/mapInArrow over train partitions "
+        "emits only per-partition top-k candidates; one window merges them. "
+        "No cross-product Exchange exists in the plan:",
+        knn_topk_gemm(q, t, 10),
+        ["MapInArrow", "WindowGroupLimit", "Window", "Exchange"],
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write(HEADER + "\n" + "\n".join(sections))
+    print(f"PLANS.md written: {len(sections)} sections")
+
+
+if __name__ == "__main__":
+    main()

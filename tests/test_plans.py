@@ -73,3 +73,19 @@ def test_broadcast_hash_join_for_dim_table(spark):
     df = relational._q_join_broadcast(spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gemm_chunked_equals_unchunked(spark):
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import (
+        knn_topk_gemm,
+        knn_topk_gemm_chunked,
+    )
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    whole = knn_topk_gemm(q, t, 5).collect()
+    chunked = knn_topk_gemm_chunked(q, t, 5, query_block_rows=40).collect()
+    key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
+    assert key(whole) == key(chunked)
