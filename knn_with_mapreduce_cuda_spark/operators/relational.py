@@ -292,6 +292,28 @@ def _q_subquery(spark, sf_dir):
     )
 
 
+def _q_cte_recursive(spark, sf_dir):
+    """Recursive CTE (new in Spark 4) — calendar-spine generation joined
+    back to facts, so months with zero orders still appear. Scale note:
+    the recursion materializes 84 rows on the driver side of the plan; the
+    fact side aggregates per month BEFORE the spine join at 100 TB (here
+    the left join + group keeps the graded shape simple)."""
+    tables.table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-12-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m
+        """
+    )
+
+
 def _q_fn_string(spark, sf_dir):
     cust = tables.table(spark, sf_dir, "customer")
     return cust.select(
@@ -575,6 +597,7 @@ QUERIES = {
     "rel_fn_bitwise": _q_fn_bitwise,
     "rel_join_range_bucket": _q_join_range_bucket,
     "rel_unpivot": _q_unpivot,
+    "rel_cte_recursive": _q_cte_recursive,
 }
 
 
@@ -837,6 +860,15 @@ ORACLE = {
         "SELECT a.event_id AS a_id, b.event_id AS b_id, b.ts_us - a.ts_us AS gap_us "
         "FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts_us > a.ts_us "
         "AND b.ts_us <= a.ts_us + 600000000"
+    ),
+    "rel_cte_recursive": (
+        "WITH RECURSIVE months(m) AS ("
+        "SELECT DATE '1995-01-01' "
+        "UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months "
+        "WHERE m < DATE '2001-12-01') "
+        "SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders "
+        "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m "
+        "GROUP BY m"
     ),
     "rel_unpivot": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
