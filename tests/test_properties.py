@@ -86,3 +86,36 @@ def test_cosine_equiv_l2_on_unit_vectors(spark):
     )
     # on unit vectors: ||a-b||^2 = 2(1 - cos)
     assert np.allclose(pairs["l2"] ** 2, 2 * (1 - pairs["cos"]), atol=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_sets(dim=4, max_n=6))
+def test_metric_inequality_chain(spark, vecs):
+    # chebyshev <= euclidean <= manhattan, pointwise, for every pair
+    e = _df(spark, vecs)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    b = e.select(F.col("vec_id").alias("tid"), F.col("emb").alias("temb"))
+    pdf = (
+        a.crossJoin(b)
+        .withColumn("che", METRICS["chebyshev"]("qemb", "temb"))
+        .withColumn("euc", METRICS["euclidean"]("qemb", "temb"))
+        .withColumn("man", METRICS["manhattan"]("qemb", "temb"))
+        .toPandas()
+    )
+    assert (pdf.che <= pdf.euc + 1e-9).all()
+    assert (pdf.euc <= pdf.man + 1e-9).all()
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=12),
+    small=st.lists(st.tuples(st.integers(0, 3), st.integers(-5, 5)), min_size=1, max_size=4),
+)
+def test_salted_join_equals_plain_join(spark, keys, small):
+    from knn_with_mapreduce_cuda_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(keys)], "k int, payload int")
+    sm = spark.createDataFrame(list(set(small)), "k int, v int")
+    plain = sorted(map(tuple, big.join(sm, "k").select("k", "payload", "v").collect()))
+    salted = sorted(map(tuple, salted_join(big, sm, "k").select("k", "payload", "v").collect()))
+    assert plain == salted
