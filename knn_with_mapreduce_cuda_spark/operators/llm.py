@@ -213,6 +213,28 @@ def _q_simsearch_topk(spark, sf_dir):
     )
 
 
+def _q_simsearch_gemm(spark, sf_dir):
+    """Same result as llm_simsearch_topk through the GEMM physical path
+    (plans/gemm_knn.py) — grading it against the brute-force SQL oracle
+    proves the fast path is hash-identical to the expression path. Like
+    udf_map_arrow: GEMM selects WHICH pairs; the emitted cos is re-derived
+    with the Catalyst expression so BLAS float noise can't leak into the
+    hash."""
+    from ..plans.gemm_knn import cosine_topk_gemm
+
+    e = tables.embeddings(spark, sf_dir)
+    q = e.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    top = cosine_topk_gemm(q, t, 5).select("qid", "tid", "rnk")
+    return (
+        top.join(q, "qid")
+        .join(t, "tid")
+        .select("qid", "tid", "rnk", F.round(cosine("qemb", "temb"), 4).alias("cos"))
+    )
+
+
 def _q_simsearch_ivf(spark, sf_dir):
     """IVF-style pruned search: assign every vector to its nearest coarse
     centroid, then search only within the query's cluster. The pruning is
@@ -489,6 +511,7 @@ QUERIES = {
     "llm_dedup_jaccard": _q_dedup_jaccard,
     "llm_dedup_embed": _q_dedup_embed,
     "llm_simsearch_topk": _q_simsearch_topk,
+    "llm_simsearch_gemm": _q_simsearch_gemm,
     "llm_simsearch_ivf": _q_simsearch_ivf,
     "llm_ann_lsh": _q_ann_lsh,
     "llm_dedup_minhash_mllib": _q_dedup_minhash_mllib,
@@ -596,6 +619,17 @@ ORACLE = {
         f"AND list_cosine_similarity(a.emb, b.emb) >= {EMBED_DUP_THRESHOLD}"
     ),
     "llm_simsearch_topk": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
+        "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) "
+        "AS rnk FROM pairs) "
+        "SELECT qid, tid, rnk, round(cos, 4) AS cos FROM ranked WHERE rnk <= 5"
+    ),
+    "llm_simsearch_gemm": (
+        # identical oracle to llm_simsearch_topk: the GEMM stage is a
+        # physical strategy, not a semantic change.
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
