@@ -90,6 +90,32 @@ def _q_grouped_agg(spark, sf_dir):
     )
 
 
+def _q_grouped_map(spark, sf_dir):
+    """applyInPandas as a grouped TRANSFORM (N rows in → N rows out per
+    group), distinct from the grouped-agg reduction above: per-user
+    z-score of event values, oracle-twinned to the window SQL. The pandas
+    ddof=0 std matches stddev_pop. Scale: one shuffle on the group key;
+    each group must fit in one worker's memory — the documented constraint
+    of the grouped-map shape (use window functions when it doesn't)."""
+    ev = tables.table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=0)
+        out = pdf[["event_id", "user_id"]].copy()
+        z = (pdf["value"] - mu) / sd if sd > 0 else pdf["value"] * 0.0
+        # round(,4) (irrational values — safe) and +0.0 to normalize any
+        # -0.0 so both engines hash identically
+        out["z"] = z.round(4) + 0.0
+        return out
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
+    )
+
+
 def _q_map_arrow(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     q = split_test(e).select("qid", "qemb")
@@ -139,6 +165,7 @@ QUERIES = {
     "udf_scalar_py": _q_scalar_py,
     "udf_pandas_vectorized": _q_pandas_vectorized,
     "udf_grouped_agg": _q_grouped_agg,
+    "udf_grouped_map": _q_grouped_map,
     "udf_map_arrow": _q_map_arrow,
     "udf_udtf": _q_udtf,
 }
@@ -172,5 +199,13 @@ ORACLE = {
         "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
         "ORDER BY dist, tid) AS rnk FROM pairs) "
         "SELECT qid, tid, rnk FROM ranked WHERE rnk <= 10"
+    ),
+    "udf_grouped_map": (
+        "WITH ev AS (SELECT event_id, user_id, value, "
+        "avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd FROM events "
+        "WINDOW w AS (PARTITION BY user_id)) "
+        "SELECT event_id, user_id, "
+        "CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) + 0.0 "
+        "ELSE 0.0 END AS z FROM ev"
     ),
 }
