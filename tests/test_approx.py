@@ -62,3 +62,33 @@ def test_cosine_gemm_matches_expression_simsearch(spark):
     expr = llm._q_simsearch_topk(spark, SF_ORACLE).select("qid", "tid", "rnk").toPandas()
     key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
     assert key(gemm) == key(expr)
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark):
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+    from knn_with_mapreduce_cuda_spark.plans.ivf import build_ivf_index, ivf_search
+
+    e = T.embeddings(spark, SF_SMOKE)
+    cents, index = build_ivf_index(e)
+    q = e.filter("vec_id % 10 = 0").selectExpr("vec_id as qid", "emb as qemb")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    exact = {(r.qid, r.tid) for r in knn_topk_gemm(q, t, 5).collect()}
+    # probing every cell is exhaustive search → identical result set
+    full = {(r.qid, r.tid) for r in ivf_search(q, cents, index, 5, n_probe=5).collect()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+    from knn_with_mapreduce_cuda_spark.plans.ivf import build_ivf_index, ivf_search
+
+    e = T.embeddings(spark, SF_SMOKE)
+    cents, index = build_ivf_index(e)
+    q = e.filter("vec_id % 10 = 0").selectExpr("vec_id as qid", "emb as qemb")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    exact = {(r.qid, r.tid) for r in knn_topk_gemm(q, t, 5).collect()}
+    got = {(r.qid, r.tid) for r in ivf_search(q, cents, index, 5, n_probe=2).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
