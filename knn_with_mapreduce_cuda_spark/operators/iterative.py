@@ -35,7 +35,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.functions import col, lit
+from pyspark.sql.functions import col
 
 from .. import tables
 from ..functions.vector import sq_euclidean

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import col
 
 from .. import tables
-from ..functions.vector import METRICS, euclidean, l2_norm
+from ..functions.vector import METRICS, l2_norm
 
 K_DEFAULT = 10
 K_JOIN = 5

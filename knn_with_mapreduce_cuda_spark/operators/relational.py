@@ -22,7 +22,7 @@ Scale notes per operator family:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
 from .. import tables

@@ -15,9 +15,12 @@ kernel; the Spark-native ladder is:
   Graded exactly: GEMM selects the top-k pairs, then distances are
   re-derived with the same Catalyst expression the oracle mirrors, so
   BLAS float noise can't leak into the hash.
+- ``udf_grouped_map`` — ``applyInPandas`` grouped transform (per-user
+  z-score): N rows in → N rows out per group.
 - ``udf_udtf`` — Spark 4 Python UDTF exploding packed top-k lists.
 
-All five are graded against the same kNN SQL oracles as T1.
+All six are hash-graded (the kNN ones against the same SQL oracles as
+T1; the grouped map against its window-SQL twin).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from pyspark.sql.types import DoubleType
 from .. import tables
 from ..functions.vector import sq_euclidean
 from ..plans.gemm_knn import knn_topk_gemm
-from .knn import K_DEFAULT, all_pairs, majority_vote, split_test, topk, train_all, with_distance
+from .knn import K_DEFAULT, all_pairs, split_test, topk, train_all, with_distance
 
 _PAIRS_SQL_T5 = (
     "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), "

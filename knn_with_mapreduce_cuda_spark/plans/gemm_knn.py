@@ -25,7 +25,6 @@ GPU — the design point BASELINE.json's north star calls out.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col
 
