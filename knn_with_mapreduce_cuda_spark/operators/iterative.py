@@ -164,9 +164,25 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MATERIALIZATION — what a corpus pipeline actually ships:
+    one canonical doc per near-dup cluster (min doc_id), all singletons
+    kept. Composes graph_components_dedup with a keep-rule; row count =
+    corpus size − (dup-cluster members − cluster count)."""
+    comp = _q_components(spark, sf_dir)
+    keep = comp.filter(col("doc_id") == col("cluster")).select(
+        "doc_id", "cluster_size"
+    )
+    docs = tables.table(spark, sf_dir, "documents")
+    return keep.join(docs, "doc_id").select(
+        "doc_id", "lang", "n_chars", col("cluster_size").alias("n_merged")
+    )
+
+
 QUERIES = {
     "ml_kmeans_lloyd": _q_kmeans,
     "graph_components_dedup": _q_components,
+    "llm_dedup_apply": _q_dedup_apply,
 }
 
 
@@ -231,4 +247,10 @@ _COMPONENTS_SQL = (
 ORACLE = {
     "ml_kmeans_lloyd": _KMEANS_SQL,
     "graph_components_dedup": _COMPONENTS_SQL,
+    "llm_dedup_apply": (
+        f"WITH comp AS ({_COMPONENTS_SQL}) "
+        "SELECT c.doc_id, d.lang, d.n_chars, c.cluster_size AS n_merged "
+        "FROM comp c JOIN documents d ON c.doc_id = d.doc_id "
+        "WHERE c.doc_id = c.cluster"
+    ),
 }
