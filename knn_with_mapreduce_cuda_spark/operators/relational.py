@@ -531,6 +531,38 @@ def _q_join_range_bucket(spark, sf_dir):
     )
 
 
+def _q_fn_string2(spark, sf_dir):
+    """Second string-function sweep: edit distance + codec-ish helpers
+    (levenshtein/translate/repeat/reverse — both engines, same names)."""
+    cust = tables.table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(col("c_name"), F.reverse(col("c_name"))).cast("long").alias("pal_dist"),
+        F.translate(col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+        F.repeat(F.substring(col("c_name"), 1, 3), 2).alias("rep3"),
+        F.reverse(col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+def _q_fn_math2(spark, sf_dir):
+    """Second math sweep: trig, roots, logs, combinatorics, bit ops."""
+    ev = tables.table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    v = col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sin(v), 4).alias("sin_v"),
+        F.round(F.cos(v), 4).alias("cos_v"),
+        F.round(F.atan2(v, lit(2.0)), 4).alias("atan2_v"),
+        F.round(F.degrees(v), 4).alias("deg_v"),
+        F.round(F.radians(v), 4).alias("rad_v"),
+        F.round(F.cbrt(F.abs(v)), 4).alias("cbrt_v"),
+        F.round(F.log2(F.abs(v) + 1.0), 4).alias("log2_v"),
+        F.factorial(F.pmod(k, 10).cast("int")).cast("long").alias("fact_k"),
+        F.bit_count(k).cast("long").alias("bits_k"),
+    )
+
+
 def _q_unpivot(spark, sf_dir):
     """unpivot/melt — wide measures to (measure, value) rows. Scale note:
     unpivot is a generate (no shuffle); row count multiplies by the
@@ -598,6 +630,8 @@ QUERIES = {
     "rel_join_range_bucket": _q_join_range_bucket,
     "rel_unpivot": _q_unpivot,
     "rel_cte_recursive": _q_cte_recursive,
+    "rel_fn_string2": _q_fn_string2,
+    "rel_fn_math2": _q_fn_math2,
 }
 
 
@@ -869,6 +903,25 @@ ORACLE = {
         "SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders "
         "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m "
         "GROUP BY m"
+    ),
+    "rel_fn_string2": (
+        "SELECT c_custkey, "
+        "CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS pal_dist, "
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr, "
+        "repeat(substring(c_name, 1, 3), 2) AS rep3, "
+        "reverse(c_mktsegment) AS seg_rev FROM customer"
+    ),
+    "rel_fn_math2": (
+        f"WITH {_EV} SELECT event_id, "
+        "round(sin(value), 4) AS sin_v, round(cos(value), 4) AS cos_v, "
+        "round(atan2(value, 2.0), 4) AS atan2_v, "
+        "round(degrees(value), 4) AS deg_v, round(radians(value), 4) AS rad_v, "
+        "round(cbrt(abs(value)), 4) AS cbrt_v, "
+        "round(log2(abs(value) + 1.0), 4) AS log2_v, "
+        "CAST(factorial(CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS INT)) "
+        "AS BIGINT) AS fact_k, "
+        "CAST(bit_count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS bits_k "
+        "FROM ev"
     ),
     "rel_unpivot": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "

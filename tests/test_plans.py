@@ -89,3 +89,22 @@ def test_gemm_chunked_equals_unchunked(spark):
     chunked = knn_topk_gemm_chunked(q, t, 5, query_block_rows=40).collect()
     key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
     assert key(whole) == key(chunked)
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    import os
+
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.sources.readers import write_partitioned_parquet
+
+    ev = T.table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = os.path.join(str(tmp_path), "ev_by_type")
+    write_partitioned_parquet(ev, path, "event_type")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    # the predicate lands in PartitionFilters → only the click/ directory
+    # is scanned; nothing reaches PushedFilters (no data-file IO for it)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan
