@@ -195,6 +195,20 @@ def _q_normalize_zscore(spark, sf_dir):
     )
 
 
+def _q_normalize_unit(spark, sf_dir):
+    """L2 unit normalization — the preprocessing kNN-with-cosine assumes
+    (fixture vectors are already unit-norm, so scaled ≈ val — the query
+    still exercises the norm-divide path)."""
+    e = tables.embeddings(spark, sf_dir)
+    n = e.select("vec_id", "emb", l2_norm("emb").alias("nrm"))
+    ex = n.select("vec_id", F.posexplode("emb").alias("pos", "val"), "nrm")
+    return ex.select(
+        "vec_id",
+        col("pos").cast("long").alias("pos"),
+        F.round(col("val") / col("nrm"), 4).alias("scaled"),
+    )
+
+
 def _q_split(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     return e.select(
@@ -261,6 +275,7 @@ QUERIES = {
     "knn_scan": _q_scan,
     "knn_normalize_minmax": _q_normalize_minmax,
     "knn_normalize_zscore": _q_normalize_zscore,
+    "knn_normalize_unit": _q_normalize_unit,
     "knn_split": _q_split,
     "knn_allpairs": _q_allpairs,
     "knn_dist_euclidean": _q_dist("euclidean"),
@@ -328,6 +343,12 @@ ORACLE = {
         f"WITH {_EMB}, {_EX} "
         "SELECT vec_id, pos, round((val - avg(val) OVER (PARTITION BY pos)) / "
         "stddev_pop(val) OVER (PARTITION BY pos), 4) AS scaled FROM ex"
+    ),
+    "knn_normalize_unit": (
+        f"WITH {_EMB}, {_EX} "
+        "SELECT ex.vec_id, ex.pos, "
+        "round(ex.val / sqrt(list_inner_product(e.emb, e.emb)), 4) AS scaled "
+        "FROM ex JOIN emb e ON ex.vec_id = e.vec_id"
     ),
     "knn_split": (
         "SELECT vec_id, label, CASE WHEN vec_id % 5 = 0 THEN 'test' ELSE 'train' END AS split "

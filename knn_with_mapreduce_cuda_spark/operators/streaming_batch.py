@@ -52,6 +52,24 @@ def _q_window_tumbling(spark, sf_dir):
     )
 
 
+def _q_window_distinct(spark, sf_dir):
+    """Windowed distinct cardinality — per-hour unique users per type.
+    Streaming form uses approx_count_distinct (exact distinct is
+    unsupported in update-mode streaming aggs); the graded batch form is
+    exact. Scale: distinct expands (window, type, user) before the final
+    count — two-level aggregation keeps the combine map-side."""
+    ev = tables.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .select(
+            F.unix_micros(col("win.start")).alias("ws_us"),
+            "event_type",
+            "uniq_users",
+        )
+    )
+
+
 def _q_window_sliding(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     return (
@@ -144,6 +162,7 @@ def _q_sink(spark, sf_dir):
 
 QUERIES = {
     "str_window_tumbling": _q_window_tumbling,
+    "str_window_distinct": _q_window_distinct,
     "str_window_sliding": _q_window_sliding,
     "str_window_session": _q_window_session,
     "str_dedup_watermark": _q_dedup_watermark,
@@ -160,6 +179,11 @@ ORACLE = {
         "event_type, count(*) AS cnt, "
         + _sum_cents_sql("value")
         + " AS value_cents FROM ev GROUP BY 1, 2"
+    ),
+    "str_window_distinct": (
+        f"WITH {_EV} SELECT CAST(epoch_us(date_trunc('hour', tsu)) AS BIGINT) AS ws_us, "
+        "event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users "
+        "FROM ev GROUP BY 1, 2"
     ),
     "str_window_sliding": (
         f"WITH {_EV}, slid AS (SELECT ts_us, "
