@@ -46,6 +46,33 @@ def chebyshev(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def minkowski3(a: Column | str, b: Column | str) -> Column:
+    """Minkowski distance with p=3 — the generalization between L1 (p=1)
+    and L∞ (Chebyshev); satisfies chebyshev ≤ minkowski3 ≤ manhattan."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    summed = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(3.0))),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return F.pow(summed, F.lit(1.0) / F.lit(3.0))
+
+
+def hamming_sign(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance over sign bits — binarize each dimension by
+    sign(x) ≥ 0 and count disagreements. The 1-bit quantization used by
+    binary-embedding ANN (SimHash's geometric cousin); integer-valued, so
+    exact under any accumulation order."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.when((x >= 0) != (y >= 0), F.lit(1.0)).otherwise(F.lit(0.0))
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -59,6 +86,8 @@ METRICS = {
     "sqeuclidean": sq_euclidean,
     "manhattan": manhattan,
     "chebyshev": chebyshev,
+    "minkowski3": minkowski3,
+    "hamming": hamming_sign,
     "cosine": cosine,
     "dot": dot,
 }

@@ -282,6 +282,8 @@ QUERIES = {
     "knn_dist_sqeuclidean": _q_dist("sqeuclidean"),
     "knn_dist_manhattan": _q_dist("manhattan"),
     "knn_dist_chebyshev": _q_dist("chebyshev"),
+    "knn_dist_minkowski": _q_dist("minkowski3"),
+    "knn_dist_hamming": _q_dist("hamming"),
     "knn_dist_cosine": _q_dist("cosine"),
     "knn_topk": _q_topk,
     "knn_classify": _q_classify,
@@ -374,6 +376,18 @@ ORACLE = {
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
         "p -> abs(p[1] - p[2])), 'max'), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_minkowski": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(pow(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+        "p -> pow(abs(p[1] - p[2]), 3.0)), 'sum'), 1.0 / 3.0), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_hamming": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+        "p -> CASE WHEN (p[1] >= 0) <> (p[2] >= 0) THEN 1.0 ELSE 0.0 END), 'sum'), 4) AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_cosine": (

@@ -466,6 +466,48 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+FRAME_CHARS = 16
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def _q_multimodal_framesample(spark, sf_dir):
+    """Frame sampling over an opaque binary payload — the video-ish half of
+    the multimodal mandate. The payload (UTF-8 bytes standing in for an
+    encoded media blob) is "decoded" per batch in mapInPandas, sliced into
+    fixed-width frames, and every FRAME_STRIDE-th frame is kept with its
+    extracted features (length + first codepoint). Real codecs would slot
+    into ``_decode_image`` (NotImplementedError-stubbed above); the Spark
+    plumbing — binary column in, Arrow batches, long/long/long/long out,
+    one output row per sampled frame — is the real, tested part.
+
+    Scale: embarrassingly parallel, no shuffle; each Arrow batch expands
+    ~n_frames/STRIDE×. At 100 TB the only knob is input split size
+    (spark.sql.files.maxPartitionBytes) so a batch of decoded frames fits
+    executor memory."""
+    import pandas as pd
+
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "frame_len": [], "first_cp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                for fid in range(0, -(-len(text) // FRAME_CHARS), FRAME_STRIDE):
+                    frame = text[fid * FRAME_CHARS : (fid + 1) * FRAME_CHARS]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["frame_len"].append(len(frame))
+                    out["first_cp"].append(ord(frame[0]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample_frames, "doc_id long, frame_id long, frame_len long, first_cp long"
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -525,6 +567,7 @@ QUERIES = {
     "llm_fingerprint": _q_fingerprint,
     "llm_multimodal_join": _q_multimodal_join,
     "llm_multimodal_features": _q_multimodal_features,
+    "llm_multimodal_framesample": _q_multimodal_framesample,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
 }
@@ -716,6 +759,16 @@ ORACLE = {
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_len, "
         "CAST(ascii(left(text, 1)) AS BIGINT) AS first_byte, "
         "CAST(ascii(left(text, 1)) % 64 AS BIGINT) AS fake_width FROM documents"
+    ),
+    # range() can't take lateral column args in DuckDB 1.0, so join a
+    # fixed 4096-frame spine (docs max ~600 chars) and filter to length.
+    "llm_multimodal_framesample": (
+        "WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_id, "
+        f"substring(text, CAST(i * {FRAME_CHARS} + 1 AS INTEGER), {FRAME_CHARS}) AS frame "
+        "FROM documents, range(4096) t(i) "
+        f"WHERE i % {FRAME_STRIDE} = 0 AND i * {FRAME_CHARS} < length(text)) "
+        "SELECT doc_id, frame_id, CAST(length(frame) AS BIGINT) AS frame_len, "
+        "CAST(unicode(substring(frame, 1, 1)) AS BIGINT) AS first_cp FROM f"
     ),
     "llm_lang_partition": (
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"

@@ -180,6 +180,26 @@ def _q_agg_approx(spark, sf_dir):
     )
 
 
+def _q_agg_sketch_hll(spark, sf_dir):
+    """Mergeable HLL sketch (Apache DataSketches, Spark 3.5+): per-group
+    sketches built map-side, merged at the exchange — the 100 TB path for
+    distinct counts (sketch bytes shuffle, not keys). Graded like
+    rel_agg_approx: the estimate must land within 5% of the embedded exact
+    count, so the hash compares (group, exact, gate) — engine-independent."""
+    ev = tables.table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(col("est") - col("exact_users")) / col("exact_users") < 0.05).alias(
+            "within_5pct"
+        ),
+    )
+
+
 def _q_agg_grouping_sets(spark, sf_dir):
     li = tables.table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -604,6 +624,7 @@ QUERIES = {
     "rel_agg_hash": _q_agg_hash,
     "rel_agg_distinct": _q_agg_distinct,
     "rel_agg_approx": _q_agg_approx,
+    "rel_agg_sketch_hll": _q_agg_sketch_hll,
     "rel_agg_grouping_sets": _q_agg_grouping_sets,
     "rel_window_rank": _q_window_rank,
     "rel_window_analytic": _q_window_analytic,
@@ -717,6 +738,10 @@ ORACLE = {
     ),
     "rel_agg_approx": (
         "SELECT count(DISTINCT l_partkey) AS exact_cnt, true AS within_5pct FROM lineitem"
+    ),
+    "rel_agg_sketch_hll": (
+        "SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_5pct "
+        "FROM events GROUP BY event_type"
     ),
     "rel_agg_grouping_sets": (
         "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "

@@ -106,6 +106,27 @@ def test_metric_inequality_chain(spark, vecs):
     assert (pdf.euc <= pdf.man + 1e-9).all()
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_sets(dim=4, max_n=6))
+def test_minkowski_between_chebyshev_and_manhattan(spark, vecs):
+    # L∞ <= L3 <= L1 pointwise; hamming is integer-valued, symmetric, <= dim
+    e = _df(spark, vecs)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    b = e.select(F.col("vec_id").alias("tid"), F.col("emb").alias("temb"))
+    pdf = (
+        a.crossJoin(b)
+        .withColumn("che", METRICS["chebyshev"]("qemb", "temb"))
+        .withColumn("mink", METRICS["minkowski3"]("qemb", "temb"))
+        .withColumn("man", METRICS["manhattan"]("qemb", "temb"))
+        .withColumn("ham", METRICS["hamming"]("qemb", "temb"))
+        .toPandas()
+    )
+    assert (pdf.che <= pdf.mink + 1e-9).all()
+    assert (pdf.mink <= pdf.man + 1e-9).all()
+    assert ((pdf.ham >= 0) & (pdf.ham <= 4)).all()
+    assert (pdf.ham == pdf.ham.round()).all()
+
+
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     keys=st.lists(st.integers(0, 3), min_size=1, max_size=12),
