@@ -271,6 +271,64 @@ def _q_confusion(spark, sf_dir):
     return pred.groupBy("true_label", "pred_label").agg(F.count("*").alias("cnt"))
 
 
+RADIUS_EPS = 1.40
+
+
+def _q_radius(spark, sf_dir):
+    """ε-range search (fixed-radius neighbors) — the dual of top-k: all
+    neighbors within RADIUS_EPS, plus the per-query hit count. Same pair
+    join as knn_topk; the predicate prunes before the exchange, so at
+    100 TB the shuffle carries only in-radius pairs (for small ε, a tiny
+    fraction of the cross product)."""
+    hits = _pairs(spark, sf_dir, "euclidean").filter(col("dist") < RADIUS_EPS)
+    return hits.select(
+        "qid",
+        "tid",
+        F.round("dist", 4).alias("dist"),
+        F.count("*").over(Window.partitionBy("qid")).alias("n_in_radius"),
+    )
+
+
+def _q_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classifier — the O(n·c) companion to
+    O(n²) kNN: per-label mean vectors from the train split, each test
+    point assigned to its closest centroid. Centroid build is one
+    posexplode + groupBy (map-side partial agg over 64·c cells); classify
+    is a broadcast of c centroid rows — no pairwise shuffle at all, the
+    100 TB-friendly classifier. Centroid components are rounded to 6dp on
+    both engines so the argmin is decided on identical doubles."""
+    e = tables.embeddings(spark, sf_dir)
+    train = e.filter(col("vec_id") % 5 != 0)
+    cent = (
+        train.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            col("label").alias("clabel"),
+            F.transform("pm", lambda s: s["m"]).alias("cemb"),
+        )
+    )
+    test = e.filter(col("vec_id") % 5 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb"), col("label").alias("qlabel")
+    )
+    scored = test.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", METRICS["euclidean"]("qemb", "cemb")
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select(
+            "qid",
+            col("clabel").alias("pred_label"),
+            col("qlabel").alias("true_label"),
+            (col("clabel") == col("qlabel")).cast("int").alias("correct"),
+        )
+    )
+
+
 QUERIES = {
     "knn_scan": _q_scan,
     "knn_normalize_minmax": _q_normalize_minmax,
@@ -295,6 +353,8 @@ QUERIES = {
         topk(_pairs(spark, sf_dir), K_DEFAULT)
     ),
     "knn_k_sweep": k_sweep_accuracy,
+    "knn_radius": _q_radius,
+    "knn_centroid": _q_centroid,
 }
 
 
@@ -443,5 +503,27 @@ ORACLE = {
         "SELECT CAST(k AS BIGINT) AS k, "
         "round(avg(CAST(CAST(tlabel = qlabel AS INTEGER) AS DOUBLE)), 4) AS accuracy, "
         "count(*) AS n_test FROM pred WHERE vr = 1 GROUP BY k"
+    ),
+    "knn_radius": (
+        f"WITH {_EMB}, {_PAIRS} "
+        "SELECT qid, tid, round(dist, 4) AS dist, "
+        "count(*) OVER (PARTITION BY qid) AS n_in_radius "
+        f"FROM pairs WHERE dist < {RADIUS_EPS}"
+    ),
+    "knn_centroid": (
+        f"WITH {_EMB}, "
+        "tr AS (SELECT * FROM emb WHERE vec_id % 5 <> 0), "
+        "cent AS (SELECT label AS clabel, i, "
+        "round(avg(emb[CAST(i + 1 AS INT)]), 6) AS m "
+        "FROM tr, range(64) t(i) GROUP BY clabel, i), "
+        "test AS (SELECT vec_id AS qid, emb, label AS qlabel FROM emb "
+        "WHERE vec_id % 5 = 0), "
+        "d AS (SELECT qid, qlabel, clabel, "
+        "sum(pow(emb[CAST(i + 1 AS INT)] - m, 2)) AS sq "
+        "FROM test, cent GROUP BY qid, qlabel, clabel), "
+        "r AS (SELECT qid, clabel, qlabel, "
+        "row_number() OVER (PARTITION BY qid ORDER BY sq, clabel) AS rn FROM d) "
+        "SELECT qid, clabel AS pred_label, qlabel AS true_label, "
+        "CAST(qlabel = clabel AS INTEGER) AS correct FROM r WHERE rn = 1"
     ),
 }

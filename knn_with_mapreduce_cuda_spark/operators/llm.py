@@ -508,6 +508,38 @@ def _q_multimodal_framesample(spark, sf_dir):
     )
 
 
+COOCCUR_VOCAB = 20
+
+
+def _q_text_cooccur(spark, sf_dir):
+    """Word co-occurrence counts over a bounded vocabulary — the input to
+    PMI/word-association scoring in corpus analytics. The vocabulary is
+    the top-COOCCUR_VOCAB tokens by document frequency (total-ordered:
+    count desc, token asc), broadcast to semi-filter the token stream, so
+    the per-doc pair join is bounded at vocab² regardless of corpus size —
+    the trick that keeps co-occurrence tractable at 100 TB (never pair the
+    open vocabulary, only the capped one)."""
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("ts")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(COOCCUR_VOCAB)
+        .select("tok")
+    )
+    tv = toks.join(F.broadcast(vocab), "tok")
+    a = tv.select("doc_id", col("tok").alias("w1"))
+    b = tv.select("doc_id", col("tok").alias("w2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(col("w1") < col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("co_cnt"))
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -568,6 +600,7 @@ QUERIES = {
     "llm_multimodal_join": _q_multimodal_join,
     "llm_multimodal_features": _q_multimodal_features,
     "llm_multimodal_framesample": _q_multimodal_framesample,
+    "llm_text_cooccur": _q_text_cooccur,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
 }
@@ -769,6 +802,16 @@ ORACLE = {
         f"WHERE i % {FRAME_STRIDE} = 0 AND i * {FRAME_CHARS} < length(text)) "
         "SELECT doc_id, frame_id, CAST(length(frame) AS BIGINT) AS frame_len, "
         "CAST(unicode(substring(frame, 1, 1)) AS BIGINT) AS first_cp FROM f"
+    ),
+    "llm_text_cooccur": (
+        "WITH dt AS (SELECT DISTINCT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        f"v AS (SELECT tok FROM dt GROUP BY tok "
+        f"ORDER BY count(*) DESC, tok LIMIT {COOCCUR_VOCAB}), "
+        "tv AS (SELECT doc_id, tok FROM dt WHERE tok IN (SELECT tok FROM v)) "
+        "SELECT a.tok AS w1, b.tok AS w2, count(*) AS co_cnt "
+        "FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+        "GROUP BY w1, w2"
     ),
     "llm_lang_partition": (
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"

@@ -613,6 +613,90 @@ def _q_pivot(spark, sf_dir):
     return piv.select("user_id", *[col(t).cast("long").alias(t) for t in types])
 
 
+def _q_agg_stats(spark, sf_dir):
+    """Bivariate statistics (corr / covariance / linear regression) per
+    group — one pass, all rewritten by Catalyst into the partial/final
+    aggregate pair, so the exchange carries only the moment tuples
+    (count, sums, sums of squares/products), not rows: the same
+    constant-size-state property HLL gives distinct counts. Scale-safe at
+    100 TB by construction."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )
+
+
+def _q_agg_collect(spark, sf_dir):
+    """Array aggregation: collect a group's values into a sorted list.
+    ``collect_set`` + ``array_sort`` makes the result order-independent —
+    the only oracle-stable way to materialize a list aggregate (raw
+    collect_list order is partitioning-dependent)."""
+    sup = tables.table(spark, sf_dir, "supplier")
+    nat = tables.table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("s_name")), "|").alias("suppliers"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def _q_fn_date2(spark, sf_dir):
+    """Second date-function sweep: quarter / ISO week / day-of-week /
+    last_day / add_months. Spark's dayofweek is 1=Sunday; DuckDB's is
+    0=Sunday — the oracle adds 1 (SURVEY.md §7.2 rule 6: prefer explicit
+    arithmetic over trusting dialect sugar)."""
+    o = tables.table(spark, sf_dir, "orders").filter(col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_wk"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus2m"),
+    )
+
+
+def _q_window_range_interval(spark, sf_dir):
+    """Time-interval RANGE frame: per-user trailing-1-hour event count and
+    value sum. The frame is expressed over ``ts_us`` (µs since epoch) so
+    both engines bound it with identical integer arithmetic; the sum is
+    integerized to cents (order-independent). This is the sliding-window
+    analytic that at 100 TB runs per-user-partition — shuffle on user_id
+    once, then a single sorted pass per partition."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("trail_cnt"),
+        F.sum(cents(col("value"))).over(w).alias("trail_cents"),
+    )
+
+
+def _q_gen_range(spark, sf_dir):
+    """Distributed data generation: ``spark.range`` is a parallel source
+    (one partition per slice, no driver loop, no shuffle) — the 100 TB way
+    to synthesize spines, ids, and test corpora. Knuth-hash and modulus
+    columns make the output content-bearing, all in bigint (exact)."""
+    return spark.range(0, 100_000).select(
+        col("id"),
+        ((col("id") * 2654435761) % 1000003).alias("h"),
+        (col("id") % 7).alias("m"),
+    )
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -653,6 +737,11 @@ QUERIES = {
     "rel_cte_recursive": _q_cte_recursive,
     "rel_fn_string2": _q_fn_string2,
     "rel_fn_math2": _q_fn_math2,
+    "rel_agg_stats": _q_agg_stats,
+    "rel_agg_collect": _q_agg_collect,
+    "rel_fn_date2": _q_fn_date2,
+    "rel_window_range_interval": _q_window_range_interval,
+    "rel_gen_range": _q_gen_range,
 }
 
 
@@ -964,5 +1053,42 @@ ORACLE = {
         "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
         "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
         "FROM events GROUP BY user_id"
+    ),
+    "rel_agg_stats": (
+        "SELECT l_returnflag, "
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+        "round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p, "
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s, "
+        "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+        "round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, "
+        "round(regr_r2(l_extendedprice, l_quantity), 4) AS r2 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "rel_agg_collect": (
+        "SELECT n_name, "
+        "array_to_string(list_sort(list(DISTINCT s_name)), '|') AS suppliers, "
+        "count(*) AS cnt "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "rel_fn_date2": (
+        "SELECT o_orderkey, "
+        "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+        "CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_wk, "
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, "
+        "strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end, "
+        "strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m "
+        "FROM orders WHERE o_orderkey <= 3000"
+    ),
+    "rel_window_range_interval": (
+        f"WITH {_EV} SELECT event_id, user_id, "
+        "count(*) OVER w AS trail_cnt, "
+        f"CAST(sum({_CENTS.format(x='value')}) OVER w AS BIGINT) AS trail_cents "
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    ),
+    "rel_gen_range": (
+        "SELECT CAST(range AS BIGINT) AS id, "
+        "CAST((range * 2654435761) % 1000003 AS BIGINT) AS h, "
+        "CAST(range % 7 AS BIGINT) AS m FROM range(100000)"
     ),
 }

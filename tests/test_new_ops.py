@@ -1,0 +1,81 @@
+"""Radius search, nearest-centroid classifier, co-occurrence, gen_range —
+NumPy / hand-computed oracles for the operators added after the first
+coverage sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators.knn import (
+    RADIUS_EPS,
+    _q_centroid,
+    _q_radius,
+)
+from knn_with_mapreduce_cuda_spark.operators.llm import _q_text_cooccur
+from knn_with_mapreduce_cuda_spark.operators.relational import _q_gen_range
+from tests.conftest import SF_SMOKE
+
+
+def _emb_matrix(spark):
+    rows = tables.embeddings(spark, SF_SMOKE).orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.emb for r in rows])
+    y = np.array([r.label for r in rows])
+    return ids, X, y
+
+
+def test_radius_matches_numpy(spark):
+    ids, X, y = _emb_matrix(spark)
+    qmask = ids % 5 == 0
+    got = {(r.qid, r.tid) for r in _q_radius(spark, SF_SMOKE).collect()}
+    want = set()
+    for qi in np.where(qmask)[0]:
+        d = np.sqrt(((X[qi] - X) ** 2).sum(axis=1))
+        for ti in np.where((d < RADIUS_EPS) & (ids != ids[qi]))[0]:
+            want.add((int(ids[qi]), int(ids[ti])))
+    assert got == want
+
+
+def test_radius_count_column_is_per_query(spark):
+    rows = _q_radius(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r.n_in_radius)
+    for qid, counts in by_q.items():
+        assert set(counts) == {len(counts)}
+
+
+def test_centroid_matches_numpy(spark):
+    ids, X, y = _emb_matrix(spark)
+    train = ids % 5 != 0
+    cents = {}
+    for lab in np.unique(y[train]):
+        cents[lab] = np.round(X[train & (y == lab)].mean(axis=0), 6)
+    labs = sorted(cents)
+    C = np.stack([cents[lab] for lab in labs])
+    pred = {}
+    for qi in np.where(~train)[0]:
+        d = ((X[qi] - C) ** 2).sum(axis=1)
+        pred[int(ids[qi])] = int(labs[int(np.argmin(d))])
+    got = {r.qid: r.pred_label for r in _q_centroid(spark, SF_SMOKE).collect()}
+    assert got == pred
+
+
+def test_cooccur_symmetric_bounded(spark):
+    rows = _q_text_cooccur(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    vocab = {r.w1 for r in rows} | {r.w2 for r in rows}
+    assert len(vocab) <= 20
+    n_docs = tables.table(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert r.w1 < r.w2
+        assert 0 < r.co_cnt <= n_docs
+
+
+def test_gen_range_is_exact(spark):
+    df = _q_gen_range(spark, SF_SMOKE)
+    assert df.count() == 100_000
+    row = df.filter("id = 99999").collect()[0]
+    assert row.h == (99999 * 2654435761) % 1000003
+    assert row.m == 99999 % 7
