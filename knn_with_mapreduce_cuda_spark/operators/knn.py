@@ -271,6 +271,21 @@ def _q_confusion(spark, sf_dir):
     return pred.groupBy("true_label", "pred_label").agg(F.count("*").alias("cnt"))
 
 
+def _q_mutual(spark, sf_dir):
+    """Mutual-kNN graph: undirected edges (a, b) where each is in the
+    other's top-K_JOIN — the symmetric neighbor graph density-based
+    clustering and dedup build on. One kNN self-join, self-joined on the
+    reversed key pair; at scale the second join is equi on (qid, tid) —
+    shuffle-partitioned, never quadratic."""
+    edges = knn_self_join(spark, sf_dir, K_JOIN).select("qid", "tid")
+    rev = edges.select(col("tid").alias("qid"), col("qid").alias("tid"))
+    return (
+        edges.join(rev, ["qid", "tid"])
+        .filter(col("qid") < col("tid"))
+        .select(col("qid").alias("a"), col("tid").alias("b"))
+    )
+
+
 RADIUS_EPS = 1.40
 
 
@@ -355,6 +370,7 @@ QUERIES = {
     "knn_k_sweep": k_sweep_accuracy,
     "knn_radius": _q_radius,
     "knn_centroid": _q_centroid,
+    "knn_mutual": _q_mutual,
 }
 
 
@@ -525,5 +541,16 @@ ORACLE = {
         "row_number() OVER (PARTITION BY qid ORDER BY sq, clabel) AS rn FROM d) "
         "SELECT qid, clabel AS pred_label, qlabel AS true_label, "
         "CAST(qlabel = clabel AS INTEGER) AS correct FROM r WHERE rn = 1"
+    ),
+    "knn_mutual": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+        f"e AS (SELECT qid, tid FROM ranked WHERE rnk <= {K_JOIN}) "
+        "SELECT a.qid AS a, a.tid AS b FROM e a JOIN e b "
+        "ON a.qid = b.tid AND a.tid = b.qid WHERE a.qid < a.tid"
     ),
 }

@@ -540,6 +540,102 @@ def _q_text_cooccur(spark, sf_dir):
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Text normalization — the first stage of every training-data
+    pipeline: lowercase, strip non-alphanumerics, collapse whitespace,
+    trim. Pure Catalyst string expressions (whole-stage codegen, no UDF);
+    at 100 TB this is a map-only stage fused into the scan."""
+    docs = tables.table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_toks"),
+    )
+
+
+NB_SCALE = 1_000_000  # log-likelihoods quantized to micro-nats (exact int sums)
+
+
+def _q_naive_bayes(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier — trained and applied
+    in one declarative plan (the ML-beyond-kNN entry). Train split
+    doc_id % 5 != 0: per-lang token counts + Laplace smoothing; test docs
+    score sum(log p(tok|lang)) + log prior, argmax per doc.
+
+    Determinism: every log-likelihood is quantized to an integer
+    (round(ln(p) * 1e6)) BEFORE summation, so per-doc scores are exact
+    integer sums — identical under any partitioning, any engine (the
+    cents convention applied to log-space). Ties broken on lang asc.
+
+    Scale: counts/totals/vocab are aggregates (map-side partial); the
+    scoring join is test-tokens ⋈ broadcast(model) — model size is
+    vocab × langs, independent of corpus size."""
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", col("lang").alias("true_lang"), F.explode("ts").alias("tok")
+    )
+    train = toks.filter(col("doc_id") % 5 != 0)
+    test = toks.filter(col("doc_id") % 5 == 0)
+
+    counts = train.groupBy(col("true_lang").alias("clang"), "tok").agg(
+        F.count("*").alias("c")
+    )
+    totals = train.groupBy(col("true_lang").alias("clang")).agg(
+        F.count("*").alias("n_l")
+    )
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    docs_lang = (
+        train.select("doc_id", "true_lang")
+        .distinct()
+        .groupBy(col("true_lang").alias("clang"))
+        .agg(F.count("*").alias("d_l"))
+    )
+    docs_tot = docs_lang.agg(F.sum("d_l").alias("d_tot"))
+    prior = docs_lang.crossJoin(F.broadcast(docs_tot)).select(
+        "clang",
+        F.round(F.log(col("d_l") / col("d_tot")) * NB_SCALE, 0)
+        .cast("long")
+        .alias("prior_q"),
+    )
+
+    cand = (
+        test.crossJoin(F.broadcast(totals.crossJoin(vocab)))
+        .join(F.broadcast(counts), ["clang", "tok"], "left")
+        .na.fill({"c": 0})
+    )
+    ll = cand.select(
+        "doc_id",
+        "true_lang",
+        "clang",
+        F.round(F.log((col("c") + 1) / (col("n_l") + col("v"))) * NB_SCALE, 0)
+        .cast("long")
+        .alias("ll_q"),
+    )
+    scores = (
+        ll.groupBy("doc_id", "true_lang", "clang")
+        .agg(F.sum("ll_q").alias("ll_sum"))
+        .join(F.broadcast(prior), "clang")
+        .select(
+            "doc_id", "true_lang", "clang", (col("ll_sum") + col("prior_q")).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "clang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select(
+            "doc_id",
+            col("clang").alias("pred_lang"),
+            "true_lang",
+            (col("clang") == col("true_lang")).cast("int").alias("correct"),
+        )
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -601,6 +697,8 @@ QUERIES = {
     "llm_multimodal_features": _q_multimodal_features,
     "llm_multimodal_framesample": _q_multimodal_framesample,
     "llm_text_cooccur": _q_text_cooccur,
+    "llm_normalize_text": _q_normalize_text,
+    "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
 }
@@ -812,6 +910,45 @@ ORACLE = {
         "SELECT a.tok AS w1, b.tok AS w2, count(*) AS co_cnt "
         "FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok "
         "GROUP BY w1, w2"
+    ),
+    "llm_normalize_text": (
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+        "' +', ' ', 'g')) AS norm_text, "
+        "CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_toks "
+        "FROM documents"
+    ),
+    "ml_naive_bayes": (
+        "WITH toks AS (SELECT doc_id, lang AS true_lang, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0), "
+        "test AS (SELECT * FROM toks WHERE doc_id % 5 = 0), "
+        "counts AS (SELECT true_lang AS clang, tok, count(*) AS c "
+        "FROM train GROUP BY clang, tok), "
+        "totals AS (SELECT true_lang AS clang, count(*) AS n_l "
+        "FROM train GROUP BY clang), "
+        "vocab AS (SELECT count(DISTINCT tok) AS v FROM train), "
+        "dl AS (SELECT true_lang AS clang, count(DISTINCT doc_id) AS d_l "
+        "FROM train GROUP BY clang), "
+        "dt AS (SELECT sum(d_l) AS d_tot FROM dl), "
+        f"prior AS (SELECT clang, CAST(round(ln(d_l / d_tot) * {NB_SCALE}, 0) "
+        "AS BIGINT) AS prior_q FROM dl, dt), "
+        "cand AS (SELECT t.doc_id, t.true_lang, tl.clang, t.tok, tl.n_l, vocab.v, "
+        "coalesce(c.c, 0) AS c FROM test t CROSS JOIN totals tl CROSS JOIN vocab "
+        "LEFT JOIN counts c ON c.clang = tl.clang AND c.tok = t.tok), "
+        "ll AS (SELECT doc_id, true_lang, clang, "
+        f"CAST(round(ln((c + 1) / (n_l + v)) * {NB_SCALE}, 0) AS BIGINT) AS ll_q "
+        "FROM cand), "
+        "llsum AS (SELECT doc_id, true_lang, clang, sum(ll_q) AS ll_sum "
+        "FROM ll GROUP BY doc_id, true_lang, clang), "
+        "scores AS (SELECT doc_id, true_lang, s.clang, ll_sum + prior_q AS score "
+        "FROM llsum s JOIN prior ON prior.clang = s.clang), "
+        "r AS (SELECT doc_id, true_lang, clang, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clang) AS rn "
+        "FROM scores) "
+        "SELECT doc_id, clang AS pred_lang, true_lang, "
+        "CAST(clang = true_lang AS INTEGER) AS correct FROM r WHERE rn = 1"
     ),
     "llm_lang_partition": (
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"

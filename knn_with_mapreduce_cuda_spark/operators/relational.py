@@ -697,6 +697,37 @@ def _q_gen_range(spark, sf_dir):
     )
 
 
+def _q_window_cume(spark, sf_dir):
+    """Distribution windows: percent_rank / cume_dist / nth_value — the
+    remaining ranking-family functions. Total-ordered on (o_totalprice,
+    o_orderkey) so peer groups are singletons and the running nth_value
+    frame agrees across engines."""
+    o = tables.table(spark, sf_dir, "orders").filter(col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+def _q_fn_format(spark, sf_dir):
+    """printf-style formatting (format_string ⟷ DuckDB printf): string,
+    zero-padded decimal, hex. Floats are deliberately excluded — Java
+    String.format rounds half-up, C printf half-even; integers format
+    identically (SURVEY.md §7.2 rule 6)."""
+    c = tables.table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("%s|%07d|%x", "c_mktsegment", "c_custkey", "c_custkey").alias(
+            "tag"
+        ),
+        F.format_string("[%-10s]", F.substring("c_name", 1, 8)).alias("padded"),
+    )
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -742,6 +773,8 @@ QUERIES = {
     "rel_fn_date2": _q_fn_date2,
     "rel_window_range_interval": _q_window_range_interval,
     "rel_gen_range": _q_gen_range,
+    "rel_window_cume": _q_window_cume,
+    "rel_fn_format": _q_fn_format,
 }
 
 
@@ -1090,5 +1123,19 @@ ORACLE = {
         "SELECT CAST(range AS BIGINT) AS id, "
         "CAST((range * 2654435761) % 1000003 AS BIGINT) AS h, "
         "CAST(range % 7 AS BIGINT) AS m FROM range(100000)"
+    ),
+    "rel_window_cume": (
+        "SELECT o_orderkey, o_custkey, "
+        "round(percent_rank() OVER w, 4) AS pct_rank, "
+        "round(cume_dist() OVER w, 4) AS cume, "
+        "nth_value(o_orderkey, 2) OVER w AS second_key "
+        "FROM orders WHERE o_custkey <= 300 "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"
+    ),
+    "rel_fn_format": (
+        "SELECT c_custkey, "
+        "printf('%s|%07d|%x', c_mktsegment, c_custkey, c_custkey) AS tag, "
+        "printf('[%-10s]', substring(c_name, 1, 8)) AS padded "
+        "FROM customer"
     ),
 }

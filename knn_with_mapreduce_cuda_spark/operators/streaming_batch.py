@@ -93,6 +93,29 @@ def _q_window_session(spark, sf_dir):
     )
 
 
+def _q_session_stats(spark, sf_dir):
+    """Session-length distribution: sessionize (native session_window),
+    then aggregate sessions by event count — the funnel/engagement rollup
+    over the sessionization output. Session duration is derived from the
+    window bounds (end = last event + gap, so duration = end - start -
+    gap). Two shuffles total at any scale: one on user for the session
+    merge, one on n_events for the distribution."""
+    ev = tables.table(spark, sf_dir, "events")
+    sess = ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(col("win.end"))
+            - F.unix_micros(col("win.start"))
+            - lit(1_800_000_000)
+        ).alias("dur_us"),
+    )
+    return sess.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("dur_us").alias("total_dur_us"),
+        F.max("dur_us").alias("max_dur_us"),
+    )
+
+
 def _q_dedup_watermark(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
@@ -165,6 +188,7 @@ QUERIES = {
     "str_window_distinct": _q_window_distinct,
     "str_window_sliding": _q_window_sliding,
     "str_window_session": _q_window_session,
+    "str_session_stats": _q_session_stats,
     "str_dedup_watermark": _q_dedup_watermark,
     "str_late_data": _q_late_data,
     "str_join_stream_static": _q_join_stream_static,
@@ -201,6 +225,19 @@ ORACLE = {
         "SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us, count(*) AS n_events, "
         + _sum_cents_sql("value")
         + " AS value_cents FROM s GROUP BY user_id, sid"
+    ),
+    "str_session_stats": (
+        f"WITH {_EV}, o AS (SELECT user_id, ts_us, "
+        "CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) "
+        "> 1800000000 THEN 1 ELSE 0 END AS brk FROM ev), "
+        "s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+        "sess AS (SELECT user_id, sid, count(*) AS n_events, "
+        "max(ts_us) - min(ts_us) AS dur_us FROM s GROUP BY user_id, sid) "
+        "SELECT n_events, count(*) AS n_sessions, "
+        "CAST(sum(dur_us) AS BIGINT) AS total_dur_us, "
+        "CAST(max(dur_us) AS BIGINT) AS max_dur_us "
+        "FROM sess GROUP BY n_events"
     ),
     "str_dedup_watermark": (
         f"WITH {_EV} SELECT user_id, event_type, hour_us, event_id FROM ("

@@ -73,6 +73,40 @@ def test_cooccur_symmetric_bounded(spark):
         assert 0 < r.co_cnt <= n_docs
 
 
+def test_mutual_edges_are_symmetric_subset_of_knn(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        K_JOIN,
+        _q_mutual,
+        knn_self_join,
+    )
+
+    edges = {(r.qid, r.tid) for r in knn_self_join(spark, SF_SMOKE, K_JOIN).collect()}
+    mutual = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+    assert len(mutual) > 0
+    for a, b in mutual:
+        assert a < b
+        assert (a, b) in edges and (b, a) in edges
+    # every kNN edge that is reciprocated must appear exactly once
+    want = {(q, t) for (q, t) in edges if (t, q) in edges and q < t}
+    assert set(mutual) == want
+
+
+def test_naive_bayes_language_id_is_accurate(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_naive_bayes
+
+    rows = _q_naive_bayes(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    # exactly one prediction per test doc
+    assert len({r.doc_id for r in rows}) == len(rows)
+    acc = sum(r.correct for r in rows) / len(rows)
+    # the fixture languages share one vocabulary (only marker-token
+    # frequencies differ), so unigram NB can't be near-perfect — but it
+    # must beat the 1-in-5 chance floor, and be deterministic
+    assert acc > 0.2
+    again = {(r.doc_id, r.pred_lang) for r in _q_naive_bayes(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.pred_lang) for r in rows}
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
