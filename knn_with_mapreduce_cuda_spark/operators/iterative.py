@@ -179,10 +179,56 @@ def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 10**12
+PR_ITERS = 2
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, damping 0.85) over the directed
+    kNN graph — the link-analysis member of the iterative tier. Every
+    node has outdegree exactly K_JOIN, so contributions are r div k.
+
+    Determinism: ranks live in integer units of PR_SCALE⁻¹ and every
+    divide is floor division — the update is exact integer arithmetic,
+    identical under any partitioning and in DuckDB (// ⟷ div). At scale
+    each iteration is one equi-join + one groupBy on dst: shuffle on node
+    id, linear in edges, the standard Pregel-style schedule."""
+    from .knn import K_JOIN, knn_self_join
+
+    e = tables.embeddings(spark, sf_dir)
+    nodes = e.select(col("vec_id").alias("id"))
+    edges = knn_self_join(spark, sf_dir, K_JOIN).select(
+        col("qid").alias("src"), col("tid").alias("dst")
+    )
+    ncnt = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "id", "n", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            r.select(col("id").alias("src"), col("r").alias("rs")), "src"
+        ).select(col("dst").alias("id"), F.expr(f"rs div {K_JOIN}").alias("c"))
+        inflow = contrib.groupBy("id").agg(F.sum("c").alias("inflow"))
+        r = (
+            r.select("id", "n")
+            .join(inflow, "id", "left")
+            .select(
+                "id",
+                "n",
+                (
+                    F.expr(f"{15 * PR_SCALE} div (100 * n)")
+                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                ).alias("r"),
+            )
+        )
+    return r.select(col("id").alias("vec_id"), col("r").alias("rank_q"))
+
+
 QUERIES = {
     "ml_kmeans_lloyd": _q_kmeans,
     "graph_components_dedup": _q_components,
     "llm_dedup_apply": _q_dedup_apply,
+    "graph_pagerank": _q_pagerank,
 }
 
 
@@ -252,5 +298,27 @@ ORACLE = {
         "SELECT c.doc_id, d.lang, d.n_chars, c.cluster_size AS n_merged "
         "FROM comp c JOIN documents d ON c.doc_id = d.doc_id "
         "WHERE c.doc_id = c.cluster"
+    ),
+    "graph_pagerank": (
+        f"WITH {_EMB_D}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+        "e AS (SELECT qid AS src, tid AS dst FROM ranked WHERE rnk <= 5), "
+        "nn AS (SELECT count(*) AS n FROM emb), "
+        f"r0 AS (SELECT vec_id AS id, {PR_SCALE} // n AS r FROM emb, nn), "
+        "in1 AS (SELECT e.dst AS id, sum(r0.r // 5) AS inflow "
+        "FROM e JOIN r0 ON r0.id = e.src GROUP BY e.dst), "
+        f"r1 AS (SELECT emb.vec_id AS id, {15 * PR_SCALE} // (100 * nn.n) "
+        "+ (85 * coalesce(in1.inflow, 0)) // 100 AS r "
+        "FROM emb CROSS JOIN nn LEFT JOIN in1 ON in1.id = emb.vec_id), "
+        "in2 AS (SELECT e.dst AS id, sum(r1.r // 5) AS inflow "
+        "FROM e JOIN r1 ON r1.id = e.src GROUP BY e.dst), "
+        f"r2 AS (SELECT emb.vec_id AS id, {15 * PR_SCALE} // (100 * nn.n) "
+        "+ (85 * coalesce(in2.inflow, 0)) // 100 AS r "
+        "FROM emb CROSS JOIN nn LEFT JOIN in2 ON in2.id = emb.vec_id) "
+        "SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_q FROM r2"
     ),
 }

@@ -180,6 +180,26 @@ def _q_agg_approx(spark, sf_dir):
     )
 
 
+def _q_agg_approx_quantile(spark, sf_dir):
+    """Approximate percentile (GK/KLL-style sketch) gated within 1% of
+    the exact quantile — the rel_agg_approx pattern applied to order
+    statistics. At 100 TB the sketch is the only viable path (exact
+    quantiles need a full sort); the gate embeds the exact value so the
+    hash compare stays engine-independent."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_med"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_med", 4).alias("exact_med"),
+        (
+            F.abs(col("approx_med") - col("exact_med")) / col("exact_med") < 0.01
+        ).alias("within_1pct"),
+    )
+
+
 def _q_agg_sketch_hll(spark, sf_dir):
     """Mergeable HLL sketch (Apache DataSketches, Spark 3.5+): per-group
     sketches built map-side, merged at the exchange — the 100 TB path for
@@ -775,6 +795,7 @@ QUERIES = {
     "rel_gen_range": _q_gen_range,
     "rel_window_cume": _q_window_cume,
     "rel_fn_format": _q_fn_format,
+    "rel_agg_approx_quantile": _q_agg_approx_quantile,
 }
 
 
@@ -1137,5 +1158,10 @@ ORACLE = {
         "printf('%s|%07d|%x', c_mktsegment, c_custkey, c_custkey) AS tag, "
         "printf('[%-10s]', substring(c_name, 1, 8)) AS padded "
         "FROM customer"
+    ),
+    "rel_agg_approx_quantile": (
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med, "
+        "true AS within_1pct FROM lineitem GROUP BY l_returnflag"
     ),
 }

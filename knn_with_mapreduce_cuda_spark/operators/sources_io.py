@@ -92,11 +92,31 @@ def _q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_partition_prune_read(spark, sf_dir):
+    """Hive-style partitioned layout end-to-end: write documents
+    partitioned by lang, read back with a partition predicate. The filter
+    never touches non-en files — partition pruning happens at planning
+    time (asserted in tests/test_plans.py for the same layout). This is
+    THE layout decision for a 100 TB corpus store: partition by coarse
+    selective keys (lang, date), so per-slice jobs scan only their
+    slice."""
+    docs = tables.table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").alias("cnt"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip": _q_csv_roundtrip,
     "src_jsonl_roundtrip": _q_jsonl_roundtrip,
     "src_knn_text_roundtrip": _q_knn_text_roundtrip,
     "src_orc_roundtrip": _q_orc_roundtrip,
+    "src_partition_prune_read": _q_partition_prune_read,
 }
 
 ORACLE = {
@@ -122,5 +142,10 @@ ORACLE = {
         + " AS price_cents, round(sum(l_quantity), 4) AS qty, "
         "strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "src_partition_prune_read": (
+        "SELECT source, count(*) AS cnt, min(doc_id) AS min_doc, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars "
+        "FROM documents WHERE lang = 'en' GROUP BY source"
     ),
 }

@@ -116,6 +116,49 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_resample_locf(spark, sf_dir):
+    """Time-series resampling to an hourly grid with
+    last-observation-carried-forward gap filling — the standard prep step
+    before windowed feature extraction. Per-user spine generated with
+    ``sequence`` (no driver loop), left-joined to the hourly rollup, gaps
+    filled by ``last(..., ignorenulls)`` over a running frame. One
+    shuffle on user_id covers rollup, join, and window. Bounded to
+    user_id <= 30 to keep the graded output small; the plan is
+    user-count-independent."""
+    ev = tables.table(spark, sf_dir, "events").filter(col("user_id") <= 30)
+    hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
+    hourly = ev.groupBy("user_id", hour).agg(
+        F.count("*").alias("cnt"), F.sum(cents(col("value"))).alias("val_cents")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    col("mn") - col("mn") % _HOUR_US,
+                    col("mx") - col("mx") % _HOUR_US,
+                    lit(_HOUR_US),
+                )
+            ).alias("hour_us"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour_us"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_us",
+        F.coalesce(col("cnt"), lit(0)).cast("long").alias("cnt"),
+        F.last("val_cents", ignorenulls=True).over(w).alias("locf_cents"),
+        col("val_cents").isNull().cast("int").alias("is_gap"),
+    )
+
+
 def _q_dedup_watermark(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
@@ -189,6 +232,7 @@ QUERIES = {
     "str_window_sliding": _q_window_sliding,
     "str_window_session": _q_window_session,
     "str_session_stats": _q_session_stats,
+    "ts_resample_locf": _q_resample_locf,
     "str_dedup_watermark": _q_dedup_watermark,
     "str_late_data": _q_late_data,
     "str_join_stream_static": _q_join_stream_static,
@@ -238,6 +282,26 @@ ORACLE = {
         "CAST(sum(dur_us) AS BIGINT) AS total_dur_us, "
         "CAST(max(dur_us) AS BIGINT) AS max_dur_us "
         "FROM sess GROUP BY n_events"
+    ),
+    "ts_resample_locf": (
+        f"WITH {_EV}, evf AS (SELECT * FROM ev WHERE user_id <= 30), "
+        f"hourly AS (SELECT user_id, ts_us - ts_us % {_HOUR_US} AS hour_us, "
+        "count(*) AS cnt, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_cents "
+        "FROM evf GROUP BY 1, 2), "
+        f"bounds AS (SELECT user_id, min(ts_us) - min(ts_us) % {_HOUR_US} AS mn, "
+        f"max(ts_us) - max(ts_us) % {_HOUR_US} AS mx FROM evf GROUP BY user_id), "
+        f"spine AS (SELECT user_id, mn + {_HOUR_US} * i AS hour_us "
+        f"FROM bounds, range(1000) t(i) WHERE mn + {_HOUR_US} * i <= mx), "
+        "j AS (SELECT s.user_id, s.hour_us, h.cnt, h.val_cents "
+        "FROM spine s LEFT JOIN hourly h "
+        "ON h.user_id = s.user_id AND h.hour_us = s.hour_us) "
+        "SELECT user_id, CAST(hour_us AS BIGINT) AS hour_us, "
+        "CAST(coalesce(cnt, 0) AS BIGINT) AS cnt, "
+        "last_value(val_cents IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY hour_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS locf_cents, "
+        "CAST(val_cents IS NULL AS INTEGER) AS is_gap FROM j"
     ),
     "str_dedup_watermark": (
         f"WITH {_EV} SELECT user_id, event_type, hour_us, event_id FROM ("

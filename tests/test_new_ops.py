@@ -107,6 +107,46 @@ def test_naive_bayes_language_id_is_accurate(spark):
     assert again == {(r.doc_id, r.pred_lang) for r in rows}
 
 
+def test_pagerank_mass_and_positivity(spark):
+    from knn_with_mapreduce_cuda_spark.operators.iterative import PR_SCALE, _q_pagerank
+
+    rows = _q_pagerank(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    assert all(r.rank_q > 0 for r in rows)
+    total = sum(r.rank_q for r in rows)
+    # floor divisions only lose mass, never create it; loss is bounded by
+    # a few units per node per iteration
+    assert total <= PR_SCALE
+    assert total > PR_SCALE * 0.99
+
+
+def test_resample_locf_spine_is_dense_and_filled(spark):
+    from knn_with_mapreduce_cuda_spark.operators.streaming_batch import (
+        _HOUR_US,
+        _q_resample_locf,
+    )
+
+    rows = _q_resample_locf(spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        hours = sorted(r.hour_us for r in rs)
+        # dense hourly spine, no holes
+        assert hours == list(range(hours[0], hours[-1] + 1, _HOUR_US))
+        rs.sort(key=lambda r: r.hour_us)
+        # LOCF: first row has an observation; gap rows repeat the last value
+        assert rs[0].is_gap == 0
+        last = rs[0].locf_cents
+        for r in rs[1:]:
+            if r.is_gap:
+                assert r.cnt == 0 and r.locf_cents == last
+            else:
+                last = r.locf_cents
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
