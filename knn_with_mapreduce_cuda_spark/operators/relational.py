@@ -748,6 +748,98 @@ def _q_fn_format(spark, sf_dir):
     )
 
 
+def _q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (upsert) without a table format: target ⟵
+    source where matched rows take the source's values and unmatched
+    source rows are inserted. Expressed as a full outer join + coalesce —
+    the exact relational algebra a Delta/Iceberg MERGE compiles to, minus
+    the transactional commit. Source here: orders with o_orderkey ≤ 1000
+    get a 10% price bump, plus 100 synthetic new keys. At 100 TB the join
+    shuffles on the merge key once; with a bucketed target it's
+    shuffle-free (rel_join_range_bucket shows that layout)."""
+    orders = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents(col("o_totalprice")).alias("price_c")
+    )
+    src = orders.filter(col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("(price_c * 11) div 10").alias("price_c"),
+    )
+    new_rows = spark.range(1, 101).select(
+        (col("id") + 10_000_000).alias("o_orderkey"),
+        lit(1).alias("o_custkey"),
+        lit(10_000).cast("long").alias("price_c"),
+    )
+    source = src.unionByName(new_rows)
+    t = orders.select(
+        col("o_orderkey").alias("k"),
+        col("o_custkey").alias("t_cust"),
+        col("price_c").alias("t_price_c"),
+    )
+    s = source.select(
+        col("o_orderkey").alias("k"),
+        col("o_custkey").alias("s_cust"),
+        col("price_c").alias("s_price_c"),
+    )
+    merged = t.join(s, "k", "full")
+    return merged.select(
+        col("k").alias("o_orderkey"),
+        F.coalesce("s_cust", "t_cust").cast("long").alias("o_custkey"),
+        F.coalesce("s_price_c", "t_price_c").alias("o_totalprice_cents"),
+        F.when(col("s_cust").isNotNull() & col("t_cust").isNotNull(), lit("update"))
+        .when(col("t_cust").isNull(), lit("insert"))
+        .otherwise(lit("keep"))
+        .alias("action"),
+    )
+
+
+def _q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 dimension build: each user's event_type history becomes
+    validity intervals [ts, next_ts) via lead() — the
+    change-data-capture → warehouse-dimension transform. One shuffle on
+    user_id; interval derivation is a single sorted pass per
+    partition."""
+    ev = tables.table(spark, sf_dir, "events").filter(col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        col("event_type").alias("state"),
+        col("ts_us").alias("valid_from_us"),
+        F.coalesce(F.lead("ts_us").over(w), lit(-1)).alias("valid_to_us"),
+        (F.lead("ts_us").over(w).isNull()).cast("int").alias("is_current"),
+    )
+
+
+HIST_BINS = 20
+
+
+def _q_histogram_fixed(spark, sf_dir):
+    """Fixed-width histogram with data-driven bounds: global min/max by
+    aggregate (broadcast back as 1 row), bin = floor((x-min)/width)
+    clamped to HIST_BINS-1. Two map-side-combined aggregations and one
+    1-row broadcast — no sort, no driver collect; the same plan at any
+    scale. Bin edges integerized to cents so both engines bin on
+    identical doubles."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        cents(F.min("l_extendedprice")).alias("lo_c"),
+        cents(F.max("l_extendedprice")).alias("hi_c"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (cents(col("l_extendedprice")) - col("lo_c"))
+                * HIST_BINS
+                / (col("hi_c") - col("lo_c") + 1)
+            ),
+            lit(HIST_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -796,6 +888,9 @@ QUERIES = {
     "rel_window_cume": _q_window_cume,
     "rel_fn_format": _q_fn_format,
     "rel_agg_approx_quantile": _q_agg_approx_quantile,
+    "rel_merge_upsert": _q_merge_upsert,
+    "rel_scd2_intervals": _q_scd2_intervals,
+    "rel_histogram_fixed": _q_histogram_fixed,
 }
 
 
@@ -1163,5 +1258,36 @@ ORACLE = {
         "SELECT l_returnflag, "
         "round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med, "
         "true AS within_1pct FROM lineitem GROUP BY l_returnflag"
+    ),
+    "rel_merge_upsert": (
+        "WITH t AS (SELECT o_orderkey AS k, o_custkey AS t_cust, "
+        f"{_CENTS.format(x='o_totalprice')} AS t_price_c FROM orders), "
+        "src AS (SELECT k, o_custkey AS s_cust, (t_price_c * 11) // 10 AS s_price_c "
+        "FROM t JOIN orders ON t.k = o_orderkey WHERE k <= 1000 "
+        "UNION ALL SELECT CAST(i + 10000001 AS BIGINT), 1, 10000 FROM range(100) t(i)), "
+        "m AS (SELECT coalesce(t.k, src.k) AS k, t_cust, t_price_c, s_cust, s_price_c "
+        "FROM t FULL OUTER JOIN src ON t.k = src.k) "
+        "SELECT k AS o_orderkey, "
+        "CAST(coalesce(s_cust, t_cust) AS BIGINT) AS o_custkey, "
+        "CAST(coalesce(s_price_c, t_price_c) AS BIGINT) AS o_totalprice_cents, "
+        "CASE WHEN s_cust IS NOT NULL AND t_cust IS NOT NULL THEN 'update' "
+        "WHEN t_cust IS NULL THEN 'insert' ELSE 'keep' END AS action FROM m"
+    ),
+    "rel_scd2_intervals": (
+        f"WITH {_EV} SELECT user_id, event_type AS state, "
+        "CAST(ts_us AS BIGINT) AS valid_from_us, "
+        "CAST(coalesce(lead(ts_us) OVER w, -1) AS BIGINT) AS valid_to_us, "
+        "CAST(lead(ts_us) OVER w IS NULL AS INTEGER) AS is_current "
+        "FROM ev WHERE user_id <= 50 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    ),
+    "rel_histogram_fixed": (
+        "WITH b AS (SELECT "
+        f"{_CENTS.format(x='min(l_extendedprice)')} AS lo_c, "
+        f"{_CENTS.format(x='max(l_extendedprice)')} AS hi_c FROM lineitem) "
+        "SELECT CAST(least(floor("
+        f"({_CENTS.format(x='l_extendedprice')} - lo_c) * {HIST_BINS} "
+        f"/ (hi_c - lo_c + 1)), {HIST_BINS - 1}) AS BIGINT) AS bin, "
+        "count(*) AS cnt FROM lineitem, b GROUP BY bin"
     ),
 }

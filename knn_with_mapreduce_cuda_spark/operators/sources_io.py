@@ -92,6 +92,40 @@ def _q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_python_datasource(spark, sf_dir):
+    """The Spark 4 custom Python DataSource end-to-end: embeddings dumped
+    to the reference's text format, read back through
+    ``spark.read.format("knn_text")`` with an EqualTo(label) predicate
+    pushed INTO the source (non-matching lines never cross the
+    Python→JVM boundary). Grading aggregate matches the parquet
+    originals for that label."""
+    from ..sources import knn_datasource
+
+    e = tables.embeddings(spark, sf_dir)
+    lines = e.orderBy("vec_id").select(
+        F.concat_ws(
+            ",",
+            col("label").cast("string"),
+            F.concat_ws(",", col("emb").cast("array<string>")),
+        ).alias("value")
+    )
+    path = os.path.join(SCRATCH, "knn_ds_text")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    knn_datasource.register(spark)
+    back = (
+        spark.read.format("knn_text")
+        .option("dim", "64")
+        .load(path)
+        .filter(col("label") == 3)
+    )
+    return back.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min(F.element_at("emb", 1)), 4).alias("min_f1"),
+        F.round(F.max(F.element_at("emb", 1)), 4).alias("max_f1"),
+        F.min(F.size("emb")).cast("long").alias("dim"),
+    )
+
+
 def _q_partition_prune_read(spark, sf_dir):
     """Hive-style partitioned layout end-to-end: write documents
     partitioned by lang, read back with a partition predicate. The filter
@@ -117,6 +151,7 @@ QUERIES = {
     "src_knn_text_roundtrip": _q_knn_text_roundtrip,
     "src_orc_roundtrip": _q_orc_roundtrip,
     "src_partition_prune_read": _q_partition_prune_read,
+    "src_python_datasource": _q_python_datasource,
 }
 
 ORACLE = {
@@ -147,5 +182,12 @@ ORACLE = {
         "SELECT source, count(*) AS cnt, min(doc_id) AS min_doc, "
         "CAST(sum(n_chars) AS BIGINT) AS chars "
         "FROM documents WHERE lang = 'en' GROUP BY source"
+    ),
+    "src_python_datasource": (
+        "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label "
+        "FROM embeddings WHERE label = 3) "
+        "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
+        "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
+        "FROM emb GROUP BY label"
     ),
 }

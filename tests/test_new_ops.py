@@ -147,6 +147,38 @@ def test_resample_locf_spine_is_dense_and_filled(spark):
                 last = r.locf_cents
 
 
+def test_python_datasource_partitions_and_pushdown(spark, tmp_path):
+    from knn_with_mapreduce_cuda_spark.sources import knn_datasource
+
+    # two shard files → two input partitions, stable per-file vec_ids
+    (tmp_path / "a.txt").write_text("1,0.5,0.5\n2,1.0,0.0\n")
+    (tmp_path / "b.txt").write_text("1,0.0,1.0\n")
+    knn_datasource.register(spark)
+    df = spark.read.format("knn_text").option("dim", "2").load(str(tmp_path))
+    rows = {r.vec_id: r for r in df.collect()}
+    assert set(rows) == {0, 1, knn_datasource.ROWS_PER_FILE}
+    assert rows[1].label == 2 and rows[1].emb == [1.0, 0.0]
+    assert df.rdd.getNumPartitions() == 2
+    # EqualTo(label) is answered inside the source
+    only1 = spark.read.format("knn_text").option("dim", "2").load(str(tmp_path))
+    got = only1.filter(only1.label == 1).collect()
+    assert sorted(r.vec_id for r in got) == [0, knn_datasource.ROWS_PER_FILE]
+
+
+def test_merge_upsert_actions(spark):
+    from knn_with_mapreduce_cuda_spark.operators.relational import _q_merge_upsert
+
+    rows = _q_merge_upsert(spark, SF_SMOKE).collect()
+    actions = {}
+    for r in rows:
+        actions.setdefault(r.action, 0)
+        actions[r.action] += 1
+    assert actions["insert"] == 100
+    assert actions["update"] > 0
+    # keys unique after merge
+    assert len({r.o_orderkey for r in rows}) == len(rows)
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
