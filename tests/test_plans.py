@@ -108,3 +108,30 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     # is scanned; nothing reaches PushedFilters (no data-file IO for it)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0], plan
+
+
+def test_centroid_classify_broadcasts_model(spark):
+    # the c-row centroid table must be broadcast: classify is map-side
+    plan = _plan(knn._q_centroid(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_range_frame_single_shuffle(spark):
+    # trailing-1h RANGE window: exactly one exchange (on user_id)
+    plan = _plan(relational._q_window_range_interval(spark, SF_SMOKE))
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_naive_bayes_model_is_broadcast(spark):
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    plan = _plan(llm._q_naive_bayes(spark, SF_SMOKE))
+    # scoring join against the counts model is a broadcast hash join,
+    # not a shuffled one
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_histogram_bounds_broadcast_no_sort(spark):
+    plan = _plan(relational._q_histogram_fixed(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Sort" not in plan.split("== Physical Plan ==")[-1], plan
