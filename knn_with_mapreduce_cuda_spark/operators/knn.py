@@ -286,6 +286,25 @@ def _q_mutual(spark, sf_dir):
     )
 
 
+def _q_hubness(spark, sf_dir):
+    """kNN-graph hubness diagnostic: the indegree distribution of the
+    directed kNN graph (how many points' top-k each point appears in).
+    Heavy-tailed indegree = "hub" points that dominate neighbor lists —
+    the standard high-dimensional kNN pathology check. One groupBy on tid
+    + a left join to keep zero-indegree (anti-hub) nodes."""
+    e = tables.embeddings(spark, sf_dir)
+    nodes = e.select("vec_id")
+    indeg = (
+        knn_self_join(spark, sf_dir, K_JOIN)
+        .groupBy(col("tid").alias("vec_id"))
+        .agg(F.count("*").alias("indeg"))
+    )
+    full = nodes.join(indeg, "vec_id", "left").select(
+        F.coalesce("indeg", F.lit(0)).alias("indeg")
+    )
+    return full.groupBy("indeg").agg(F.count("*").alias("n_nodes"))
+
+
 RADIUS_EPS = 1.40
 
 
@@ -371,6 +390,7 @@ QUERIES = {
     "knn_radius": _q_radius,
     "knn_centroid": _q_centroid,
     "knn_mutual": _q_mutual,
+    "graph_knn_hubness": _q_hubness,
 }
 
 
@@ -552,5 +572,19 @@ ORACLE = {
         f"e AS (SELECT qid, tid FROM ranked WHERE rnk <= {K_JOIN}) "
         "SELECT a.qid AS a, a.tid AS b FROM e a JOIN e b "
         "ON a.qid = b.tid AND a.tid = b.qid WHERE a.qid < a.tid"
+    ),
+    "graph_knn_hubness": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+        f"e AS (SELECT qid, tid FROM ranked WHERE rnk <= {K_JOIN}), "
+        "ind AS (SELECT tid AS vec_id, count(*) AS indeg FROM e GROUP BY tid), "
+        "alln AS (SELECT coalesce(ind.indeg, 0) AS indeg FROM emb "
+        "LEFT JOIN ind ON ind.vec_id = emb.vec_id) "
+        "SELECT CAST(indeg AS BIGINT) AS indeg, count(*) AS n_nodes "
+        "FROM alln GROUP BY indeg"
     ),
 }

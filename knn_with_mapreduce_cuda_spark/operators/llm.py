@@ -540,6 +540,31 @@ def _q_text_cooccur(spark, sf_dir):
     )
 
 
+def _q_text_ngram_char(spark, sf_dir):
+    """Top-10 character trigrams per language — the actual feature family
+    production language-ID models (CLD/fastText-style) use, complementing
+    the word-level llm_text_ngram. Trigram explosion is a higher-order
+    ``transform`` over a sequence (no UDF); the per-lang top-10 is a
+    window group-limit, pruned map-side before the shuffle."""
+    docs = tables.table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(lit(1), F.length("text") - 2),
+                lambda i: col("text").substr(i, lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("lang", "tri", "cnt", col("rn").cast("long").alias("rn"))
+    )
+
+
 def _q_normalize_text(spark, sf_dir):
     """Text normalization — the first stage of every training-data
     pipeline: lowercase, strip non-alphanumerics, collapse whitespace,
@@ -697,6 +722,7 @@ QUERIES = {
     "llm_multimodal_features": _q_multimodal_features,
     "llm_multimodal_framesample": _q_multimodal_framesample,
     "llm_text_cooccur": _q_text_cooccur,
+    "llm_text_ngram_char": _q_text_ngram_char,
     "llm_normalize_text": _q_normalize_text,
     "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
@@ -910,6 +936,14 @@ ORACLE = {
         "SELECT a.tok AS w1, b.tok AS w2, count(*) AS co_cnt "
         "FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok "
         "GROUP BY w1, w2"
+    ),
+    "llm_text_ngram_char": (
+        "WITH tri AS (SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS tri "
+        "FROM documents, range(1, 4096) t(i) WHERE i <= length(text) - 2), "
+        "counts AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY lang, tri), "
+        "r AS (SELECT lang, tri, cnt, row_number() OVER "
+        "(PARTITION BY lang ORDER BY cnt DESC, tri) AS rn FROM counts) "
+        "SELECT lang, tri, cnt, rn FROM r WHERE rn <= 10"
     ),
     "llm_normalize_text": (
         "SELECT doc_id, "

@@ -840,6 +840,72 @@ def _q_histogram_fixed(spark, sf_dir):
     return binned.groupBy("bin").agg(F.count("*").alias("cnt"))
 
 
+def _q_linreg_normal(spark, sf_dir):
+    """Two-feature linear regression solved by the normal equations in
+    ONE aggregation pass — closed-form distributed ML: all 8 moments
+    (sums, cross-products) are exact integer sums (quantity is integral,
+    discount integerized ×100, price floored to whole dollars so n·Σ
+    terms stay < 2⁶³ through sf ≥ 1), the 2×2 solve is arithmetic on
+    those exact scalars. No iteration, no collect, one map-side-combined
+    shuffle of 8 numbers — the pattern for any moment-expressible model
+    at 100 TB."""
+    li = tables.table(spark, sf_dir, "lineitem").select(
+        col("l_quantity").cast("long").alias("x1"),
+        F.round(col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x1") * col("x1")).alias("s11"),
+        F.sum(col("x2") * col("x2")).alias("s22"),
+        F.sum(col("x1") * col("x2")).alias("s12"),
+        F.sum(col("x1") * col("y")).alias("s1y"),
+        F.sum(col("x2") * col("y")).alias("s2y"),
+    )
+    # centered (×n) second moments — still exact integers
+    # centered (×n) moments stay exact bigints; the 2×2 solve then runs in
+    # double (identical IEEE ops on identical inputs on every engine —
+    # bigint products would overflow int64)
+    c = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (col("n") * col("s11") - col("s1") * col("s1")).cast("double").alias("m11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast("double").alias("m22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast("double").alias("m12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").alias("m1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").alias("m2y"),
+    )
+    det = col("m11") * col("m22") - col("m12") * col("m12")
+    b1 = (col("m1y") * col("m22") - col("m2y") * col("m12")) / det
+    b2 = (col("m2y") * col("m11") - col("m1y") * col("m12")) / det
+    return c.select(
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round((col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates via md5
+    buckets (en ≈ 25%, others ≈ 6%) — the corpus-rebalancing primitive of
+    training-data pipelines, reproducible across engines and runs (no
+    RNG). Map-only at any scale; the hash IS the sampling decision, so
+    resampling with a different rate never reshuffles prior picks
+    (consistent-hash property)."""
+    docs = tables.table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(col("lang") == "en", lit("40")).otherwise(lit("10"))
+    return docs.filter(bucket < thresh).select("doc_id", "lang", "source")
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -891,6 +957,8 @@ QUERIES = {
     "rel_merge_upsert": _q_merge_upsert,
     "rel_scd2_intervals": _q_scd2_intervals,
     "rel_histogram_fixed": _q_histogram_fixed,
+    "ml_linreg_normal": _q_linreg_normal,
+    "rel_sample_stratified": _q_sample_stratified,
 }
 
 
@@ -1289,5 +1357,32 @@ ORACLE = {
         f"({_CENTS.format(x='l_extendedprice')} - lo_c) * {HIST_BINS} "
         f"/ (hi_c - lo_c + 1)), {HIST_BINS - 1}) AS BIGINT) AS bin, "
         "count(*) AS cnt FROM lineitem, b GROUP BY bin"
+    ),
+    "ml_linreg_normal": (
+        "WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x1, "
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS x2, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem), "
+        "m AS (SELECT count(*) AS n, CAST(sum(x1) AS BIGINT) AS s1, "
+        "CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x2 * x2) AS BIGINT) AS s22, "
+        "CAST(sum(x1 * x2) AS BIGINT) AS s12, CAST(sum(x1 * y) AS BIGINT) AS s1y, "
+        "CAST(sum(x2 * y) AS BIGINT) AS s2y FROM d), "
+        "c AS (SELECT n, s1, s2, sy, "
+        "CAST(n * s11 - s1 * s1 AS DOUBLE) AS m11, "
+        "CAST(n * s22 - s2 * s2 AS DOUBLE) AS m22, "
+        "CAST(n * s12 - s1 * s2 AS DOUBLE) AS m12, "
+        "CAST(n * s1y - s1 * sy AS DOUBLE) AS m1y, "
+        "CAST(n * s2y - s2 * sy AS DOUBLE) AS m2y FROM m) "
+        "SELECT n, "
+        "round((m1y * m22 - m2y * m12) / (m11 * m22 - m12 * m12), 6) AS beta_qty, "
+        "round((m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12), 6) AS beta_disc, "
+        "round((sy - (m1y * m22 - m2y * m12) / (m11 * m22 - m12 * m12) * s1 "
+        "- (m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12) * s2) / n, 4) "
+        "AS intercept FROM c"
+    ),
+    "rel_sample_stratified": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < "
+        "CASE WHEN lang = 'en' THEN '40' ELSE '10' END"
     ),
 }

@@ -179,6 +179,50 @@ def test_merge_upsert_actions(spark):
     assert len({r.o_orderkey for r in rows}) == len(rows)
 
 
+def test_linreg_normal_matches_numpy_lstsq(spark):
+    from knn_with_mapreduce_cuda_spark.operators.relational import _q_linreg_normal
+
+    row = _q_linreg_normal(spark, SF_SMOKE).collect()[0]
+    li = tables.table(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    x1 = li.l_quantity.astype("int64").to_numpy()
+    x2 = np.round(li.l_discount * 100).astype("int64").to_numpy()
+    y = np.floor(li.l_extendedprice).astype("int64").to_numpy()
+    A = np.stack([x1, x2, np.ones_like(x1)], axis=1).astype(float)
+    beta = np.linalg.lstsq(A, y.astype(float), rcond=None)[0]
+    assert abs(row.beta_qty - beta[0]) < 1e-4
+    assert abs(row.beta_disc - beta[1]) < 1e-4
+    assert abs(row.intercept - beta[2]) < 1e-2
+
+
+def test_hubness_conserves_edge_mass(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import K_JOIN, _q_hubness
+
+    rows = _q_hubness(spark, SF_SMOKE).collect()
+    n = tables.table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_nodes for r in rows) == n          # every node binned
+    assert sum(r.indeg * r.n_nodes for r in rows) == n * K_JOIN  # edges
+
+
+def test_stratified_sample_rates(spark):
+    from knn_with_mapreduce_cuda_spark.operators.relational import (
+        _q_sample_stratified,
+    )
+
+    rows = _q_sample_stratified(spark, SF_SMOKE).collect()
+    docs = tables.table(spark, SF_SMOKE, "documents").select("lang").toPandas()
+    tot = docs.lang.value_counts().to_dict()
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    # en sampled at ~25% (0x40/256), others ~6% (0x10/256); loose bounds
+    assert 0.10 < got.get("en", 0) / tot["en"] < 0.45
+    for lang, cnt in got.items():
+        if lang != "en":
+            assert cnt / tot[lang] < 0.20
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
