@@ -323,6 +323,47 @@ def _q_radius(spark, sf_dir):
     )
 
 
+PIVOT_ID = 1
+
+
+def _q_radius_pivot(spark, sf_dir):
+    """Pivot-pruned radius search — same semantics as knn_radius, proven
+    by grading against the SAME oracle. Physical strategy: precompute
+    every point's distance to one fixed pivot; the triangle inequality
+    |d(q,p) − d(t,p)| ≤ d(q,t) lets the join predicate discard any pair
+    whose pivot-distance gap already exceeds ε BEFORE the 64-dim exact
+    distance runs — the metric-space pruning trick (AESA/LAESA family).
+    On this unit-norm fixture all pivot distances cluster near √2 so the
+    prune is weak; on clustered real data it removes most of the cross
+    product. Cost: one broadcast of a single row + one extra double per
+    side."""
+    e = tables.embeddings(spark, sf_dir)
+    pivot = e.filter(col("vec_id") == PIVOT_ID).select(col("emb").alias("pemb"))
+    withp = e.crossJoin(F.broadcast(pivot)).select(
+        "vec_id", "emb", METRICS["euclidean"]("emb", "pemb").alias("dp")
+    )
+    q = withp.filter(col("vec_id") % 5 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb"), col("dp").alias("qdp")
+    )
+    t = withp.select(
+        col("vec_id").alias("tid"), col("emb").alias("temb"), col("dp").alias("tdp")
+    )
+    cand = t.join(
+        F.broadcast(q),
+        (col("qid") != col("tid"))
+        & (F.abs(col("qdp") - col("tdp")) < RADIUS_EPS),
+    )
+    hits = cand.withColumn("dist", METRICS["euclidean"]("qemb", "temb")).filter(
+        col("dist") < RADIUS_EPS
+    )
+    return hits.select(
+        "qid",
+        "tid",
+        F.round("dist", 4).alias("dist"),
+        F.count("*").over(Window.partitionBy("qid")).alias("n_in_radius"),
+    )
+
+
 def _q_centroid(spark, sf_dir):
     """Nearest-centroid (Rocchio) classifier — the O(n·c) companion to
     O(n²) kNN: per-label mean vectors from the train split, each test
@@ -388,6 +429,7 @@ QUERIES = {
     ),
     "knn_k_sweep": k_sweep_accuracy,
     "knn_radius": _q_radius,
+    "knn_radius_pivot": _q_radius_pivot,
     "knn_centroid": _q_centroid,
     "knn_mutual": _q_mutual,
     "graph_knn_hubness": _q_hubness,
@@ -541,6 +583,13 @@ ORACLE = {
         "count(*) AS n_test FROM pred WHERE vr = 1 GROUP BY k"
     ),
     "knn_radius": (
+        f"WITH {_EMB}, {_PAIRS} "
+        "SELECT qid, tid, round(dist, 4) AS dist, "
+        "count(*) OVER (PARTITION BY qid) AS n_in_radius "
+        f"FROM pairs WHERE dist < {RADIUS_EPS}"
+    ),
+    # same oracle as knn_radius: the pivot prune must not change results
+    "knn_radius_pivot": (
         f"WITH {_EMB}, {_PAIRS} "
         "SELECT qid, tid, round(dist, 4) AS dist, "
         "count(*) OVER (PARTITION BY qid) AS n_in_radius "

@@ -21,6 +21,7 @@ _MODULES = [
     "knn_with_mapreduce_cuda_spark.operators.udf",
     "knn_with_mapreduce_cuda_spark.operators.sources_io",
     "knn_with_mapreduce_cuda_spark.operators.iterative",
+    "knn_with_mapreduce_cuda_spark.operators.tpch",
 ]
 
 
