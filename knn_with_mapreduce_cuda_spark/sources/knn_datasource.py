@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 ROWS_PER_FILE = 10_000_000
@@ -94,8 +95,51 @@ class KnnTextDataSource(DataSource):
         return KnnTextReader(self.options)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch stream source: each batch emits the next
+    ``batch_size`` synthetic events (monotone event_id, Knuth-hash value).
+    Offsets are plain row counters, so ``readBetweenOffsets`` can replay
+    any committed range exactly — the property exactly-once sinks need
+    from a replayable source (the Kafka-offset model in miniature)."""
+
+    def __init__(self, options):
+        self.batch_size = int(options.get("batchsize", "10"))
+
+    def _rows(self, start: int, end: int):
+        # a concrete list: Spark pickles the prefetched batch for replay
+        return [
+            (i, (i * 2654435761) % 1000003, float(i % 100)) for i in range(start, end)
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = i + self.batch_size
+        return self._rows(i, end), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events").load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, h bigint, value double"
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
 def register(spark) -> None:
     # runtime-settable; required or Spark refuses a reader that
     # implements pushFilters()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KnnTextDataSource)
+    spark.dataSource.register(SyntheticEventsDataSource)
