@@ -540,6 +540,51 @@ def _q_text_cooccur(spark, sf_dir):
     )
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination check — the eval-hygiene op every training
+    pipeline needs: fraction of each training doc's word-3-gram shingles
+    that appear anywhere in the held-out "benchmark" split (doc_id % 5 ==
+    0). High overlap ⟹ the training doc leaks benchmark content. The
+    benchmark shingle set is distinct + broadcast (its size is
+    benchmark-proportional, not corpus-proportional); the probe is one
+    map-side join per training shingle — corpus-linear at 100 TB."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "s")
+    bench = (
+        sh.filter(col("doc_id") % 5 == 0).select("s").distinct().withColumn("hit", lit(1))
+    )
+    train = sh.filter(col("doc_id") % 5 != 0)
+    probed = train.join(F.broadcast(bench), "s", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") / F.count("*"), 4).alias("contamination"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction plumbing: plant a synthetic email + phone per doc
+    (the fixture corpus carries none), then scrub with the regex pass a
+    real pipeline runs and count what was caught. Pure codegen
+    regexp_replace/regexp_count — map-only at any scale."""
+    docs = tables.table(spark, sf_dir, "documents")
+    synth = F.concat(
+        col("text"),
+        lit(" contact doc"),
+        col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        F.lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"555-[0-9]{4}"
+    red = F.regexp_replace(F.regexp_replace(synth, email, "<EMAIL>"), phone, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(synth, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone)).cast("long").alias("n_phones"),
+    )
+
+
 def _q_text_ngram_char(spark, sf_dir):
     """Top-10 character trigrams per language — the actual feature family
     production language-ID models (CLD/fastText-style) use, complementing
@@ -723,6 +768,8 @@ QUERIES = {
     "llm_multimodal_framesample": _q_multimodal_framesample,
     "llm_text_cooccur": _q_text_cooccur,
     "llm_text_ngram_char": _q_text_ngram_char,
+    "llm_contamination": _q_contamination,
+    "llm_pii_redact": _q_pii_redact,
     "llm_normalize_text": _q_normalize_text,
     "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
@@ -936,6 +983,29 @@ ORACLE = {
         "SELECT a.tok AS w1, b.tok AS w2, count(*) AS co_cnt "
         "FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok "
         "GROUP BY w1, w2"
+    ),
+    "llm_contamination": (
+        f"WITH {_TOKS}, {_SH}, "
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0), "
+        "train AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0), "
+        "probed AS (SELECT t.doc_id, t.s, b.s IS NOT NULL AS hit "
+        "FROM train t LEFT JOIN bench b ON t.s = b.s) "
+        "SELECT doc_id, count(*) AS n_shingles, "
+        "CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hit, "
+        "round(count(CASE WHEN hit THEN 1 END) / count(*), 4) AS contamination "
+        "FROM probed GROUP BY doc_id"
+    ),
+    "llm_pii_redact": (
+        "WITH s AS (SELECT doc_id, text || ' contact doc' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "AS synth FROM documents) "
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z]+\\.[a-z]+', "
+        "'<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS redacted, "
+        "CAST(len(regexp_extract_all(synth, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) "
+        "AS n_emails, "
+        "CAST(len(regexp_extract_all(synth, '555-[0-9]{4}')) AS BIGINT) AS n_phones "
+        "FROM s"
     ),
     "llm_text_ngram_char": (
         "WITH tri AS (SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS tri "

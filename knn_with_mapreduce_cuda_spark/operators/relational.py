@@ -906,6 +906,53 @@ def _q_sample_stratified(spark, sf_dir):
     return docs.filter(bucket < thresh).select("doc_id", "lang", "source")
 
 
+def _q_agg_bool(spark, sf_dir):
+    """Boolean/conditional aggregates: count_if, the SQL FILTER clause,
+    bool_and / bool_or — via spark.sql so the ANSI FILTER syntax itself
+    is exercised through the full parse → Catalyst pipeline."""
+    tables.table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "count_if(l_quantity > 25) AS n_heavy, "
+        "count(*) FILTER (WHERE l_discount > 0.05) AS n_disc, "
+        "bool_and(l_quantity > 0) AS all_pos, "
+        "bool_or(l_tax > 0.07) AS any_hi_tax "
+        "FROM lineitem_v GROUP BY l_returnflag"
+    )
+
+
+def _q_join_existence_flag(spark, sf_dir):
+    """Existence-flag join: every left row kept, with a boolean marker
+    for match — the third member beside semi (matches only) and anti
+    (non-matches only). One distinct-key build side, broadcast."""
+    cust = tables.table(spark, sf_dir, "customer")
+    keys = (
+        tables.table(spark, sf_dir, "orders")
+        .select(col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("mark", lit(1))
+    )
+    return cust.join(F.broadcast(keys), "c_custkey", "left").select(
+        "c_custkey",
+        col("mark").isNotNull().alias("has_order"),
+    )
+
+
+def _q_window_hourly_top_type(spark, sf_dir):
+    """Top event type per hour (grouped count + per-hour rank=1) — the
+    trending-item query; count shuffle then a tiny rank partition per
+    hour."""
+    ev = tables.table(spark, sf_dir, "events")
+    hour = (col("ts_us") - col("ts_us") % 3_600_000_000).alias("hour_us")
+    counts = ev.groupBy(hour, "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("hour_us").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("hour_us", col("event_type").alias("top_type"), "cnt")
+    )
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -959,6 +1006,9 @@ QUERIES = {
     "rel_histogram_fixed": _q_histogram_fixed,
     "ml_linreg_normal": _q_linreg_normal,
     "rel_sample_stratified": _q_sample_stratified,
+    "rel_agg_bool": _q_agg_bool,
+    "rel_join_existence_flag": _q_join_existence_flag,
+    "rel_window_hourly_top_type": _q_window_hourly_top_type,
 }
 
 
@@ -1384,5 +1434,25 @@ ORACLE = {
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < "
         "CASE WHEN lang = 'en' THEN '40' ELSE '10' END"
+    ),
+    "rel_agg_bool": (
+        "SELECT l_returnflag, "
+        "count(*) FILTER (WHERE l_quantity > 25) AS n_heavy, "
+        "count(*) FILTER (WHERE l_discount > 0.05) AS n_disc, "
+        "bool_and(l_quantity > 0) AS all_pos, "
+        "bool_or(l_tax > 0.07) AS any_hi_tax "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "rel_join_existence_flag": (
+        "SELECT c_custkey, "
+        "c_custkey IN (SELECT o_custkey FROM orders) AS has_order FROM customer"
+    ),
+    "rel_window_hourly_top_type": (
+        f"WITH {_EV}, h AS (SELECT ts_us - ts_us % 3600000000 AS hour_us, "
+        "event_type, count(*) AS cnt FROM ev GROUP BY 1, 2), "
+        "r AS (SELECT hour_us, event_type, cnt, row_number() OVER "
+        "(PARTITION BY hour_us ORDER BY cnt DESC, event_type) AS rn FROM h) "
+        "SELECT CAST(hour_us AS BIGINT) AS hour_us, event_type AS top_type, cnt "
+        "FROM r WHERE rn = 1"
     ),
 }

@@ -223,6 +223,29 @@ def test_stratified_sample_rates(spark):
             assert cnt / tot[lang] < 0.20
 
 
+def test_contamination_bounds_and_split(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_contamination
+
+    rows = _q_contamination(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 5 != 0          # benchmark docs never scored
+        assert 0 <= r.n_hit <= r.n_shingles
+        assert 0.0 <= r.contamination <= 1.0
+    # shared-vocab corpus: some overlap must exist somewhere
+    assert any(r.n_hit > 0 for r in rows)
+
+
+def test_pii_redact_catches_planted_pii(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_pii_redact
+
+    rows = _q_pii_redact(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1
+        assert "<EMAIL>" in r.redacted and "<PHONE>" in r.redacted
+        assert "@example.com" not in r.redacted
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
