@@ -70,12 +70,33 @@ def simsearch_full_gemm(spark, sf_dir):
     return cosine_topk_gemm(q, t, 10)
 
 
+def tpch_q5(spark, sf_dir):
+    from knn_with_mapreduce_cuda_spark.operators import tpch
+
+    return tpch._q5(spark, sf_dir)
+
+
+def minhash_dedup(spark, sf_dir):
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    return llm._q_dedup_near_minhash(spark, sf_dir)
+
+
+def naive_bayes(spark, sf_dir):
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    return llm._q_naive_bayes(spark, sf_dir)
+
+
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
+    "tpch_q5_star_join": tpch_q5,
     "knn_classify": knn_classify_gemm,
     "knn_join_2000x2000": knn_join_full_gemm,
     "simsearch_cosine_topk": simsearch_full_gemm,
+    "minhash_dedup_5k_docs": minhash_dedup,
+    "naive_bayes_langid": naive_bayes,
     "str_window_session": streaming_batch._q_window_session,
 }
 

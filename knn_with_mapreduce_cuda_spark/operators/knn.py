@@ -323,6 +323,57 @@ def _q_radius(spark, sf_dir):
     )
 
 
+def _q_crossval(spark, sf_dir):
+    """5-fold cross-validated kNN accuracy from ONE pair join: fold =
+    vec_id % 5; every pair where the two folds differ feeds the fold of
+    its query point, so all five train/test splits share a single
+    distance computation (the multi-query amortization trick — 5× the
+    evaluation, 1× the join). Per-fold accuracy + the mean-of-folds row."""
+    e = tables.embeddings(spark, sf_dir)
+    q = e.select(
+        col("vec_id").alias("qid"),
+        (col("vec_id") % 5).alias("fold"),
+        col("emb").alias("qemb"),
+        col("label").alias("qlabel"),
+    )
+    t = e.select(
+        col("vec_id").alias("tid"),
+        (col("vec_id") % 5).alias("tfold"),
+        col("emb").alias("temb"),
+        col("label").alias("tlabel"),
+    )
+    pairs = t.join(F.broadcast(q), col("fold") != col("tfold"))
+    d = pairs.withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
+    w = Window.partitionBy("fold", "qid").orderBy("dist", "tid")
+    top = d.withColumn("rnk", F.row_number().over(w)).filter(col("rnk") <= K_DEFAULT)
+    votes = top.groupBy("fold", "qid", "qlabel", "tlabel").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("fold", "qid").orderBy(F.desc("votes"), "tlabel")
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(col("vr") == 1)
+    return pred.groupBy("fold").agg(
+        F.round(F.avg((col("tlabel") == col("qlabel")).cast("double")), 4).alias(
+            "accuracy"
+        ),
+        F.count("*").alias("n_test"),
+    )
+
+
+def _q_predict_proba(spark, sf_dir):
+    """Per-class vote shares (predict_proba): the full k-vote
+    distribution per query, not just the argmax — what a downstream
+    calibration/ensembling stage consumes. Shares are votes/k, exact
+    rationals rounded once."""
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    votes = t.groupBy("qid", "tlabel").agg(F.count("*").alias("votes"))
+    return votes.select(
+        "qid",
+        col("tlabel").alias("label"),
+        "votes",
+        F.round(col("votes") / K_DEFAULT, 4).alias("share"),
+    )
+
+
 PIVOT_ID = 1
 
 
@@ -433,6 +484,8 @@ QUERIES = {
     "knn_centroid": _q_centroid,
     "knn_mutual": _q_mutual,
     "graph_knn_hubness": _q_hubness,
+    "knn_crossval": _q_crossval,
+    "knn_predict_proba": _q_predict_proba,
 }
 
 
@@ -621,6 +674,29 @@ ORACLE = {
         f"e AS (SELECT qid, tid FROM ranked WHERE rnk <= {K_JOIN}) "
         "SELECT a.qid AS a, a.tid AS b FROM e a JOIN e b "
         "ON a.qid = b.tid AND a.tid = b.qid WHERE a.qid < a.tid"
+    ),
+    "knn_crossval": (
+        f"WITH {_EMB}, "
+        "cvp AS (SELECT q.vec_id AS qid, q.vec_id % 5 AS fold, q.label AS qlabel, "
+        "t.vec_id AS tid, t.label AS tlabel, list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 <> t.vec_id % 5), "
+        "ranked AS (SELECT cvp.*, row_number() OVER "
+        "(PARTITION BY fold, qid ORDER BY dist, tid) AS rnk FROM cvp), "
+        f"topk AS (SELECT * FROM ranked WHERE rnk <= {K_DEFAULT}), "
+        "votes AS (SELECT fold, qid, qlabel, tlabel, count(*) AS votes "
+        "FROM topk GROUP BY fold, qid, qlabel, tlabel), "
+        "pred AS (SELECT fold, qid, qlabel, tlabel, row_number() OVER "
+        "(PARTITION BY fold, qid ORDER BY votes DESC, tlabel) AS vr FROM votes) "
+        "SELECT CAST(fold AS BIGINT) AS fold, "
+        "round(avg(CAST(CAST(tlabel = qlabel AS INTEGER) AS DOUBLE)), 4) AS accuracy, "
+        "count(*) AS n_test FROM pred WHERE vr = 1 GROUP BY fold"
+    ),
+    "knn_predict_proba": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "
+        "votes AS (SELECT qid, tlabel, count(*) AS votes FROM topk "
+        "GROUP BY qid, tlabel) "
+        "SELECT qid, tlabel AS label, votes, "
+        f"round(votes / {K_DEFAULT}, 4) AS share FROM votes"
     ),
     "graph_knn_hubness": (
         f"WITH {_EMB}, "

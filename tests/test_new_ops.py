@@ -121,6 +121,29 @@ def test_pagerank_mass_and_positivity(spark):
     assert total > PR_SCALE * 0.99
 
 
+def test_pagerank_matches_exact_integer_replication(spark):
+    """Replicate the integer update rule in plain Python — the engine
+    must match it bit-for-bit (that's the determinism claim)."""
+    from knn_with_mapreduce_cuda_spark.operators.iterative import (
+        PR_ITERS,
+        PR_SCALE,
+        _q_pagerank,
+    )
+    from knn_with_mapreduce_cuda_spark.operators.knn import K_JOIN, knn_self_join
+
+    edges = [(r.qid, r.tid) for r in knn_self_join(spark, SF_SMOKE, K_JOIN).collect()]
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for src, dst in edges:
+            inflow[dst] += r[src] // K_JOIN
+        r = {v: (15 * PR_SCALE) // (100 * n) + (85 * inflow[v]) // 100 for v in nodes}
+    got = {row.vec_id: row.rank_q for row in _q_pagerank(spark, SF_SMOKE).collect()}
+    assert got == r
+
+
 def test_resample_locf_spine_is_dense_and_filled(spark):
     from knn_with_mapreduce_cuda_spark.operators.streaming_batch import (
         _HOUR_US,
