@@ -224,11 +224,52 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(col("id").alias("vec_id"), col("r").alias("rank_q"))
 
 
+PCA_SCALE = 1_000_000_000
+
+
+def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step of PCA, fully declarative: the 64×64
+    covariance matrix is built as a self-join of centered (row, dim)
+    cells, then multiplied against the all-ones start vector — i.e.,
+    v₁ = C·1 as two groupBys. Linear algebra as relational algebra.
+
+    Determinism: per-cell products are quantized to integer 1e-9 units
+    BEFORE summation, so the covariance entries and the matvec are exact
+    integers on any engine/partitioning; means are rounded to 6dp first
+    so centering subtracts identical doubles. Scale: the (row, dim²)
+    product space shuffles on (a, b) with map-side partial sums —
+    dim²-proportional state, row-count-proportional work; a real
+    dominant-eigenvector run repeats the matvec on the (tiny) cov matrix
+    driver-side or via repeated joins."""
+    e = tables.embeddings(spark, sf_dir)
+    ex = e.select("vec_id", F.posexplode("emb").alias("pos", "x"))
+    mu = ex.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("mu"))
+    cent = ex.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", (col("x") - col("mu")).alias("c")
+    )
+    a = cent.select("vec_id", col("pos").alias("a"), col("c").alias("ca"))
+    b = cent.select("vec_id", col("pos").alias("b"), col("c").alias("cb"))
+    prods = a.join(b, "vec_id").select(
+        "a",
+        "b",
+        F.round(col("ca") * col("cb") * PCA_SCALE, 0).cast("long").alias("pq"),
+    )
+    cov = prods.groupBy("a", "b").agg(F.sum("pq").alias("cq"))
+    v1 = cov.groupBy("a").agg(F.sum("cq").alias("v1q"))
+    mx = v1.agg(F.max(F.abs(col("v1q"))).alias("mx"))
+    return v1.crossJoin(F.broadcast(mx)).select(
+        col("a").cast("long").alias("dim"),
+        "v1q",
+        F.round(col("v1q") / col("mx"), 6).alias("v1_norm"),
+    )
+
+
 QUERIES = {
     "ml_kmeans_lloyd": _q_kmeans,
     "graph_components_dedup": _q_components,
     "llm_dedup_apply": _q_dedup_apply,
     "graph_pagerank": _q_pagerank,
+    "ml_pca_power": _q_pca_power,
 }
 
 
@@ -320,5 +361,21 @@ ORACLE = {
         "+ (85 * coalesce(in2.inflow, 0)) // 100 AS r "
         "FROM emb CROSS JOIN nn LEFT JOIN in2 ON in2.id = emb.vec_id) "
         "SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_q FROM r2"
+    ),
+    "ml_pca_power": (
+        f"WITH {_EMB_D}, "
+        "ex AS (SELECT vec_id, i AS pos, emb[CAST(i + 1 AS INT)] AS x "
+        "FROM emb, range(64) t(i)), "
+        "mu AS (SELECT pos, round(avg(x), 6) AS mu FROM ex GROUP BY pos), "
+        "cent AS (SELECT vec_id, ex.pos, x - mu AS c "
+        "FROM ex JOIN mu ON mu.pos = ex.pos), "
+        "prods AS (SELECT a.pos AS a, b.pos AS b, "
+        f"CAST(round(a.c * b.c * {PCA_SCALE}, 0) AS BIGINT) AS pq "
+        "FROM cent a JOIN cent b ON a.vec_id = b.vec_id), "
+        "cov AS (SELECT a, b, sum(pq) AS cq FROM prods GROUP BY a, b), "
+        "v1 AS (SELECT a, CAST(sum(cq) AS BIGINT) AS v1q FROM cov GROUP BY a), "
+        "mx AS (SELECT max(abs(v1q)) AS mx FROM v1) "
+        "SELECT CAST(a AS BIGINT) AS dim, v1q, round(v1q / mx, 6) AS v1_norm "
+        "FROM v1, mx"
     ),
 }

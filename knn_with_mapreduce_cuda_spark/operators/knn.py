@@ -24,7 +24,7 @@ window on a unique id, cast arrays to double, alias both sides alike.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 from .. import tables
 from ..functions.vector import METRICS, l2_norm
@@ -374,6 +374,62 @@ def _q_predict_proba(spark, sf_dir):
     )
 
 
+def _q_kth_dist(spark, sf_dir):
+    """k-th-neighbor distance per point — the classic non-parametric
+    density estimate (small k-dist = dense region) and the LOF building
+    block. One row per point: distance to its K_DEFAULT-th neighbor."""
+    base = knn_self_join(spark, sf_dir, K_DEFAULT)
+    return base.filter(col("rnk") == K_DEFAULT).select(
+        "qid", col("dist").alias("kdist")
+    )
+
+
+LOF_SCALE = 1_000_000
+
+
+def _q_lof(spark, sf_dir):
+    """Local Outlier Factor — the standard kNN-based outlier score, fully
+    declarative: top-k self-join → per-point k-distance → reachability
+    distances → local reachability density → LOF ratio. LOF(q) ≈ 1 means
+    q sits at its neighbors' density; ≫ 1 flags outliers.
+
+    Determinism (the cents convention, twice): reach-distances and then
+    LRDs are quantized to integers BEFORE their averages, so both
+    k-element sums are exact under any partitioning/engine. Scale: three
+    joins, all equi on point id — shuffle-partitioned, edges O(n·k),
+    never quadratic past the initial top-k (which the GEMM path serves at
+    real scale)."""
+    base = knn_self_join(spark, sf_dir, K_DEFAULT).select("qid", "tid", "dist")
+    kdist = base.groupBy("qid").agg(F.max("dist").alias("kd"))
+    # reach_q(t) = max(d(q,t), kdist(t)), integer-quantized
+    reach = (
+        base.join(kdist.select(col("qid").alias("tid"), col("kd").alias("t_kd")), "tid")
+        .select(
+            "qid",
+            "tid",
+            F.round(F.greatest(col("dist"), col("t_kd")) * LOF_SCALE, 0)
+            .cast("long")
+            .alias("reach_q"),
+        )
+    )
+    lrd = reach.groupBy("qid").agg(
+        F.floor(lit(K_DEFAULT * LOF_SCALE * LOF_SCALE).cast("long") / F.sum("reach_q"))
+        .cast("long")
+        .alias("lrd_q")
+    )
+    ratio = (
+        base.select("qid", "tid")
+        .join(lrd.select(col("qid").alias("tid"), col("lrd_q").alias("t_lrd")), "tid")
+        .join(lrd, "qid")
+    )
+    return ratio.groupBy("qid").agg(
+        F.round(
+            F.sum("t_lrd") / (lit(K_DEFAULT) * F.max("lrd_q")),
+            4,
+        ).alias("lof")
+    )
+
+
 PIVOT_ID = 1
 
 
@@ -486,6 +542,8 @@ QUERIES = {
     "graph_knn_hubness": _q_hubness,
     "knn_crossval": _q_crossval,
     "knn_predict_proba": _q_predict_proba,
+    "knn_kth_dist": _q_kth_dist,
+    "ml_lof": _q_lof,
 }
 
 
@@ -697,6 +755,35 @@ ORACLE = {
         "GROUP BY qid, tlabel) "
         "SELECT qid, tlabel AS label, votes, "
         f"round(votes / {K_DEFAULT}, 4) AS share FROM votes"
+    ),
+    "knn_kth_dist": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs) "
+        f"SELECT qid, round(dist, 4) AS kdist FROM ranked WHERE rnk = {K_DEFAULT}"
+    ),
+    "ml_lof": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+        f"base AS (SELECT qid, tid, round(dist, 4) AS dist FROM ranked "
+        f"WHERE rnk <= {K_DEFAULT}), "
+        "kd AS (SELECT qid, max(dist) AS kd FROM base GROUP BY qid), "
+        "reach AS (SELECT b.qid, b.tid, "
+        f"CAST(round(greatest(b.dist, k.kd) * {LOF_SCALE}, 0) AS BIGINT) AS reach_q "
+        "FROM base b JOIN kd k ON k.qid = b.tid), "
+        f"lrd AS (SELECT qid, CAST(floor({K_DEFAULT} * {LOF_SCALE}::BIGINT * "
+        f"{LOF_SCALE} / sum(reach_q)) AS BIGINT) AS lrd_q FROM reach GROUP BY qid) "
+        "SELECT b.qid, round(sum(lt.lrd_q) / "
+        f"({K_DEFAULT} * max(lq.lrd_q)), 4) AS lof "
+        "FROM base b JOIN lrd lt ON lt.qid = b.tid JOIN lrd lq ON lq.qid = b.qid "
+        "GROUP BY b.qid"
     ),
     "graph_knn_hubness": (
         f"WITH {_EMB}, "

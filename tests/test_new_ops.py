@@ -269,6 +269,47 @@ def test_pii_redact_catches_planted_pii(spark):
         assert "@example.com" not in r.redacted
 
 
+def test_lof_matches_float_reference(spark):
+    """Plain-float LOF in NumPy; the integer-quantized engine result must
+    agree to ~1e-3 (quantization units are 1e-6)."""
+    from knn_with_mapreduce_cuda_spark.operators.knn import K_DEFAULT, _q_lof
+
+    ids, X, _ = _emb_matrix(spark)
+    n = len(ids)
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    D = np.round(D, 4)  # engine quantizes pair distances at 4dp
+    order = np.argsort(D + np.arange(n)[None, :] * 0.0, axis=1, kind="stable")
+    nn = order[:, :K_DEFAULT]
+    kdist = D[np.arange(n)[:, None], nn].max(axis=1)
+    lrd = np.empty(n)
+    for i in range(n):
+        reach = np.maximum(D[i, nn[i]], kdist[nn[i]])
+        lrd[i] = 1.0 / reach.mean()
+    lof_ref = np.array([lrd[nn[i]].mean() / lrd[i] for i in range(n)])
+    got = {r.qid: r.lof for r in _q_lof(spark, SF_SMOKE).collect()}
+    assert len(got) == n
+    for idx, vid in enumerate(ids):
+        assert abs(got[int(vid)] - lof_ref[idx]) < 2e-3, (vid, got[int(vid)], lof_ref[idx])
+    # sanity: scores hover around 1 on i.i.d.-ish data
+    vals = np.array(list(got.values()))
+    assert 0.8 < vals.mean() < 1.2
+
+
+def test_pca_power_step_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.iterative import _q_pca_power
+
+    ids, X, _ = _emb_matrix(spark)
+    mu = np.round(X.mean(axis=0), 6)
+    C = (X - mu).T @ (X - mu)
+    v1 = C @ np.ones(X.shape[1])
+    v1n = v1 / np.abs(v1).max()
+    got = {r.dim: r.v1_norm for r in _q_pca_power(spark, SF_SMOKE).collect()}
+    assert len(got) == X.shape[1]
+    for d in range(X.shape[1]):
+        assert abs(got[d] - v1n[d]) < 1e-4, (d, got[d], v1n[d])
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
