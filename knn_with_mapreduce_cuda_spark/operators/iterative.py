@@ -224,6 +224,67 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(col("id").alias("vec_id"), col("r").alias("rank_q"))
 
 
+DBSCAN_EPS = 1.38
+DBSCAN_MINPTS = 180
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN: ε-neighborhood counts → core points
+    (n ≥ minPts) → clusters = connected components of the core-core
+    ε-graph (cluster id = min member id) → border points take the MIN
+    cluster among their core neighbors (the classic algorithm's
+    order-dependent border assignment made deterministic) → noise = -1.
+
+    Scale: the ε-graph is the knn_radius pair join (pruned pre-shuffle);
+    components run Pregel-style min-label rounds (operator above); border
+    assignment is one more equi-join. Nothing quadratic survives past
+    the radius join."""
+    from ..functions.vector import METRICS
+
+    e = tables.embeddings(spark, sf_dir)
+    a = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+    b = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    close = (
+        a.join(b, col("qid") != col("tid"))
+        .withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
+        .filter(col("dist") < DBSCAN_EPS)
+        .select("qid", "tid")
+    )
+    counts = close.groupBy("qid").agg(F.count("*").alias("n_in_eps"))
+    core = counts.filter(col("n_in_eps") >= DBSCAN_MINPTS).select(
+        col("qid").alias("id")
+    )
+    core_edges = (
+        close.join(core.select(col("id").alias("qid")), "qid")
+        .join(core.select(col("id").alias("tid")), "tid")
+        .filter(col("qid") < col("tid"))
+        .select(col("qid").alias("a"), col("tid").alias("b"))
+    )
+    comp = connected_components(core, core_edges)
+    border = (
+        close.join(comp.select(col("id").alias("tid"), "cluster"), "tid")
+        .join(core.select(col("id").alias("qid")), "qid", "left_anti")
+        .groupBy("qid")
+        .agg(F.min("cluster").alias("b_cluster"))
+    )
+    return (
+        e.select("vec_id")
+        .join(counts.select(col("qid").alias("vec_id"), "n_in_eps"), "vec_id", "left")
+        .join(
+            comp.select(col("id").alias("vec_id"), col("cluster").alias("c_cluster")),
+            "vec_id",
+            "left",
+        )
+        .join(border.select(col("qid").alias("vec_id"), "b_cluster"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_in_eps", F.lit(0)).cast("long").alias("n_in_eps"),
+            col("c_cluster").isNotNull().cast("int").alias("is_core"),
+            F.coalesce("c_cluster", "b_cluster", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
+
+
 PCA_SCALE = 1_000_000_000
 
 
@@ -270,6 +331,7 @@ QUERIES = {
     "llm_dedup_apply": _q_dedup_apply,
     "graph_pagerank": _q_pagerank,
     "ml_pca_power": _q_pca_power,
+    "ml_dbscan": _q_dbscan,
 }
 
 
@@ -377,5 +439,29 @@ ORACLE = {
         "mx AS (SELECT max(abs(v1q)) AS mx FROM v1) "
         "SELECT CAST(a AS BIGINT) AS dim, v1q, round(v1q / mx, 6) AS v1_norm "
         "FROM v1, mx"
+    ),
+    "ml_dbscan": (
+        f"WITH RECURSIVE {_EMB_D}, "
+        "clo AS (SELECT q.vec_id AS qid, t.vec_id AS tid "
+        "FROM emb q, emb t WHERE q.vec_id <> t.vec_id "
+        f"AND list_distance(q.emb, t.emb) < {DBSCAN_EPS}), "
+        "cnts AS (SELECT qid, count(*) AS n FROM clo GROUP BY qid), "
+        f"core AS (SELECT qid AS id FROM cnts WHERE n >= {DBSCAN_MINPTS}), "
+        "ce AS (SELECT c.qid AS a, c.tid AS b FROM clo c "
+        "JOIN core x ON x.id = c.qid JOIN core y ON y.id = c.tid "
+        "WHERE c.qid < c.tid), "
+        "edges AS (SELECT a AS x, b AS y FROM ce UNION ALL SELECT b, a FROM ce), "
+        "reach(id, r) AS (SELECT id, id FROM core "
+        "UNION SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id), "
+        "comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id), "
+        "border AS (SELECT c.qid AS id, min(comp.cluster) AS cluster "
+        "FROM clo c JOIN comp ON comp.id = c.tid "
+        "WHERE c.qid NOT IN (SELECT id FROM core) GROUP BY c.qid) "
+        "SELECT emb.vec_id, CAST(coalesce(cnts.n, 0) AS BIGINT) AS n_in_eps, "
+        "CAST(comp.id IS NOT NULL AS INTEGER) AS is_core, "
+        "CAST(coalesce(comp.cluster, border.cluster, -1) AS BIGINT) AS cluster "
+        "FROM emb LEFT JOIN cnts ON cnts.qid = emb.vec_id "
+        "LEFT JOIN comp ON comp.id = emb.vec_id "
+        "LEFT JOIN border ON border.id = emb.vec_id"
     ),
 }

@@ -196,9 +196,45 @@ def _q_pandas_iter(spark, sf_dir):
     )
 
 
+def _q_apply_arrow(spark, sf_dir):
+    """Grouped-map over RAW Arrow tables (Spark 4 ``applyInArrow``) — one
+    rung below applyInPandas on the ladder: no pandas conversion at all,
+    the UDF sees/returns ``pyarrow.Table``. Same per-user z-score
+    semantics as udf_grouped_map, so the same window-SQL oracle grades
+    it. Use when the per-group transform is expressible in Arrow compute
+    kernels — zero-copy in, zero-copy out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = tables.table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        mu = pc.mean(v).as_py()
+        n = len(v)
+        var = pc.mean(pc.multiply(pc.subtract(v, mu), pc.subtract(v, mu))).as_py()
+        sd = var**0.5
+        if sd > 0:
+            z = pc.round(pc.divide(pc.subtract(v, mu), sd), 4)
+        else:
+            z = pa.array([0.0] * n, type=pa.float64())
+        return pa.table(
+            {
+                "event_id": table.column("event_id"),
+                "user_id": table.column("user_id"),
+                "z": z,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInArrow(
+        zscore, "event_id long, user_id long, z double"
+    )
+
+
 QUERIES = {
     "udf_scalar_py": _q_scalar_py,
     "udf_pandas_iter": _q_pandas_iter,
+    "udf_apply_arrow": _q_apply_arrow,
     "udf_pandas_vectorized": _q_pandas_vectorized,
     "udf_grouped_agg": _q_grouped_agg,
     "udf_grouped_map": _q_grouped_map,
@@ -238,6 +274,14 @@ ORACLE = {
         "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
         "ORDER BY dist, tid) AS rnk FROM pairs) "
         "SELECT qid, tid, rnk FROM ranked WHERE rnk <= 10"
+    ),
+    "udf_apply_arrow": (
+        "WITH ev AS (SELECT event_id, user_id, value, "
+        "avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd FROM events "
+        "WINDOW w AS (PARTITION BY user_id)) "
+        "SELECT event_id, user_id, "
+        "CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) + 0.0 "
+        "ELSE 0.0 END AS z FROM ev"
     ),
     "udf_grouped_map": (
         "WITH ev AS (SELECT event_id, user_id, value, "

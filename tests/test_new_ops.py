@@ -310,6 +310,37 @@ def test_pca_power_step_matches_numpy(spark):
         assert abs(got[d] - v1n[d]) < 1e-4, (d, got[d], v1n[d])
 
 
+def test_dbscan_assignment_is_valid(spark):
+    from knn_with_mapreduce_cuda_spark.operators.iterative import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        _q_dbscan,
+    )
+
+    rows = {r.vec_id: r for r in _q_dbscan(spark, SF_SMOKE).collect()}
+    ids, X, _ = _emb_matrix(spark)
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    n_eps = (D < DBSCAN_EPS).sum(axis=1)
+    core = n_eps >= DBSCAN_MINPTS
+    for idx, vid in enumerate(ids):
+        r = rows[int(vid)]
+        assert r.n_in_eps == n_eps[idx]
+        assert r.is_core == int(core[idx])
+        if core[idx]:
+            assert r.cluster != -1
+            assert r.cluster <= vid  # label = min reachable id
+        elif r.cluster == -1:
+            # noise: no core neighbor within eps
+            nbrs = np.where(D[idx] < DBSCAN_EPS)[0]
+            assert not core[nbrs].any()
+    # cluster ids of borders must be real core cluster ids
+    core_clusters = {r.cluster for r in rows.values() if r.is_core}
+    for r in rows.values():
+        if not r.is_core and r.cluster != -1:
+            assert r.cluster in core_clusters
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
