@@ -430,6 +430,42 @@ def _q_lof(spark, sf_dir):
     )
 
 
+def _q_silhouette(spark, sf_dir):
+    """Centroid-based silhouette score per point (the simplified
+    silhouette MLlib's ClusteringEvaluator also uses): a = distance to
+    own-label centroid, b = nearest other-label centroid,
+    s = (b−a)/max(a,b). Clustering-quality metric over the label
+    partition; centroids rounded to 6dp on both engines so the min/argmin
+    are decided on identical doubles. Map-only after a 10-row centroid
+    broadcast."""
+    e = tables.embeddings(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            col("label").alias("clabel"),
+            F.transform("pm", lambda s: s["m"]).alias("cemb"),
+        )
+    )
+    d = e.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", METRICS["euclidean"]("emb", "cemb")
+    )
+    agg = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(col("clabel") == col("label"), col("dist"))).alias("a"),
+        F.min(F.when(col("clabel") != col("label"), col("dist"))).alias("b"),
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        F.round("a", 4).alias("a"),
+        F.round("b", 4).alias("b"),
+        F.round((col("b") - col("a")) / F.greatest("a", "b"), 4).alias("sil"),
+    )
+
+
 PIVOT_ID = 1
 
 
@@ -544,6 +580,7 @@ QUERIES = {
     "knn_predict_proba": _q_predict_proba,
     "knn_kth_dist": _q_kth_dist,
     "ml_lof": _q_lof,
+    "ml_silhouette": _q_silhouette,
 }
 
 
@@ -784,6 +821,21 @@ ORACLE = {
         f"({K_DEFAULT} * max(lq.lrd_q)), 4) AS lof "
         "FROM base b JOIN lrd lt ON lt.qid = b.tid JOIN lrd lq ON lq.qid = b.qid "
         "GROUP BY b.qid"
+    ),
+    "ml_silhouette": (
+        f"WITH {_EMB}, "
+        "cent AS (SELECT label AS clabel, i, "
+        "round(avg(emb[CAST(i + 1 AS INT)]), 6) AS m "
+        "FROM emb, range(64) t(i) GROUP BY clabel, i), "
+        "d AS (SELECT e.vec_id, e.label, c.clabel, "
+        "sqrt(sum(pow(e.emb[CAST(c.i + 1 AS INT)] - c.m, 2))) AS dist "
+        "FROM emb e, cent c GROUP BY e.vec_id, e.label, c.clabel), "
+        "ab AS (SELECT vec_id, label, "
+        "min(CASE WHEN clabel = label THEN dist END) AS a, "
+        "min(CASE WHEN clabel <> label THEN dist END) AS b "
+        "FROM d GROUP BY vec_id, label) "
+        "SELECT vec_id, label, round(a, 4) AS a, round(b, 4) AS b, "
+        "round((b - a) / greatest(a, b), 4) AS sil FROM ab"
     ),
     "graph_knn_hubness": (
         f"WITH {_EMB}, "

@@ -953,6 +953,23 @@ def _q_window_hourly_top_type(spark, sf_dir):
     )
 
 
+def _q_fn_null(spark, sf_dir):
+    """Null-semantics sweep: nullif-manufactured nulls, null-safe
+    equality (<=> ⟷ IS NOT DISTINCT FROM), coalesce defaults, and the
+    count(col)-skips-nulls vs count(*) distinction over a window."""
+    o = tables.table(spark, sf_dir, "orders")
+    st = F.nullif(col("o_orderstatus"), lit("O"))
+    return o.select(
+        "o_orderkey",
+        st.alias("st"),
+        st.eqNullSafe(lit("F")).alias("nsafe_f"),
+        st.eqNullSafe(F.lit(None).cast("string")).alias("nsafe_null"),
+        F.coalesce(st, lit("?")).alias("st_or_q"),
+        F.count(st).over(Window.partitionBy()).alias("n_nonnull"),
+        F.count("*").over(Window.partitionBy()).alias("n_all"),
+    )
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -1009,6 +1026,7 @@ QUERIES = {
     "rel_agg_bool": _q_agg_bool,
     "rel_join_existence_flag": _q_join_existence_flag,
     "rel_window_hourly_top_type": _q_window_hourly_top_type,
+    "rel_fn_null": _q_fn_null,
 }
 
 
@@ -1446,6 +1464,16 @@ ORACLE = {
     "rel_join_existence_flag": (
         "SELECT c_custkey, "
         "c_custkey IN (SELECT o_custkey FROM orders) AS has_order FROM customer"
+    ),
+    "rel_fn_null": (
+        "WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st "
+        "FROM orders) "
+        "SELECT o_orderkey, st, "
+        "st IS NOT DISTINCT FROM 'F' AS nsafe_f, "
+        "st IS NOT DISTINCT FROM NULL AS nsafe_null, "
+        "coalesce(st, '?') AS st_or_q, "
+        "count(st) OVER () AS n_nonnull, "
+        "count(*) OVER () AS n_all FROM o"
     ),
     "rel_window_hourly_top_type": (
         f"WITH {_EV}, h AS (SELECT ts_us - ts_us % 3600000000 AS hour_us, "

@@ -92,6 +92,33 @@ def main() -> None:
         ["MapInArrow", "WindowGroupLimit", "Window", "Exchange"],
     )
 
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    add(
+        "Model broadcast in scoring joins (ml_naive_bayes)",
+        "The trained model (token counts) joins the test stream as a "
+        "BroadcastHashJoin — scoring is map-side; only the tiny model moves:",
+        llm._q_naive_bayes(spark, SF),
+        ["BroadcastHashJoin", "BroadcastExchange"],
+    )
+    add(
+        "One shuffle for rollup+join+window (ts_resample_locf)",
+        "The hourly rollup, spine join, and carry-forward window all reuse "
+        "the single user_id exchange:",
+        __import__(
+            "knn_with_mapreduce_cuda_spark.operators.streaming_batch",
+            fromlist=["streaming_batch"],
+        )._q_resample_locf(spark, SF),
+        ["Exchange", "Window", "HashAggregate"],
+    )
+    add(
+        "Centroid classifier: model broadcast, no pairwise shuffle (knn_centroid)",
+        "The c-row centroid table broadcasts to every executor; "
+        "classification is a map-only nested-loop against 10 rows:",
+        knn._q_centroid(spark, SF),
+        ["BroadcastNestedLoopJoin", "BroadcastExchange"],
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER + "\n" + "\n".join(sections))
     print(f"PLANS.md written: {len(sections)} sections")
