@@ -706,6 +706,41 @@ def _q_naive_bayes(spark, sf_dir):
     )
 
 
+RESIZE_STRIDE = 2
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    """Resize/downsample over an opaque binary payload — the image-resize
+    slot of the multimodal mandate (frame-sampling's spatial sibling).
+    The payload is "decoded", every RESIZE_STRIDE-th sample kept, and the
+    resized payload re-emitted with its metadata. A real image library
+    would replace the stride slice inside the same mapInPandas; the
+    Spark plumbing (binary in, binary + typed metadata out, no shuffle)
+    is what's tested. Oracle: DuckDB rebuilds the same stride slice with
+    a string_agg over an offset spine."""
+    import pandas as pd
+
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "resized": [], "orig_len": [], "new_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload).decode("utf-8")
+                small = data[::RESIZE_STRIDE]
+                out["doc_id"].append(doc_id)
+                out["resized"].append(small)
+                out["orig_len"].append(len(data))
+                out["new_len"].append(len(small))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        resize, "doc_id long, resized string, orig_len long, new_len long"
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -766,6 +801,7 @@ QUERIES = {
     "llm_multimodal_join": _q_multimodal_join,
     "llm_multimodal_features": _q_multimodal_features,
     "llm_multimodal_framesample": _q_multimodal_framesample,
+    "llm_multimodal_resize": _q_multimodal_resize,
     "llm_text_cooccur": _q_text_cooccur,
     "llm_text_ngram_char": _q_text_ngram_char,
     "llm_contamination": _q_contamination,
@@ -973,6 +1009,15 @@ ORACLE = {
         f"WHERE i % {FRAME_STRIDE} = 0 AND i * {FRAME_CHARS} < length(text)) "
         "SELECT doc_id, frame_id, CAST(length(frame) AS BIGINT) AS frame_len, "
         "CAST(unicode(substring(frame, 1, 1)) AS BIGINT) AS first_cp FROM f"
+    ),
+    "llm_multimodal_resize": (
+        "WITH ch AS (SELECT doc_id, i, substring(text, CAST(i AS INTEGER), 1) AS c "
+        "FROM documents, range(1, 4096) t(i) WHERE i <= length(text)), "
+        f"keep AS (SELECT doc_id, i, c FROM ch WHERE (i - 1) % {RESIZE_STRIDE} = 0) "
+        "SELECT k.doc_id, string_agg(k.c, '' ORDER BY k.i) AS resized, "
+        "CAST(any_value(length(d.text)) AS BIGINT) AS orig_len, "
+        "count(*) AS new_len "
+        "FROM keep k JOIN documents d ON d.doc_id = k.doc_id GROUP BY k.doc_id"
     ),
     "llm_text_cooccur": (
         "WITH dt AS (SELECT DISTINCT doc_id, "

@@ -135,3 +135,30 @@ def test_histogram_bounds_broadcast_no_sort(spark):
     plan = _plan(relational._q_histogram_fixed(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Sort" not in plan.split("== Physical Plan ==")[-1], plan
+
+
+def test_cache_reuses_inmemory_scan(spark):
+    # persist() swaps downstream scans to InMemoryTableScan — recompute
+    # of the (expensive) upstream never happens twice
+    e = tables.embeddings(spark, SF_SMOKE).persist()
+    try:
+        e.count()  # materialize
+        downstream = e.groupBy("label").count()
+        plan = _plan(downstream)
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        e.unpersist()
+
+
+def test_aqe_rewrites_executed_plan(spark):
+    # after execution, the adaptive plan shows AQE took over the
+    # exchanges (coalescing tiny shuffle partitions at runtime)
+    df = (
+        tables.table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+    )
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in executed, executed[:2000]
+    assert "AQEShuffleRead" in executed, executed[:2000]
