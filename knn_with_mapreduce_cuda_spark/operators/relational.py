@@ -970,6 +970,86 @@ def _q_fn_null(spark, sf_dir):
     )
 
 
+def _q_stat_crosstab(spark, sf_dir):
+    """DataFrame stat API: contingency table (crosstab) of user-id bucket
+    × event type. Column names come from the data values — the crosstab
+    contract; cast to long for engine-identical types."""
+    ev = tables.table(spark, sf_dir, "events").select(
+        (col("user_id") % 4).cast("string").alias("ubucket"), "event_type"
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    ct = ev.stat.crosstab("ubucket", "event_type")
+    return ct.select(
+        col("ubucket_event_type").alias("ubucket"),
+        *[col(t).cast("long").alias(t) for t in types],
+    )
+
+
+def _q_join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery join (Spark ≥3.2 / ANSI lateral): for
+    each filtered order, its top lineitem by extendedprice — the
+    per-row-subquery SQL surface beside the window formulation. Catalyst
+    decorrelates it into a join; DuckDB runs the same text."""
+    tables.table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    tables.table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        "SELECT o.o_orderkey, t.l_linenumber, t.price_cents "
+        "FROM orders_v o, "
+        "LATERAL (SELECT l_linenumber, "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
+        "FROM lineitem_v WHERE l_orderkey = o.o_orderkey "
+        "ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t "
+        "WHERE o.o_orderkey <= 2000"
+    )
+
+
+def _q_lateral_view(spark, sf_dir):
+    """HiveQL LATERAL VIEW explode surface (the spark.sql spelling of
+    explode): token stream with position via posexplode."""
+    tables.table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT doc_id, pos, tok FROM documents_v "
+        "LATERAL VIEW posexplode(split(text, ' ')) x AS pos, tok "
+        "WHERE doc_id <= 50"
+    )
+
+
+def _q_values_inline(spark, sf_dir):
+    """Inline VALUES relation joined against a fixture — literal data as
+    a first-class source (lookup/seed tables without files)."""
+    tables.table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        "SELECT v.code, v.label, n.n_name "
+        "FROM VALUES (0, 'zero'), (1, 'one'), (2, 'two') AS v(code, label) "
+        "JOIN nation_v n ON n.n_regionkey = v.code"
+    )
+
+
+def _q_fn_higher_order2(spark, sf_dir):
+    """Second higher-order-function sweep: exists / forall /
+    filter-with-index / aggregate-with-finish over the embedding arrays.
+    DuckDB mirrors via list_filter length identities (it has no boolean
+    list quantifiers in 1.0)."""
+    e = tables.embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.exists("emb", lambda x: x > 0.3).alias("any_big"),
+        F.forall("emb", lambda x: F.abs(x) < 1.0).alias("all_small"),
+        F.size(F.filter("emb", lambda x, i: (x > 0) & (i % 2 == 0)))
+        .cast("long")
+        .alias("n_pos_even"),
+        F.round(
+            F.aggregate(
+                "emb",
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+                lambda acc: F.sqrt(acc),
+            ),
+            4,
+        ).alias("norm_via_finish"),
+    )
+
+
 QUERIES = {
     "rel_scan_project_filter": _q_scan_project_filter,
     "rel_join_broadcast": _q_join_broadcast,
@@ -1027,6 +1107,11 @@ QUERIES = {
     "rel_join_existence_flag": _q_join_existence_flag,
     "rel_window_hourly_top_type": _q_window_hourly_top_type,
     "rel_fn_null": _q_fn_null,
+    "rel_stat_crosstab": _q_stat_crosstab,
+    "rel_join_lateral": _q_join_lateral,
+    "rel_lateral_view": _q_lateral_view,
+    "rel_values_inline": _q_values_inline,
+    "rel_fn_higher_order2": _q_fn_higher_order2,
 }
 
 
@@ -1474,6 +1559,45 @@ ORACLE = {
         "coalesce(st, '?') AS st_or_q, "
         "count(st) OVER () AS n_nonnull, "
         "count(*) OVER () AS n_all FROM o"
+    ),
+    "rel_stat_crosstab": (
+        "SELECT CAST(user_id % 4 AS VARCHAR) AS ubucket, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
+        "FROM events GROUP BY 1"
+    ),
+    "rel_join_lateral": (
+        "SELECT o.o_orderkey, t.l_linenumber, t.price_cents "
+        "FROM orders o, "
+        "LATERAL (SELECT l_linenumber, "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
+        "FROM lineitem WHERE l_orderkey = o.o_orderkey "
+        "ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t "
+        "WHERE o.o_orderkey <= 2000"
+    ),
+    "rel_lateral_view": (
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[CAST(i AS INTEGER)] AS tok "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents "
+        "WHERE doc_id <= 50), range(1, 4096) t(i) WHERE i <= len(ts)"
+    ),
+    "rel_values_inline": (
+        "SELECT v.code, v.label, n.n_name "
+        "FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) v(code, label) "
+        "JOIN nation n ON n.n_regionkey = v.code"
+    ),
+    "rel_fn_higher_order2": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings) "
+        "SELECT vec_id, "
+        "len(list_filter(emb, x -> x > 0.3)) > 0 AS any_big, "
+        "len(list_filter(emb, x -> abs(x) < 1.0)) = len(emb) AS all_small, "
+        "CAST(len(list_filter(emb, (x, i) -> x > 0 AND (i - 1) % 2 = 0)) AS BIGINT) "
+        "AS n_pos_even, "
+        "round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 4) "
+        "AS norm_via_finish FROM emb"
     ),
     "rel_window_hourly_top_type": (
         f"WITH {_EV}, h AS (SELECT ts_us - ts_us % 3600000000 AS hour_us, "
