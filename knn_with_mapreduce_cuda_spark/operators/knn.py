@@ -466,6 +466,83 @@ def _q_silhouette(spark, sf_dir):
     )
 
 
+def _q_precision_recall(spark, sf_dir):
+    """Per-class precision / recall / F1 from the kNN confusion counts —
+    the evaluation-report operator. TP/FP/FN are exact integer counts
+    (one groupBy each over the prediction table); ratios are computed
+    once from those exact counts and rounded. Classes the model never
+    predicts get precision 0 (guarded division)."""
+    pred = classify(spark, sf_dir, K_DEFAULT)
+    classes = pred.select(col("true_label").alias("cls")).distinct()
+    tp = pred.filter(col("pred_label") == col("true_label")).groupBy(
+        col("true_label").alias("cls")
+    ).agg(F.count("*").alias("tp"))
+    actual = pred.groupBy(col("true_label").alias("cls")).agg(
+        F.count("*").alias("n_actual")
+    )
+    predicted = pred.groupBy(col("pred_label").alias("cls")).agg(
+        F.count("*").alias("n_pred")
+    )
+    m = (
+        classes.join(tp, "cls", "left")
+        .join(actual, "cls", "left")
+        .join(predicted, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", lit(0)).alias("tp"),
+            F.coalesce("n_actual", lit(0)).alias("n_actual"),
+            F.coalesce("n_pred", lit(0)).alias("n_pred"),
+        )
+    )
+    prec = F.when(col("n_pred") > 0, col("tp") / col("n_pred")).otherwise(lit(0.0))
+    rec = F.when(col("n_actual") > 0, col("tp") / col("n_actual")).otherwise(lit(0.0))
+    return m.select(
+        "cls",
+        "tp",
+        "n_actual",
+        "n_pred",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(lit(0.0)), 4
+        ).alias("f1"),
+    )
+
+
+QUANT_LEVELS = 255
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column — the vector
+    compression step ANN systems apply before indexing (4× smaller than
+    float32, 8× than double). Per-dimension min/max bounds come from one
+    aggregate (64-row broadcast); each component maps to 0..255; the
+    graded output carries the exact integer code checksum plus the max
+    reconstruction error. Map-only after the bounds broadcast."""
+    e = tables.embeddings(spark, sf_dir)
+    ex = e.select("vec_id", F.posexplode("emb").alias("pos", "x"))
+    bounds = ex.groupBy("pos").agg(
+        F.round(F.min("x"), 6).alias("lo"), F.round(F.max("x"), 6).alias("hi")
+    )
+    q = ex.join(F.broadcast(bounds), "pos").select(
+        "vec_id",
+        "x",
+        "lo",
+        "hi",
+        F.round((col("x") - col("lo")) * QUANT_LEVELS / (col("hi") - col("lo")), 0)
+        .cast("long")
+        .alias("code"),
+    )
+    deq = q.withColumn(
+        "err",
+        F.abs(col("code") * (col("hi") - col("lo")) / QUANT_LEVELS + col("lo") - col("x")),
+    )
+    return deq.groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
 PIVOT_ID = 1
 
 
@@ -581,6 +658,8 @@ QUERIES = {
     "knn_kth_dist": _q_kth_dist,
     "ml_lof": _q_lof,
     "ml_silhouette": _q_silhouette,
+    "ml_precision_recall": _q_precision_recall,
+    "llm_embed_quantize": _q_embed_quantize,
 }
 
 
@@ -821,6 +900,44 @@ ORACLE = {
         f"({K_DEFAULT} * max(lq.lrd_q)), 4) AS lof "
         "FROM base b JOIN lrd lt ON lt.qid = b.tid JOIN lrd lq ON lq.qid = b.qid "
         "GROUP BY b.qid"
+    ),
+    "ml_precision_recall": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, {_PRED}, "
+        "p AS (SELECT qid, tlabel AS pred_label, qlabel AS true_label "
+        "FROM pred WHERE vr = 1), "
+        "classes AS (SELECT DISTINCT true_label AS cls FROM p), "
+        "tp AS (SELECT true_label AS cls, count(*) AS tp FROM p "
+        "WHERE pred_label = true_label GROUP BY 1), "
+        "act AS (SELECT true_label AS cls, count(*) AS n_actual FROM p GROUP BY 1), "
+        "prd AS (SELECT pred_label AS cls, count(*) AS n_pred FROM p GROUP BY 1), "
+        "m AS (SELECT c.cls, CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp, "
+        "CAST(coalesce(act.n_actual, 0) AS BIGINT) AS n_actual, "
+        "CAST(coalesce(prd.n_pred, 0) AS BIGINT) AS n_pred "
+        "FROM classes c LEFT JOIN tp ON tp.cls = c.cls "
+        "LEFT JOIN act ON act.cls = c.cls LEFT JOIN prd ON prd.cls = c.cls) "
+        "SELECT cls, tp, n_actual, n_pred, "
+        "round(CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END, 4) AS precision, "
+        "round(CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END, 4) AS recall, "
+        "round(CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END) "
+        "+ (CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END) > 0 "
+        "THEN 2 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END) "
+        "* (CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END) "
+        "/ ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END) "
+        "+ (CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END)) "
+        "ELSE 0.0 END, 4) AS f1 FROM m"
+    ),
+    "llm_embed_quantize": (
+        f"WITH {_EMB}, "
+        "ex AS (SELECT vec_id, i AS pos, emb[CAST(i + 1 AS INT)] AS x "
+        "FROM emb, range(64) t(i)), "
+        "b AS (SELECT pos, round(min(x), 6) AS lo, round(max(x), 6) AS hi "
+        "FROM ex GROUP BY pos), "
+        "q AS (SELECT vec_id, x, lo, hi, "
+        f"CAST(round((x - lo) * {QUANT_LEVELS} / (hi - lo), 0) AS BIGINT) AS code "
+        "FROM ex JOIN b ON b.pos = ex.pos) "
+        "SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum, "
+        f"round(max(abs(code * (hi - lo) / {QUANT_LEVELS} + lo - x)), 6) AS max_err "
+        "FROM q GROUP BY vec_id"
     ),
     "ml_silhouette": (
         f"WITH {_EMB}, "

@@ -341,6 +341,47 @@ def test_dbscan_assignment_is_valid(spark):
             assert r.cluster in core_clusters
 
 
+def test_precision_recall_consistent_with_confusion(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        _q_confusion,
+        _q_precision_recall,
+    )
+
+    conf = _q_confusion(spark, SF_SMOKE).collect()
+    got = {r.cls: r for r in _q_precision_recall(spark, SF_SMOKE).collect()}
+    tp = {}
+    actual = {}
+    predicted = {}
+    for r in conf:
+        actual[r.true_label] = actual.get(r.true_label, 0) + r.cnt
+        predicted[r.pred_label] = predicted.get(r.pred_label, 0) + r.cnt
+        if r.true_label == r.pred_label:
+            tp[r.true_label] = r.cnt
+    for cls, row in got.items():
+        assert row.tp == tp.get(cls, 0)
+        assert row.n_actual == actual.get(cls, 0)
+        assert row.n_pred == predicted.get(cls, 0)
+        if row.n_pred:
+            assert abs(row.precision - row.tp / row.n_pred) < 1e-4
+        if row.n_actual:
+            assert abs(row.recall - row.tp / row.n_actual) < 1e-4
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        QUANT_LEVELS,
+        _q_embed_quantize,
+    )
+
+    ids, X, _ = _emb_matrix(spark)
+    step = (X.max(axis=0) - X.min(axis=0)).max() / QUANT_LEVELS
+    rows = _q_embed_quantize(spark, SF_SMOKE).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert 0 <= r.code_sum <= 64 * QUANT_LEVELS
+        assert r.max_err <= step / 2 + 1e-5
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
