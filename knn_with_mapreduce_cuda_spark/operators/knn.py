@@ -509,6 +509,45 @@ def _q_precision_recall(spark, sf_dir):
     )
 
 
+AUC_CLASS = 0
+
+
+def _q_auc_ovr(spark, sf_dir):
+    """One-vs-rest ROC AUC (class 0 vs rest) via the Mann-Whitney rank
+    statistic with tie correction — no threshold sweep needed:
+    AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊·n₋), midranks for ties. The score is
+    the class-0 vote count in the top-k (an integer 0..k), so midranks
+    are exact half-integers and every sum is exact in doubles —
+    deterministic across engines. One window over the 11-level score
+    distribution; everything else is counts."""
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    scores = t.groupBy("qid", "qlabel").agg(
+        F.sum((col("tlabel") == AUC_CLASS).cast("long")).alias("s")
+    )
+    dist = scores.groupBy("s").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    midrank = dist.select(
+        "s",
+        "cnt",
+        (F.coalesce(F.sum("cnt").over(w), lit(0)) + (col("cnt") + 1) / 2.0).alias("mr"),
+    )
+    j = scores.join(F.broadcast(midrank.select("s", "mr")), "s")
+    agg = j.agg(
+        F.sum(F.when(col("qlabel") == AUC_CLASS, col("mr"))).alias("r_pos"),
+        F.sum((col("qlabel") == AUC_CLASS).cast("long")).alias("n_pos"),
+        F.sum((col("qlabel") != AUC_CLASS).cast("long")).alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (col("r_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg")),
+            4,
+        ).alias("auc"),
+    )
+
+
 QUANT_LEVELS = 255
 
 
@@ -660,6 +699,7 @@ QUERIES = {
     "ml_silhouette": _q_silhouette,
     "ml_precision_recall": _q_precision_recall,
     "llm_embed_quantize": _q_embed_quantize,
+    "ml_auc_ovr": _q_auc_ovr,
 }
 
 
@@ -925,6 +965,26 @@ ORACLE = {
         "/ ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END) "
         "+ (CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END)) "
         "ELSE 0.0 END, 4) AS f1 FROM m"
+    ),
+    "ml_auc_ovr": (
+        f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "
+        "scores AS (SELECT qid, qlabel, "
+        f"CAST(sum(CASE WHEN tlabel = {AUC_CLASS} THEN 1 ELSE 0 END) AS BIGINT) AS s "
+        "FROM topk GROUP BY qid, qlabel), "
+        "dist AS (SELECT s, count(*) AS cnt FROM scores GROUP BY s), "
+        "mr AS (SELECT s, coalesce(sum(cnt) OVER (ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "+ (cnt + 1) / 2.0 AS mr FROM dist), "
+        "j AS (SELECT scores.qid, scores.qlabel, mr.mr FROM scores "
+        "JOIN mr ON mr.s = scores.s), "
+        "agg AS (SELECT "
+        f"sum(CASE WHEN qlabel = {AUC_CLASS} THEN mr END) AS r_pos, "
+        f"CAST(sum(CASE WHEN qlabel = {AUC_CLASS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        f"CAST(sum(CASE WHEN qlabel <> {AUC_CLASS} THEN 1 ELSE 0 END) AS BIGINT) AS n_neg "
+        "FROM j) "
+        "SELECT n_pos, n_neg, "
+        "round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc "
+        "FROM agg"
     ),
     "llm_embed_quantize": (
         f"WITH {_EMB}, "

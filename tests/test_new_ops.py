@@ -382,6 +382,32 @@ def test_quantization_error_bounded_by_half_step(spark):
         assert r.max_err <= step / 2 + 1e-5
 
 
+def test_auc_matches_pair_counting(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        AUC_CLASS,
+        K_DEFAULT,
+        _pairs,
+        _q_auc_ovr,
+        topk,
+    )
+
+    t = topk(_pairs(spark, SF_SMOKE), K_DEFAULT).collect()
+    scores = {}
+    labels = {}
+    for r in t:
+        scores[r.qid] = scores.get(r.qid, 0) + (1 if r.tlabel == AUC_CLASS else 0)
+        labels[r.qid] = r.qlabel
+    pos = [scores[q] for q in scores if labels[q] == AUC_CLASS]
+    neg = [scores[q] for q in scores if labels[q] != AUC_CLASS]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc_ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    row = _q_auc_ovr(spark, SF_SMOKE).collect()[0]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - auc_ref) < 1e-4
+    assert 0.0 <= row.auc <= 1.0
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
