@@ -741,6 +741,62 @@ def _q_multimodal_resize(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["query", "hash", "scan"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000
+
+
+def _q_search_bm25(spark, sf_dir):
+    """BM25 keyword retrieval — the classic lexical search scorer, end to
+    end: term frequencies, document lengths, document frequencies, IDF,
+    and the saturation/length-normalization formula, top-10 by score.
+    Per-(doc, term) scores are quantized to integer micro-units BEFORE
+    the per-doc sum (exact under any partitioning); ties break on doc_id.
+    Scale: df/idf/avgdl are aggregates over the corpus; scoring joins the
+    (tiny, broadcast) query-term stats to the posting rows — the same
+    shape an inverted-index search runs."""
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_avg = dl.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "tok string")
+    tf = toks.join(F.broadcast(terms), "tok").groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(n_avg).select(
+        "tok",
+        "avgdl",
+        F.log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                col("idf")
+                * col("tf")
+                * (BM25_K1 + 1)
+                / (col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * col("dl") / col("avgdl")))
+                * BM25_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("term_score_q"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(F.sum("term_score_q").alias("score_q"))
+    w = Window.orderBy(F.desc("score_q"), "doc_id")
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("doc_id", "score_q", col("rank").cast("long").alias("rank"))
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -807,6 +863,7 @@ QUERIES = {
     "llm_contamination": _q_contamination,
     "llm_pii_redact": _q_pii_redact,
     "llm_normalize_text": _q_normalize_text,
+    "llm_search_bm25": _q_search_bm25,
     "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
@@ -1067,6 +1124,28 @@ ORACLE = {
         "CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), "
         "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_toks "
         "FROM documents"
+    ),
+    "llm_search_bm25": (
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id), "
+        "na AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), "
+        f"qt AS (SELECT unnest({BM25_TERMS!r}) AS tok), "
+        "tf AS (SELECT doc_id, tk.tok, count(*) AS tf FROM tk "
+        "JOIN qt ON qt.tok = tk.tok GROUP BY doc_id, tk.tok), "
+        "dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "idf AS (SELECT tok, avgdl, "
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfx, na), "
+        "scored AS (SELECT tf.doc_id, "
+        f"CAST(round(idf.idf * tf.tf * ({BM25_K1} + 1) "
+        f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl)) "
+        f"* {BM25_SCALE}, 0) AS BIGINT) AS term_score_q "
+        "FROM tf JOIN idf ON idf.tok = tf.tok JOIN dl ON dl.doc_id = tf.doc_id), "
+        "total AS (SELECT doc_id, CAST(sum(term_score_q) AS BIGINT) AS score_q "
+        "FROM scored GROUP BY doc_id), "
+        "r AS (SELECT doc_id, score_q, row_number() OVER "
+        "(ORDER BY score_q DESC, doc_id) AS rank FROM total) "
+        "SELECT doc_id, score_q, rank FROM r WHERE rank <= 10"
     ),
     "ml_naive_bayes": (
         "WITH toks AS (SELECT doc_id, lang AS true_lang, "
