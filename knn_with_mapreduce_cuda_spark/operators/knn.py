@@ -509,6 +509,39 @@ def _q_precision_recall(spark, sf_dir):
     )
 
 
+def _q_triangles(spark, sf_dir):
+    """Triangle count over the mutual-kNN graph — the clustering-
+    coefficient numerator. Edges are ordered (a < b), so each triangle
+    (a<b<c) is found exactly once by the standard two-join pattern; with
+    ordered edges the join fan-out is bounded by the forward-degree, not
+    the full degree. Output: total triangles + per-node participation
+    top-20 (deterministic tie-break)."""
+    edges = _q_mutual(spark, sf_dir)  # (a, b), a < b
+    e1 = edges.select(col("a").alias("x"), col("b").alias("y"))
+    e2 = edges.select(col("a").alias("y"), col("b").alias("z"))
+    e3 = edges.select(col("a").alias("x2"), col("b").alias("z2"))
+    tris = (
+        e1.join(e2, "y")
+        .join(e3, (col("x") == col("x2")) & (col("z") == col("z2")))
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tris"))
+    )
+    total = tris.agg(F.count("*").alias("t")).select(
+        lit(-1).cast("long").alias("node"), col("t").alias("n_tris")
+    )
+    w = Window.orderBy(F.desc("n_tris"), "node")
+    top = (
+        per_node.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("node", "n_tris")
+    )
+    return total.unionByName(top)
+
+
 AUC_CLASS = 0
 
 
@@ -700,6 +733,7 @@ QUERIES = {
     "ml_precision_recall": _q_precision_recall,
     "llm_embed_quantize": _q_embed_quantize,
     "ml_auc_ovr": _q_auc_ovr,
+    "graph_triangles": _q_triangles,
 }
 
 
@@ -965,6 +999,27 @@ ORACLE = {
         "/ ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END) "
         "+ (CASE WHEN n_actual > 0 THEN tp / n_actual ELSE 0.0 END)) "
         "ELSE 0.0 END, 4) AS f1 FROM m"
+    ),
+    "graph_triangles": (
+        f"WITH {_EMB}, "
+        "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "list_distance(q.emb, t.emb) AS dist "
+        "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+        "ranked AS (SELECT pairs.*, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+        f"e0 AS (SELECT qid, tid FROM ranked WHERE rnk <= {K_JOIN}), "
+        "mut AS (SELECT a.qid AS a, a.tid AS b FROM e0 a JOIN e0 b "
+        "ON a.qid = b.tid AND a.tid = b.qid WHERE a.qid < a.tid), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM mut e1 JOIN mut e2 ON e2.a = e1.b "
+        "JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "pern AS (SELECT node, count(*) AS n_tris FROM ("
+        "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) GROUP BY node), "
+        "tot AS (SELECT CAST(-1 AS BIGINT) AS node, count(*) AS n_tris FROM tri), "
+        "top AS (SELECT node, n_tris FROM (SELECT node, n_tris, row_number() "
+        "OVER (ORDER BY n_tris DESC, node) AS rn FROM pern) WHERE rn <= 20) "
+        "SELECT node, n_tris FROM tot UNION ALL SELECT node, n_tris FROM top"
     ),
     "ml_auc_ovr": (
         f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "

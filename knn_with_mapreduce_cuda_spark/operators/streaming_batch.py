@@ -159,6 +159,46 @@ def _q_resample_locf(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (signup → click → purchase): per user, the
+    earliest signup, the earliest click AFTER that signup, the earliest
+    purchase after that click — the product-analytics sequence query.
+    One shuffle on user_id; each stage is a conditional min over the
+    user's partition (no self-joins, no explosion). Output: per-step
+    reached-user counts."""
+    ev = tables.table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == FUNNEL_STEPS[0], col("ts_us"))).alias("t1")
+    )
+    ev2 = ev.join(per_user, "user_id")
+    step2 = ev2.groupBy("user_id", "t1").agg(
+        F.min(
+            F.when(
+                (col("event_type") == FUNNEL_STEPS[1]) & (col("ts_us") > col("t1")),
+                col("ts_us"),
+            )
+        ).alias("t2")
+    )
+    ev3 = ev.join(step2, "user_id")
+    step3 = ev3.groupBy("user_id", "t1", "t2").agg(
+        F.min(
+            F.when(
+                (col("event_type") == FUNNEL_STEPS[2]) & (col("ts_us") > col("t2")),
+                col("ts_us"),
+            )
+        ).alias("t3")
+    )
+    return step3.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("reached_signup"),
+        F.count("t2").alias("reached_click"),
+        F.count("t3").alias("reached_purchase"),
+    )
+
+
 def _q_dedup_watermark(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
@@ -233,6 +273,7 @@ QUERIES = {
     "str_window_session": _q_window_session,
     "str_session_stats": _q_session_stats,
     "ts_resample_locf": _q_resample_locf,
+    "rel_funnel_3step": _q_funnel,
     "str_dedup_watermark": _q_dedup_watermark,
     "str_late_data": _q_late_data,
     "str_join_stream_static": _q_join_stream_static,
@@ -302,6 +343,23 @@ ORACLE = {
         "ORDER BY hour_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
         "AS locf_cents, "
         "CAST(val_cents IS NULL AS INTEGER) AS is_gap FROM j"
+    ),
+    "rel_funnel_3step": (
+        f"WITH {_EV}, "
+        "s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' "
+        "THEN ts_us END) AS t1 FROM ev GROUP BY user_id), "
+        "s2 AS (SELECT ev.user_id, s1.t1, min(CASE WHEN event_type = 'click' "
+        "AND ts_us > s1.t1 THEN ts_us END) AS t2 "
+        "FROM ev JOIN s1 ON s1.user_id = ev.user_id GROUP BY ev.user_id, s1.t1), "
+        "s3 AS (SELECT ev.user_id, s2.t1, s2.t2, "
+        "min(CASE WHEN event_type = 'purchase' AND ts_us > s2.t2 "
+        "THEN ts_us END) AS t3 "
+        "FROM ev JOIN s2 ON s2.user_id = ev.user_id "
+        "GROUP BY ev.user_id, s2.t1, s2.t2) "
+        "SELECT count(*) AS n_users, "
+        "CAST(count(t1) AS BIGINT) AS reached_signup, "
+        "CAST(count(t2) AS BIGINT) AS reached_click, "
+        "CAST(count(t3) AS BIGINT) AS reached_purchase FROM s3"
     ),
     "str_dedup_watermark": (
         f"WITH {_EV} SELECT user_id, event_type, hour_us, event_id FROM ("
