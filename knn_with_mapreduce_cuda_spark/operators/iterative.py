@@ -325,6 +325,27 @@ def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised corpus exploration end-to-end: k-means clusters over
+    the embeddings (ml_kmeans_lloyd) joined to the aligned documents,
+    then the top-5 tokens per cluster — "what is each embedding cluster
+    about". Composes the iterative tier with the text tier in one
+    declarative plan; the per-cluster top-k is a window group-limit."""
+    assign = _q_kmeans(spark, sf_dir)  # (vec_id, cluster)
+    docs = tables.table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    joined = toks.join(assign, toks.doc_id == assign.vec_id)
+    counts = joined.groupBy("cluster", "tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), "tok")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("cluster", "tok", "cnt", col("rn").cast("long").alias("rn"))
+    )
+
+
 QUERIES = {
     "ml_kmeans_lloyd": _q_kmeans,
     "graph_components_dedup": _q_components,
@@ -332,6 +353,7 @@ QUERIES = {
     "graph_pagerank": _q_pagerank,
     "ml_pca_power": _q_pca_power,
     "ml_dbscan": _q_dbscan,
+    "llm_cluster_topics": _q_cluster_topics,
 }
 
 
@@ -463,5 +485,16 @@ ORACLE = {
         "FROM emb LEFT JOIN cnts ON cnts.qid = emb.vec_id "
         "LEFT JOIN comp ON comp.id = emb.vec_id "
         "LEFT JOIN border ON border.id = emb.vec_id"
+    ),
+    "llm_cluster_topics": (
+        f"WITH asg AS ({_KMEANS_SQL}), "
+        "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "j AS (SELECT asg.cluster, tk.tok FROM tk "
+        "JOIN asg ON asg.vec_id = tk.doc_id), "
+        "c AS (SELECT cluster, tok, count(*) AS cnt FROM j GROUP BY cluster, tok), "
+        "r AS (SELECT cluster, tok, cnt, row_number() OVER "
+        "(PARTITION BY cluster ORDER BY cnt DESC, tok) AS rn FROM c) "
+        "SELECT cluster, tok, cnt, rn FROM r WHERE rn <= 5"
     ),
 }

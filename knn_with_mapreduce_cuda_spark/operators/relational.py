@@ -137,6 +137,44 @@ def _q_join_asof(spark, sf_dir):
     )
 
 
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+def _q_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance bound (pandas merge_asof semantics):
+    each purchase matches its latest preceding click only if it happened
+    within the last hour — stale matches become nulls instead of joining
+    arbitrarily far back. The band predicate ALSO shrinks the join's
+    candidate set, which at 100 TB is the difference between a bounded
+    range join and an unbounded backward scan per row."""
+    ev = tables.table(spark, sf_dir, "events")
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"),
+        col("user_id").alias("p_user"),
+        col("ts_us").alias("p_ts"),
+    )
+    c = ev.filter(col("event_type") == "click").select(
+        col("event_id").alias("c_id"),
+        col("user_id").alias("c_user"),
+        col("ts_us").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (col("p_user") == col("c_user"))
+        & (col("c_ts") <= col("p_ts"))
+        & (col("c_ts") > col("p_ts") - ASOF_TOLERANCE_US),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.desc_nulls_last("c_ts"), F.desc_nulls_last("c_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("p_id", "c_id", (col("p_ts") - col("c_ts")).alias("gap_us"))
+    )
+
+
 def _q_agg_hash(spark, sf_dir):
     li = tables.table(spark, sf_dir, "lineitem")
     disc_price = col("l_extendedprice") * (1 - col("l_discount"))
@@ -1112,6 +1150,7 @@ QUERIES = {
     "rel_lateral_view": _q_lateral_view,
     "rel_values_inline": _q_values_inline,
     "rel_fn_higher_order2": _q_fn_higher_order2,
+    "rel_join_asof_tolerance": _q_join_asof_tolerance,
 }
 
 
@@ -1174,6 +1213,18 @@ ORACLE = {
         "j AS (SELECT p.p_id, c.c_id, p.p_ts, c.c_ts, row_number() OVER ("
         "PARTITION BY p.p_id ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn "
         "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts) "
+        "SELECT p_id, c_id, p_ts - c_ts AS gap_us FROM j WHERE rn = 1"
+    ),
+    "rel_join_asof_tolerance": (
+        f"WITH {_EV}, "
+        "p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM ev "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
+        "WHERE event_type = 'click'), "
+        "j AS (SELECT p.p_id, c.c_id, p.p_ts, c.c_ts, row_number() OVER ("
+        "PARTITION BY p.p_id ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn "
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts "
+        f"AND c.c_ts > p.p_ts - {ASOF_TOLERANCE_US}) "
         "SELECT p_id, c_id, p_ts - c_ts AS gap_us FROM j WHERE rn = 1"
     ),
     "rel_agg_hash": (
