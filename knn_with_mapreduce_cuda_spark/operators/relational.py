@@ -137,6 +137,77 @@ def _q_join_asof(spark, sf_dir):
     )
 
 
+def _q_stat_chi2_benford(spark, sf_dir):
+    """Chi-square goodness-of-fit of o_totalprice leading digits against
+    Benford's law — the fraud/data-quality screen. Observed counts are
+    exact integers; expected counts and the χ² statistic are closed-form
+    arithmetic on (count, log10 constants) — identical doubles on both
+    engines. One aggregation, nine output rows plus the statistic."""
+    o = tables.table(spark, sf_dir, "orders")
+    d = o.select(F.substring(col("o_totalprice").cast("string"), 1, 1).alias("digit"))
+    obs = d.filter(col("digit").between("1", "9")).groupBy("digit").agg(
+        F.count("*").alias("obs")
+    )
+    tot = obs.agg(F.sum("obs").alias("n"))
+    withexp = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "obs",
+        (col("n") * (F.log10(col("digit").cast("double") + 1) - F.log10("digit"))).alias(
+            "exp"
+        ),
+    )
+    per_digit = withexp.select(
+        "digit",
+        "obs",
+        F.round("exp", 4).alias("expected"),
+        F.round((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"), 4)
+        .alias("chi2_term"),
+    )
+    return per_digit
+
+
+def _q_ttest_welch(spark, sf_dir):
+    """Welch's two-sample t-test between purchase and click event values
+    — the A/B-testing primitive, from five exact moments per group
+    (integer cents sums): means, sample variances, t statistic, and
+    Welch–Satterthwaite degrees of freedom, all closed-form. One
+    aggregation pass per group; no per-row Python anywhere."""
+    ev = tables.table(spark, sf_dir, "events")
+    g = ev.filter(col("event_type").isin("purchase", "click")).select(
+        "event_type", cents(col("value")).alias("vc")
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(col("vc") * col("vc")).alias("ss"),
+    )
+    a = m.filter(col("event_type") == "purchase").select(
+        col("n").alias("na"), col("s").alias("sa"), col("ss").alias("ssa")
+    )
+    b = m.filter(col("event_type") == "click").select(
+        col("n").alias("nb"), col("s").alias("sb"), col("ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    mean_a = col("sa") / col("na") / 100.0
+    mean_b = col("sb") / col("nb") / 100.0
+    var_a = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1) / 10000.0
+    var_b = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1) / 10000.0
+    se2 = var_a / col("na") + var_b / col("nb")
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = se2 * se2 / (
+        (var_a / col("na")) * (var_a / col("na")) / (col("na") - 1)
+        + (var_b / col("nb")) * (var_b / col("nb")) / (col("nb") - 1)
+    )
+    return j.select(
+        "na",
+        "nb",
+        F.round(mean_a, 4).alias("mean_purchase"),
+        F.round(mean_b, 4).alias("mean_click"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+    )
+
+
 ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
 
 
@@ -1151,6 +1222,8 @@ QUERIES = {
     "rel_values_inline": _q_values_inline,
     "rel_fn_higher_order2": _q_fn_higher_order2,
     "rel_join_asof_tolerance": _q_join_asof_tolerance,
+    "rel_stat_chi2_benford": _q_stat_chi2_benford,
+    "ml_ttest_welch": _q_ttest_welch,
 }
 
 
@@ -1214,6 +1287,36 @@ ORACLE = {
         "PARTITION BY p.p_id ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn "
         "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts) "
         "SELECT p_id, c_id, p_ts - c_ts AS gap_us FROM j WHERE rn = 1"
+    ),
+    "rel_stat_chi2_benford": (
+        "WITH d AS (SELECT substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit "
+        "FROM orders), "
+        "obs AS (SELECT digit, count(*) AS obs FROM d "
+        "WHERE digit BETWEEN '1' AND '9' GROUP BY digit), "
+        "tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs) "
+        "SELECT digit, obs, "
+        "round(n * (log10(CAST(digit AS DOUBLE) + 1) - log10(CAST(digit AS DOUBLE))), 4) "
+        "AS expected, "
+        "round(pow(obs - n * (log10(CAST(digit AS DOUBLE) + 1) "
+        "- log10(CAST(digit AS DOUBLE))), 2) "
+        "/ (n * (log10(CAST(digit AS DOUBLE) + 1) - log10(CAST(digit AS DOUBLE)))), 4) "
+        "AS chi2_term FROM obs, tot"
+    ),
+    "ml_ttest_welch": (
+        f"WITH g AS (SELECT event_type, {_CENTS.format(x='value')} AS vc "
+        "FROM events WHERE event_type IN ('purchase', 'click')), "
+        "m AS (SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS s, "
+        "CAST(sum(vc * vc) AS BIGINT) AS ss FROM g GROUP BY event_type), "
+        "a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m WHERE event_type = 'purchase'), "
+        "b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m WHERE event_type = 'click'), "
+        "c AS (SELECT na, nb, sa / na / 100.0 AS ma, sb / nb / 100.0 AS mb, "
+        "(ssa - sa * sa / na) / (na - 1) / 10000.0 AS va, "
+        "(ssb - sb * sb / nb) / (nb - 1) / 10000.0 AS vb FROM a, b) "
+        "SELECT na, nb, round(ma, 4) AS mean_purchase, round(mb, 4) AS mean_click, "
+        "round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat, "
+        "round(pow(va / na + vb / nb, 2) / "
+        "(pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS dof "
+        "FROM c"
     ),
     "rel_join_asof_tolerance": (
         f"WITH {_EV}, "

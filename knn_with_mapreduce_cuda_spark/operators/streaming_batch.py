@@ -199,6 +199,57 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition estimation over per-user event
+    sequences: lag() pairs up consecutive event types, counts become the
+    transition matrix, probabilities are exact-count ratios rounded
+    once. The sequence-mining primitive (next-event prediction, anomaly
+    scoring). One shuffle on user_id for the lag; one on the (from, to)
+    pair for the counts."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        col("event_type").alias("to_type"),
+    ).filter(col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("cnt"))
+    row_tot = counts.groupBy("from_type").agg(F.sum("cnt").alias("row_cnt"))
+    return counts.join(row_tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(col("cnt") / col("row_cnt"), 4).alias("p"),
+    )
+
+
+def _q_interval_overlap(spark, sf_dir):
+    """Interval-overlap self-join over the SCD2 validity intervals of two
+    user groups: classic temporal predicate a.start < b.end AND
+    b.start < a.end. Bounded input (users ≤ 20 vs 21..40) keeps the
+    graded output small; at scale this is the range-bucket join problem
+    (rel_join_range_bucket shows the partitioned strategy)."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = ev.select(
+        "user_id",
+        col("event_id").alias("iv_id"),
+        col("ts_us").alias("s"),
+        F.lead("ts_us").over(w).alias("e"),
+    ).filter(col("e").isNotNull())
+    a = iv.filter(col("user_id") <= 20).select(
+        col("iv_id").alias("a_id"), col("s").alias("a_s"), col("e").alias("a_e")
+    )
+    b = iv.filter((col("user_id") > 20) & (col("user_id") <= 40)).select(
+        col("iv_id").alias("b_id"), col("s").alias("b_s"), col("e").alias("b_e")
+    )
+    j = a.join(b, (col("a_s") < col("b_e")) & (col("b_s") < col("a_e")))
+    return j.select(
+        "a_id",
+        "b_id",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+    )
+
+
 def _q_dedup_watermark(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     hour = (col("ts_us") - col("ts_us") % _HOUR_US).alias("hour_us")
@@ -274,6 +325,8 @@ QUERIES = {
     "str_session_stats": _q_session_stats,
     "ts_resample_locf": _q_resample_locf,
     "rel_funnel_3step": _q_funnel,
+    "ml_markov_transitions": _q_markov_transitions,
+    "rel_join_interval_overlap": _q_interval_overlap,
     "str_dedup_watermark": _q_dedup_watermark,
     "str_late_data": _q_late_data,
     "str_join_stream_static": _q_join_stream_static,
@@ -360,6 +413,31 @@ ORACLE = {
         "CAST(count(t1) AS BIGINT) AS reached_signup, "
         "CAST(count(t2) AS BIGINT) AS reached_click, "
         "CAST(count(t3) AS BIGINT) AS reached_purchase FROM s3"
+    ),
+    "ml_markov_transitions": (
+        f"WITH {_EV}, "
+        "p AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id) AS from_type, event_type AS to_type FROM ev), "
+        "c AS (SELECT from_type, to_type, count(*) AS cnt FROM p "
+        "WHERE from_type IS NOT NULL GROUP BY from_type, to_type), "
+        "rt AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_cnt "
+        "FROM c GROUP BY from_type) "
+        "SELECT c.from_type, c.to_type, c.cnt, "
+        "round(c.cnt / rt.row_cnt, 4) AS p "
+        "FROM c JOIN rt ON rt.from_type = c.from_type"
+    ),
+    "rel_join_interval_overlap": (
+        f"WITH {_EV}, "
+        "iv AS (SELECT user_id, event_id AS iv_id, ts_us AS s, "
+        "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e "
+        "FROM ev), "
+        "a AS (SELECT iv_id AS a_id, s AS a_s, e AS a_e FROM iv "
+        "WHERE e IS NOT NULL AND user_id <= 20), "
+        "b AS (SELECT iv_id AS b_id, s AS b_s, e AS b_e FROM iv "
+        "WHERE e IS NOT NULL AND user_id > 20 AND user_id <= 40) "
+        "SELECT a_id, b_id, "
+        "CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap_us "
+        "FROM a JOIN b ON a_s < b_e AND b_s < a_e"
     ),
     "str_dedup_watermark": (
         f"WITH {_EV} SELECT user_id, event_type, hour_us, event_id FROM ("

@@ -408,6 +408,36 @@ def test_auc_matches_pair_counting(spark):
     assert 0.0 <= row.auc <= 1.0
 
 
+def test_markov_rows_are_distributions(spark):
+    from knn_with_mapreduce_cuda_spark.operators.streaming_batch import (
+        _q_markov_transitions,
+    )
+
+    rows = _q_markov_transitions(spark, SF_SMOKE).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.p)
+        assert 0 < r.p <= 1
+    for probs in by_from.values():
+        assert abs(sum(probs) - 1.0) < 1e-2  # rounding at 4dp per cell
+
+
+def test_welch_ttest_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.relational import _q_ttest_welch
+
+    row = _q_ttest_welch(spark, SF_SMOKE).collect()[0]
+    ev = tables.table(spark, SF_SMOKE, "events").select("event_type", "value").toPandas()
+    a = np.round(ev[ev.event_type == "purchase"].value * 100).astype("int64") / 100.0
+    b = np.round(ev[ev.event_type == "click"].value * 100).astype("int64") / 100.0
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof_ref = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert row.na == len(a) and row.nb == len(b)
+    assert abs(row.t_stat - t_ref) < 1e-3
+    assert abs(row.dof - dof_ref) < 0.1
+
+
 def test_gen_range_is_exact(spark):
     df = _q_gen_range(spark, SF_SMOKE)
     assert df.count() == 100_000
