@@ -797,6 +797,62 @@ def _q_search_bm25(spark, sf_dir):
     )
 
 
+def _q_split_stratified(spark, sf_dir):
+    """Deterministic stratified train/val/test split (≈80/10/10 within
+    each language) by md5 bucket — the dataset-versioning primitive:
+    reproducible across engines, runs, and cluster sizes; adding data
+    never reshuffles existing assignments (consistent hashing). Map-only
+    at any scale."""
+    docs = tables.table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", lit("train"))
+        .when(bucket < "e6", lit("val"))
+        .otherwise(lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+PACK_CAPACITY = 512
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing — the LLM-pretraining batch-prep op: documents
+    are packed in doc_id order into fixed-capacity token bins per
+    language (streaming/contiguous packing: bin = floor(cum_tokens_before
+    / capacity)). Output: per doc its bin, offset within the packed
+    stream, and whether it straddles a bin boundary. One window cumsum
+    per language partition — deterministic, shuffle-once, and exactly the
+    layout a downstream tokenizer-consumer job would read."""
+    t = _tokens(spark, sf_dir).select(
+        "doc_id", "lang", F.size("ts").cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), lit(0)).alias("off_tok"),
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "off_tok",
+        F.floor(col("off_tok") / PACK_CAPACITY).cast("long").alias("bin_id"),
+        (
+            F.floor(col("off_tok") / PACK_CAPACITY)
+            != F.floor((col("off_tok") + col("n_tok") - 1) / PACK_CAPACITY)
+        )
+        .cast("int")
+        .alias("straddles"),
+    )
+
+
 def _q_lang_partition(spark, sf_dir):
     docs = tables.table(spark, sf_dir, "documents")
     return docs.filter(col("lang") == "en").repartition("lang").select(
@@ -864,6 +920,8 @@ QUERIES = {
     "llm_pii_redact": _q_pii_redact,
     "llm_normalize_text": _q_normalize_text,
     "llm_search_bm25": _q_search_bm25,
+    "llm_split_stratified": _q_split_stratified,
+    "llm_pack_sequences": _q_pack_sequences,
     "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
@@ -1146,6 +1204,25 @@ ORACLE = {
         "r AS (SELECT doc_id, score_q, row_number() OVER "
         "(ORDER BY score_q DESC, doc_id) AS rank FROM total) "
         "SELECT doc_id, score_q, rank FROM r WHERE rank <= 10"
+    ),
+    "llm_split_stratified": (
+        "SELECT doc_id, lang, "
+        "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    ),
+    "llm_pack_sequences": (
+        f"WITH {_TOKS}, "
+        "t AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok FROM toks), "
+        "c AS (SELECT doc_id, lang, n_tok, "
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off_tok "
+        "FROM t) "
+        "SELECT doc_id, lang, n_tok, off_tok, "
+        f"CAST(floor(off_tok / {PACK_CAPACITY}) AS BIGINT) AS bin_id, "
+        f"CAST(floor(off_tok / {PACK_CAPACITY}) <> "
+        f"floor((off_tok + n_tok - 1) / {PACK_CAPACITY}) AS INTEGER) AS straddles "
+        "FROM c"
     ),
     "ml_naive_bayes": (
         "WITH toks AS (SELECT doc_id, lang AS true_lang, "
