@@ -1,0 +1,735 @@
+"""T6 — event/corpus analytics: gaps-and-islands, retention cohorts,
+rolling actives, autocorrelation, EWMA, KS test, bloom-prefiltered join,
+kNN-graph link prediction, decision stump, Zipf slope, vocabulary
+coverage, temperature-based mixture weights, mutual information.
+
+Parity note (SURVEY.md §0/§2): the reference repo class has no analytics
+layer — this tier is engine surface mandated by the north star
+(BASELINE.json "design every operator for 100 TB scale"), graded like
+every other §2 row via the DuckDB oracle.
+
+Determinism conventions (SURVEY.md §7.2) used throughout: every floating
+aggregate is either (a) derived from exact integer sums (counts, cents,
+dyadic EWMA weights) with the final double arithmetic written as an
+identical expression tree on both engines, or (b) quantized to integer
+micro/nano units before summation so the result is independent of
+partitioning and accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from .. import tables
+from .relational import _CENTS, cents
+
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+
+# Shared CTE: events with day/hour indexes (µs epoch // width). The duck
+# side reads ts natively (ns) and truncates to µs via epoch_us, matching
+# the Spark loader's `ts div 1000` (tables.py).
+_EVD = (
+    "evd AS (SELECT user_id, event_id, event_type, value, "
+    "epoch_us(ts) // 86400000000 AS day, epoch_us(ts) // 3600000000 AS h "
+    "FROM events)"
+)
+
+
+def _event_days(spark, sf_dir) -> DataFrame:
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.select("user_id", F.expr("ts_us div 86400000000").alias("day"))
+
+
+def _hourly_series(spark, sf_dir) -> DataFrame:
+    """Zero-filled hourly event-count series (the resample spine).
+
+    Scale: groupBy(h) is one shuffle on the hour key; the spine is
+    generated from the 1-row min/max aggregate with ``sequence`` — no
+    driver loop, and series length is hours-of-history, not rows.
+    """
+    ev = tables.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.expr("ts_us div 3600000000").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    spine = (
+        hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(F.explode(F.sequence(col("mn"), col("mx"))).alias("h"))
+    )
+    return spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(col("c"), lit(0).cast("long")).alias("c")
+    )
+
+
+_HOURLY_SQL = (
+    "hourly AS (SELECT h, count(*) AS c FROM evd GROUP BY h), "
+    "bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly), "
+    "spine AS (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds), "
+    "s AS (SELECT spine.h, COALESCE(hourly.c, 0) AS c "
+    "FROM spine LEFT JOIN hourly ON spine.h = hourly.h)"
+)
+
+
+# ---------------------------------------------------------------- operators
+
+
+def gaps_islands(days: DataFrame) -> DataFrame:
+    """Consecutive-day activity islands per user (gaps-and-islands).
+
+    island key = day − row_number() — constant within a run of
+    consecutive days. Scale: one shuffle on user_id shared by the window
+    and the final aggregate (same partitioning, no second exchange).
+    """
+    ud = days.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.withColumn("grp", col("day") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
+
+
+def _q_gaps_islands(spark, sf_dir):
+    return gaps_islands(_event_days(spark, sf_dir))
+
+
+def retention_cohort(days: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted at each day offset they return. The groupBy(user) cohort
+    assignment and the join both shuffle on user_id once; the final
+    (cohort, offset) aggregate is tiny (days² cells max)."""
+    ud = days.distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .select("cohort_day", (col("day") - col("cohort_day")).alias("day_offset"), "user_id")
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _q_retention_cohort(spark, sf_dir):
+    return retention_cohort(_event_days(spark, sf_dir))
+
+
+def rolling_active_users(days: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct actives per day (the WAU curve).
+
+    Distinct-over-a-sliding-window has no partial aggregate, so instead
+    each (user, day) emits the ≤N future days it keeps the user active
+    for — a bounded N× expansion — and the count becomes a plain
+    per-day distinct. At 100 TB this is a fixed fan-out map + one
+    aggregate, versus a range self-join that rescans the fact table."""
+    ud = days.distinct()
+    mx = ud.agg(F.max("day").alias("mx"))
+    ex = ud.select(
+        "user_id",
+        F.explode(F.sequence(col("day"), col("day") + lit(window_days - 1))).alias("d"),
+    )
+    return (
+        ex.join(F.broadcast(mx), col("d") <= col("mx"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("actives_7d"))
+    )
+
+
+def _q_rolling_active(spark, sf_dir):
+    return rolling_active_users(_event_days(spark, sf_dir))
+
+
+def autocorr(series: DataFrame, max_lag: int = 24) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of an (h, c) integer series.
+
+    r_k is expanded so every aggregate is an exact integer sum
+    (Σc_t·c_{t−k}, Σc_t, Σc_{t−k}, counts); the mean enters only in the
+    final double expression, written identically on both engines.
+    Scale: the lag join is equi on the hour index after a bounded
+    max_lag× fan-out of the (tiny) series, not a self-cross."""
+    spark = series.sparkSession
+    ks = spark.range(1, max_lag + 1).select(col("id").alias("k"))
+    a = series.select(col("h").alias("ht"), col("c").alias("ct"))
+    b = series.select(col("h").alias("hl"), col("c").alias("cl"))
+    pairs = a.crossJoin(F.broadcast(ks)).join(b, col("ht") - col("k") == col("hl"))
+    lagagg = pairs.groupBy("k").agg(
+        F.count("*").alias("nk"),
+        F.sum(col("ct") * col("cl")).alias("p"),
+        F.sum("ct").alias("ak"),
+        F.sum("cl").alias("bk"),
+    )
+    g = series.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(col("c") * col("c")).alias("ss"),
+    )
+    return (
+        lagagg.crossJoin(F.broadcast(g))
+        .withColumn("m", F.expr("s1 / n"))
+        .select(
+            col("k"),
+            col("nk").alias("n_pairs"),
+            F.expr("round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4)").alias(
+                "acf"
+            ),
+        )
+    )
+
+
+def _q_autocorr(spark, sf_dir):
+    return autocorr(_hourly_series(spark, sf_dir))
+
+
+def ewma(series: DataFrame, terms: int = 20) -> DataFrame:
+    """EWMA (α=1/2) of an integer series, truncated to `terms` terms.
+
+    Weight of lag j is 2^−(j+1); scaling by 2^20 makes every term an
+    exact integer (count × power of two), so the windowed sum is exact
+    under any accumulation order — the float appears only in the final
+    division. Truncation error < 2^−20·max(c): invisible at round(4).
+    Scale: bounded terms× fan-out + equi-join on the hour index."""
+    spark = series.sparkSession
+    ks = spark.range(0, terms).select(col("id").alias("j"))
+    t = series.select(col("h").alias("ht"), col("c").alias("ct"))
+    s = series.select(col("h").alias("hj"), col("c").alias("cj"))
+    contrib = (
+        t.crossJoin(F.broadcast(ks))
+        .join(s, col("ht") - col("j") == col("hj"))
+        .select(
+            "ht",
+            "ct",
+            (col("cj") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(19 - j AS INT))")).alias(
+                "w"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("ht", "ct")
+        .agg(F.sum("w").alias("scaled"))
+        .select(
+            col("ht").alias("h"),
+            col("ct").alias("c"),
+            F.expr("round(scaled / CAST(1048576 AS DOUBLE), 4)").alias("ewma"),
+        )
+    )
+
+
+def _q_ewma(spark, sf_dir):
+    return ewma(_hourly_series(spark, sf_dir))
+
+
+def ks_two_sample(values: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D over (vc, grp∈{1,2}) integer
+    values. D·n1·n2 = max|cum1·n2 − cum2·n1| is exact integer; the
+    statistic floats only in the last division. One shuffle to group by
+    value, one ordered window over the (distinct-value-sized) result."""
+    per = values.groupBy("vc").agg(
+        F.sum(F.when(col("grp") == 1, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(col("grp") == 2, 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    g = values.agg(
+        F.sum(F.when(col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(g))
+        .select("n1", "n2", F.abs(col("ca") * col("n2") - col("cb") * col("n1")).alias("ds"))
+        .groupBy("n1", "n2")
+        .agg(F.max("ds").alias("d_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.expr("round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4)").alias("d_stat"),
+        )
+    )
+
+
+def _q_ks_test(spark, sf_dir):
+    ev = tables.table(spark, sf_dir, "events").filter(
+        col("event_type").isin("purchase", "view")
+    )
+    vals = ev.select(
+        cents(col("value")).alias("vc"),
+        F.when(col("event_type") == "purchase", 1).otherwise(2).alias("grp"),
+    )
+    return ks_two_sample(vals)
+
+
+_REV = "(l.l_extendedprice * (1 - l.l_discount))"
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key,
+    dim_keys: DataFrame,
+    seeds=(1, 2),
+    m_words: int = 1024,
+) -> DataFrame:
+    """Declarative Bloom filter prefilter: for each seed, hash the dim
+    keys into a (word, bitmask) table via ``xxhash64`` + ``bit_or`` —
+    m_words rows regardless of dim size — broadcast it, and keep only
+    fact rows whose bit is set. No UDF, no driver collect; no false
+    negatives, so an exact join downstream restores exact semantics.
+
+    Scale: this is the runtime filter a 100 TB fact⋈filtered-dim join
+    wants — the fact side sheds non-matching rows BEFORE its shuffle,
+    at the cost of broadcasting KBs of bitmask instead of the full key
+    set a semi-join would ship. Two seeds ⟹ FPR ≈ (fill ratio)²."""
+    out = fact
+    for s in seeds:
+        tbl = (
+            dim_keys.select(
+                F.pmod(F.xxhash64(col("k"), lit(s)), lit(m_words)).alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(xxhash64(k, {s + 100}), 64) AS INT))"
+                ).alias("m"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(m)").alias("mask"))
+        )
+        out = (
+            out.withColumn("__w", F.pmod(F.xxhash64(fact_key, lit(s)), lit(m_words)))
+            .withColumn(
+                "__b", F.pmod(F.xxhash64(fact_key, lit(s + 100)), lit(64)).cast("int")
+            )
+            .join(F.broadcast(tbl), col("__w") == col("word"))
+            .filter(F.expr("(shiftright(mask, __b) & CAST(1 AS BIGINT)) = 1"))
+            .drop("__w", "__b", "word", "mask")
+        )
+    return out
+
+
+def _q_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered fact⋈dim join. The exact join downstream makes
+    the result identical to the plain join — which is the oracle, so the
+    grade proves the prefilter is lossless."""
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        col("o_orderpriority") == "1-URGENT"
+    )
+    li = tables.table(spark, sf_dir, "lineitem")
+    pruned = bloom_prefilter(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey"),
+        orders.select(col("o_orderkey").alias("k")),
+    )
+    return (
+        pruned.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .groupBy(col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+                "rev_cents"
+            ),
+        )
+    )
+
+
+def linkpred_jaccard(edges: DataFrame, top_n: int = 20) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected edge
+    list (a < b): score non-adjacent pairs that share neighbors.
+
+    Candidates come from the shared-neighbor equi-join (fan-out bounded
+    by degree², never all-pairs), existing edges drop via left_anti, and
+    the Jaccard denominator uses exact integer degrees. Scale: both
+    joins shuffle on node keys; the global top-n sort runs on the
+    candidate set, which the anti-join already pruned."""
+    sym = edges.union(edges.select(col("b").alias("a"), col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    e1 = sym.select(col("a").alias("x"), col("b").alias("c"))
+    e2 = sym.select(col("a").alias("y"), col("b").alias("c"))
+    cand = (
+        e1.join(e2, "c")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"))
+        .join(edges, (col("x") == col("a")) & (col("y") == col("b")), "left_anti")
+    )
+    scored = (
+        cand.join(deg.select(col("a").alias("x"), col("deg").alias("dx")), "x")
+        .join(deg.select(col("a").alias("y"), col("deg").alias("dy")), "y")
+        .withColumn("jac", F.expr("cn / (dx + dy - cn)"))
+    )
+    return (
+        scored.orderBy(F.desc("jac"), "x", "y")
+        .limit(top_n)
+        .select("x", "y", col("cn").alias("common_neighbors"), F.round("jac", 4).alias("jaccard"))
+    )
+
+
+def _q_linkpred(spark, sf_dir):
+    from .knn import _q_mutual
+
+    return linkpred_jaccard(_q_mutual(spark, sf_dir))
+
+
+def decision_stump(pts: DataFrame) -> DataFrame:
+    """Best single-threshold classifier on (x, y∈{0,1}): scan every
+    observed split point with cumulative integer counts, evaluate both
+    polarities, keep the most accurate (ties → smaller threshold,
+    positive-left polarity). One sort-shuffle over distinct feature
+    values; all candidate accuracies are exact integers."""
+    per = pts.groupBy("x").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select("x", F.sum("n").over(w).alias("cn"), F.sum("pos").over(w).alias("cp"))
+    g = pts.agg(F.count("*").alias("nn"), F.sum("y").alias("p"))
+    scored = cum.crossJoin(F.broadcast(g)).select(
+        "x",
+        "nn",
+        F.expr("nn - p + 2 * cp - cn").alias("acc_pos_left"),
+        F.expr("cn + p - 2 * cp").alias("acc_neg_left"),
+    )
+    best = scored.select(
+        "x",
+        "nn",
+        F.greatest("acc_pos_left", "acc_neg_left").alias("correct"),
+        F.when(col("acc_pos_left") >= col("acc_neg_left"), 1).otherwise(0).alias("pos_left"),
+    )
+    return (
+        best.orderBy(F.desc("correct"), "x")
+        .limit(1)
+        .select(
+            F.round("x", 4).alias("threshold"),
+            "pos_left",
+            "correct",
+            F.expr("round(CAST(correct AS DOUBLE) / nn, 4)").alias("accuracy"),
+            col("nn").alias("n"),
+        )
+    )
+
+
+def _q_decision_stump(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("x"), (col("label") >= 5).cast("long").alias("y")
+    )
+    return decision_stump(pts)
+
+
+_TOKS = (
+    "toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok)"
+)
+
+
+def _token_freq(spark, sf_dir) -> DataFrame:
+    docs = tables.table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf slope of the corpus: OLS fit of ln(freq) on ln(rank) over the
+    top-100 tokens. Logs are quantized to integer micro-units before the
+    moment sums, so the regression inputs are exact integers; the slope
+    divides two bigints in one final double op. Scale: token counting is
+    the only large aggregate — the fit runs on 100 rows."""
+    freq = _token_freq(spark, sf_dir)
+    w = Window.orderBy(F.desc("f"), "tok")
+    top = freq.withColumn("r", F.row_number().over(w)).filter(col("r") <= 100)
+    q = top.select(
+        F.expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("xi"),
+        F.expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("yi"),
+    )
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(col("xi") * col("yi")).alias("sxy"),
+        F.sum(col("xi") * col("xi")).alias("sxx"),
+    )
+    return m.select(
+        col("n").alias("n_top"),
+        F.expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)").alias("slope"),
+        F.expr(
+            "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / (n * 1000000.0), 4)"
+        ).alias("intercept_ln"),
+    )
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Smallest frequency-ranked vocabulary covering 50/90/99% of corpus
+    tokens — the BPE-vocab sizing curve. Cumulative share is exact
+    (integer cumsum × integer total, cross-multiplied); one ordered
+    window over the vocabulary, thresholds fan out 3×."""
+    freq = _token_freq(spark, sf_dir)
+    w = Window.orderBy(F.desc("f"), "tok")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        F.row_number().over(w).alias("r"), F.sum("f").over(wc).alias("cum")
+    )
+    tot = freq.agg(F.sum("f").alias("t"))
+    thr = freq.sparkSession.range(0, 3).select(
+        F.element_at(F.array(lit(50), lit(90), lit(99)), (col("id") + 1).cast("int")).alias(
+            "threshold_pct"
+        )
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr))
+        .filter(col("cum") * 100 >= col("threshold_pct") * col("t"))
+        .groupBy("threshold_pct")
+        .agg(F.min("r").alias("vocab_size"))
+    )
+    return hit.join(ranked.withColumnRenamed("r", "vocab_size"), "vocab_size").select(
+        "threshold_pct", "vocab_size", col("cum").alias("covered_tokens")
+    )
+
+
+def _q_mix_temperature(spark, sf_dir):
+    """Temperature-rebalanced language mixture weights (T=2 ⟹ share^0.5,
+    the multilingual-pretraining sampling scheme): upweights tail
+    languages relative to raw frequency. Weights quantize to integer
+    micro-units before normalization so the 5-way sum is exact."""
+    docs = tables.table(spark, sf_dir, "documents")
+    byl = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = docs.agg(F.count("*").alias("nn"))
+    q = byl.crossJoin(F.broadcast(tot)).withColumn(
+        "wi", F.expr("CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT)")
+    )
+    sw = q.agg(F.sum("wi").alias("sw"))
+    return (
+        q.crossJoin(F.broadcast(sw))
+        .select(
+            "lang",
+            col("n").alias("n_docs"),
+            F.expr("round(n / nn, 4)").alias("share_raw"),
+            F.expr("round(wi / sw, 4)").alias("share_temp"),
+        )
+    )
+
+
+def _q_mi_lang_source(spark, sf_dir):
+    """Mutual information (nats) between documents.lang and source, plus
+    the marginal entropies — the redundancy check a corpus-mixing
+    pipeline runs on its metadata. Each p·ln(p…) term is quantized to
+    integer nano-nats before summation (≤100 cells ⟹ quantization error
+    < 5e-8, invisible at round(4))."""
+    docs = tables.table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("nls"))
+    nl = docs.groupBy("lang").agg(F.count("*").alias("nl"))
+    ns = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    tot = docs.agg(F.count("*").alias("nn"))
+    terms = (
+        cells.join(nl, "lang")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
+                "(CAST(nl AS DOUBLE) * ns)) * 1000000000, 0) AS BIGINT)"
+            ).alias("ti")
+        )
+    )
+    mi = terms.agg(F.count("*").alias("n_cells"), F.sum("ti").alias("tsum")).select(
+        "n_cells", F.expr("round(tsum / CAST(1000000000 AS DOUBLE), 4)").alias("mi_nats")
+    )
+    hl = (
+        nl.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) AS BIGINT)"
+            ).alias("ti")
+        )
+        .agg(F.sum("ti").alias("hsum"))
+        .select(F.expr("round(hsum / CAST(1000000000 AS DOUBLE), 4)").alias("h_lang_nats"))
+    )
+    hs = (
+        ns.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) AS BIGINT)"
+            ).alias("ti")
+        )
+        .agg(F.sum("ti").alias("hsum"))
+        .select(F.expr("round(hsum / CAST(1000000000 AS DOUBLE), 4)").alias("h_source_nats"))
+    )
+    return mi.crossJoin(hl).crossJoin(hs)
+
+
+QUERIES = {
+    "ts_gaps_islands": _q_gaps_islands,
+    "str_retention_cohort": _q_retention_cohort,
+    "str_rolling_active": _q_rolling_active,
+    "ts_autocorr": _q_autocorr,
+    "ts_ewma": _q_ewma,
+    "ml_ks_test": _q_ks_test,
+    "rel_join_bloom_prefilter": _q_bloom_prefilter,
+    "graph_linkpred_jaccard": _q_linkpred,
+    "ml_decision_stump": _q_decision_stump,
+    "llm_zipf_slope": _q_zipf_slope,
+    "llm_vocab_coverage": _q_vocab_coverage,
+    "llm_mix_temperature": _q_mix_temperature,
+    "ml_mi_lang_source": _q_mi_lang_source,
+}
+
+
+# ------------------------------------------------------------------- oracle
+
+_UD = f"WITH {_EVD}, ud AS (SELECT DISTINCT user_id, day FROM evd)"
+
+# Mutual-kNN edge list (a < b), k=5 — mirrors operators/knn.py K_JOIN.
+_MUTUAL = (
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+    "list_distance(q.emb, t.emb) AS dist FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "e AS (SELECT qid, tid FROM ranked WHERE rnk <= 5), "
+    "m AS (SELECT a.qid AS a, a.tid AS b FROM e a JOIN e b "
+    "ON a.qid = b.tid AND a.tid = b.qid WHERE a.qid < a.tid)"
+)
+
+ORACLE = {
+    "ts_gaps_islands": (
+        f"{_UD}, g AS (SELECT user_id, day, "
+        "day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud) "
+        "SELECT user_id, min(day) AS start_day, max(day) AS end_day, "
+        "count(*) AS n_days FROM g GROUP BY user_id, grp"
+    ),
+    "str_retention_cohort": (
+        f"{_UD}, cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id) "
+        "SELECT cohort_day, day - cohort_day AS day_offset, "
+        "count(DISTINCT ud.user_id) AS n_users "
+        "FROM ud JOIN cohort ON ud.user_id = cohort.user_id "
+        "GROUP BY cohort_day, day_offset"
+    ),
+    "str_rolling_active": (
+        f"{_UD}, ex AS (SELECT user_id, day + k AS d FROM ud, range(7) t(k)) "
+        "SELECT d, count(DISTINCT user_id) AS actives_7d FROM ex "
+        "WHERE d <= (SELECT max(day) FROM ud) GROUP BY d"
+    ),
+    "ts_autocorr": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "lagagg AS (SELECT k, count(*) AS nk, sum(a.c * b.c) AS p, "
+        "sum(a.c) AS ak, sum(b.c) AS bk "
+        "FROM s a, range(1, 25) t(k), s b WHERE a.h - k = b.h GROUP BY k), "
+        "g AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS ss FROM s), "
+        "j AS (SELECT *, s1 / n AS m FROM lagagg, g) "
+        "SELECT k, nk AS n_pairs, "
+        "round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4) AS acf FROM j"
+    ),
+    "ts_ewma": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "contrib AS (SELECT t.h AS ht, t.c AS ct, "
+        "j.c * (CAST(1 AS BIGINT) << CAST(19 - k AS INT)) AS w "
+        "FROM s t, range(20) r(k), s j WHERE t.h - k = j.h) "
+        "SELECT ht AS h, ct AS c, round(sum(w) / 1048576.0, 4) AS ewma "
+        "FROM contrib GROUP BY ht, ct"
+    ),
+    "ml_ks_test": (
+        f"WITH g AS (SELECT {_CENTS.format(x='value')} AS vc, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp FROM events "
+        "WHERE event_type IN ('purchase', 'view')), "
+        "per AS (SELECT vc, sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a, "
+        "sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS b FROM g GROUP BY vc), "
+        "cum AS (SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb FROM per "
+        "WINDOW w AS (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "t AS (SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        "CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM g), "
+        "d AS (SELECT n1, n2, CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_scaled "
+        "FROM cum, t GROUP BY n1, n2) "
+        "SELECT n1, n2, d_scaled, "
+        "round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4) AS d_stat FROM d"
+    ),
+    "rel_join_bloom_prefilter": (
+        "SELECT o.o_orderstatus AS status, count(*) AS n_items, "
+        f"CAST(sum({_CENTS.format(x=_REV)}) AS BIGINT) AS rev_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderpriority = '1-URGENT' GROUP BY o.o_orderstatus"
+    ),
+    "graph_linkpred_jaccard": (
+        f"WITH {_MUTUAL}, "
+        "sym AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m), "
+        "deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a), "
+        "cand AS (SELECT s1.a AS x, s2.a AS y, count(*) AS cn "
+        "FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a "
+        "GROUP BY s1.a, s2.a), "
+        "nocand AS (SELECT * FROM cand c WHERE NOT EXISTS "
+        "(SELECT 1 FROM m WHERE m.a = c.x AND m.b = c.y)), "
+        "scored AS (SELECT x, y, cn, cn / (dx.deg + dy.deg - cn) AS jac "
+        "FROM nocand JOIN deg dx ON nocand.x = dx.a JOIN deg dy ON nocand.y = dy.a) "
+        "SELECT x, y, cn AS common_neighbors, round(jac, 4) AS jaccard "
+        "FROM scored ORDER BY jac DESC, x, y LIMIT 20"
+    ),
+    "ml_decision_stump": (
+        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS x, "
+        "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "per AS (SELECT x, count(*) AS n, sum(y) AS pos FROM pts GROUP BY x), "
+        "cum AS (SELECT x, sum(n) OVER w AS cn, sum(pos) OVER w AS cp FROM per "
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "g AS (SELECT count(*) AS nn, sum(y) AS p FROM pts), "
+        "scored AS (SELECT x, nn, nn - p + 2 * cp - cn AS acc_pos_left, "
+        "cn + p - 2 * cp AS acc_neg_left FROM cum, g), "
+        "best AS (SELECT x, nn, greatest(acc_pos_left, acc_neg_left) AS correct, "
+        "CASE WHEN acc_pos_left >= acc_neg_left THEN 1 ELSE 0 END AS pos_left "
+        "FROM scored) "
+        "SELECT round(x, 4) AS threshold, pos_left, CAST(correct AS BIGINT) AS correct, "
+        "round(CAST(correct AS DOUBLE) / nn, 4) AS accuracy, nn AS n "
+        "FROM best ORDER BY correct DESC, x LIMIT 1"
+    ),
+    "llm_zipf_slope": (
+        f"WITH {_TOKS}, "
+        "top AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq "
+        "QUALIFY r <= 100), "
+        "q AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS xi, "
+        "CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS yi FROM top), "
+        "mom AS (SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy, "
+        "sum(xi * yi) AS sxy, sum(xi * xi) AS sxx FROM q) "
+        "SELECT n AS n_top, "
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope, "
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) "
+        "/ (n * 1000000.0), 4) AS intercept_ln FROM mom"
+    ),
+    "llm_vocab_coverage": (
+        f"WITH {_TOKS}, "
+        "ranked AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS r, "
+        "sum(f) OVER (ORDER BY f DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS cum FROM freq), "
+        "tot AS (SELECT sum(f) AS t FROM freq), "
+        "thr AS (SELECT unnest([50, 90, 99]) AS threshold_pct), "
+        "hit AS (SELECT threshold_pct, min(r) AS vocab_size "
+        "FROM ranked, tot, thr WHERE cum * 100 >= threshold_pct * t "
+        "GROUP BY threshold_pct) "
+        "SELECT threshold_pct, vocab_size, CAST(cum AS BIGINT) AS covered_tokens "
+        "FROM hit JOIN ranked ON hit.vocab_size = ranked.r"
+    ),
+    "llm_mix_temperature": (
+        "WITH byl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+        "tot AS (SELECT count(*) AS nn FROM documents), "
+        "q AS (SELECT lang, n, nn, "
+        "CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT) AS wi FROM byl, tot), "
+        "sw AS (SELECT sum(wi) AS sw FROM q) "
+        "SELECT lang, n AS n_docs, round(n / nn, 4) AS share_raw, "
+        "round(wi / sw, 4) AS share_temp FROM q, sw"
+    ),
+    "ml_mi_lang_source": (
+        "WITH cells AS (SELECT lang, source, count(*) AS nls FROM documents "
+        "GROUP BY lang, source), "
+        "ml AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang), "
+        "ms AS (SELECT source, count(*) AS ns FROM documents GROUP BY source), "
+        "tot AS (SELECT count(*) AS nn FROM documents), "
+        "terms AS (SELECT CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
+        "(CAST(nl AS DOUBLE) * ns)) * 1000000000, 0) AS BIGINT) AS ti "
+        "FROM cells JOIN ml USING (lang) JOIN ms USING (source), tot), "
+        "mi AS (SELECT count(*) AS n_cells, "
+        "round(sum(ti) / 1000000000.0, 4) AS mi_nats FROM terms), "
+        "hl AS (SELECT round(sum(CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) "
+        "AS BIGINT)) / 1000000000.0, 4) AS h_lang_nats FROM ml, tot), "
+        "hs AS (SELECT round(sum(CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) "
+        "AS BIGINT)) / 1000000000.0, 4) AS h_source_nats FROM ms, tot) "
+        "SELECT * FROM mi, hl, hs"
+    ),
+}

@@ -22,6 +22,7 @@ _MODULES = [
     "knn_with_mapreduce_cuda_spark.operators.sources_io",
     "knn_with_mapreduce_cuda_spark.operators.iterative",
     "knn_with_mapreduce_cuda_spark.operators.tpch",
+    "knn_with_mapreduce_cuda_spark.operators.analytics",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Unit tests for operators/analytics.py against pure-Python/NumPy
+oracles on tiny in-memory inputs (the reference repo class's "serial
+baseline" test strategy, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from knn_with_mapreduce_cuda_spark.operators import analytics
+
+from conftest import SF_SMOKE
+
+
+def test_gaps_islands_tiny(spark):
+    days = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 7), (1, 9), (2, 1), (2, 3), (2, 4), (1, 6)],
+        "user_id long, day long",
+    )
+    rows = {
+        (r.user_id, r.start_day): (r.end_day, r.n_days)
+        for r in analytics.gaps_islands(days).collect()
+    }
+    assert rows == {(1, 5): (7, 3), (1, 9): (9, 1), (2, 1): (1, 1), (2, 3): (4, 2)}
+
+
+def test_retention_cohort_tiny(spark):
+    days = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 2), (3, 1)], "user_id long, day long"
+    )
+    rows = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in analytics.retention_cohort(days).collect()
+    }
+    assert rows == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_rolling_active_window(spark):
+    # user 1 active day 0 only; window=3 keeps it "active" days 0-2
+    days = spark.createDataFrame([(1, 0), (2, 2)], "user_id long, day long")
+    rows = {
+        r.d: r.actives_7d
+        for r in analytics.rolling_active_users(days, window_days=3).collect()
+    }
+    assert rows == {0: 1, 1: 1, 2: 2}
+
+
+def _np_acf(c: np.ndarray, k: int) -> float:
+    m = c.mean()
+    num = ((c[k:] - m) * (c[:-k] - m)).sum()
+    den = ((c - m) ** 2).sum()
+    return num / den
+
+
+def test_autocorr_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 40, size=60)
+    series = spark.createDataFrame(
+        [(int(h), int(v)) for h, v in enumerate(c)], "h long, c long"
+    )
+    got = {r.k: r.acf for r in analytics.autocorr(series, max_lag=5).collect()}
+    for k in range(1, 6):
+        assert got[k] == pytest.approx(_np_acf(c, k), abs=2e-4)
+
+
+def test_ewma_matches_recursive(spark):
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 30, size=50)
+    series = spark.createDataFrame(
+        [(int(h), int(v)) for h, v in enumerate(c)], "h long, c long"
+    )
+    got = {r.h: r.ewma for r in analytics.ewma(series, terms=20).collect()}
+    for t in range(len(c)):
+        expect = sum(
+            c[t - j] * 2.0 ** -(j + 1) for j in range(min(t + 1, 20))
+        )
+        assert got[t] == pytest.approx(expect, abs=2e-4)
+
+
+def test_ks_two_sample_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, size=200)
+    b = rng.integers(10, 60, size=150)
+    vals = spark.createDataFrame(
+        [(int(v), 1) for v in a] + [(int(v), 2) for v in b], "vc long, grp int"
+    )
+    row = analytics.ks_two_sample(vals).collect()[0]
+    # numpy ECDF-based two-sample KS over the pooled support
+    support = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), support, side="right") / len(b)
+    d = np.abs(f1 - f2).max()
+    assert (row.n1, row.n2) == (200, 150)
+    assert row.d_stat == pytest.approx(d, abs=2e-4)
+
+
+def test_bloom_prefilter_lossless_and_pruning(spark):
+    fact = spark.range(0, 2000).select(col("id").alias("fk"))
+    dim = spark.range(0, 2000, 40).select(col("id").alias("k"))  # 50 keys
+    pruned = analytics.bloom_prefilter(fact, col("fk"), dim)
+    kept = {r.fk for r in pruned.collect()}
+    true_keys = set(range(0, 2000, 40))
+    # no false negatives
+    assert true_keys <= kept
+    # real pruning happened (2-seed bloom over 50/65536 bits ⟹ tiny FPR)
+    assert len(kept) < 200
+
+
+def test_linkpred_jaccard_bruteforce(spark):
+    # path graph 0-1-2-3 plus edge 1-3: candidates share neighbors
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 3)], "a long, b long"
+    )
+    got = {
+        (r.x, r.y): (r.common_neighbors, r.jaccard)
+        for r in analytics.linkpred_jaccard(edges, top_n=10).collect()
+    }
+    adj = {0: {1}, 1: {0, 2, 3}, 2: {1, 3}, 3: {1, 2}}
+    expect = {}
+    for x in adj:
+        for y in adj:
+            if x < y and y not in adj[x]:
+                cn = len(adj[x] & adj[y])
+                if cn:
+                    expect[(x, y)] = (cn, round(cn / len(adj[x] | adj[y]), 4))
+    assert got == expect
+
+
+def test_decision_stump_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=80).round(3)
+    y = (x + rng.normal(scale=0.5, size=80) > 0).astype(int)
+    pts = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y long"
+    )
+    row = analytics.decision_stump(pts).collect()[0]
+    best = 0
+    for t in np.unique(x):
+        left = x <= t
+        acc1 = (y[left] == 1).sum() + (y[~left] == 0).sum()
+        acc2 = (y[left] == 0).sum() + (y[~left] == 1).sum()
+        best = max(best, acc1, acc2)
+    assert row.correct == best
+    assert row.accuracy == pytest.approx(best / 80, abs=1e-4)
+
+
+def test_mi_entropy_consistency(spark):
+    # MI(lang, source) must be ≤ min(H(lang), H(source)) and ≥ 0
+    row = analytics._q_mi_lang_source(spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.mi_nats <= min(row.h_lang_nats, row.h_source_nats) + 1e-9
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = {
+        r.threshold_pct: (r.vocab_size, r.covered_tokens)
+        for r in analytics._q_vocab_coverage(spark, SF_SMOKE).collect()
+    }
+    assert rows[50][0] <= rows[90][0] <= rows[99][0]
+    assert rows[50][1] <= rows[90][1] <= rows[99][1]
+
+
+def test_mix_temperature_flattens(spark):
+    rows = analytics._q_mix_temperature(spark, SF_SMOKE).collect()
+    assert abs(sum(r.share_temp for r in rows) - 1.0) < 5e-4
+    # temperature sampling upweights the tail: max share shrinks
+    assert max(r.share_temp for r in rows) < max(r.share_raw for r in rows)
