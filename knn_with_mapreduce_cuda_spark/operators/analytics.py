@@ -559,6 +559,252 @@ def _q_mi_lang_source(spark, sf_dir):
     return mi.crossJoin(hl).crossJoin(hs)
 
 
+def _q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile of the event stream: per-hour-slot
+    totals and the ratio to the overall hourly mean — the seasonality
+    vector a forecast would subtract. All shares cross-multiplied from
+    integer sums; the division happens once per output row."""
+    s = _hourly_series(spark, sf_dir)
+    prof = s.groupBy(F.expr("h % 24").alias("hod")).agg(
+        F.count("*").alias("n_hours"), F.sum("c").alias("total_events")
+    )
+    g = s.agg(F.count("*").alias("n_all"), F.sum("c").alias("s_all"))
+    return prof.crossJoin(F.broadcast(g)).select(
+        "hod",
+        "n_hours",
+        "total_events",
+        F.expr("round(CAST(total_events AS DOUBLE) / n_hours, 4)").alias("mean_per_hour"),
+        F.expr(
+            "round(CAST(total_events * n_all AS DOUBLE) / (n_hours * s_all), 4)"
+        ).alias("rel_to_overall"),
+    )
+
+
+def rolling_z(series: DataFrame, width: int = 24) -> DataFrame:
+    """Rolling z-score anomaly detection over an integer series: each
+    point scored against the trailing `width` points (current excluded).
+    Window sums are exact integers; the σ>0 guard is the integer
+    cross-multiplication ss·nn > mn², so no float enters a predicate.
+    Scale: one ordered window, frame state O(width)."""
+    w = Window.orderBy("h").rowsBetween(-width, -1)
+    scored = series.select(
+        "h",
+        "c",
+        F.count("c").over(w).alias("nn"),
+        F.sum("c").over(w).alias("mn"),
+        F.sum(col("c") * col("c")).over(w).alias("ss"),
+    )
+    return scored.filter(
+        (col("nn") >= width) & (col("ss") * col("nn") > col("mn") * col("mn"))
+    ).select(
+        "h",
+        "c",
+        F.expr(
+            "round((c - CAST(mn AS DOUBLE) / nn) / "
+            "sqrt((ss - CAST(mn AS DOUBLE) * mn / nn) / (nn - 1)), 4)"
+        ).alias("z"),
+    )
+
+
+def _q_anomaly_rolling_z(spark, sf_dir):
+    return rolling_z(_hourly_series(spark, sf_dir))
+
+
+def cusum(series: DataFrame) -> DataFrame:
+    """One-sided CUSUM drift statistic over an integer series, via the
+    prefix identity S_t = R_t − min_{j≤t} R_j with R = cumsum(c·N − S):
+    mean-centering by the global mean scales through ×N so the running
+    sums stay exact integers; the final /N is the only float op.
+    Scale: two ordered windows over the (hours-long) series — the
+    recursive textbook form needs sequential state, this one doesn't."""
+    g = series.agg(F.count("*").alias("n_all"), F.sum("c").alias("s_all"))
+    d = series.crossJoin(F.broadcast(g)).select(
+        "h", "c", "n_all", (col("c") * col("n_all") - col("s_all")).alias("d")
+    )
+    wcum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = d.select("h", "c", "n_all", F.sum("d").over(wcum).alias("r"))
+    return r.select(
+        "h",
+        "c",
+        F.expr(
+            "round((r - min(r) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)) / CAST(n_all AS DOUBLE), 4)"
+        ).alias("cusum"),
+    )
+
+
+def _q_cusum(spark, sf_dir):
+    return cusum(_hourly_series(spark, sf_dir))
+
+
+def spearman_rho(pts: DataFrame) -> DataFrame:
+    """Spearman rank correlation of (x, y) with exact tie handling:
+    doubled midranks 2·rank+count−1 are integers, so every moment is an
+    exact integer sum and ρ floats only in the final expression.
+    Scale note: the global rank is a total sort — for a 100 TB column
+    this statistic runs on a bounded sample or per-group partition."""
+    wx, cx = Window.orderBy("x"), Window.partitionBy("x")
+    wy, cy = Window.orderBy("y"), Window.partitionBy("y")
+    r = pts.select(
+        (2 * F.rank().over(wx) + F.count("*").over(cx) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(cy) - 1).alias("ry"),
+    )
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(col("rx") * col("ry")).alias("sxy"),
+        F.sum(col("rx") * col("rx")).alias("sxx"),
+        F.sum(col("ry") * col("ry")).alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "round((n * sxy - sx * sy) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4)"
+        ).alias("rho"),
+    )
+
+
+def _q_spearman(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return spearman_rho(
+        e.select(col("emb").getItem(0).alias("x"), col("emb").getItem(1).alias("y"))
+    )
+
+
+def kendall_tau(pts: DataFrame) -> DataFrame:
+    """Kendall τ-b of (id, x, y): concordant/discordant counted over the
+    id<id pair join, tie corrections from per-value group counts — every
+    term an exact integer, sqrt at the end. Scale note: the pair join is
+    O(n²); at 100 TB this statistic runs on a bounded sample (the
+    estimator converges at √n) — here it is exact."""
+    a = pts.select(col("id").alias("i"), col("x").alias("xi"), col("y").alias("yi"))
+    b = pts.select(col("id").alias("j"), col("x").alias("xj"), col("y").alias("yj"))
+    pair = a.join(b, col("i") < col("j"))
+    cd = pair.agg(
+        F.sum(
+            F.when(
+                ((col("xi") < col("xj")) & (col("yi") < col("yj")))
+                | ((col("xi") > col("xj")) & (col("yi") > col("yj"))),
+                1,
+            ).otherwise(0)
+        ).alias("nc"),
+        F.sum(
+            F.when(
+                ((col("xi") < col("xj")) & (col("yi") > col("yj")))
+                | ((col("xi") > col("xj")) & (col("yi") < col("yj"))),
+                1,
+            ).otherwise(0)
+        ).alias("nd"),
+    )
+    n0 = pts.agg(F.expr("count(*) * (count(*) - 1) / 2").cast("long").alias("n0"))
+    tx = (
+        pts.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(F.expr("CAST(sum(t * (t - 1) / 2) AS BIGINT)").alias("n1"))
+    )
+    ty = (
+        pts.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .agg(F.expr("CAST(sum(t * (t - 1) / 2) AS BIGINT)").alias("n2"))
+    )
+    return (
+        cd.crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "nc",
+            "nd",
+            F.expr(
+                "round((nc - nd) / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 4)"
+            ).alias("tau_b"),
+        )
+    )
+
+
+def _q_kendall(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return kendall_tau(
+        e.select(
+            col("vec_id").alias("id"),
+            col("emb").getItem(0).alias("x"),
+            col("emb").getItem(1).alias("y"),
+        )
+    )
+
+
+def khop_reach(edges: DataFrame) -> DataFrame:
+    """1-hop and 2-hop neighborhood sizes per node over an undirected
+    edge list (a < b) — the reachability profile density/expansion
+    diagnostics read. The 2-hop set comes from one mid-node equi-join,
+    distinct, minus self and direct neighbors. Scale: join fan-out is
+    bounded by degree²; everything shuffles on node keys."""
+    sym = edges.union(edges.select(col("b").alias("a"), col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("n_1hop"))
+    hop2 = (
+        sym.select(col("a").alias("u"), col("b").alias("mid"))
+        .join(sym.select(col("a").alias("mid"), col("b").alias("w")), "mid")
+        .select("u", "w")
+        .filter(col("u") != col("w"))
+        .distinct()
+        .join(
+            sym.select(col("a").alias("u"), col("b").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("n_2hop"))
+    )
+    return (
+        deg.join(hop2, deg.a == hop2.u, "left")
+        .select(
+            col("a").alias("node"),
+            "n_1hop",
+            F.coalesce(col("n_2hop"), lit(0).cast("long")).alias("n_2hop"),
+        )
+    )
+
+
+def _q_khop(spark, sf_dir):
+    from .knn import _q_mutual
+
+    return khop_reach(_q_mutual(spark, sf_dir))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity: Pearson correlation of endpoint degrees over
+    the symmetrized edge list — positive means hubs link to hubs. Exact
+    integer moments (degrees are counts), one final float expression."""
+    sym = edges.union(edges.select(col("b").alias("a"), col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    pair = (
+        sym.join(deg.select(col("a"), col("deg").alias("da")), "a")
+        .join(deg.select(col("a").alias("b"), col("deg").alias("db")), "b")
+    )
+    m = pair.agg(
+        F.count("*").alias("n"),
+        F.sum("da").alias("sx"),
+        F.sum("db").alias("sy"),
+        F.sum(col("da") * col("db")).alias("sxy"),
+        F.sum(col("da") * col("da")).alias("sxx"),
+        F.sum(col("db") * col("db")).alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "round((n * sxy - sx * sy) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4)"
+        ).alias("assortativity"),
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    from .knn import _q_mutual
+
+    return degree_assortativity(_q_mutual(spark, sf_dir))
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -573,6 +819,13 @@ QUERIES = {
     "llm_vocab_coverage": _q_vocab_coverage,
     "llm_mix_temperature": _q_mix_temperature,
     "ml_mi_lang_source": _q_mi_lang_source,
+    "ts_seasonal_profile": _q_seasonal_profile,
+    "ts_anomaly_rolling_z": _q_anomaly_rolling_z,
+    "ts_cusum": _q_cusum,
+    "ml_spearman_rho": _q_spearman,
+    "ml_kendall_tau": _q_kendall,
+    "graph_khop_reach": _q_khop,
+    "graph_assortativity": _q_assortativity,
 }
 
 
@@ -714,6 +967,93 @@ ORACLE = {
         "sw AS (SELECT sum(wi) AS sw FROM q) "
         "SELECT lang, n AS n_docs, round(n / nn, 4) AS share_raw, "
         "round(wi / sw, 4) AS share_temp FROM q, sw"
+    ),
+    "ts_seasonal_profile": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "prof AS (SELECT h % 24 AS hod, count(*) AS n_hours, "
+        "CAST(sum(c) AS BIGINT) AS total_events FROM s GROUP BY h % 24), "
+        "g AS (SELECT count(*) AS n_all, CAST(sum(c) AS BIGINT) AS s_all FROM s) "
+        "SELECT hod, n_hours, total_events, "
+        "round(CAST(total_events AS DOUBLE) / n_hours, 4) AS mean_per_hour, "
+        "round(CAST(total_events * n_all AS DOUBLE) / (n_hours * s_all), 4) "
+        "AS rel_to_overall FROM prof, g"
+    ),
+    "ts_anomaly_rolling_z": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "scored AS (SELECT h, c, count(c) OVER w AS nn, sum(c) OVER w AS mn, "
+        "sum(c * c) OVER w AS ss FROM s "
+        "WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT h, c, round((c - CAST(mn AS DOUBLE) / nn) / "
+        "sqrt((ss - CAST(mn AS DOUBLE) * mn / nn) / (nn - 1)), 4) AS z "
+        "FROM scored WHERE nn >= 24 AND ss * nn > mn * mn"
+    ),
+    "ts_cusum": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "g AS (SELECT count(*) AS n_all, CAST(sum(c) AS BIGINT) AS s_all FROM s), "
+        "d AS (SELECT h, c, n_all, c * n_all - s_all AS d FROM s, g), "
+        "r AS (SELECT h, c, n_all, sum(d) OVER (ORDER BY h ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS r FROM d) "
+        "SELECT h, c, round((r - min(r) OVER (ORDER BY h ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW)) / CAST(n_all AS DOUBLE), 4) "
+        "AS cusum FROM r"
+    ),
+    "ml_spearman_rho": (
+        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS x, "
+        "CAST(embedding AS DOUBLE[])[2] AS y FROM embeddings), "
+        "r AS (SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER "
+        "(PARTITION BY x) - 1 AS rx, 2 * rank() OVER (ORDER BY y) + count(*) OVER "
+        "(PARTITION BY y) - 1 AS ry FROM pts), "
+        "m AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx, "
+        "CAST(sum(ry) AS BIGINT) AS sy, CAST(sum(rx * ry) AS BIGINT) AS sxy, "
+        "CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy "
+        "FROM r) "
+        "SELECT n, round((n * sxy - sx * sy) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4) AS rho "
+        "FROM m"
+    ),
+    "ml_kendall_tau": (
+        "WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[1] AS x, "
+        "CAST(embedding AS DOUBLE[])[2] AS y FROM embeddings), "
+        "pair AS (SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj "
+        "FROM pts a JOIN pts b ON a.id < b.id), "
+        "cd AS (SELECT CAST(sum(CASE WHEN (xi < xj AND yi < yj) OR "
+        "(xi > xj AND yi > yj) THEN 1 ELSE 0 END) AS BIGINT) AS nc, "
+        "CAST(sum(CASE WHEN (xi < xj AND yi > yj) OR (xi > xj AND yi < yj) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS nd FROM pair), "
+        "n0 AS (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n0 FROM pts), "
+        "tx AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1 FROM "
+        "(SELECT count(*) AS t FROM pts GROUP BY x)), "
+        "ty AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2 FROM "
+        "(SELECT count(*) AS t FROM pts GROUP BY y)) "
+        "SELECT nc, nd, round((nc - nd) / "
+        "sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 4) AS tau_b "
+        "FROM cd, n0, tx, ty"
+    ),
+    "graph_khop_reach": (
+        f"WITH {_MUTUAL}, "
+        "sym AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m), "
+        "deg AS (SELECT a, count(*) AS n_1hop FROM sym GROUP BY a), "
+        "h2 AS (SELECT DISTINCT s1.a AS u, s2.b AS w FROM sym s1 "
+        "JOIN sym s2 ON s1.b = s2.a WHERE s1.a <> s2.b), "
+        "h2x AS (SELECT u, w FROM h2 WHERE NOT EXISTS "
+        "(SELECT 1 FROM sym WHERE sym.a = h2.u AND sym.b = h2.w)), "
+        "hop2 AS (SELECT u, count(*) AS n_2hop FROM h2x GROUP BY u) "
+        "SELECT deg.a AS node, n_1hop, COALESCE(n_2hop, 0) AS n_2hop "
+        "FROM deg LEFT JOIN hop2 ON deg.a = hop2.u"
+    ),
+    "graph_assortativity": (
+        f"WITH {_MUTUAL}, "
+        "sym AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m), "
+        "deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a), "
+        "pair AS (SELECT da.deg AS da, db.deg AS db FROM sym "
+        "JOIN deg da ON sym.a = da.a JOIN deg db ON sym.b = db.a), "
+        "m2 AS (SELECT count(*) AS n, CAST(sum(da) AS BIGINT) AS sx, "
+        "CAST(sum(db) AS BIGINT) AS sy, CAST(sum(da * db) AS BIGINT) AS sxy, "
+        "CAST(sum(da * da) AS BIGINT) AS sxx, CAST(sum(db * db) AS BIGINT) AS syy "
+        "FROM pair) "
+        "SELECT n, round((n * sxy - sx * sy) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4) "
+        "AS assortativity FROM m2"
     ),
     "ml_mi_lang_source": (
         "WITH cells AS (SELECT lang, source, count(*) AS nls FROM documents "

@@ -166,3 +166,105 @@ def test_mix_temperature_flattens(spark):
     assert abs(sum(r.share_temp for r in rows) - 1.0) < 5e-4
     # temperature sampling upweights the tail: max share shrinks
     assert max(r.share_temp for r in rows) < max(r.share_raw for r in rows)
+
+
+def test_rolling_z_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    c = rng.integers(0, 50, size=60)
+    series = spark.createDataFrame(
+        [(int(h), int(v)) for h, v in enumerate(c)], "h long, c long"
+    )
+    got = {r.h: r.z for r in analytics.rolling_z(series, width=10).collect()}
+    for t in range(10, 60):
+        win = c[t - 10 : t]
+        mu, sd = win.mean(), win.std(ddof=1)
+        if sd > 0:
+            assert got[t] == pytest.approx((c[t] - mu) / sd, abs=2e-4)
+
+
+def test_cusum_matches_recursive(spark):
+    rng = np.random.default_rng(13)
+    c = np.concatenate([rng.integers(0, 10, 30), rng.integers(20, 30, 30)])
+    series = spark.createDataFrame(
+        [(int(h), int(v)) for h, v in enumerate(c)], "h long, c long"
+    )
+    got = {r.h: r.cusum for r in analytics.cusum(series).collect()}
+    m, s = c.mean(), 0.0
+    for t, v in enumerate(c):
+        s = max(0.0, s + (v - m))
+        assert got[t] == pytest.approx(s, abs=2e-4)
+    # drift after the level shift must push CUSUM up
+    assert got[59] > got[29]
+
+
+def _midrank(v):
+    order = np.argsort(v, kind="stable")
+    r = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    while i < len(v):
+        j = i
+        while j + 1 < len(v) and sv[j + 1] == sv[i]:
+            j += 1
+        r[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return r
+
+
+def test_spearman_matches_numpy(spark):
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 20, 100).astype(float)  # force ties
+    y = (x + rng.integers(0, 10, 100)).astype(float)
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    row = analytics.spearman_rho(pts).collect()[0]
+    rx, ry = _midrank(x), _midrank(y)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert row.rho == pytest.approx(expect, abs=2e-4)
+
+
+def test_kendall_matches_bruteforce(spark):
+    rng = np.random.default_rng(19)
+    x = rng.integers(0, 12, 60).astype(float)
+    y = (x + rng.integers(0, 6, 60)).astype(float)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))],
+        "id long, x double, y double",
+    )
+    row = analytics.kendall_tau(pts).collect()[0]
+    nc = nd = 0
+    for i in range(60):
+        for j in range(i + 1, 60):
+            s = np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+            nc += s > 0
+            nd += s < 0
+    n0 = 60 * 59 / 2
+    n1 = sum(t * (t - 1) / 2 for t in np.unique(x, return_counts=True)[1])
+    n2 = sum(t * (t - 1) / 2 for t in np.unique(y, return_counts=True)[1])
+    assert (row.nc, row.nd) == (nc, nd)
+    assert row.tau_b == pytest.approx((nc - nd) / np.sqrt((n0 - n1) * (n0 - n2)), abs=2e-4)
+
+
+def test_khop_path_graph(spark):
+    # path 0-1-2-3-4: 2-hop sets are the nodes at distance exactly 2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {r.node: (r.n_1hop, r.n_2hop) for r in analytics.khop_reach(edges).collect()}
+    assert got == {0: (1, 1), 1: (2, 1), 2: (2, 2), 3: (2, 1), 4: (1, 1)}
+
+
+def test_assortativity_star_is_negative(spark):
+    # star graph: hub degree 4 links only to leaves (degree 1) → r = -1
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], "a long, b long")
+    row = analytics.degree_assortativity(edges).collect()[0]
+    assert row.assortativity == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_seasonal_profile_partition_of_total(spark):
+    from conftest import SF_SMOKE
+
+    rows = analytics._q_seasonal_profile(spark, SF_SMOKE).collect()
+    assert len(rows) == 24
+    assert sum(r.total_events for r in rows) == 1000  # sf0.001 events
