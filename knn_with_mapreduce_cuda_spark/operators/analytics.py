@@ -805,6 +805,186 @@ def _q_assortativity(spark, sf_dir):
     return degree_assortativity(_q_mutual(spark, sf_dir))
 
 
+def _q_top_mover(spark, sf_dir):
+    """Largest day-over-day swings per event type: daily counts, lag
+    delta, global top-5 by |delta| (integer), tie-broken (type, day).
+    One shuffle on event_type covers the rollup and the lag window."""
+    ev = tables.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("prev", F.lag("cnt").over(w)).filter(col("prev").isNotNull())
+    d = d.withColumn("delta", col("cnt") - col("prev"))
+    return (
+        d.orderBy(F.abs(col("delta")).desc(), "event_type", "day")
+        .limit(5)
+        .select("event_type", "day", "cnt", "prev", "delta")
+    )
+
+
+def _q_power_users(spark, sf_dir):
+    """Pareto concentration: share of all events produced by the top
+    decile of users. Decile boundary via the integer comparison
+    rn·10 ≤ N+9 (= rn ≤ ⌈N/10⌉); the share is the only float."""
+    ev = tables.table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "user_id")
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    g = per.agg(
+        F.count("*").alias("n_users"), F.sum("c").alias("total_events")
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(g))
+        .filter(col("rn") * 10 <= col("n_users") + 9)
+        .groupBy("n_users", "total_events")
+        .agg(F.count("*").alias("top_users"), F.sum("c").alias("top_events"))
+    )
+    return top.select(
+        "n_users",
+        "top_users",
+        "total_events",
+        "top_events",
+        F.expr("round(CAST(top_events AS DOUBLE) / total_events, 4)").alias("share"),
+    )
+
+
+def _q_ab_proportions(spark, sf_dir):
+    """Two-proportion z-test for purchase share between the even/odd
+    user-id buckets (the A/B assignment a hash split would produce).
+    Counts are exact integers; p̂, pooled variance, and z are one final
+    expression written identically on both engines."""
+    ev = tables.table(spark, sf_dir, "events")
+    per = ev.groupBy(F.expr("user_id % 2").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+    )
+    a = per.filter(col("bucket") == 0).select(
+        col("n").alias("n1"), col("x").alias("x1")
+    )
+    b = per.filter(col("bucket") == 1).select(
+        col("n").alias("n2"), col("x").alias("x2")
+    )
+    return a.crossJoin(b).select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr("round(CAST(x1 AS DOUBLE) / n1, 4)").alias("p1"),
+        F.expr("round(CAST(x2 AS DOUBLE) / n2, 4)").alias("p2"),
+        F.expr(
+            "round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
+            "sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
+            "(1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
+            "(CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 4)"
+        ).alias("z"),
+    )
+
+
+def changepoint(series: DataFrame, min_seg: int = 24) -> DataFrame:
+    """Single change-point by binary segmentation: the split maximizing
+    |mean(left) − mean(right)|, segments ≥ min_seg. Left/right sums come
+    from one cumulative window (exact integers); each candidate's score
+    is one double expression; argmax tie-breaks on the split hour.
+    Scale: one ordered window + a top-1 — no per-split rescan."""
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = series.agg(F.count("*").alias("n_all"), F.sum("c").alias("s_all"))
+    cum = series.select(
+        "h", F.row_number().over(Window.orderBy("h")).alias("rn"), F.sum("c").over(w).alias("cs")
+    )
+    cand = cum.crossJoin(F.broadcast(g)).filter(
+        (col("rn") >= min_seg) & (col("rn") <= col("n_all") - min_seg)
+    )
+    scored = cand.select(
+        "h",
+        F.expr("round(CAST(cs AS DOUBLE) / rn, 4)").alias("mean_left"),
+        F.expr("round(CAST(s_all - cs AS DOUBLE) / (n_all - rn), 4)").alias("mean_right"),
+        F.expr(
+            "round(abs(CAST(cs AS DOUBLE) / rn - "
+            "CAST(s_all - cs AS DOUBLE) / (n_all - rn)), 4)"
+        ).alias("score"),
+        F.expr(
+            "abs(CAST(cs AS DOUBLE) / rn - CAST(s_all - cs AS DOUBLE) / (n_all - rn))"
+        ).alias("raw"),
+    )
+    return (
+        scored.orderBy(F.desc("raw"), "h")
+        .limit(1)
+        .select(col("h").alias("split_h"), "mean_left", "mean_right", "score")
+    )
+
+
+def _q_changepoint(spark, sf_dir):
+    return changepoint(_hourly_series(spark, sf_dir))
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Held-out bigram novelty: for each test doc (doc_id % 10 = 0), the
+    share of its distinct bigrams never seen in the training split — the
+    memorization/contamination complement an eval pipeline reports.
+    Train bigrams dedup to a distinct set before the anti-join, so the
+    join is bounded by vocabulary, not corpus size."""
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(col("text"), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bi = F.transform(
+        F.sequence(lit(1), F.size("ts") - 1),
+        lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),
+    )
+    grams = docs.select("doc_id", F.explode(bi).alias("bg")).distinct()
+    test = grams.filter(col("doc_id") % 10 == 0)
+    train_set = grams.filter(col("doc_id") % 10 != 0).select("bg").distinct()
+    unseen = test.join(train_set, "bg", "left_anti").groupBy("doc_id").agg(
+        F.count("*").alias("n_unseen")
+    )
+    per = test.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    return (
+        per.join(unseen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce(col("n_unseen"), lit(0).cast("long")).alias("n_unseen"),
+        )
+        .withColumn(
+            "novelty", F.expr("round(CAST(n_unseen AS DOUBLE) / n_bigrams, 4)")
+        )
+    )
+
+
+def _q_feature_gain(spark, sf_dir):
+    """Per-dimension decision-stump accuracy for the first 8 embedding
+    dimensions — the univariate feature-ranking pass a feature-selection
+    step runs. Same exact-integer cumulative-count stump as
+    ml_decision_stump, parallelized across dims by partitioned windows
+    (one shuffle keyed on dim carries every dimension's scan)."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        F.posexplode(F.slice(col("emb"), 1, 8)).alias("dim", "x"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("dim", "x").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.partitionBy("dim").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "dim", "x", F.sum("n").over(w).alias("cn"), F.sum("pos").over(w).alias("cp")
+    )
+    g = pts.groupBy("dim").agg(F.count("*").alias("nn"), F.sum("y").alias("p"))
+    scored = cum.join(g, "dim").select(
+        "dim",
+        "nn",
+        F.greatest(
+            F.expr("nn - p + 2 * cp - cn"), F.expr("cn + p - 2 * cp")
+        ).alias("correct"),
+    )
+    best = scored.groupBy("dim", "nn").agg(F.max("correct").alias("best_correct"))
+    return best.select(
+        "dim",
+        "best_correct",
+        F.expr("round(CAST(best_correct AS DOUBLE) / nn, 4)").alias("accuracy"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -826,6 +1006,12 @@ QUERIES = {
     "ml_kendall_tau": _q_kendall,
     "graph_khop_reach": _q_khop,
     "graph_assortativity": _q_assortativity,
+    "rel_top_mover": _q_top_mover,
+    "str_power_users_pareto": _q_power_users,
+    "ml_ab_test_proportions": _q_ab_proportions,
+    "ts_changepoint": _q_changepoint,
+    "llm_ngram_novelty": _q_ngram_novelty,
+    "ml_feature_gain": _q_feature_gain,
 }
 
 
@@ -1054,6 +1240,97 @@ ORACLE = {
         "SELECT n, round((n * sxy - sx * sy) / "
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4) "
         "AS assortativity FROM m2"
+    ),
+    "rel_top_mover": (
+        f"WITH {_EVD}, "
+        "daily AS (SELECT event_type, day, count(*) AS cnt FROM evd "
+        "GROUP BY event_type, day), "
+        "d AS (SELECT event_type, day, cnt, lag(cnt) OVER "
+        "(PARTITION BY event_type ORDER BY day) AS prev FROM daily) "
+        "SELECT event_type, day, cnt, prev, cnt - prev AS delta FROM d "
+        "WHERE prev IS NOT NULL "
+        "ORDER BY abs(cnt - prev) DESC, event_type, day LIMIT 5"
+    ),
+    "str_power_users_pareto": (
+        f"WITH {_EVD}, "
+        "per AS (SELECT user_id, count(*) AS c FROM evd GROUP BY user_id), "
+        "ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn "
+        "FROM per), "
+        "g AS (SELECT count(*) AS n_users, CAST(sum(c) AS BIGINT) AS total_events "
+        "FROM per), "
+        "top AS (SELECT n_users, total_events, count(*) AS top_users, "
+        "CAST(sum(c) AS BIGINT) AS top_events FROM ranked, g "
+        "WHERE rn * 10 <= n_users + 9 GROUP BY n_users, total_events) "
+        "SELECT n_users, top_users, total_events, top_events, "
+        "round(CAST(top_events AS DOUBLE) / total_events, 4) AS share FROM top"
+    ),
+    "ml_ab_test_proportions": (
+        "WITH per AS (SELECT user_id % 2 AS bucket, count(*) AS n, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS x FROM events GROUP BY user_id % 2), "
+        "a AS (SELECT n AS n1, x AS x1 FROM per WHERE bucket = 0), "
+        "b AS (SELECT n AS n2, x AS x2 FROM per WHERE bucket = 1) "
+        "SELECT n1, x1, n2, x2, "
+        "round(CAST(x1 AS DOUBLE) / n1, 4) AS p1, "
+        "round(CAST(x2 AS DOUBLE) / n2, 4) AS p2, "
+        "round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
+        "sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
+        "(1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
+        "(CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 4) AS z "
+        "FROM a, b"
+    ),
+    "ts_changepoint": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "g AS (SELECT count(*) AS n_all, CAST(sum(c) AS BIGINT) AS s_all FROM s), "
+        "cum AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, "
+        "CAST(sum(c) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS cs FROM s), "
+        "cand AS (SELECT * FROM cum, g WHERE rn >= 24 AND rn <= n_all - 24), "
+        "scored AS (SELECT h, round(CAST(cs AS DOUBLE) / rn, 4) AS mean_left, "
+        "round(CAST(s_all - cs AS DOUBLE) / (n_all - rn), 4) AS mean_right, "
+        "round(abs(CAST(cs AS DOUBLE) / rn - "
+        "CAST(s_all - cs AS DOUBLE) / (n_all - rn)), 4) AS score, "
+        "abs(CAST(cs AS DOUBLE) / rn - "
+        "CAST(s_all - cs AS DOUBLE) / (n_all - rn)) AS raw FROM cand) "
+        "SELECT h AS split_h, mean_left, mean_right, score FROM scored "
+        "ORDER BY raw DESC, h LIMIT 1"
+    ),
+    "llm_ngram_novelty": (
+        "WITH toksd AS (SELECT doc_id, string_split(text, ' ') AS ts "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "bi AS (SELECT DISTINCT doc_id, ts[CAST(i AS INTEGER)] || ' ' || "
+        "ts[CAST(i + 1 AS INTEGER)] AS bg FROM toksd, range(1, 300) t(i) "
+        "WHERE i <= len(ts) - 1), "
+        "test AS (SELECT * FROM bi WHERE doc_id % 10 = 0), "
+        "train AS (SELECT DISTINCT bg FROM bi WHERE doc_id % 10 <> 0), "
+        "unseen AS (SELECT doc_id, count(*) AS n_unseen FROM test "
+        "WHERE NOT EXISTS (SELECT 1 FROM train WHERE train.bg = test.bg) "
+        "GROUP BY doc_id), "
+        "per AS (SELECT doc_id, count(*) AS n_bigrams FROM test GROUP BY doc_id) "
+        "SELECT per.doc_id, n_bigrams, COALESCE(n_unseen, 0) AS n_unseen, "
+        "round(CAST(COALESCE(n_unseen, 0) AS DOUBLE) / n_bigrams, 4) AS novelty "
+        "FROM per LEFT JOIN unseen ON per.doc_id = unseen.doc_id"
+    ),
+    "ml_feature_gain": (
+        "WITH embd AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+        "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "pts AS (SELECT i - 1 AS dim, emb[CAST(i AS INTEGER)] AS x, y "
+        "FROM embd, range(1, 9) t(i)), "
+        "per AS (SELECT dim, x, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+        "FROM pts GROUP BY dim, x), "
+        "cum AS (SELECT dim, x, CAST(sum(n) OVER w AS BIGINT) AS cn, "
+        "CAST(sum(pos) OVER w AS BIGINT) AS cp FROM per "
+        "WINDOW w AS (PARTITION BY dim ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "g AS (SELECT dim, count(*) AS nn, CAST(sum(y) AS BIGINT) AS p "
+        "FROM pts GROUP BY dim), "
+        "scored AS (SELECT cum.dim, nn, "
+        "greatest(nn - p + 2 * cp - cn, cn + p - 2 * cp) AS correct "
+        "FROM cum JOIN g ON cum.dim = g.dim), "
+        "best AS (SELECT dim, nn, CAST(max(correct) AS BIGINT) AS best_correct "
+        "FROM scored GROUP BY dim, nn) "
+        "SELECT dim, best_correct, "
+        "round(CAST(best_correct AS DOUBLE) / nn, 4) AS accuracy FROM best"
     ),
     "ml_mi_lang_source": (
         "WITH cells AS (SELECT lang, source, count(*) AS nls FROM documents "

@@ -268,3 +268,45 @@ def test_seasonal_profile_partition_of_total(spark):
     rows = analytics._q_seasonal_profile(spark, SF_SMOKE).collect()
     assert len(rows) == 24
     assert sum(r.total_events for r in rows) == 1000  # sf0.001 events
+
+
+def test_changepoint_finds_level_shift(spark):
+    c = [5] * 40 + [50] * 40
+    series = spark.createDataFrame(
+        [(h, v) for h, v in enumerate(c)], "h long, c long"
+    )
+    row = analytics.changepoint(series, min_seg=10).collect()[0]
+    assert row.split_h == 39  # boundary: left = hours 0..39
+    assert row.mean_left == pytest.approx(5.0)
+    assert row.mean_right == pytest.approx(50.0)
+
+
+def test_ab_proportions_z_formula(spark):
+    from conftest import SF_ORACLE
+
+    row = analytics._q_ab_proportions(spark, SF_ORACLE).collect()[0]
+    p = (row.x1 + row.x2) / (row.n1 + row.n2)
+    z = (row.x1 / row.n1 - row.x2 / row.n2) / np.sqrt(
+        p * (1 - p) * (1 / row.n1 + 1 / row.n2)
+    )
+    assert row.z == pytest.approx(z, abs=2e-4)
+
+
+def test_ngram_novelty_bounds(spark):
+    from conftest import SF_ORACLE
+
+    rows = analytics._q_ngram_novelty(spark, SF_ORACLE).collect()
+    assert rows  # held-out docs exist
+    for r in rows:
+        assert 0 <= r.n_unseen <= r.n_bigrams
+        assert 0.0 <= r.novelty <= 1.0
+
+
+def test_feature_gain_majority_floor(spark):
+    from conftest import SF_ORACLE
+
+    rows = analytics._q_feature_gain(spark, SF_ORACLE).collect()
+    assert len(rows) == 8
+    # any stump at least matches the majority-class baseline
+    for r in rows:
+        assert r.accuracy >= 0.5
