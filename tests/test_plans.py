@@ -162,3 +162,39 @@ def test_aqe_rewrites_executed_plan(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in executed, executed[:2000]
     assert "AQEShuffleRead" in executed, executed[:2000]
+
+
+def test_bloom_tables_are_broadcast(spark):
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    df = analytics._q_bloom_prefilter(spark, SF_SMOKE)
+    plan = _plan(df)
+    # both per-seed bitmask tables join as BroadcastHashJoin — the fact
+    # side never shuffles for the prefilter
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_gaps_islands_single_user_shuffle(spark):
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    df = analytics._q_gaps_islands(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # two exchanges by design: map-side dedup on (user_id, day) shrinks
+    # the shuffle to distinct pairs, then the tiny deduped set re-keys to
+    # user_id for the window; the island aggregate reuses that second
+    # partitioning (no third exchange)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first = plan.split("Exchange hashpartitioning")[2]
+    assert "HashAggregate" in first  # partial dedup below the first exchange
+
+
+def test_rolling_active_no_nested_loop_on_data(spark):
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    df = analytics._q_rolling_active(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # the trailing-window distinct uses bounded explode fan-out, NOT a
+    # range self-join; the only nested-loop join is against the 1-row
+    # max-day bound (IdentityBroadcastMode)
+    assert "Generate explode" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
