@@ -985,6 +985,124 @@ def _q_feature_gain(spark, sf_dir):
     )
 
 
+def roc_curve(pts: DataFrame) -> DataFrame:
+    """Full ROC curve for a continuous score vs binary label: one point
+    per distinct score threshold (score ≥ t positive), TPR/FPR from
+    cumulative integer counts over the score-descending window. One
+    sort-shuffle; the curve length is distinct scores, not rows."""
+    per = pts.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score", F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
+    return cum.crossJoin(F.broadcast(g)).select(
+        F.round("score", 4).alias("threshold"),
+        "tp",
+        "fp",
+        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("tpr"),
+        F.expr("round(CAST(fp AS DOUBLE) / neg, 4)").alias("fpr"),
+    )
+
+
+def _q_roc_curve(spark, sf_dir):
+    e = tables.embeddings(spark, sf_dir)
+    return roc_curve(
+        e.select(
+            col("emb").getItem(0).alias("score"),
+            (col("label") >= 5).cast("long").alias("y"),
+        )
+    )
+
+
+def _q_calibration_knn(spark, sf_dir):
+    """Calibration (reliability) table for the kNN classifier: group test
+    predictions by their vote confidence (votes/k) and compare claimed
+    confidence to empirical accuracy — the well-calibrated-probability
+    check an ensembling stage runs. Composes the graded top-k + vote
+    pipeline; confidence levels are exact vote integers."""
+    from .knn import K_DEFAULT, _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "tlabel")
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1)
+    return (
+        pred.groupBy("votes")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_correct"),
+        )
+        .select(
+            col("votes").alias("conf_votes"),
+            "n",
+            "n_correct",
+            F.expr(f"round(CAST(conf_votes AS DOUBLE) / {K_DEFAULT}, 4)").alias(
+                "confidence"
+            ),
+            F.expr("round(CAST(n_correct AS DOUBLE) / n, 4)").alias("empirical_acc"),
+        )
+    )
+
+
+def _q_component_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram: how many clusters of each size
+    the MinHash component pass produced — the dedup-yield report.
+    Composes the graded connected-components output; one tiny aggregate
+    over (cluster, size)."""
+    from .iterative import _q_components
+
+    comp = _q_components(spark, sf_dir)
+    return (
+        comp.groupBy("cluster_size")
+        .agg(F.countDistinct("cluster").alias("n_clusters"))
+        .select(col("cluster_size").alias("size"), "n_clusters")
+    )
+
+
+def periodogram(series: DataFrame, max_k: int = 36) -> DataFrame:
+    """Discrete periodogram of an integer series at frequencies 1..max_k
+    cycles: P_k = (Σc·cos)² + (Σc·sin)² scaled by 1/n — the spectral
+    peak finder (daily cycle ⟹ peak at n/24 for hourly data). Each
+    trig term is quantized to 1e-8 units before the sum, so the two
+    inner sums are exact integers under any partitioning."""
+    spark = series.sparkSession
+    n_ = series.agg(F.count("*").alias("n"))
+    t_ = series.select(
+        "c", (F.row_number().over(Window.orderBy("h")) - 1).alias("t")
+    )
+    ks = spark.range(1, max_k + 1).select(col("id").alias("k"))
+    terms = t_.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(n_))
+    agg = terms.groupBy("k", "n").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(c * cos(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
+            )
+        ).alias("a"),
+        F.sum(
+            F.expr(
+                "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
+            )
+        ).alias("b"),
+    )
+    return agg.select(
+        "k",
+        F.expr(
+            "round(((CAST(a AS DOUBLE) / 100000000) * (CAST(a AS DOUBLE) / 100000000) "
+            "+ (CAST(b AS DOUBLE) / 100000000) * (CAST(b AS DOUBLE) / 100000000)) / n, 4)"
+        ).alias("power"),
+    )
+
+
+def _q_periodogram(spark, sf_dir):
+    return periodogram(_hourly_series(spark, sf_dir))
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1012,6 +1130,10 @@ QUERIES = {
     "ts_changepoint": _q_changepoint,
     "llm_ngram_novelty": _q_ngram_novelty,
     "ml_feature_gain": _q_feature_gain,
+    "ml_roc_curve": _q_roc_curve,
+    "ml_calibration_knn": _q_calibration_knn,
+    "graph_component_sizes": _q_component_sizes,
+    "ts_periodogram": _q_periodogram,
 }
 
 
@@ -1332,6 +1454,37 @@ ORACLE = {
         "SELECT dim, best_correct, "
         "round(CAST(best_correct AS DOUBLE) / nn, 4) AS accuracy FROM best"
     ),
+    "ml_roc_curve": (
+        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+        "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+        "FROM pts GROUP BY score), "
+        "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+        "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+        "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)), "
+        "g AS (SELECT CAST(sum(y) AS BIGINT) AS p, "
+        "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM pts) "
+        "SELECT round(score, 4) AS threshold, tp, fp, "
+        "round(CAST(tp AS DOUBLE) / p, 4) AS tpr, "
+        "round(CAST(fp AS DOUBLE) / neg, 4) AS fpr FROM cum, g"
+    ),
+    "graph_component_sizes": None,  # filled below (needs iterative CTE)
+    "ml_calibration_knn": None,  # filled below (needs knn CTEs)
+    "ts_periodogram": (
+        f"WITH {_EVD}, {_HOURLY_SQL}, "
+        "tt AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS t FROM s), "
+        "nn AS (SELECT count(*) AS n FROM s), "
+        "terms AS (SELECT k, n, CAST(round(c * cos(2 * pi() * k * t / n) "
+        "* 100000000, 0) AS BIGINT) AS ca, "
+        "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
+        "FROM tt, range(1, 37) r(k), nn), "
+        "agg AS (SELECT k, n, CAST(sum(ca) AS BIGINT) AS a, "
+        "CAST(sum(cb) AS BIGINT) AS b FROM terms GROUP BY k, n) "
+        "SELECT k, round(((CAST(a AS DOUBLE) / 100000000) * "
+        "(CAST(a AS DOUBLE) / 100000000) + (CAST(b AS DOUBLE) / 100000000) * "
+        "(CAST(b AS DOUBLE) / 100000000)) / n, 4) AS power FROM agg"
+    ),
     "ml_mi_lang_source": (
         "WITH cells AS (SELECT lang, source, count(*) AS nls FROM documents "
         "GROUP BY lang, source), "
@@ -1350,3 +1503,29 @@ ORACLE = {
         "SELECT * FROM mi, hl, hs"
     ),
 }
+
+# Oracles composed from other tiers' proven CTEs (imported at the bottom
+# to keep module import order acyclic).
+from .knn import _EMB as _KNN_EMB, _PAIRS as _KNN_PAIRS, _TOPK as _KNN_TOPK  # noqa: E402
+from .knn import K_DEFAULT as _K  # noqa: E402
+from .iterative import _COMPONENTS_SQL  # noqa: E402
+
+ORACLE["ml_calibration_knn"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, {_KNN_TOPK}, "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT *, row_number() OVER (PARTITION BY qid "
+    "ORDER BY votes DESC, tlabel) AS rn FROM votes) "
+    "SELECT votes AS conf_votes, count(*) AS n, "
+    "CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+    f"round(CAST(votes AS DOUBLE) / {_K}, 4) AS confidence, "
+    "round(CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*), 4) AS empirical_acc "
+    "FROM pred WHERE rn = 1 GROUP BY votes"
+)
+
+ORACLE["graph_component_sizes"] = (
+    f"WITH comp AS ({_COMPONENTS_SQL}) "
+    "SELECT cluster_size AS size, count(DISTINCT cluster) AS n_clusters "
+    "FROM comp GROUP BY cluster_size"
+)

@@ -310,3 +310,36 @@ def test_feature_gain_majority_floor(spark):
     # any stump at least matches the majority-class baseline
     for r in rows:
         assert r.accuracy >= 0.5
+
+
+def test_roc_curve_matches_numpy(spark):
+    rng = np.random.default_rng(23)
+    s = rng.normal(size=120).round(2)
+    y = (s + rng.normal(scale=1.0, size=120) > 0).astype(int)
+    pts = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], "score double, y long"
+    )
+    rows = {r.threshold: (r.tp, r.fp) for r in analytics.roc_curve(pts).collect()}
+    for t in np.unique(s):
+        tp = int(((s >= t) & (y == 1)).sum())
+        fp = int(((s >= t) & (y == 0)).sum())
+        assert rows[round(float(t), 4)] == (tp, fp)
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    # planted 12-sample cycle over 144 samples → spectral peak at k=12
+    c = [10 + (7 if t % 12 == 0 else 0) for t in range(144)]
+    series = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(c)], "h long, c long"
+    )
+    rows = {r.k: r.power for r in analytics.periodogram(series, max_k=20).collect()}
+    assert max(rows, key=rows.get) == 12
+
+
+def test_calibration_totals_match_test_split(spark):
+    from conftest import SF_ORACLE
+
+    rows = analytics._q_calibration_knn(spark, SF_ORACLE).collect()
+    assert sum(r.n for r in rows) == 100  # 500 vecs, vec_id % 5 == 0 test split
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n
