@@ -1103,6 +1103,129 @@ def _q_periodogram(spark, sf_dir):
     return periodogram(_hourly_series(spark, sf_dir))
 
 
+def _q_brier_score(spark, sf_dir):
+    """Multi-class Brier score of the kNN vote distribution — the proper
+    scoring rule for probability quality. Scaled by k² the per-query
+    score Σ_c votes_c² − 2k·votes_true + k² is an exact integer, so the
+    corpus aggregate is partitioning-exact and floats once at the end."""
+    from .knn import K_DEFAULT, _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("votes"))
+    per = votes.groupBy("qid").agg(
+        F.sum(col("votes") * col("votes")).alias("sv"),
+        F.sum(F.when(col("tlabel") == col("qlabel"), col("votes")).otherwise(0)).alias(
+            "vy"
+        ),
+    )
+    scored = per.select(
+        (
+            col("sv") - 2 * K_DEFAULT * col("vy") + lit(K_DEFAULT * K_DEFAULT)
+        ).alias("qs")
+    )
+    return scored.agg(F.count("*").alias("n_test"), F.sum("qs").alias("total")).select(
+        "n_test",
+        F.expr(f"round(CAST(total AS DOUBLE) / (n_test * {K_DEFAULT * K_DEFAULT}), 4)").alias(
+            "brier"
+        ),
+    )
+
+
+def _q_log_loss(spark, sf_dir):
+    """Laplace-smoothed log loss of the kNN classifier:
+    −mean ln((votes_true+1)/(k+10)). Each per-query term quantizes to
+    integer nano-nats before the sum (inputs are exact rationals), so the
+    mean is order-independent."""
+    from .knn import K_DEFAULT, _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    vy = t.groupBy("qid").agg(
+        F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("vy")
+    )
+    terms = vy.select(
+        F.expr(
+            f"CAST(round(-ln((vy + 1) / CAST({K_DEFAULT} + 10 AS DOUBLE)) "
+            "* 1000000000, 0) AS BIGINT)"
+        ).alias("ti")
+    )
+    return terms.agg(F.count("*").alias("n_test"), F.sum("ti").alias("tsum")).select(
+        "n_test",
+        F.expr("round(tsum / CAST(1000000000 AS DOUBLE) / n_test, 4)").alias("log_loss"),
+    )
+
+
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup pair yield at Jaccard thresholds 50/70/90% — the curve a
+    dedup pipeline reads to pick its cutoff. Thresholds compare by
+    integer cross-multiplication (i·100 ≥ thr·union), so no float enters
+    a predicate; zero-yield thresholds still report 0."""
+    from .llm import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(col("doc_id").alias("doc_a"), col("lang").alias("lang_a"), "s")
+    b = sh.select(col("doc_id").alias("doc_b"), col("lang").alias("lang_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter((col("doc_a") < col("doc_b")) & (col("lang_a") == col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .join(sizes.select(col("doc_id").alias("doc_a"), col("n").alias("na")), "doc_a")
+        .join(sizes.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), "doc_b")
+    )
+    thr = spark.range(0, 3).select(
+        F.element_at(F.array(lit(50), lit(70), lit(90)), (col("id") + 1).cast("int")).alias(
+            "threshold_pct"
+        )
+    )
+    hits = (
+        inter.crossJoin(F.broadcast(thr))
+        .filter(col("i") * 100 >= col("threshold_pct") * (col("na") + col("nb") - col("i")))
+        .groupBy("threshold_pct")
+        .agg(F.count("*").alias("c"))
+    )
+    return thr.join(hits, "threshold_pct", "left").select(
+        "threshold_pct", F.coalesce(col("c"), lit(0).cast("long")).alias("n_pairs")
+    )
+
+
+def _q_arrival_iat(spark, sf_dir):
+    """Inter-arrival-time distribution per event type: count, mean,
+    exact interpolated median, and max of the µs gaps between
+    consecutive events of the same type. Gaps are integer µs; mean/median
+    float once. One shuffle on event_type carries the lag window and the
+    aggregate."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select("event_type", "ts_us", "event_id")
+        .withColumn("gap", col("ts_us") - F.lag("ts_us").over(w))
+        .filter(col("gap").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("total_us"),
+        F.expr("round(CAST(sum(gap) AS DOUBLE) / count(*), 4)").alias("mean_us"),
+        F.expr("round(percentile(gap, 0.5), 4)").alias("median_us"),
+        F.max("gap").alias("max_us"),
+    )
+
+
+def _q_downsample_minmax(spark, sf_dir):
+    """Min/max downsampling of the hourly series into 12-hour buckets —
+    the lossless-extremes decimation a plotting/monitoring layer uses
+    (peaks survive, unlike plain averaging). min_by/max_by pick the
+    earliest/latest points; all aggregates are single-pass."""
+    s = _hourly_series(spark, sf_dir)
+    return s.groupBy(F.expr("h div 12").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("c").alias("c_min"),
+        F.max("c").alias("c_max"),
+        F.expr("min_by(c, h)").alias("c_first"),
+        F.expr("max_by(c, h)").alias("c_last"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1134,6 +1257,11 @@ QUERIES = {
     "ml_calibration_knn": _q_calibration_knn,
     "graph_component_sizes": _q_component_sizes,
     "ts_periodogram": _q_periodogram,
+    "ml_brier_score": _q_brier_score,
+    "ml_log_loss": _q_log_loss,
+    "llm_dedup_threshold_sweep": _q_dedup_threshold_sweep,
+    "str_arrival_iat_stats": _q_arrival_iat,
+    "ts_downsample_minmax": _q_downsample_minmax,
 }
 
 
@@ -1528,4 +1656,62 @@ ORACLE["graph_component_sizes"] = (
     f"WITH comp AS ({_COMPONENTS_SQL}) "
     "SELECT cluster_size AS size, count(DISTINCT cluster) AS n_clusters "
     "FROM comp GROUP BY cluster_size"
+)
+
+from .llm import _SH as _LLM_SH, _TOKS as _LLM_TOKS  # noqa: E402
+
+ORACLE["ml_brier_score"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, {_KNN_TOPK}, "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "per AS (SELECT qid, CAST(sum(votes * votes) AS BIGINT) AS sv, "
+    "CAST(sum(CASE WHEN tlabel = qlabel THEN votes ELSE 0 END) AS BIGINT) AS vy "
+    "FROM votes GROUP BY qid), "
+    f"scored AS (SELECT sv - 2 * {_K} * vy + {_K * _K} AS qs FROM per), "
+    "agg AS (SELECT count(*) AS n_test, CAST(sum(qs) AS BIGINT) AS total FROM scored) "
+    f"SELECT n_test, round(CAST(total AS DOUBLE) / (n_test * {_K * _K}), 4) AS brier "
+    "FROM agg"
+)
+
+ORACLE["ml_log_loss"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, {_KNN_TOPK}, "
+    "vy AS (SELECT qid, CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS vy FROM topk GROUP BY qid), "
+    "terms AS (SELECT CAST(round(-ln((vy + 1) / "
+    f"CAST({_K} + 10 AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS ti FROM vy), "
+    "agg AS (SELECT count(*) AS n_test, CAST(sum(ti) AS BIGINT) AS tsum FROM terms) "
+    "SELECT n_test, round(tsum / CAST(1000000000 AS DOUBLE) / n_test, 4) AS log_loss "
+    "FROM agg"
+)
+
+ORACLE["llm_dedup_threshold_sweep"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "j AS (SELECT i, sa.n AS na, sb.n AS nb FROM inter "
+    "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id), "
+    "thr AS (SELECT unnest([50, 70, 90]) AS threshold_pct), "
+    "hits AS (SELECT threshold_pct, count(*) AS c FROM j, thr "
+    "WHERE i * 100 >= threshold_pct * (na + nb - i) GROUP BY threshold_pct) "
+    "SELECT thr.threshold_pct, COALESCE(c, 0) AS n_pairs "
+    "FROM thr LEFT JOIN hits ON thr.threshold_pct = hits.threshold_pct"
+)
+
+ORACLE["str_arrival_iat_stats"] = (
+    "WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events), "
+    "gaps AS (SELECT event_type, ts_us - lag(ts_us) OVER "
+    "(PARTITION BY event_type ORDER BY ts_us, event_id) AS gap FROM ev) "
+    "SELECT event_type, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS total_us, "
+    "round(CAST(sum(gap) AS DOUBLE) / count(*), 4) AS mean_us, "
+    "round(quantile_cont(gap, 0.5), 4) AS median_us, "
+    "CAST(max(gap) AS BIGINT) AS max_us "
+    "FROM gaps WHERE gap IS NOT NULL GROUP BY event_type"
+)
+
+ORACLE["ts_downsample_minmax"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL} "
+    "SELECT h // 12 AS bucket, count(*) AS n, min(c) AS c_min, max(c) AS c_max, "
+    "arg_min(c, h) AS c_first, arg_max(c, h) AS c_last FROM s GROUP BY h // 12"
 )

@@ -149,3 +149,24 @@ def running_sum_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_to_parquet(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+    """Run a bounded stream into a parquet file sink with a checkpoint.
+
+    The file sink + checkpoint pair is Spark's exactly-once story: the
+    checkpoint's file-source offsets record which input files each batch
+    consumed, and the sink's _spark_metadata manifest records which
+    output files are committed. Re-running after a stop resumes past
+    everything already committed — no duplicates, no loss — which
+    tests/test_streaming.py::test_checkpoint_restart_exactly_once
+    drives end-to-end."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

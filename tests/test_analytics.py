@@ -343,3 +343,40 @@ def test_calibration_totals_match_test_split(spark):
     assert sum(r.n for r in rows) == 100  # 500 vecs, vec_id % 5 == 0 test split
     for r in rows:
         assert 0 <= r.n_correct <= r.n
+
+
+def test_brier_and_logloss_bounds(spark):
+    from conftest import SF_ORACLE
+
+    b = analytics._q_brier_score(spark, SF_ORACLE).collect()[0]
+    assert b.n_test == 100
+    assert 0.0 <= b.brier <= 2.0
+    ll = analytics._q_log_loss(spark, SF_ORACLE).collect()[0]
+    # smoothed log loss is bounded below by the all-correct value
+    assert ll.log_loss >= round(-np.log(11 / 20), 4) - 1e-9
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    from conftest import SF_ORACLE
+
+    rows = {
+        r.threshold_pct: r.n_pairs
+        for r in analytics._q_dedup_threshold_sweep(spark, SF_ORACLE).collect()
+    }
+    assert rows[50] >= rows[70] >= rows[90] >= 0
+
+
+def test_arrival_iat_consistency(spark):
+    from conftest import SF_ORACLE
+
+    for r in analytics._q_arrival_iat(spark, SF_ORACLE).collect():
+        assert r.mean_us == pytest.approx(r.total_us / r.n_gaps, abs=1e-3)
+        assert r.median_us <= r.max_us
+
+
+def test_downsample_minmax_envelope(spark):
+    from conftest import SF_ORACLE
+
+    for r in analytics._q_downsample_minmax(spark, SF_ORACLE).collect():
+        assert r.c_min <= r.c_first <= r.c_max
+        assert r.c_min <= r.c_last <= r.c_max

@@ -175,3 +175,32 @@ def test_custom_python_stream_source_batches_and_replay(spark):
     rdr = knn_datasource.SyntheticEventsStreamReader({"batchsize": "7"})
     replay = list(rdr.readBetweenOffsets({"i": 0}, {"i": 7}))
     assert replay == [(i, (i * 2654435761) % 1000003, float(i % 100)) for i in range(7)]
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Kill-and-restart recovery: consume half the input, stop, add the
+    rest, restart from the same checkpoint — the file sink must hold
+    every event exactly once."""
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="ckpt_restart_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    staged = tempfile.mkdtemp(prefix="evstage_")
+    jobs.stage_event_chunks(spark, SF_SMOKE, staged, n_chunks=4)
+    chunks = sorted(os.listdir(staged))
+    os.makedirs(src)
+
+    for c in chunks[:2]:
+        shutil.copy(os.path.join(staged, c), src)
+    jobs.run_to_parquet(jobs.read_event_stream(spark, src), out, ckpt)
+    n_half = spark.read.parquet(out).count()
+
+    for c in chunks[2:]:
+        shutil.copy(os.path.join(staged, c), src)
+    jobs.run_to_parquet(jobs.read_event_stream(spark, src), out, ckpt)
+
+    got = spark.read.parquet(out)
+    n_events = tables.table(spark, SF_SMOKE, "events").count()
+    assert 0 < n_half < n_events
+    assert got.count() == n_events  # no loss, no duplicates
+    assert got.select("event_id").distinct().count() == n_events
