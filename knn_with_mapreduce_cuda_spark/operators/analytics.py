@@ -1226,6 +1226,107 @@ def _q_downsample_minmax(spark, sf_dir):
     )
 
 
+def theil_sen(series: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend: the exact median of all pairwise slopes
+    (c_j − c_i)/(j − i) — outlier-resistant unlike OLS. Slopes are exact
+    rationals evaluated in one double division; the median interpolates
+    identical doubles on both engines. Scale note: O(n²) pairs of the
+    *series*, which is hours-of-history; for longer series the estimator
+    runs on a bounded window of pairs."""
+    a = series.select(col("h").alias("hi"), col("c").alias("ci"))
+    b = series.select(col("h").alias("hj"), col("c").alias("cj"))
+    slopes = a.join(b, col("hi") < col("hj")).select(
+        F.expr("(cj - ci) / CAST(hj - hi AS DOUBLE)").alias("slope")
+    )
+    return slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("round(percentile(slope, 0.5), 4)").alias("trend_per_hour"),
+    )
+
+
+def _q_theil_sen(spark, sf_dir):
+    return theil_sen(_hourly_series(spark, sf_dir))
+
+
+def mad_outliers(series: DataFrame) -> DataFrame:
+    """Median-absolute-deviation outlier count — the robust twin of the
+    rolling-z detector: med and MAD are exact interpolated quantiles of
+    integers, the 3σ-equivalent cutoff 3·1.4826·MAD is one identical
+    float expression on both engines."""
+    med = series.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    dev = series.crossJoin(F.broadcast(med)).select(
+        "c", "med", F.abs(col("c") - col("med")).alias("adev")
+    )
+    madv = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(madv))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("round(any_value(med), 4)").alias("median"),
+            F.expr("round(any_value(mad), 4)").alias("mad"),
+            F.sum(
+                F.expr("CASE WHEN adev > 3 * 1.4826 * mad THEN 1 ELSE 0 END")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def _q_mad_outliers(spark, sf_dir):
+    return mad_outliers(_hourly_series(spark, sf_dir))
+
+
+def _q_minhash_est_vs_exact(spark, sf_dir):
+    """Sketch calibration: for every MinHash band-join candidate pair,
+    the signature-agreement estimate (matches/8) next to the exact
+    shingle Jaccard — the report that tells a dedup pipeline whether its
+    sketch budget (8 hashes) is adequate. Match counts and intersections
+    are exact integers; the two shares float once per pair."""
+    from .llm import N_MINHASH, _shingles, minhash_signatures, near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    siga = sig.select(
+        col("doc_id").alias("doc_a"), *[col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)]
+    )
+    sigb = sig.select(
+        col("doc_id").alias("doc_b"), *[col(f"h{k}").alias(f"b{k}") for k in range(N_MINHASH)]
+    )
+    est = pairs.join(siga, "doc_a").join(sigb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        sum(
+            [(col(f"a{k}") == col(f"b{k}")).cast("long") for k in range(N_MINHASH)],
+            lit(0).cast("long"),
+        ).alias("est_matches"),
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(col("doc_id").alias("doc_b"), "s"), "s")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(col("doc_id").alias("doc_a"), col("n").alias("na")), "doc_a")
+        .join(sizes.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_matches",
+            F.coalesce(col("i"), lit(0).cast("long")).alias("i"),
+            F.expr(f"round(CAST(est_matches AS DOUBLE) / {N_MINHASH}, 4)").alias(
+                "jaccard_est"
+            ),
+            F.expr(
+                "round(CAST(COALESCE(i, 0) AS DOUBLE) / (na + nb - COALESCE(i, 0)), 4)"
+            ).alias("jaccard_exact"),
+        )
+    )
+    return out
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1262,6 +1363,9 @@ QUERIES = {
     "llm_dedup_threshold_sweep": _q_dedup_threshold_sweep,
     "str_arrival_iat_stats": _q_arrival_iat,
     "ts_downsample_minmax": _q_downsample_minmax,
+    "ts_trend_theil_sen": _q_theil_sen,
+    "ts_mad_outliers": _q_mad_outliers,
+    "llm_minhash_est_vs_exact": _q_minhash_est_vs_exact,
 }
 
 
@@ -1714,4 +1818,49 @@ ORACLE["ts_downsample_minmax"] = (
     f"WITH {_EVD}, {_HOURLY_SQL} "
     "SELECT h // 12 AS bucket, count(*) AS n, min(c) AS c_min, max(c) AS c_max, "
     "arg_min(c, h) AS c_first, arg_max(c, h) AS c_last FROM s GROUP BY h // 12"
+)
+
+from .llm import _BANDS as _LLM_BANDS, _MINHASH as _LLM_MINHASH, N_MINHASH as _NMH  # noqa: E402
+
+ORACLE["ts_trend_theil_sen"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "slopes AS (SELECT (b.c - a.c) / CAST(b.h - a.h AS DOUBLE) AS slope "
+    "FROM s a JOIN s b ON a.h < b.h) "
+    "SELECT count(*) AS n_pairs, "
+    "round(quantile_cont(slope, 0.5), 4) AS trend_per_hour FROM slopes"
+)
+
+ORACLE["ts_mad_outliers"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "med AS (SELECT quantile_cont(c, 0.5) AS med FROM s), "
+    "dev AS (SELECT c, med, abs(c - med) AS adev FROM s, med), "
+    "madv AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev) "
+    "SELECT count(*) AS n, round(any_value(med), 4) AS median, "
+    "round(any_value(mad), 4) AS mad, "
+    "CAST(sum(CASE WHEN adev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_outliers FROM dev, madv"
+)
+
+ORACLE["llm_minhash_est_vs_exact"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, {_LLM_MINHASH}, {_LLM_BANDS}, "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+    "AND a.doc_id < b.doc_id), "
+    "est AS (SELECT doc_a, doc_b, CAST("
+    + " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(8)
+    )
+    + " AS BIGINT) AS est_matches FROM pairs "
+    "JOIN sig sa ON pairs.doc_a = sa.doc_id JOIN sig sb ON pairs.doc_b = sb.doc_id), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT est.doc_a, est.doc_b, est_matches, "
+    "CAST(COALESCE(i, 0) AS BIGINT) AS i, "
+    f"round(CAST(est_matches AS DOUBLE) / {_NMH}, 4) AS jaccard_est, "
+    "round(CAST(COALESCE(i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i, 0)), 4) "
+    "AS jaccard_exact "
+    "FROM est LEFT JOIN inter ON est.doc_a = inter.doc_a AND est.doc_b = inter.doc_b "
+    "JOIN sizes sa ON est.doc_a = sa.doc_id JOIN sizes sb ON est.doc_b = sb.doc_id"
 )

@@ -710,6 +710,7 @@ QUERIES = {
     "knn_dist_minkowski": _q_dist("minkowski3"),
     "knn_dist_hamming": _q_dist("hamming"),
     "knn_dist_cosine": _q_dist("cosine"),
+    "knn_dist_dot": _q_dist("dot"),
     "knn_topk": _q_topk,
     "knn_classify": _q_classify,
     "knn_regress": _q_regress,
@@ -832,6 +833,11 @@ ORACLE = {
     "knn_dist_cosine": (
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "round(list_cosine_similarity(q.emb, t.emb), 4) AS dist "
+        "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_dot": (
+        f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(list_inner_product(q.emb, t.emb), 4) AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_topk": (

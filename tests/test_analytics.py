@@ -380,3 +380,35 @@ def test_downsample_minmax_envelope(spark):
     for r in analytics._q_downsample_minmax(spark, SF_ORACLE).collect():
         assert r.c_min <= r.c_first <= r.c_max
         assert r.c_min <= r.c_last <= r.c_max
+
+
+def test_theil_sen_on_linear_series(spark):
+    # exact line c = 3h + noise-free → every pairwise slope is 3
+    series = spark.createDataFrame(
+        [(h, 3 * h + 7) for h in range(40)], "h long, c long"
+    )
+    row = analytics.theil_sen(series).collect()[0]
+    assert row.n_pairs == 40 * 39 // 2
+    assert row.trend_per_hour == pytest.approx(3.0)
+
+
+def test_mad_flags_planted_outliers(spark):
+    c = [10, 11, 9, 10, 12, 10, 11, 9, 10, 500, 10, 11, -400, 10]
+    series = spark.createDataFrame(
+        [(h, v) for h, v in enumerate(c)], "h long, c long"
+    )
+    row = analytics.mad_outliers(series).collect()[0]
+    assert row.n_outliers == 2
+    assert row.median == pytest.approx(10.0)
+
+
+def test_minhash_estimate_tracks_exact(spark):
+    from conftest import SF_ORACLE
+
+    rows = analytics._q_minhash_est_vs_exact(spark, SF_ORACLE).collect()
+    assert rows
+    est = np.array([r.jaccard_est for r in rows])
+    exact = np.array([r.jaccard_exact for r in rows])
+    # the sketch must correlate with truth over the candidate set
+    if est.std() > 0 and exact.std() > 0:
+        assert np.corrcoef(est, exact)[0, 1] > 0.4
