@@ -1327,6 +1327,98 @@ def _q_minhash_est_vs_exact(spark, sf_dir):
     return out
 
 
+def _q_incremental_agg(spark, sf_dir):
+    """Incremental-view-maintenance proof: aggregate two disjoint
+    partitions of the fact table separately (the nightly delta and the
+    existing materialization), merge the partial states (sum of sums,
+    sum of counts), and finish. Graded against the single-pass aggregate
+    — mergeability is exactly what lets a 100 TB rollup refresh by
+    touching only new partitions."""
+    li = tables.table(spark, sf_dir, "lineitem")
+
+    def partial(part):
+        return (
+            li.filter(F.expr(f"l_orderkey % 2 = {part}"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(cents(col("l_extendedprice"))).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    merged = (
+        partial(0)
+        .unionByName(partial(1))
+        .groupBy("l_returnflag")
+        .agg(F.sum("s").alias("price_cents"), F.sum("n").alias("n_items"))
+    )
+    return merged.select(
+        "l_returnflag",
+        "price_cents",
+        "n_items",
+        F.expr("round(price_cents / CAST(n_items AS DOUBLE) / 100, 4)").alias(
+            "avg_price"
+        ),
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: compare the per-user event rollup as of
+    day 1 vs day 15 and report users added / absent / unchanged / grown — the
+    reconciliation report an incremental pipeline emits. One shuffle on
+    user_id; both snapshots come from a single scan (conditional
+    aggregation), not two."""
+    ev = tables.table(spark, sf_dir, "events")
+    day = F.expr("ts_us div 86400000000 - 19723")  # days since 2024-01-01
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < 1, 1).otherwise(0)).alias("n_then"),
+        F.sum(F.when(day < 15, 1).otherwise(0)).alias("n_now"),
+    )
+    return per.select(
+        F.when(col("n_now") == 0, "absent")
+        .when(col("n_then") == 0, "added")
+        .when(col("n_now") > col("n_then"), "grown")
+        .otherwise("unchanged")
+        .alias("status"),
+        "user_id",
+    ).groupBy("status").agg(F.count("*").alias("n_users"))
+
+
+def _q_dataset_card(spark, sf_dir):
+    """One-row dataset card for the documents corpus: sizes, language
+    spread, token volume, and near-dup rate — the summary block a corpus
+    release ships. Composes token counting and the MinHash candidate
+    pairs; every number integer-derived."""
+    from .llm import near_dup_pairs
+
+    docs = tables.table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(col("text"), " "))).alias("total_tokens"),
+    )
+    dup_docs = (
+        near_dup_pairs(spark, sf_dir)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .agg(F.count("*").alias("n_dup_docs"))
+    )
+    return base.crossJoin(F.broadcast(dup_docs)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_tokens",
+        "n_dup_docs",
+        F.expr("round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4)").alias("dup_rate"),
+        F.expr("round(CAST(total_tokens AS DOUBLE) / n_docs, 4)").alias(
+            "mean_tokens_per_doc"
+        ),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1366,6 +1458,9 @@ QUERIES = {
     "ts_trend_theil_sen": _q_theil_sen,
     "ts_mad_outliers": _q_mad_outliers,
     "llm_minhash_est_vs_exact": _q_minhash_est_vs_exact,
+    "rel_incremental_agg": _q_incremental_agg,
+    "rel_snapshot_diff": _q_snapshot_diff,
+    "llm_dataset_card": _q_dataset_card,
 }
 
 
@@ -1863,4 +1958,46 @@ ORACLE["llm_minhash_est_vs_exact"] = (
     "AS jaccard_exact "
     "FROM est LEFT JOIN inter ON est.doc_a = inter.doc_a AND est.doc_b = inter.doc_b "
     "JOIN sizes sa ON est.doc_a = sa.doc_id JOIN sizes sb ON est.doc_b = sb.doc_id"
+)
+
+ORACLE["rel_incremental_agg"] = (
+    "WITH p0 AS (SELECT l_returnflag, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS s, "
+    "count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag), "
+    "p1 AS (SELECT l_returnflag, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS s, "
+    "count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag), "
+    "u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1), "
+    "m AS (SELECT l_returnflag, CAST(sum(s) AS BIGINT) AS price_cents, "
+    "CAST(sum(n) AS BIGINT) AS n_items FROM u GROUP BY l_returnflag) "
+    "SELECT l_returnflag, price_cents, n_items, "
+    "round(price_cents / CAST(n_items AS DOUBLE) / 100, 4) AS avg_price FROM m"
+)
+
+ORACLE["rel_snapshot_diff"] = (
+    f"WITH {_EVD}, "
+    "per AS (SELECT user_id, "
+    "CAST(sum(CASE WHEN day - 19723 < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_then, "
+    "CAST(sum(CASE WHEN day - 19723 < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_now "
+    "FROM evd GROUP BY user_id) "
+    "SELECT CASE WHEN n_now = 0 THEN 'absent' WHEN n_then = 0 THEN 'added' "
+    "WHEN n_now > n_then THEN 'grown' ELSE 'unchanged' END AS status, "
+    "count(*) AS n_users FROM per GROUP BY 1"
+)
+
+ORACLE["llm_dataset_card"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, {_LLM_MINHASH}, {_LLM_BANDS}, "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+    "AND a.doc_id < b.doc_id), "
+    "base AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, "
+    "count(DISTINCT source) AS n_sources, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens "
+    "FROM documents), "
+    "dups AS (SELECT count(*) AS n_dup_docs FROM (SELECT DISTINCT d FROM "
+    "(SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b AS d FROM pairs))) "
+    "SELECT n_docs, n_langs, n_sources, total_chars, total_tokens, n_dup_docs, "
+    "round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_rate, "
+    "round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens_per_doc "
+    "FROM base, dups"
 )

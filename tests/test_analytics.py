@@ -412,3 +412,41 @@ def test_minhash_estimate_tracks_exact(spark):
     # the sketch must correlate with truth over the candidate set
     if est.std() > 0 and exact.std() > 0:
         assert np.corrcoef(est, exact)[0, 1] > 0.4
+
+
+def test_incremental_agg_equals_single_pass(spark):
+    from conftest import SF_ORACLE
+    from knn_with_mapreduce_cuda_spark import tables
+    from knn_with_mapreduce_cuda_spark.operators.relational import cents
+
+    got = {
+        r.l_returnflag: (r.price_cents, r.n_items)
+        for r in analytics._q_incremental_agg(spark, SF_ORACLE).collect()
+    }
+    li = tables.table(spark, SF_ORACLE, "lineitem")
+    single = {
+        r.l_returnflag: (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == single  # merged partial states == one-pass aggregate
+
+
+def test_snapshot_diff_partitions_users(spark):
+    from conftest import SF_ORACLE
+
+    rows = {r.status: r.n_users for r in analytics._q_snapshot_diff(spark, SF_ORACLE).collect()}
+    assert sum(rows.values()) == 150  # every sf0.01 user classified once
+
+
+def test_dataset_card_consistency(spark):
+    from conftest import SF_ORACLE
+
+    r = analytics._q_dataset_card(spark, SF_ORACLE).collect()[0]
+    assert r.n_docs == 500 and r.n_langs == 5 and r.n_sources == 20
+    assert 0 <= r.n_dup_docs <= r.n_docs
+    assert r.mean_tokens_per_doc == pytest.approx(r.total_tokens / r.n_docs, abs=1e-3)
