@@ -119,6 +119,25 @@ def main() -> None:
         ["BroadcastNestedLoopJoin", "BroadcastExchange"],
     )
 
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    add(
+        "Bloom prefilter broadcasts bitmasks, not keys (rel_join_bloom_prefilter)",
+        "Each per-seed (word, bitmask) table — 1024 rows regardless of dim "
+        "size — joins as a BroadcastHashJoin; the fact side sheds rows "
+        "before its join shuffle:",
+        analytics._q_bloom_prefilter(spark, SF),
+        ["BroadcastHashJoin", "BroadcastExchange", "Exchange hash"],
+    )
+    add(
+        "Dedup-then-rekey for gaps-and-islands (ts_gaps_islands)",
+        "Map-side dedup shrinks the first shuffle to distinct (user, day) "
+        "pairs; the window and island aggregate share the second (user-only) "
+        "partitioning — no third exchange:",
+        analytics._q_gaps_islands(spark, SF),
+        ["Exchange", "HashAggregate", "Window"],
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER + "\n" + "\n".join(sections))
     print(f"PLANS.md written: {len(sections)} sections")
