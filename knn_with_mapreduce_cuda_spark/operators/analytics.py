@@ -1419,6 +1419,59 @@ def _q_dataset_card(spark, sf_dir):
     )
 
 
+def label_propagation(nodes: DataFrame, edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Min-label propagation (bounded-round Pregel community detection)
+    over an undirected edge list: each round every node takes the min of
+    its own and its neighbors' labels. Labels are node ids — exact
+    integers — so the non-converged state after `rounds` supersteps is
+    itself deterministic and hash-gradable. Each round is one equi-join
+    + one groupBy on node id (the Pregel message schedule); isolated
+    nodes keep their own label via the left join."""
+    sym = edges.union(edges.select(col("b").alias("a"), col("a").alias("b")))
+    lbl = nodes.select(col("id"), col("id").alias("lbl"))
+    for _ in range(rounds):
+        nb = (
+            sym.join(lbl.select(col("id").alias("b"), col("lbl").alias("nlbl")), "b")
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("mn"))
+        )
+        lbl = (
+            lbl.join(nb, lbl.id == nb.a, "left")
+            .select(col("id"), F.least(col("lbl"), F.coalesce(col("mn"), col("lbl"))).alias("lbl"))
+        )
+    return lbl.select(col("id").alias("node"), col("lbl").alias("community"))
+
+
+def _q_label_prop(spark, sf_dir):
+    from .knn import _q_mutual
+
+    e = tables.embeddings(spark, sf_dir)
+    return label_propagation(
+        e.select(col("vec_id").alias("id")), _q_mutual(spark, sf_dir)
+    )
+
+
+def _q_select_except(spark, sf_dir):
+    """Modern star-projection surface: Spark 4 `SELECT * EXCEPT (...)`
+    (⟷ DuckDB `* EXCLUDE`) — drop the wide text column at the parser
+    level so column pruning still reaches the scan."""
+    tables.table(spark, sf_dir, "documents").createOrReplaceTempView("documents_se")
+    return spark.sql(
+        "SELECT * EXCEPT (text) FROM documents_se WHERE doc_id < 50"
+    )
+
+
+def _q_group_by_all(spark, sf_dir):
+    """GROUP BY ALL surface (Spark ≥3.4 ⟷ DuckDB): every non-aggregate
+    select item becomes a grouping key — the dbt-style rollup shorthand."""
+    tables.table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        f"CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS price_cents "
+        "FROM lineitem_gba GROUP BY ALL"
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1461,6 +1514,9 @@ QUERIES = {
     "rel_incremental_agg": _q_incremental_agg,
     "rel_snapshot_diff": _q_snapshot_diff,
     "llm_dataset_card": _q_dataset_card,
+    "graph_label_prop": _q_label_prop,
+    "rel_select_except": _q_select_except,
+    "rel_group_by_all": _q_group_by_all,
 }
 
 
@@ -2000,4 +2056,29 @@ ORACLE["llm_dataset_card"] = (
     "round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_rate, "
     "round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens_per_doc "
     "FROM base, dups"
+)
+
+ORACLE["graph_label_prop"] = (
+    f"WITH {_MUTUAL}, "
+    "sym AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m), "
+    "l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings), "
+    "nb1 AS (SELECT sym.a, min(l0.lbl) AS mn FROM sym "
+    "JOIN l0 ON sym.b = l0.id GROUP BY sym.a), "
+    "l1 AS (SELECT l0.id, least(l0.lbl, COALESCE(nb1.mn, l0.lbl)) AS lbl "
+    "FROM l0 LEFT JOIN nb1 ON l0.id = nb1.a), "
+    "nb2 AS (SELECT sym.a, min(l1.lbl) AS mn FROM sym "
+    "JOIN l1 ON sym.b = l1.id GROUP BY sym.a), "
+    "l2 AS (SELECT l1.id, least(l1.lbl, COALESCE(nb2.mn, l1.lbl)) AS lbl "
+    "FROM l1 LEFT JOIN nb2 ON l1.id = nb2.a) "
+    "SELECT id AS node, lbl AS community FROM l2"
+)
+
+ORACLE["rel_select_except"] = (
+    "SELECT * EXCLUDE (text) FROM documents WHERE doc_id < 50"
+)
+
+ORACLE["rel_group_by_all"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS price_cents "
+    "FROM lineitem GROUP BY ALL"
 )

@@ -58,6 +58,24 @@ def _q_scalar_py(spark, sf_dir):
     )
 
 
+def _q_arrow_scalar(spark, sf_dir):
+    """Spark 4 Arrow-optimized scalar UDF (``useArrow=True``) — the
+    seventh ladder rung between the pickled row UDF and the pandas UDF:
+    row-at-a-time Python logic, but Arrow-batch serialization instead of
+    pickle framing. Same subset + oracle as udf_scalar_py."""
+
+    @F.udf(DoubleType(), useArrow=True)
+    def arrow_euclidean(a, b):
+        return float(sum((x - y) * (x - y) for x, y in zip(a, b))) ** 0.5
+
+    e = tables.embeddings(spark, sf_dir)
+    q = split_test(e).filter(col("qid") % 25 == 0)
+    pairs = all_pairs(q, train_all(e))
+    return pairs.select(
+        "qid", "tid", F.round(arrow_euclidean("qemb", "temb"), 4).alias("dist")
+    )
+
+
 def _q_pandas_vectorized(spark, sf_dir):
     import numpy as np
 
@@ -233,6 +251,7 @@ def _q_apply_arrow(spark, sf_dir):
 
 QUERIES = {
     "udf_scalar_py": _q_scalar_py,
+    "udf_arrow_scalar": _q_arrow_scalar,
     "udf_pandas_iter": _q_pandas_iter,
     "udf_apply_arrow": _q_apply_arrow,
     "udf_pandas_vectorized": _q_pandas_vectorized,
@@ -244,6 +263,10 @@ QUERIES = {
 
 ORACLE = {
     "udf_scalar_py": (
+        _PAIRS_SQL_T5 + " SELECT qid, tid, round(dist, 4) AS dist FROM pairs "
+        "WHERE qid % 25 = 0"
+    ),
+    "udf_arrow_scalar": (
         _PAIRS_SQL_T5 + " SELECT qid, tid, round(dist, 4) AS dist FROM pairs "
         "WHERE qid % 25 = 0"
     ),

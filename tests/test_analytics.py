@@ -450,3 +450,30 @@ def test_dataset_card_consistency(spark):
     assert r.n_docs == 500 and r.n_langs == 5 and r.n_sources == 20
     assert 0 <= r.n_dup_docs <= r.n_docs
     assert r.mean_tokens_per_doc == pytest.approx(r.total_tokens / r.n_docs, abs=1e-3)
+
+
+def test_label_prop_bounded_rounds(spark):
+    # path 0-1-2-3-4: after r rounds node v has min label max(0, v - r)
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], "a long, b long")
+    got = {
+        r.node: r.community
+        for r in analytics.label_propagation(nodes, edges, rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}
+    # enough rounds ⟹ full convergence to the component minimum
+    conv = {
+        r.node: r.community
+        for r in analytics.label_propagation(nodes, edges, rounds=4).collect()
+    }
+    assert set(conv.values()) == {0}
+
+
+def test_label_prop_isolated_nodes_keep_label(spark):
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "a long, b long")
+    got = {
+        r.node: r.community
+        for r in analytics.label_propagation(nodes, edges, rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 9: 9}
