@@ -1472,6 +1472,77 @@ def _q_group_by_all(spark, sf_dir):
     )
 
 
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the month for the event-value distribution — the drift monitor a
+    feature pipeline runs per release. Values bin into 10 fixed cent
+    deciles of the reference window; PSI terms quantize to nano units
+    before summation (counts are exact integers throughout)."""
+    ev = tables.table(spark, sf_dir, "events")
+    day = F.expr("ts_us div 86400000000 - 19723")
+    binned = ev.select(
+        F.when(day < 15, 1).otherwise(2).alias("win"),
+        F.least(F.floor(cents(col("value")) / 5000), lit(9)).cast("long").alias("b"),
+    )
+    per = binned.groupBy("b").agg(
+        F.sum(F.when(col("win") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(col("win") == 2, 1).otherwise(0)).alias("nb"),
+    )
+    g = binned.agg(
+        F.sum(F.when(col("win") == 1, 1).otherwise(0)).alias("ta"),
+        F.sum(F.when(col("win") == 2, 1).otherwise(0)).alias("tb"),
+    )
+    terms = per.crossJoin(F.broadcast(g)).select(
+        F.expr(
+            "CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
+            "(nb + 1) / CAST(tb + 10 AS DOUBLE)) * "
+            "ln(((na + 1) / CAST(ta + 10 AS DOUBLE)) / "
+            "((nb + 1) / CAST(tb + 10 AS DOUBLE))) * 1000000000, 0) AS BIGINT)"
+        ).alias("ti")
+    )
+    return terms.agg(F.count("*").alias("n_bins"), F.sum("ti").alias("s")).select(
+        "n_bins", F.expr("round(s / CAST(1000000000 AS DOUBLE), 4)").alias("psi")
+    )
+
+
+def _q_chi2_independence(spark, sf_dir):
+    """χ² test of independence between event_type and the even/odd user
+    bucket — the categorical-drift / assignment-balance check. Observed
+    and marginal counts are exact integers; each (O−E)²/E term quantizes
+    to nano units before the sum; dof is (r−1)(c−1)."""
+    ev = tables.table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.expr("user_id % 2").alias("bucket")
+    ).agg(F.count("*").alias("o"))
+    rows_ = ev.groupBy("event_type").agg(F.count("*").alias("nr"))
+    cols_ = ev.groupBy(F.expr("user_id % 2").alias("bucket")).agg(
+        F.count("*").alias("nc")
+    )
+    tot = ev.agg(F.count("*").alias("nn"))
+    terms = (
+        cells.join(rows_, "event_type")
+        .join(cols_, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
+                "(CAST(nr AS DOUBLE) * nc / nn) * 1000000000, 0) AS BIGINT)"
+            ).alias("ti")
+        )
+    )
+    dims = rows_.agg(F.count("*").alias("r")).crossJoin(
+        cols_.agg(F.count("*").alias("c"))
+    )
+    return (
+        terms.agg(F.sum("ti").alias("s"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.expr("round(s / CAST(1000000000 AS DOUBLE), 4)").alias("chi2"),
+            F.expr("CAST((r - 1) * (c - 1) AS BIGINT)").alias("dof"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1517,6 +1588,8 @@ QUERIES = {
     "graph_label_prop": _q_label_prop,
     "rel_select_except": _q_select_except,
     "rel_group_by_all": _q_group_by_all,
+    "ml_psi_drift": _q_psi_drift,
+    "ml_chi2_independence": _q_chi2_independence,
 }
 
 
@@ -2081,4 +2154,38 @@ ORACLE["rel_group_by_all"] = (
     "SELECT l_returnflag, l_linestatus, count(*) AS n, "
     f"CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS price_cents "
     "FROM lineitem GROUP BY ALL"
+)
+
+ORACLE["ml_psi_drift"] = (
+    f"WITH {_EVD}, "
+    "binned AS (SELECT CASE WHEN day - 19723 < 15 THEN 1 ELSE 2 END AS win, "
+    f"least(CAST(floor({_CENTS.format(x='value')} / 5000) AS BIGINT), 9) AS b "
+    "FROM evd), "
+    "per AS (SELECT b, CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    "CAST(sum(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb "
+    "FROM binned GROUP BY b), "
+    "g AS (SELECT CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ta, "
+    "CAST(sum(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tb FROM binned), "
+    "terms AS (SELECT CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
+    "(nb + 1) / CAST(tb + 10 AS DOUBLE)) * "
+    "ln(((na + 1) / CAST(ta + 10 AS DOUBLE)) / "
+    "((nb + 1) / CAST(tb + 10 AS DOUBLE))) * 1000000000, 0) AS BIGINT) AS ti "
+    "FROM per, g), "
+    "agg AS (SELECT count(*) AS n_bins, CAST(sum(ti) AS BIGINT) AS s FROM terms) "
+    "SELECT n_bins, round(s / CAST(1000000000 AS DOUBLE), 4) AS psi FROM agg"
+)
+
+ORACLE["ml_chi2_independence"] = (
+    "WITH cells AS (SELECT event_type, user_id % 2 AS bucket, count(*) AS o "
+    "FROM events GROUP BY event_type, user_id % 2), "
+    "r AS (SELECT event_type, count(*) AS nr FROM events GROUP BY event_type), "
+    "c AS (SELECT user_id % 2 AS bucket, count(*) AS nc FROM events "
+    "GROUP BY user_id % 2), "
+    "tot AS (SELECT count(*) AS nn FROM events), "
+    "terms AS (SELECT CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
+    "(CAST(nr AS DOUBLE) * nc / nn) * 1000000000, 0) AS BIGINT) AS ti "
+    "FROM cells JOIN r USING (event_type) JOIN c USING (bucket), tot), "
+    "dims AS (SELECT (SELECT count(*) FROM r) AS rr, (SELECT count(*) FROM c) AS cc) "
+    "SELECT round(sum(ti) / CAST(1000000000 AS DOUBLE), 4) AS chi2, "
+    "CAST((rr - 1) * (cc - 1) AS BIGINT) AS dof FROM terms, dims GROUP BY rr, cc"
 )

@@ -477,3 +477,30 @@ def test_label_prop_isolated_nodes_keep_label(spark):
         for r in analytics.label_propagation(nodes, edges, rounds=2).collect()
     }
     assert got == {0: 0, 1: 0, 9: 9}
+
+
+def test_psi_and_chi2_sanity(spark):
+    from conftest import SF_ORACLE
+
+    p = analytics._q_psi_drift(spark, SF_ORACLE).collect()[0]
+    # uniform event times ⟹ the two halves have near-identical value mix
+    assert 0 <= p.psi < 0.1
+    c = analytics._q_chi2_independence(spark, SF_ORACLE).collect()[0]
+    assert c.dof == 4  # 5 event types × 2 buckets
+    assert c.chi2 >= 0
+
+
+def test_chi2_matches_numpy(spark):
+    from conftest import SF_ORACLE
+    from knn_with_mapreduce_cuda_spark import tables
+
+    pdf = (
+        tables.table(spark, SF_ORACLE, "events")
+        .select("event_type", (F.col("user_id") % 2).alias("b"))
+        .toPandas()
+    )
+    obs = pdf.groupby(["event_type", "b"]).size().unstack(fill_value=0).to_numpy()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    got = analytics._q_chi2_independence(spark, SF_ORACLE).collect()[0]
+    assert got.chi2 == pytest.approx(chi2, abs=2e-4)
