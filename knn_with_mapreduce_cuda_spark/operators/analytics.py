@@ -1543,6 +1543,62 @@ def _q_chi2_independence(spark, sf_dir):
     )
 
 
+def _q_ohlc(spark, sf_dir):
+    """Hourly OHLC candles over event values — the financial-style
+    resample. Open/close pick the first/last event by the total order
+    (ts, event_id) via rank-1 windows; high/low/volume are plain
+    aggregates in cents. One shuffle on the hour key carries both
+    windows and the aggregate."""
+    ev = tables.table(spark, sf_dir, "events").select(
+        F.expr("ts_us div 3600000000").alias("h"),
+        cents(col("value")).alias("vc"),
+        "ts_us",
+        "event_id",
+    )
+    wa = Window.partitionBy("h").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("h").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    r = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return r.groupBy("h").agg(
+        F.max(F.when(col("ra") == 1, col("vc"))).alias("open_cents"),
+        F.max("vc").alias("high_cents"),
+        F.min("vc").alias("low_cents"),
+        F.max(F.when(col("rd") == 1, col("vc"))).alias("close_cents"),
+        F.count("*").alias("n"),
+        F.sum("vc").alias("vol_cents"),
+    )
+
+
+def _q_dist_concentration(spark, sf_dir):
+    """Distance-concentration diagnostic (the curse-of-dimensionality
+    check): coefficient of variation and relative contrast of the
+    query→train distance distribution — near-zero CV means neighbors
+    stop being meaningful. Distances quantize to integer micro-units
+    before the moment sums; one final float expression."""
+    from .knn import _pairs
+
+    q = _pairs(spark, sf_dir).select(
+        F.expr("CAST(round(dist * 1000000, 0) AS BIGINT)").alias("di")
+    )
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("di").alias("s"),
+        F.sum(col("di") * col("di")).alias("ss"),
+        F.min("di").alias("mn"),
+        F.max("di").alias("mx"),
+    )
+    return m.select(
+        col("n").alias("n_pairs"),
+        F.expr("round(s / CAST(n AS DOUBLE) / 1000000, 4)").alias("mean_dist"),
+        F.expr(
+            "round(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) / "
+            "(s / CAST(n AS DOUBLE)), 4)"
+        ).alias("cv"),
+        F.expr("round((mx - mn) / CAST(mn AS DOUBLE), 4)").alias("rel_contrast"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1590,6 +1646,8 @@ QUERIES = {
     "rel_group_by_all": _q_group_by_all,
     "ml_psi_drift": _q_psi_drift,
     "ml_chi2_independence": _q_chi2_independence,
+    "ts_ohlc": _q_ohlc,
+    "ml_dist_concentration": _q_dist_concentration,
 }
 
 
@@ -2188,4 +2246,29 @@ ORACLE["ml_chi2_independence"] = (
     "dims AS (SELECT (SELECT count(*) FROM r) AS rr, (SELECT count(*) FROM c) AS cc) "
     "SELECT round(sum(ti) / CAST(1000000000 AS DOUBLE), 4) AS chi2, "
     "CAST((rr - 1) * (cc - 1) AS BIGINT) AS dof FROM terms, dims GROUP BY rr, cc"
+)
+
+ORACLE["ts_ohlc"] = (
+    "WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+    f"{_CENTS.format(x='value')} AS vc, epoch_us(ts) AS ts_us, event_id "
+    "FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY ts_us, event_id) "
+    "AS ra, row_number() OVER (PARTITION BY h ORDER BY ts_us DESC, event_id DESC) "
+    "AS rd FROM ev) "
+    "SELECT h, CAST(max(CASE WHEN ra = 1 THEN vc END) AS BIGINT) AS open_cents, "
+    "CAST(max(vc) AS BIGINT) AS high_cents, CAST(min(vc) AS BIGINT) AS low_cents, "
+    "CAST(max(CASE WHEN rd = 1 THEN vc END) AS BIGINT) AS close_cents, "
+    "count(*) AS n, CAST(sum(vc) AS BIGINT) AS vol_cents FROM r GROUP BY h"
+)
+
+ORACLE["ml_dist_concentration"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "q AS (SELECT CAST(round(dist * 1000000, 0) AS BIGINT) AS di FROM pairs), "
+    "m AS (SELECT count(*) AS n, CAST(sum(di) AS BIGINT) AS s, "
+    "CAST(sum(di * di) AS BIGINT) AS ss, CAST(min(di) AS BIGINT) AS mn, "
+    "CAST(max(di) AS BIGINT) AS mx FROM q) "
+    "SELECT n AS n_pairs, round(s / CAST(n AS DOUBLE) / 1000000, 4) AS mean_dist, "
+    "round(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) / "
+    "(s / CAST(n AS DOUBLE)), 4) AS cv, "
+    "round((mx - mn) / CAST(mn AS DOUBLE), 4) AS rel_contrast FROM m"
 )

@@ -504,3 +504,28 @@ def test_chi2_matches_numpy(spark):
     chi2 = ((obs - exp) ** 2 / exp).sum()
     got = analytics._q_chi2_independence(spark, SF_ORACLE).collect()[0]
     assert got.chi2 == pytest.approx(chi2, abs=2e-4)
+
+
+def test_ohlc_envelope_and_volume(spark):
+    from conftest import SF_ORACLE
+    from knn_with_mapreduce_cuda_spark import tables
+    from knn_with_mapreduce_cuda_spark.operators.relational import cents
+
+    rows = analytics._q_ohlc(spark, SF_ORACLE).collect()
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+    total = tables.table(spark, SF_ORACLE, "events").agg(
+        F.sum(cents(F.col("value")))
+    ).collect()[0][0]
+    assert sum(r.vol_cents for r in rows) == total
+
+
+def test_dist_concentration_high_dim_signature(spark):
+    from conftest import SF_ORACLE
+
+    r = analytics._q_dist_concentration(spark, SF_ORACLE).collect()[0]
+    # dim-64 random-ish unit vectors: distances concentrate near sqrt(2)
+    assert 1.2 < r.mean_dist < 1.6
+    assert 0 < r.cv < 0.3
+    assert r.rel_contrast > 0
