@@ -189,7 +189,9 @@ def _q_normalize_zscore(spark, sf_dir):
     return ex.select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
-        F.round((col("val") - F.avg("val").over(w)) / F.stddev_pop("val").over(w), 4).alias(
+        # + 0.0 normalizes IEEE -0.0 (round of a tiny negative) to +0.0 so
+        # the value-hash is engine-independent; same term in the oracle SQL.
+        (F.round((col("val") - F.avg("val").over(w)) / F.stddev_pop("val").over(w), 4) + 0.0).alias(
             "scaled"
         ),
     )
@@ -205,7 +207,7 @@ def _q_normalize_unit(spark, sf_dir):
     return ex.select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
-        F.round(col("val") / col("nrm"), 4).alias("scaled"),
+        (F.round(col("val") / col("nrm"), 4) + 0.0).alias("scaled"),
     )
 
 
@@ -228,11 +230,12 @@ def _q_allpairs(spark, sf_dir):
     return all_pairs(split_test(e), train_all(e)).select("qid", "tid")
 
 
-def _q_dist(metric):
+def _q_dist(metric, signed=False):
     def q(spark, sf_dir):
-        return _pairs(spark, sf_dir, metric).select(
-            "qid", "tid", F.round("dist", 4).alias("dist")
-        )
+        d = F.round("dist", 4)
+        if signed:  # cosine/dot can round to -0.0 — normalize to +0.0
+            d = d + 0.0
+        return _pairs(spark, sf_dir, metric).select("qid", "tid", d.alias("dist"))
 
     return q
 
@@ -709,8 +712,8 @@ QUERIES = {
     "knn_dist_chebyshev": _q_dist("chebyshev"),
     "knn_dist_minkowski": _q_dist("minkowski3"),
     "knn_dist_hamming": _q_dist("hamming"),
-    "knn_dist_cosine": _q_dist("cosine"),
-    "knn_dist_dot": _q_dist("dot"),
+    "knn_dist_cosine": _q_dist("cosine", signed=True),
+    "knn_dist_dot": _q_dist("dot", signed=True),
     "knn_topk": _q_topk,
     "knn_classify": _q_classify,
     "knn_regress": _q_regress,
@@ -784,12 +787,12 @@ ORACLE = {
     "knn_normalize_zscore": (
         f"WITH {_EMB}, {_EX} "
         "SELECT vec_id, pos, round((val - avg(val) OVER (PARTITION BY pos)) / "
-        "stddev_pop(val) OVER (PARTITION BY pos), 4) AS scaled FROM ex"
+        "stddev_pop(val) OVER (PARTITION BY pos), 4) + 0.0 AS scaled FROM ex"
     ),
     "knn_normalize_unit": (
         f"WITH {_EMB}, {_EX} "
         "SELECT ex.vec_id, ex.pos, "
-        "round(ex.val / sqrt(list_inner_product(e.emb, e.emb)), 4) AS scaled "
+        "round(ex.val / sqrt(list_inner_product(e.emb, e.emb)), 4) + 0.0 AS scaled "
         "FROM ex JOIN emb e ON ex.vec_id = e.vec_id"
     ),
     "knn_split": (
@@ -832,12 +835,12 @@ ORACLE = {
     ),
     "knn_dist_cosine": (
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
-        "round(list_cosine_similarity(q.emb, t.emb), 4) AS dist "
+        "round(list_cosine_similarity(q.emb, t.emb), 4) + 0.0 AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_dot": (
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
-        "round(list_inner_product(q.emb, t.emb), 4) AS dist "
+        "round(list_inner_product(q.emb, t.emb), 4) + 0.0 AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_topk": (

@@ -33,8 +33,10 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # squash -0.0 and representation noise one digit beyond round(4)
-        return round(v + 0.0, 6)
+        # DRIVER-STRICT: exact repr — distinguishes -0.0 from 0.0 and any
+        # last-ulp drift. Queries must emit bit-identical doubles on both
+        # engines (round(,4) + "+ 0.0" -0.0 normalization, SURVEY §7.2).
+        return repr(v)
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

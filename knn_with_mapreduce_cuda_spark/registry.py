@@ -26,6 +26,39 @@ _MODULES = [
 ]
 
 
+#: SURVEY.md §2's graded contract, in table order (T1→T5). These 67 keys
+#: lead the queries()/oracle_sql() dicts so a driver that checks a prefix
+#: (time-budgeted gate) always covers the declared inventory first.
+SURVEY_QKEYS = [
+    # T1 — kNN core
+    "knn_scan", "knn_normalize_minmax", "knn_normalize_zscore", "knn_split",
+    "knn_allpairs", "knn_dist_euclidean", "knn_dist_sqeuclidean",
+    "knn_dist_manhattan", "knn_dist_cosine", "knn_topk", "knn_classify",
+    "knn_regress", "knn_join", "knn_accuracy", "knn_confusion",
+    # T2 — relational surface
+    "rel_scan_project_filter", "rel_join_broadcast", "rel_join_shuffle",
+    "rel_join_outer", "rel_join_semi_anti", "rel_join_theta_range",
+    "rel_join_asof", "rel_agg_hash", "rel_agg_distinct", "rel_agg_approx",
+    "rel_agg_grouping_sets", "rel_window_rank", "rel_window_analytic",
+    "rel_window_frame", "rel_sort_limit", "rel_topk_per_group",
+    "rel_setop_union", "rel_setop_intersect_except", "rel_subquery",
+    "rel_fn_string", "rel_fn_date", "rel_fn_math", "rel_fn_conditional",
+    "rel_fn_array", "rel_fn_map_struct", "rel_fn_json", "rel_dedup_exact",
+    "rel_sample", "rel_explain_pivot",
+    # T3 — LLM pipeline
+    "llm_dedup_hash", "llm_dedup_near_minhash", "llm_simsearch_topk",
+    "llm_text_tokenize", "llm_text_ngram", "llm_text_tfidf",
+    "llm_text_stats", "llm_multimodal_join", "llm_lang_partition",
+    # T4 — streaming (batch-equivalent forms)
+    "str_window_tumbling", "str_window_sliding", "str_window_session",
+    "str_dedup_watermark", "str_late_data", "str_join_stream_static",
+    "str_join_stream_stream", "str_stateful_map", "str_sink",
+    # T5 — UDF surface
+    "udf_scalar_py", "udf_pandas_vectorized", "udf_grouped_agg",
+    "udf_map_arrow", "udf_udtf",
+]
+
+
 def _collect(attr: str) -> dict:
     merged: dict = {}
     for mod_name in _MODULES:
@@ -37,7 +70,10 @@ def _collect(attr: str) -> dict:
             if key in merged:
                 raise ValueError(f"duplicate query key {key!r} from {mod_name}")
             merged[key] = value
-    return merged
+    # SURVEY contract first, engine extras after, both in stable order.
+    ordered = {k: merged[k] for k in SURVEY_QKEYS if k in merged}
+    ordered.update((k, v) for k, v in merged.items() if k not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
