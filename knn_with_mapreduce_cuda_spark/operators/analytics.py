@@ -1599,6 +1599,306 @@ def _q_dist_concentration(spark, sf_dir):
     )
 
 
+def _q_interp_linear(spark, sf_dir):
+    """Hourly linear-interpolation resample of the purchase value series —
+    the numeric twin of ts_resample_locf (carry-forward fills steps;
+    interpolation fills slopes). Union the event points with the hourly
+    grid, sort once on (t, is_grid, event_id); the surrounding points
+    come from two framed windows (last/first IGNORE NULLS), so the whole
+    resample is one sort-shuffle, no range self-join. The interpolation
+    numerator is exact integer cents·µs; one double division at the end.
+    Grid points outside the observed span have no bracket and are
+    dropped; a grid point landing exactly on an event reproduces that
+    event's value (t−pt = 0 term)."""
+    ev = tables.table(spark, sf_dir, "events").filter(
+        col("event_type") == "purchase"
+    )
+    pts = ev.select(
+        col("ts_us").alias("t"),
+        cents(col("value")).alias("vc"),
+        "event_id",
+        lit(0).alias("is_grid"),
+    )
+    grid = (
+        pts.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.expr("(mn + 3599999999) div 3600000000"),
+                    F.expr("mx div 3600000000"),
+                )
+            ).alias("h")
+        )
+        .select(
+            (col("h") * HOUR_US).alias("t"),
+            lit(None).cast("long").alias("vc"),
+            lit(None).cast("long").alias("event_id"),
+            lit(1).alias("is_grid"),
+        )
+    )
+    order = [col("t"), col("is_grid"), F.coalesce("event_id", lit(-1))]
+    wp = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    te = F.when(col("is_grid") == 0, col("t"))
+    u = (
+        pts.unionByName(grid)
+        .withColumn("pv", F.last("vc", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(te, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("vc", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(te, ignorenulls=True).over(wn))
+    )
+    return u.filter(
+        (col("is_grid") == 1) & col("pv").isNotNull() & col("nv").isNotNull()
+    ).select(
+        F.expr("t div 3600000000").alias("h"),
+        F.expr(
+            "round((pv * (nt - t) + nv * (t - pt)) / CAST(nt - pt AS DOUBLE) / 100, 4)"
+        ).alias("value_interp"),
+    )
+
+
+def _q_gini_activity(spark, sf_dir):
+    """Gini coefficient of the per-user event-count distribution — the
+    activity-concentration summary (0 = egalitarian, →1 = a few users
+    generate everything). Ranks are assigned ascending by (count, user);
+    Σi·xᵢ is invariant to tie order among equal counts, so the statistic
+    is exact. One groupBy + one global sort of user-count rows (users ≪
+    events; at 100 TB the sorted set is the user dimension, not the
+    fact table)."""
+    per = (
+        tables.table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    r = per.select(
+        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
+    )
+    g = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(col("i") * col("x")).alias("sx"),
+    )
+    return g.select(
+        col("n").alias("n_users"),
+        col("s").alias("total_events"),
+        F.expr(
+            "round((2.0 * sx - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4)"
+        ).alias("gini"),
+    )
+
+
+def _q_assoc_rules(spark, sf_dir):
+    """Association rules over per-user event-type baskets: for every
+    unordered type pair, support / confidence / lift from exact integer
+    user counts. The pair space is |types|² (25), not users² — the
+    self-join runs on the deduped (user, type) set, shuffling on
+    user_id. The classic market-basket co-occurrence mining shape."""
+    ev = tables.table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("n"))
+    na = ut.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    ab = (
+        ut.select("user_id", col("event_type").alias("a"))
+        .join(ut.select("user_id", col("event_type").alias("b")), "user_id")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        ab.join(
+            F.broadcast(na.select(col("event_type").alias("a"), col("cnt").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(na.select(col("event_type").alias("b"), col("cnt").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("round(n_ab / CAST(n_a AS DOUBLE), 4)").alias("conf_a_to_b"),
+            F.expr(
+                "round(CAST(n_ab AS DOUBLE) * n / (CAST(n_a AS DOUBLE) * n_b), 4)"
+            ).alias("lift"),
+        )
+    )
+
+
+def _q_fano_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor = population variance / mean) of each
+    event type's zero-filled hourly arrival counts — 1 ≈ Poisson,
+    > 1 bursty, < 1 regular. The spine is hours × types (generated, not
+    scanned); all moments are exact integer sums, one double expression
+    at the end."""
+    ev = tables.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        ev.agg(
+            F.expr("min(ts_us) div 3600000000").alias("mn"),
+            F.expr("max(ts_us) div 3600000000").alias("mx"),
+        )
+        .select(F.explode(F.sequence(col("mn"), col("mx"))).alias("h"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    z = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce("c", lit(0)).alias("c")
+    )
+    m = z.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(col("c") * col("c")).alias("ss"),
+    )
+    return m.select(
+        "event_type",
+        col("n").alias("n_hours"),
+        col("s").alias("total"),
+        F.expr(
+            "round(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s), 4)"
+        ).alias("fano"),
+    )
+
+
+def _q_bfs_dist(spark, sf_dir):
+    """Bounded-depth BFS over the mutual-kNN graph from vec_id 0 —
+    shortest hop distances within 3 rounds (the Pregel traversal
+    primitive under connected components / label propagation, graded
+    directly). Each round is one equi-join frontier⋈edges shuffling on
+    node id; per-round distinct() keeps the frontier ≤ |V| so path
+    explosion never reaches the shuffle. Depth is fixed, so the
+    non-converged state is itself deterministic and hash-graded."""
+    from .knn import _q_mutual
+
+    m = _q_mutual(spark, sf_dir)
+    sym = m.select(col("a").alias("src"), col("b").alias("dst")).unionByName(
+        m.select(col("b").alias("src"), col("a").alias("dst"))
+    )
+    e = tables.embeddings(spark, sf_dir)
+    visited = e.filter(col("vec_id") == 0).select(
+        col("vec_id").alias("id"), lit(0).alias("dist")
+    )
+    frontier = visited
+    for r in range(1, 4):
+        frontier = (
+            frontier.join(sym, col("id") == col("src"))
+            .select(col("dst").alias("id"), lit(r).alias("dist"))
+            .distinct()
+        )
+        visited = visited.unionByName(frontier)
+    return visited.groupBy("id").agg(F.min("dist").alias("dist"))
+
+
+def _q_keywords_per_doc(spark, sf_dir):
+    """Keyword extraction: top-3 TF-IDF terms per document (the tag /
+    index-term generator over a corpus). Reuses the graded TF-IDF
+    formula; scores are quantized to integer micro-units before ranking
+    so the per-doc order is engine-exact; ties break on the term. The
+    rank window partitions by doc — WindowGroupLimit prunes to 3 rows
+    per doc before the shuffle."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tables.table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    siq = F.expr(
+        "CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0) AS BIGINT)"
+    )
+    scored = (
+        tf.join(df_, "term").crossJoin(F.broadcast(n)).select("doc_id", "term", siq.alias("siq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("siq"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "siq")
+    )
+
+
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse-vector document similarity: TF-IDF cosine between every
+    pair of documents containing the planted 'dup' token — the
+    lexical-overlap twin of the embedding cosine ops, computed as a
+    sparse dot product via a term equi-join (never a dense d² matrix).
+    Weights quantize to integer micro-units so dot and norms are exact
+    integer sums; one double expression forms the cosine."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    sel = toks.filter(F.array_contains("ts", "dup")).select("doc_id")
+    t = toks.select("doc_id", F.explode("ts").alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tables.table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    wq = (
+        tf.join(F.broadcast(sel), "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    norms = wq.groupBy("doc_id").agg(F.sum(col("w") * col("w")).alias("nrm2"))
+    dots = (
+        wq.select(col("doc_id").alias("a"), "term", col("w").alias("wa"))
+        .join(wq.select(col("doc_id").alias("b"), "term", col("w").alias("wb")), "term")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(col("wa") * col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(col("doc_id").alias("a"), col("nrm2").alias("na2")), "a")
+        .join(norms.select(col("doc_id").alias("b"), col("nrm2").alias("nb2")), "b")
+        .select(
+            "a",
+            "b",
+            "dot",
+            F.expr(
+                "round(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4)"
+            ).alias("cosine"),
+        )
+    )
+
+
+def _q_pr_curve(spark, sf_dir):
+    """Precision-recall curve for the same scored points as ml_roc_curve
+    (emb[0] scoring label ≥ 5) — the imbalanced-class companion to ROC.
+    One point per distinct score; precision/recall from cumulative
+    integer counts over the score-descending window."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"))
+    return cum.crossJoin(F.broadcast(g)).select(
+        F.round("score", 4).alias("threshold"),
+        "tp",
+        "fp",
+        F.expr("round(CAST(tp AS DOUBLE) / (tp + fp), 4)").alias("precision"),
+        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("recall"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1648,6 +1948,14 @@ QUERIES = {
     "ml_chi2_independence": _q_chi2_independence,
     "ts_ohlc": _q_ohlc,
     "ml_dist_concentration": _q_dist_concentration,
+    "ts_interp_linear": _q_interp_linear,
+    "ml_gini_user_activity": _q_gini_activity,
+    "ml_assoc_rules": _q_assoc_rules,
+    "ts_fano_burstiness": _q_fano_burstiness,
+    "graph_bfs_dist": _q_bfs_dist,
+    "llm_keywords_per_doc": _q_keywords_per_doc,
+    "llm_tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+    "ml_pr_curve": _q_pr_curve,
 }
 
 
@@ -2271,4 +2579,127 @@ ORACLE["ml_dist_concentration"] = (
     "round(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) / "
     "(s / CAST(n AS DOUBLE)), 4) AS cv, "
     "round((mx - mn) / CAST(mn AS DOUBLE), 4) AS rel_contrast FROM m"
+)
+
+ORACLE["ts_interp_linear"] = (
+    "WITH p AS (SELECT epoch_us(ts) AS t, "
+    f"{_CENTS.format(x='value')} AS vc, event_id, 0 AS is_grid "
+    "FROM events WHERE event_type = 'purchase'), "
+    "b AS (SELECT min(t) AS mn, max(t) AS mx FROM p), "
+    "g AS (SELECT unnest(generate_series((mn + 3599999999) // 3600000000, "
+    "mx // 3600000000)) AS h FROM b), "
+    "u AS (SELECT t, vc, event_id, is_grid FROM p UNION ALL "
+    "SELECT h * 3600000000, NULL, NULL, 1 FROM g), "
+    "w AS (SELECT t, is_grid, "
+    "last_value(vc IGNORE NULLS) OVER wp AS pv, "
+    "last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt, "
+    "first_value(vc IGNORE NULLS) OVER wn AS nv, "
+    "first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt "
+    "FROM u WINDOW "
+    "wp AS (ORDER BY t, is_grid, coalesce(event_id, -1) "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "wn AS (ORDER BY t, is_grid, coalesce(event_id, -1) "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT t // 3600000000 AS h, "
+    "round((pv * (nt - t) + nv * (t - pt)) / CAST(nt - pt AS DOUBLE) / 100, 4) "
+    "AS value_interp FROM w "
+    "WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL"
+)
+
+ORACLE["ml_gini_user_activity"] = (
+    "WITH per AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), "
+    "r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per), "
+    "g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s, "
+    "CAST(sum(i * x) AS BIGINT) AS sx FROM r) "
+    "SELECT n AS n_users, s AS total_events, "
+    "round((2.0 * sx - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4) AS gini FROM g"
+)
+
+ORACLE["ml_assoc_rules"] = (
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+    "nn AS (SELECT count(DISTINCT user_id) AS n FROM events), "
+    "na AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY event_type), "
+    "ab AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab "
+    "FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type "
+    "GROUP BY a, b) "
+    "SELECT a, b, n_ab, pa.cnt AS n_a, pb.cnt AS n_b, "
+    "round(n_ab / CAST(pa.cnt AS DOUBLE), 4) AS conf_a_to_b, "
+    "round(CAST(n_ab AS DOUBLE) * n / (CAST(pa.cnt AS DOUBLE) * pb.cnt), 4) AS lift "
+    "FROM ab JOIN na pa ON ab.a = pa.event_type "
+    "JOIN na pb ON ab.b = pb.event_type, nn"
+)
+
+ORACLE["ts_fano_burstiness"] = (
+    "WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, "
+    "count(*) AS c FROM events GROUP BY event_type, h), "
+    "b AS (SELECT min(epoch_us(ts)) // 3600000000 AS mn, "
+    "max(epoch_us(ts)) // 3600000000 AS mx FROM events), "
+    "spine AS (SELECT t.event_type, g.h FROM "
+    "(SELECT unnest(generate_series(mn, mx)) AS h FROM b) g, "
+    "(SELECT DISTINCT event_type FROM events) t), "
+    "z AS (SELECT spine.event_type, coalesce(hourly.c, 0) AS c FROM spine "
+    "LEFT JOIN hourly ON spine.event_type = hourly.event_type AND spine.h = hourly.h), "
+    "m AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM z GROUP BY event_type) "
+    "SELECT event_type, n AS n_hours, s AS total, "
+    "round(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s), 4) AS fano FROM m"
+)
+
+ORACLE["graph_bfs_dist"] = (
+    f"WITH RECURSIVE {_MUTUAL}, "
+    "sym AS (SELECT a AS src, b AS dst FROM m UNION ALL SELECT b, a FROM m), "
+    "bfs AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS dist "
+    "UNION ALL SELECT sym.dst, bfs.dist + 1 FROM bfs "
+    "JOIN sym ON sym.src = bfs.id WHERE bfs.dist < 3) "
+    "SELECT id, min(dist) AS dist FROM bfs GROUP BY id"
+)
+
+ORACLE["llm_keywords_per_doc"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS (SELECT tf.doc_id, tf.term, "
+    "CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
+    "AS BIGINT) AS siq FROM tf JOIN df ON tf.term = df.term, n), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY siq DESC, term) AS rnk FROM scored) "
+    "SELECT doc_id, rnk, term, siq FROM r WHERE rnk <= 3"
+)
+
+ORACLE["llm_tfidf_cosine_pairs"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "sel AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "wq AS (SELECT tf.doc_id, tf.term, "
+    "CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
+    "AS BIGINT) AS w FROM tf JOIN sel ON tf.doc_id = sel.doc_id "
+    "JOIN df ON tf.term = df.term, n), "
+    "norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm2 FROM wq "
+    "GROUP BY doc_id), "
+    "dots AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+    "CAST(sum(x.w * y.w) AS BIGINT) AS dot FROM wq x "
+    "JOIN wq y ON x.term = y.term AND x.doc_id < y.doc_id GROUP BY a, b) "
+    "SELECT a, b, dot, "
+    "round(dot / (sqrt(CAST(pa.nrm2 AS DOUBLE)) * sqrt(CAST(pb.nrm2 AS DOUBLE))), 4) "
+    "AS cosine FROM dots JOIN norms pa ON dots.a = pa.doc_id "
+    "JOIN norms pb ON dots.b = pb.doc_id"
+)
+
+ORACLE["ml_pr_curve"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, sum(y) AS pos FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts) "
+    "SELECT round(score, 4) AS threshold, tp, fp, "
+    "round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision, "
+    "round(CAST(tp AS DOUBLE) / p, 4) AS recall FROM cum, g"
 )

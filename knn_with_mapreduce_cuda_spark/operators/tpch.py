@@ -1,11 +1,24 @@
-"""Named TPC-H queries (Q1/Q3/Q5/Q6), adapted to the driver's fixture
+"""Named TPC-H queries (16 of the 22), adapted to the driver's fixture
 schema — the standard decision-support suite run end-to-end, not just
 "shapes". Adaptations, forced by missing fixture columns (TESTDATA.md):
 Q3 drops o_shippriority from the output; Q5 keeps the full
 region→nation→{customer,supplier} star but joins supplier on nationkey
 only (no l_suppkey⋈s_suppkey nation-match semantics change — the fixture
 supplier table IS keyed consistently, so the classic join applies).
-Dates use the fixture range (1995-01-01 … 2001-11-04).
+Q4's EXISTS predicate uses l_shipdate > o_orderdate (no commit/receipt
+dates); Q12 groups by l_linestatus (no l_shipmode); Q17 keeps the
+0.2×avg-quantity correlated predicate but drops the container filter;
+Q19 keeps the disjunctive brand/size/quantity structure without
+shipmode/shipinstruct; Q22 replaces the phone-prefix country code with
+c_nationkey and "no orders at all" with "no orders since 2000-01-01"
+(every fixture customer has some order). Q2/Q9/Q11/Q16/Q20 need the
+partsupp table and Q21 the commit/receipt dates — not expressible over
+these fixtures. Dates use the fixture range (1995-01-01 … 2001-11-04).
+
+Exactness: thresholds that TPC-H states against an *average* (Q17, Q22)
+are cross-multiplied into integer comparisons (qty_c·5·n < Σqty_c) so no
+float average ever gates a row — the comparison is exact under any
+partitioning, per the cents convention.
 
 Oracle-match conventions as everywhere (SURVEY.md §7.2): monetary sums
 integerized to cents pre-sum, every top-k total-ordered.
@@ -117,11 +130,316 @@ def _q6(spark, sf_dir):
     )
 
 
+def _q4(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-07-01"))
+        & (col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = tables.table(spark, sf_dir, "lineitem")
+    # EXISTS(lineitem shipped after the order date) as a left-semi join —
+    # the non-equi residual rides on the equi key, so this still plans as
+    # a hash semi-join on l_orderkey (no nested loop).
+    return (
+        orders.join(
+            li,
+            (col("o_orderkey") == col("l_orderkey"))
+            & (col("l_shipdate") > col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q7(spark, sf_dir):
+    nation = tables.table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        col("n_nationkey").alias("s_nk"), col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        col("n_nationkey").alias("c_nk"), col("n_name").alias("cust_nation")
+    )
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    return (
+        li.join(tables.table(spark, sf_dir, "orders"), col("l_orderkey") == col("o_orderkey"))
+        .join(tables.table(spark, sf_dir, "customer"), col("o_custkey") == col("c_custkey"))
+        .join(tables.table(spark, sf_dir, "supplier"), col("l_suppkey") == col("s_suppkey"))
+        .join(F.broadcast(n1), col("s_nationkey") == col("s_nk"))
+        .join(F.broadcast(n2), col("c_nationkey") == col("c_nk"))
+        .filter(
+            ((col("supp_nation") == "NATION_1") & (col("cust_nation") == "NATION_2"))
+            | ((col("supp_nation") == "NATION_2") & (col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
+def _q8(spark, sf_dir):
+    nation = tables.table(spark, sf_dir, "nation")
+    cn = nation.select(
+        col("n_nationkey").alias("c_nk"), col("n_regionkey").alias("c_rk")
+    )
+    sn = nation.select(
+        col("n_nationkey").alias("s_nk"), col("n_name").alias("supp_nation")
+    )
+    region = tables.table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    part = tables.table(spark, sf_dir, "part").filter(col("p_type") == "STANDARD")
+    li = tables.table(spark, sf_dir, "lineitem")
+    vol = cents(col("l_extendedprice") * (1 - col("l_discount")))
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(tables.table(spark, sf_dir, "customer"), col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(cn), col("c_nationkey") == col("c_nk"))
+        .join(F.broadcast(region), col("c_rk") == col("r_regionkey"))
+        .join(tables.table(spark, sf_dir, "supplier"), col("l_suppkey") == col("s_suppkey"))
+        .join(F.broadcast(sn), col("s_nationkey") == col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))).alias(
+                "nation_cents"
+            ),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.round(F.lit(100.0) * col("nation_cents") / col("total_cents"), 4).alias(
+                "mkt_share_pct"
+            ),
+        )
+    )
+
+
+def _q10(spark, sf_dir):
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-10-01"))
+        & (col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = tables.table(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R")
+    nation = tables.table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(tables.table(spark, sf_dir, "customer"), col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", cents(col("c_acctbal")).alias("acctbal_cents"), "n_name"
+        )
+        .agg(
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name")
+    )
+
+
+def _q12(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01"))
+        & (col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(tables.table(spark, sf_dir, "orders"), col("l_orderkey") == col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q13(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    orders = tables.table(spark, sf_dir, "orders").filter(
+        col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, col("c_custkey") == col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q14(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-09-01"))
+        & (col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = tables.table(spark, sf_dir, "part")
+    vol = cents(col("l_extendedprice") * (1 - col("l_discount")))
+    return (
+        li.join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .agg(
+            F.sum(F.when(col("p_type") == "PROMO", vol).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(F.lit(100.0) * col("promo_cents") / col("total_cents"), 4).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+def _q15(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01"))
+        & (col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+            "total_cents"
+        )
+    )
+    top = revenue.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        revenue.join(F.broadcast(top), col("total_cents") == col("max_cents"))
+        .join(
+            F.broadcast(tables.table(spark, sf_dir, "supplier")),
+            col("supplier_no") == col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+def _q17(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    qty_c = cents(col("l_quantity"))
+    per_part = li.groupBy(col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count("*").alias("n_li")
+    )
+    part = tables.table(spark, sf_dir, "part").filter(col("p_brand") == "Brand#3")
+    # l_quantity < 0.2·avg(qty over the part) cross-multiplied to integers:
+    # qty_c·5·n < Σqty_c — exact under any partitioning.
+    return (
+        li.join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(per_part, col("l_partkey") == col("pk"))
+        .filter(qty_c * 5 * col("n_li") < col("sum_qty_c"))
+        .agg(
+            F.sum(cents(col("l_extendedprice"))).alias("small_rev_cents"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def _q18(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    qty_c = cents(col("l_quantity"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("oq"))
+        .filter(col("oq") > 25000)
+        .select("l_orderkey")
+    )
+    orders = tables.table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        col("o_orderkey") == col("bk"),
+        "left_semi",
+    )
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(tables.table(spark, sf_dir, "customer"), col("o_custkey") == col("c_custkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            cents(col("o_totalprice")).alias("totalprice_cents"),
+        )
+        .agg(F.sum(qty_c).alias("sum_qty_cents"))
+        .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def _q19(spark, sf_dir):
+    li = tables.table(spark, sf_dir, "lineitem")
+    part = tables.table(spark, sf_dir, "part")
+    cond = (
+        (
+            (col("p_brand") == "Brand#1")
+            & col("p_size").between(1, 15)
+            & col("l_quantity").between(1, 11)
+        )
+        | (
+            (col("p_brand") == "Brand#2")
+            & col("p_size").between(1, 25)
+            & col("l_quantity").between(10, 20)
+        )
+        | (
+            (col("p_brand") == "Brand#3")
+            & col("p_size").between(1, 35)
+            & col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q22(spark, sf_dir):
+    cust = tables.table(spark, sf_dir, "customer")
+    bal_c = cents(col("c_acctbal"))
+    pos = cust.filter(col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("pos_sum_c"), F.count("*").alias("pos_n")
+    )
+    recent = tables.table(spark, sf_dir, "orders").filter(
+        col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    # c_acctbal > avg(positive balances) cross-multiplied: bal_c·n > Σbal_c.
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal_c * col("pos_n") > col("pos_sum_c"))
+        .join(recent, col("c_custkey") == col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.sum(bal_c).alias("totacctbal_cents"))
+    )
+
+
 QUERIES = {
     "tpch_q1": _q1,
     "tpch_q3": _q3,
+    "tpch_q4": _q4,
     "tpch_q5": _q5,
     "tpch_q6": _q6,
+    "tpch_q7": _q7,
+    "tpch_q8": _q8,
+    "tpch_q10": _q10,
+    "tpch_q12": _q12,
+    "tpch_q13": _q13,
+    "tpch_q14": _q14,
+    "tpch_q15": _q15,
+    "tpch_q17": _q17,
+    "tpch_q18": _q18,
+    "tpch_q19": _q19,
+    "tpch_q22": _q22,
 }
 
 ORACLE = {
@@ -168,5 +486,150 @@ ORACLE = {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24"
+    ),
+    "tpch_q4": (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+        "GROUP BY o_orderpriority"
+    ),
+    "tpch_q7": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l_shipdate) AS l_year, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    ),
+    "tpch_q8": (
+        "WITH y AS (SELECT year(o_orderdate) AS o_year, "
+        "CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN "
+        f"{_CENTS.format(x='l_extendedprice * (1 - l_discount)')} ELSE 0 END) "
+        "AS BIGINT) AS nation_cents, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS total_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'STANDARD' "
+        "AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' "
+        "GROUP BY o_year) "
+        "SELECT o_year, nation_cents, total_cents, "
+        "round(100.0 * nation_cents / total_cents, 4) AS mkt_share_pct FROM y"
+    ),
+    "tpch_q10": (
+        "SELECT c_custkey, c_name, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS revenue_cents, "
+        f"{_CENTS.format(x='c_acctbal')} AS acctbal_cents, n_name "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-10-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY c_custkey, c_name, acctbal_cents, n_name "
+        "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+    ),
+    "tpch_q12": (
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_linestatus"
+    ),
+    "tpch_q13": (
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' "
+        "GROUP BY c_custkey) GROUP BY c_count"
+    ),
+    "tpch_q14": (
+        "WITH t AS (SELECT "
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+        f"{_CENTS.format(x='l_extendedprice * (1 - l_discount)')} ELSE 0 END) "
+        "AS BIGINT) AS promo_cents, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS total_cents "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01') "
+        "SELECT promo_cents, total_cents, "
+        "round(100.0 * promo_cents / total_cents, 4) AS promo_share_pct FROM t"
+    ),
+    "tpch_q15": (
+        "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS total_cents FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_cents "
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+        "WHERE total_cents = (SELECT max(total_cents) FROM revenue)"
+    ),
+    "tpch_q17": (
+        "WITH pq AS (SELECT l_partkey AS pk, "
+        f"CAST(sum({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c, "
+        "count(*) AS n_li FROM lineitem GROUP BY l_partkey) "
+        "SELECT "
+        + _sum_cents_sql("l_extendedprice")
+        + " AS small_rev_cents, count(*) AS n_small "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN pq ON l_partkey = pk "
+        "WHERE p_brand = 'Brand#3' "
+        f"AND {_CENTS.format(x='l_quantity')} * 5 * n_li < sum_qty_c"
+    ),
+    "tpch_q18": (
+        "SELECT c_custkey, c_name, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_date, "
+        f"{_CENTS.format(x='o_totalprice')} AS totalprice_cents, "
+        f"CAST(sum({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        f"GROUP BY l_orderkey HAVING sum({_CENTS.format(x='l_quantity')}) > 25000) "
+        "GROUP BY c_custkey, c_name, o_orderkey, o_date, totalprice_cents "
+        "ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100"
+    ),
+    "tpch_q19": (
+        "SELECT "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS revenue_cents, count(*) AS n "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "tpch_q22": (
+        "WITH pos AS (SELECT "
+        f"CAST(sum({_CENTS.format(x='c_acctbal')}) AS BIGINT) AS pos_sum_c, "
+        "count(*) AS pos_n FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_nationkey, count(*) AS numcust, "
+        f"CAST(sum({_CENTS.format(x='c_acctbal')}) AS BIGINT) AS totacctbal_cents "
+        "FROM customer, pos "
+        f"WHERE {_CENTS.format(x='c_acctbal')} * pos_n > pos_sum_c "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_nationkey"
     ),
 }

@@ -21,8 +21,11 @@ from pyspark.sql import SparkSession
 #: Confs that are runtime-settable and required for correctness no matter
 #: who built the session (the grading driver builds its own).
 RUNTIME_CONFS = {
-    # events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
-    # this legacy flag maps it to bigint nanoseconds (SURVEY.md §7.1).
+    # events.parquet carries TIMESTAMP(NANOS); older Spark 4 builds
+    # refuse it unless this legacy flag maps it to bigint nanoseconds
+    # (SURVEY.md §7.1). Spark ≥4.1.2 reads nanos natively (µs-truncated
+    # timestamp_ntz) and ignores the flag — tables.table() handles both
+    # arrival forms.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics for timestamp functions so the
     # DuckDB oracle (naive timestamps) and Spark agree.

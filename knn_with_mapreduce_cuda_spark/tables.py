@@ -46,15 +46,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Keep raw nanos for arithmetic; expose ts as a µs timestamp.
         # ts_us is the canonical arithmetic column: DuckDB reads this
         # parquet column at microsecond precision, so all graded time
         # arithmetic happens in µs (floor-truncated from ns) on both sides.
-        df = (
-            df.withColumn("ts_ns", F.col("ts"))
-            .withColumn("ts_us", F.expr("ts div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_us")))
-        )
+        # Two arrival forms, depending on the Spark build:
+        #  - bigint nanos (nanosAsLong honored): exact integer division.
+        #  - timestamp_ntz (Spark reads TIMESTAMP(NANOS) natively,
+        #    µs-truncated): derive µs via unix_micros under the UTC
+        #    session zone set by ensure_runtime_confs.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = (
+                df.withColumn("ts_ns", F.col("ts"))
+                .withColumn("ts_us", F.expr("ts div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_us")))
+            )
+        else:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            # Sub-µs digits are gone on this path; ts_ns keeps its schema
+            # slot (µs-resolution) for API compatibility. Column order
+            # matches the bigint path: …, props, ts_ns, ts_us.
+            df = (
+                df.withColumn("ts_ns", us * F.lit(1000))
+                .withColumn("ts_us", us)
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
     return df
 
 

@@ -529,3 +529,115 @@ def test_dist_concentration_high_dim_signature(spark):
     assert 1.2 < r.mean_dist < 1.6
     assert 0 < r.cv < 0.3
     assert r.rel_contrast > 0
+
+
+def test_interp_linear_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    p = t[t.event_type == "purchase"].copy()
+    p["tus"] = p.ts.values.astype("datetime64[us]").astype("int64")
+    p["vc"] = (p.value * 100).round().astype("int64")
+    p = p.sort_values(["tus", "event_id"])
+    ts, vs = p.tus.to_numpy(), p.vc.to_numpy()
+    H = 3_600_000_000
+    expected = {}
+    for h in range(int(-(-ts.min() // H)), int(ts.max() // H) + 1):
+        tg = h * H
+        # prev = last event with t <= tg (ties resolved by event_id via the
+        # sort); next = first event with t > tg (events at exactly tg sort
+        # before the grid row in the operator's window order).
+        j = int(np.searchsorted(ts, tg, side="right"))
+        i = j - 1
+        if i < 0 or j >= len(ts):
+            continue
+        pt, pv, nt, nv = ts[i], vs[i], ts[j], vs[j]
+        expected[h] = (pv * (nt - tg) + nv * (tg - pt)) / (nt - pt) / 100
+    got = {r.h: r.value_interp for r in analytics._q_interp_linear(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expected)
+    for h in expected:
+        # 1.2e-4 absorbs Spark's HALF_UP round(,4) vs the unrounded oracle
+        assert abs(got[h] - expected[h]) < 1.2e-4, h
+
+
+def test_gini_matches_formula(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    x = np.sort(t.groupby("user_id").size().to_numpy())
+    n, s = len(x), x.sum()
+    sx = (np.arange(1, n + 1) * x).sum()
+    exp = round((2.0 * sx - (n + 1.0) * s) / (n * s), 4)
+    row = analytics._q_gini_activity(spark, SF_SMOKE).collect()[0]
+    assert row.n_users == n and row.total_events == s
+    assert row.gini == pytest.approx(exp)
+    assert 0 <= row.gini < 1
+
+
+def test_assoc_rules_consistency(spark):
+    rows = analytics._q_assoc_rules(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.conf_a_to_b == pytest.approx(round(r.n_ab / r.n_a, 4))
+
+
+def test_fano_spine_consistency(spark):
+    rows = analytics._q_fano_burstiness(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    hours = {r.n_hours for r in rows}
+    assert len(hours) == 1  # shared global spine
+    assert sum(r.total for r in rows) == 1000  # sf0.001 events
+    assert all(r.fano > 0 for r in rows)
+
+
+def test_bfs_matches_python(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    edges = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {0: 0}
+    frontier = {0}
+    for d in range(1, 4):
+        frontier = {y for x in frontier for y in adj.get(x, ())} - set(dist)
+        for y in frontier:
+            dist[y] = d
+    got = {r.id: r.dist for r in analytics._q_bfs_dist(spark, SF_SMOKE).collect()}
+    assert got == dist
+
+
+def test_keywords_rank_shape(spark):
+    rows = analytics._q_keywords_per_doc(spark, SF_SMOKE).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.rnk, r.siq))
+    for doc, lst in per_doc.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_tfidf_cosine_bounds_and_dup_pairs(spark):
+    rows = analytics._q_tfidf_cosine_pairs(spark, SF_SMOKE).collect()
+    assert rows, "planted dup docs must produce pairs"
+    for r in rows:
+        assert r.a < r.b
+        assert 0 < r.cosine <= 1.0001
+        assert r.dot > 0  # all pairs share the 'dup' term
+
+
+def test_pr_curve_properties(spark):
+    rows = sorted(
+        analytics._q_pr_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: -r.threshold,
+    )
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)  # monotone as threshold loosens
+    assert rows[-1].recall == pytest.approx(1.0)
+    for r in rows:
+        # Spark round() is HALF_UP, python's is banker's — compare unrounded
+        assert abs(r.precision - r.tp / (r.tp + r.fp)) < 6e-5
