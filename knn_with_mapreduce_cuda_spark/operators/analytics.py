@@ -1899,6 +1899,191 @@ def _q_pr_curve(spark, sf_dir):
     )
 
 
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the mutual-kNN graph —
+    triangles(v) / C(deg(v), 2), the neighborhood-density companion to
+    graph_triangles. Ordered edges (a<b) find each triangle once via the
+    two-join pattern (fan-out bounded by forward degree); degree comes
+    from the symmetrized edge list. Exact integer counts; one double
+    expression."""
+    from .knn import _q_mutual
+
+    m = _q_mutual(spark, sf_dir)
+    sym = m.select(col("a").alias("node")).unionByName(
+        m.select(col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    e1 = m.select(col("a").alias("x"), col("b").alias("y"))
+    e2 = m.select(col("a").alias("y"), col("b").alias("z"))
+    e3 = m.select(col("a").alias("x2"), col("b").alias("z2"))
+    tris = (
+        e1.join(e2, "y")
+        .join(e3, (col("x") == col("x2")) & (col("z") == col("z2")))
+        .select("x", "y", "z")
+    )
+    pt = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        deg.join(pt, "node", "left")
+        .filter(col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri", lit(0)).alias("tri"),
+            F.expr(
+                "round(CAST(2 * coalesce(tri, 0) AS DOUBLE) / (deg * (deg - 1)), 4)"
+            ).alias("cc"),
+        )
+    )
+
+
+def _q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (lexical
+    diversity; H = ln L − Σc·ln c / L). The c·ln c terms quantize to
+    integer nano-nats before the per-doc sum, so the aggregate is exact
+    under any partitioning; ln L enters only the final expression."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("L"),
+        F.sum(F.expr("CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)")).alias("s"),
+    )
+    return per.select(
+        "doc_id",
+        col("L").alias("n_tokens"),
+        F.expr(
+            "round(ln(CAST(L AS DOUBLE)) - s / (CAST(L AS DOUBLE) * 1000000000), 4)"
+        ).alias("entropy_nats"),
+    )
+
+
+def _q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the two graded classifiers — kNN majority
+    vote vs nearest-centroid — on the shared test split: chance-corrected
+    agreement from exact integer marginals (κ = (agree·n − Σn1ₖn2ₖ) /
+    (n² − Σn1ₖn2ₖ)). The model-agreement diagnostic an ensembling stage
+    runs before stacking."""
+    from .knn import _q_centroid, classify
+
+    p1 = classify(spark, sf_dir).select("qid", col("pred_label").alias("p1"))
+    p2 = _q_centroid(spark, sf_dir).select("qid", col("pred_label").alias("p2"))
+    j = p1.join(p2, "qid")
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum((col("p1") == col("p2")).cast("long")).alias("agree"),
+    )
+    c1 = j.groupBy(col("p1").alias("lbl")).agg(F.count("*").alias("n1"))
+    c2 = j.groupBy(col("p2").alias("lbl")).agg(F.count("*").alias("n2"))
+    pe = c1.join(c2, "lbl").agg(F.sum(col("n1") * col("n2")).alias("s"))
+    return m.crossJoin(pe).select(
+        "n",
+        "agree",
+        F.expr(
+            "round(CAST(agree * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * n - s), 4)"
+        ).alias("kappa"),
+    )
+
+
+def _q_gains_table(spark, sf_dir):
+    """Decile gains/lift table for the emb[0] scorer (the campaign-
+    targeting view of ml_roc_curve): ntile(10) over the score with a
+    unique tie-break, cumulative capture and lift from exact integer
+    counts."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        "vec_id",
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    nt = F.ntile(10).over(Window.orderBy(F.desc("score"), "vec_id"))
+    per = (
+        pts.withColumn("decile", nt)
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    tot = pts.agg(F.sum("y").alias("p"), F.count("*").alias("nn"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "pos",
+        F.expr("round(cum_pos / CAST(p AS DOUBLE), 4)").alias("capture"),
+        F.expr(
+            "round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(p AS DOUBLE) / nn), 4)"
+        ).alias("lift"),
+    )
+
+
+def _q_time_to_convert(spark, sf_dir):
+    """Per-user signup→purchase conversion latency: first signup, first
+    purchase at-or-after it, exact integer seconds between. One shuffle
+    on user_id covers both aggregates; users who never convert drop out
+    (the funnel complement of rel_funnel_3step)."""
+    ev = tables.table(spark, sf_dir, "events")
+    s = (
+        ev.filter(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    p = ev.filter(col("event_type") == "purchase").select("user_id", "ts_us")
+    return (
+        s.join(p, "user_id")
+        .filter(col("ts_us") >= col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("ts_us").alias("p_us"))
+        .select("user_id", F.expr("(p_us - s_us) div 1000000").alias("delta_s"))
+    )
+
+
+def _q_lang_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap: distinct-term Jaccard for every
+    unordered language pair — the corpus-mixing diagnostic (shared
+    loanwords/markers vs language-exclusive vocabulary). The term
+    equi-join runs on deduped (lang, term) sets: vocabulary-sized, never
+    corpus-sized."""
+    from .llm import _tokens
+
+    v = (
+        _tokens(spark, sf_dir)
+        .select("lang", F.explode("ts").alias("term"))
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count("*").alias("vsz"))
+    inter = (
+        v.select(col("lang").alias("a"), "term")
+        .join(v.select(col("lang").alias("b"), "term"), "term")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(col("lang").alias("a"), col("vsz").alias("n_a"))), "a")
+        .join(F.broadcast(sizes.select(col("lang").alias("b"), col("vsz").alias("n_b"))), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4)").alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -1956,6 +2141,12 @@ QUERIES = {
     "llm_keywords_per_doc": _q_keywords_per_doc,
     "llm_tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
     "ml_pr_curve": _q_pr_curve,
+    "graph_clustering_coeff": _q_clustering_coeff,
+    "llm_token_entropy": _q_token_entropy,
+    "ml_cohens_kappa": _q_cohens_kappa,
+    "ml_gains_table": _q_gains_table,
+    "str_time_to_convert": _q_time_to_convert,
+    "llm_lang_vocab_overlap": _q_lang_vocab_overlap,
 }
 
 
@@ -2702,4 +2893,102 @@ ORACLE["ml_pr_curve"] = (
     "SELECT round(score, 4) AS threshold, tp, fp, "
     "round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision, "
     "round(CAST(tp AS DOUBLE) / p, 4) AS recall FROM cum, g"
+)
+
+ORACLE["graph_clustering_coeff"] = (
+    f"WITH {_MUTUAL}, "
+    "sym AS (SELECT a AS node FROM m UNION ALL SELECT b FROM m), "
+    "deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node), "
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM m e1 "
+    "JOIN m e2 ON e1.b = e2.a JOIN m e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "pn AS (SELECT node, count(*) AS tri FROM "
+    "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY node) "
+    "SELECT d.node, d.deg, coalesce(pn.tri, 0) AS tri, "
+    "round(CAST(2 * coalesce(pn.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1)), 4) AS cc "
+    "FROM deg d LEFT JOIN pn ON d.node = pn.node WHERE d.deg >= 2"
+)
+
+ORACLE["llm_token_entropy"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term), "
+    "per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS L, "
+    "CAST(sum(CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS s "
+    "FROM tf GROUP BY doc_id) "
+    "SELECT doc_id, L AS n_tokens, "
+    "round(ln(CAST(L AS DOUBLE)) - s / (CAST(L AS DOUBLE) * 1000000000), 4) "
+    "AS entropy_nats FROM per"
+)
+
+ORACLE["ml_cohens_kappa"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, tlabel, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "knnp AS (SELECT qid, tlabel AS p1 FROM pred WHERE vr = 1), "
+    "tr AS (SELECT * FROM emb WHERE vec_id % 5 <> 0), "
+    "cent AS (SELECT label AS clabel, i, "
+    "round(avg(emb[CAST(i + 1 AS INT)]), 6) AS mc "
+    "FROM tr, range(64) t(i) GROUP BY clabel, i), "
+    "test AS (SELECT vec_id AS qid, emb FROM emb WHERE vec_id % 5 = 0), "
+    "d AS (SELECT qid, clabel, sum(pow(emb[CAST(i + 1 AS INT)] - mc, 2)) AS sq "
+    "FROM test, cent GROUP BY qid, clabel), "
+    "r AS (SELECT qid, clabel, "
+    "row_number() OVER (PARTITION BY qid ORDER BY sq, clabel) AS rn FROM d), "
+    "cenp AS (SELECT qid, clabel AS p2 FROM r WHERE rn = 1), "
+    "j AS (SELECT p1, p2 FROM knnp JOIN cenp USING (qid)), "
+    "mm AS (SELECT count(*) AS n, "
+    "CAST(sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM j), "
+    "c1 AS (SELECT p1 AS lbl, count(*) AS n1 FROM j GROUP BY p1), "
+    "c2 AS (SELECT p2 AS lbl, count(*) AS n2 FROM j GROUP BY p2), "
+    "pe AS (SELECT CAST(sum(n1 * n2) AS BIGINT) AS s FROM c1 JOIN c2 USING (lbl)) "
+    "SELECT n, agree, "
+    "round(CAST(agree * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * n - s), 4) AS kappa "
+    "FROM mm, pe"
+)
+
+ORACLE["ml_gains_table"] = (
+    "WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "dd AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile "
+    "FROM pts), "
+    "per AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM dd GROUP BY decile), "
+    "cum AS (SELECT decile, n, pos, "
+    "CAST(sum(n) OVER w AS BIGINT) AS cum_n, "
+    "CAST(sum(pos) OVER w AS BIGINT) AS cum_pos FROM per "
+    "WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW)), "
+    "tot AS (SELECT CAST(sum(y) AS BIGINT) AS p, count(*) AS nn FROM pts) "
+    "SELECT decile, n, pos, round(cum_pos / CAST(p AS DOUBLE), 4) AS capture, "
+    "round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(p AS DOUBLE) / nn), 4) AS lift "
+    "FROM cum, tot"
+)
+
+ORACLE["str_time_to_convert"] = (
+    "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), "
+    "s AS (SELECT user_id, min(t) AS s_us FROM ev "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "fp AS (SELECT s.user_id, s.s_us, min(p.t) AS p_us FROM s "
+    "JOIN ev p ON p.user_id = s.user_id AND p.event_type = 'purchase' "
+    "AND p.t >= s.s_us GROUP BY s.user_id, s.s_us) "
+    "SELECT user_id, (p_us - s_us) // 1000000 AS delta_s FROM fp"
+)
+
+ORACLE["llm_lang_vocab_overlap"] = (
+    "WITH v AS (SELECT DISTINCT lang, "
+    "unnest(string_split(text, ' ')) AS term FROM documents), "
+    "sizes AS (SELECT lang, count(*) AS vsz FROM v GROUP BY lang), "
+    "inter AS (SELECT x.lang AS a, y.lang AS b, count(*) AS n_common "
+    "FROM v x JOIN v y ON x.term = y.term AND x.lang < y.lang GROUP BY a, b) "
+    "SELECT a, b, n_common, sa.vsz AS n_a, sb.vsz AS n_b, "
+    "round(n_common / CAST(sa.vsz + sb.vsz - n_common AS DOUBLE), 4) AS jaccard "
+    "FROM inter JOIN sizes sa ON inter.a = sa.lang "
+    "JOIN sizes sb ON inter.b = sb.lang"
 )

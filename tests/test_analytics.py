@@ -641,3 +641,85 @@ def test_pr_curve_properties(spark):
     for r in rows:
         # Spark round() is HALF_UP, python's is banker's — compare unrounded
         assert abs(r.precision - r.tp / (r.tp + r.fp)) < 6e-5
+
+
+def test_clustering_coeff_bounds_and_triangle_mass(spark):
+    rows = analytics._q_clustering_coeff(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.deg >= 2
+        assert 0 <= r.cc <= 1
+        assert r.tri <= r.deg * (r.deg - 1) // 2
+    # every triangle contributes to exactly 3 nodes
+    assert sum(r.tri for r in rows) % 3 == 0
+
+
+def test_token_entropy_matches_numpy(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.entropy_nats)
+           for r in analytics._q_token_entropy(spark, SF_SMOKE).collect()}
+    for doc_id, text in list(zip(t.doc_id, t.text))[:50]:
+        c = Counter(text.split(" "))
+        L = sum(c.values())
+        h = np.log(L) - sum(ci * np.log(ci) for ci in c.values()) / L
+        assert got[doc_id][0] == L
+        assert abs(got[doc_id][1] - h) < 1.2e-4
+
+
+def test_cohens_kappa_matches_python(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_centroid, classify
+
+    p1 = {r.qid: r.pred_label for r in classify(spark, SF_SMOKE).collect()}
+    p2 = {r.qid: r.pred_label for r in _q_centroid(spark, SF_SMOKE).collect()}
+    qids = sorted(set(p1) & set(p2))
+    n = len(qids)
+    agree = sum(p1[q] == p2[q] for q in qids)
+    from collections import Counter
+
+    c1, c2 = Counter(p1[q] for q in qids), Counter(p2[q] for q in qids)
+    s = sum(c1[l] * c2[l] for l in c1)
+    exp = (agree * n - s) / (n * n - s)
+    row = analytics._q_cohens_kappa(spark, SF_SMOKE).collect()[0]
+    assert row.n == n and row.agree == agree
+    assert abs(row.kappa - exp) < 1.2e-4
+
+
+def test_gains_table_shape(spark):
+    rows = sorted(analytics._q_gains_table(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == 500
+    captures = [r.capture for r in rows]
+    assert captures == sorted(captures)
+    assert captures[-1] == pytest.approx(1.0)
+
+
+def test_time_to_convert_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    t["tus"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    exp = {}
+    for uid, g in t.groupby("user_id"):
+        su = g[g.event_type == "signup"].tus
+        if su.empty:
+            continue
+        s = su.min()
+        pu = g[(g.event_type == "purchase") & (g.tus >= s)].tus
+        if pu.empty:
+            continue
+        exp[uid] = (pu.min() - s) // 1_000_000
+    got = {r.user_id: r.delta_s
+           for r in analytics._q_time_to_convert(spark, SF_SMOKE).collect()}
+    assert got == exp
+
+
+def test_lang_vocab_overlap_bounds(spark):
+    rows = analytics._q_lang_vocab_overlap(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert 0 < r.jaccard <= 1
