@@ -1002,7 +1002,7 @@ def roc_curve(pts: DataFrame) -> DataFrame:
     )
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     return cum.crossJoin(F.broadcast(g)).select(
-        F.round("score", 4).alias("threshold"),
+        F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
         "tp",
         "fp",
         F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("tpr"),
@@ -1891,7 +1891,7 @@ def _q_pr_curve(spark, sf_dir):
     )
     g = pts.agg(F.sum("y").alias("p"))
     return cum.crossJoin(F.broadcast(g)).select(
-        F.round("score", 4).alias("threshold"),
+        F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
         "tp",
         "fp",
         F.expr("round(CAST(tp AS DOUBLE) / (tp + fp), 4)").alias("precision"),
@@ -2084,6 +2084,69 @@ def _q_lang_vocab_overlap(spark, sf_dir):
     )
 
 
+def _q_order_by_all(spark, sf_dir):
+    """ORDER BY ALL shorthand (Spark 4 ⟷ DuckDB): total order over every
+    output column, here driving a deterministic LIMIT — the companion of
+    rel_group_by_all."""
+    tables.table(spark, sf_dir, "events").createOrReplaceTempView("events_oba")
+    return spark.sql(
+        "SELECT event_type, ts_us div 86400000000 AS day, count(*) AS n "
+        "FROM events_oba GROUP BY ALL ORDER BY ALL LIMIT 20"
+    )
+
+
+def _q_try_arith(spark, sf_dir):
+    """Null-on-error arithmetic surface: try_divide / try_cast semantics
+    (Spark) expressed against DuckDB's TRY_CAST and NULLIF-guarded
+    division — the defensive-ingest idiom for dirty numeric columns.
+    Exercises divide-by-zero → NULL, bad string → NULL cast, and
+    coalesce fallback on the events JSON prop."""
+    ev = tables.table(spark, sf_dir, "events")
+    k = F.expr("CAST(get_json_object(props, '$.k') AS INT)")
+    return ev.select(
+        "event_id",
+        F.expr(
+            "round(try_divide(CAST(round(value * 100, 0) AS BIGINT), "
+            "CAST(get_json_object(props, '$.k') AS INT)), 4)"
+        ).alias("cents_per_k"),
+        F.expr("try_cast(event_type AS INT)").alias("bad_cast"),
+        F.coalesce(k, lit(-1)).alias("k_or_default"),
+    )
+
+
+def _q_logreg_irls1(spark, sf_dir):
+    """One IRLS/Newton step of logistic regression (intercept + emb[0])
+    from β = 0 — at that point p = ½ exactly, so the step is
+    β₁ = 2·(X'X)⁻¹X'(2y−1) on exact integer moments: x quantized to
+    micro-units, the 2×2 solve done in closed form as one final double
+    expression. The from-scratch GLM training step as relational
+    algebra; the full optimizer is this step iterated."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        F.expr("CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("xq"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("u"),
+        F.sum(col("xq") * col("xq")).alias("v"),
+        F.sum("y").alias("sy"),
+        F.sum(col("xq") * col("y")).alias("sxy"),
+    )
+    # a = 2Σy − n, b = 2Σxy − Σx; β = 2/det · [v·a − u·b, n·b − u·a]
+    return m.select(
+        "n",
+        F.expr(
+            "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
+            "/ (n * v - u * u), 6)"
+        ).alias("beta0"),
+        F.expr(
+            "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
+            "/ (n * v - u * u) * 1000000, 6)"
+        ).alias("beta1"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2147,6 +2210,9 @@ QUERIES = {
     "ml_gains_table": _q_gains_table,
     "str_time_to_convert": _q_time_to_convert,
     "llm_lang_vocab_overlap": _q_lang_vocab_overlap,
+    "rel_order_by_all": _q_order_by_all,
+    "rel_try_arith": _q_try_arith,
+    "ml_logreg_irls1": _q_logreg_irls1,
 }
 
 
@@ -2478,7 +2544,7 @@ ORACLE = {
         "AND CURRENT ROW)), "
         "g AS (SELECT CAST(sum(y) AS BIGINT) AS p, "
         "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM pts) "
-        "SELECT round(score, 4) AS threshold, tp, fp, "
+        "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
         "round(CAST(tp AS DOUBLE) / p, 4) AS tpr, "
         "round(CAST(fp AS DOUBLE) / neg, 4) AS fpr FROM cum, g"
     ),
@@ -2890,7 +2956,7 @@ ORACLE["ml_pr_curve"] = (
     "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
     "CURRENT ROW)), "
     "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts) "
-    "SELECT round(score, 4) AS threshold, tp, fp, "
+    "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
     "round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision, "
     "round(CAST(tp AS DOUBLE) / p, 4) AS recall FROM cum, g"
 )
@@ -2991,4 +3057,31 @@ ORACLE["llm_lang_vocab_overlap"] = (
     "round(n_common / CAST(sa.vsz + sb.vsz - n_common AS DOUBLE), 4) AS jaccard "
     "FROM inter JOIN sizes sa ON inter.a = sa.lang "
     "JOIN sizes sb ON inter.b = sb.lang"
+)
+
+ORACLE["rel_order_by_all"] = (
+    "SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n "
+    "FROM events GROUP BY ALL ORDER BY ALL LIMIT 20"
+)
+
+ORACLE["rel_try_arith"] = (
+    "SELECT event_id, "
+    "round(CAST(round(value * 100, 0) AS BIGINT) / "
+    "NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0), 4) AS cents_per_k, "
+    "TRY_CAST(event_type AS INT) AS bad_cast, "
+    "coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1) AS k_or_default "
+    "FROM events"
+)
+
+ORACLE["ml_logreg_irls1"] = (
+    "WITH pts AS (SELECT CAST(round(CAST(embedding AS DOUBLE[])[1] * 1000000, 0) "
+    "AS BIGINT) AS xq, CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "m AS (SELECT count(*) AS n, CAST(sum(xq) AS BIGINT) AS u, "
+    "CAST(sum(xq * xq) AS BIGINT) AS v, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(xq * y) AS BIGINT) AS sxy FROM pts) "
+    "SELECT n, "
+    "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
+    "/ (n * v - u * u), 6) AS beta0, "
+    "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
+    "/ (n * v - u * u) * 1000000, 6) AS beta1 FROM m"
 )

@@ -699,6 +699,39 @@ def _q_centroid(spark, sf_dir):
     )
 
 
+def _q_dist_seuclidean(spark, sf_dir):
+    """Standardized (variance-weighted) Euclidean top-5 — the diagonal-
+    Mahalanobis metric: per-dimension population variances learned from
+    the train split, each squared difference divided by its dimension's
+    variance. The variance vector is a 1-row broadcast (64 doubles,
+    rounded to 6dp so both engines weight with identical doubles) — the
+    metric-learning slot with zero extra shuffle over plain kNN."""
+    e = tables.embeddings(spark, sf_dir)
+    var_arr = (
+        e.filter(col("vec_id") % 5 != 0)
+        .select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.var_pop("x"), 6).alias("v"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.transform("pv", lambda s: s["v"]).alias("varr"))
+    )
+    pairs = all_pairs(split_test(e), train_all(e)).crossJoin(F.broadcast(var_arr))
+    sq = F.zip_with("qemb", "temb", lambda a, b: (a - b) * (a - b))
+    wsum = F.aggregate(
+        F.zip_with(sq, col("varr"), lambda d, v: d / v),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = pairs.withColumn("dist", F.round(F.sqrt(wsum), 4))
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= K_JOIN)
+        .select("qid", "tid", "rnk", "dist")
+    )
+
+
 QUERIES = {
     "knn_scan": _q_scan,
     "knn_normalize_minmax": _q_normalize_minmax,
@@ -714,6 +747,7 @@ QUERIES = {
     "knn_dist_hamming": _q_dist("hamming"),
     "knn_dist_cosine": _q_dist("cosine", signed=True),
     "knn_dist_dot": _q_dist("dot", signed=True),
+    "knn_dist_seuclidean": _q_dist_seuclidean,
     "knn_topk": _q_topk,
     "knn_classify": _q_classify,
     "knn_regress": _q_regress,
@@ -820,6 +854,20 @@ ORACLE = {
         "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
         "p -> abs(p[1] - p[2])), 'max'), 4) AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
+    ),
+    "knn_dist_seuclidean": (
+        f"WITH {_EMB}, "
+        "tr AS (SELECT * FROM emb WHERE vec_id % 5 <> 0), "
+        "vr AS (SELECT i, round(var_pop(emb[CAST(i + 1 AS INT)]), 6) AS vm "
+        "FROM tr, range(64) t(i) GROUP BY i), "
+        "va AS (SELECT list(vm ORDER BY i) AS varr FROM vr), "
+        "p AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "round(sqrt(list_aggregate(list_transform(list_zip(q.emb, t.emb, varr), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]) / x[3]), 'sum')), 4) AS dist "
+        "FROM emb q, emb t, va WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) "
+        "AS rnk FROM p) "
+        "SELECT qid, tid, rnk, dist FROM r WHERE rnk <= 5"
     ),
     "knn_dist_minkowski": (
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "

@@ -222,6 +222,28 @@ def _q8(spark, sf_dir):
     )
 
 
+def _q9(spark, sf_dir):
+    # Classic Q9 computes profit = revenue − ps_supplycost·qty; with no
+    # partsupp table the profit term reduces to revenue. The shape —
+    # product-filtered 5-table star rolled up by supplier nation × order
+    # year — is intact.
+    part = tables.table(spark, sf_dir, "part").filter(col("p_name").like("%gear%"))
+    li = tables.table(spark, sf_dir, "lineitem")
+    nation = tables.table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(tables.table(spark, sf_dir, "supplier"), col("l_suppkey") == col("s_suppkey"))
+        .join(tables.table(spark, sf_dir, "orders"), col("l_orderkey") == col("o_orderkey"))
+        .join(F.broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .groupBy(col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
 def _q10(spark, sf_dir):
     orders = tables.table(spark, sf_dir, "orders").filter(
         (col("o_orderdate") >= F.lit("1996-10-01"))
@@ -431,6 +453,7 @@ QUERIES = {
     "tpch_q6": _q6,
     "tpch_q7": _q7,
     "tpch_q8": _q8,
+    "tpch_q9": _q9,
     "tpch_q10": _q10,
     "tpch_q12": _q12,
     "tpch_q13": _q13,
@@ -529,6 +552,16 @@ ORACLE = {
         "GROUP BY o_year) "
         "SELECT o_year, nation_cents, total_cents, "
         "round(100.0 * nation_cents / total_cents, 4) AS mkt_share_pct FROM y"
+    ),
+    "tpch_q9": (
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        + _sum_cents_sql("l_extendedprice * (1 - l_discount)")
+        + " AS revenue_cents "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%gear%' GROUP BY n_name, o_year"
     ),
     "tpch_q10": (
         "SELECT c_custkey, c_name, "

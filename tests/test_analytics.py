@@ -723,3 +723,25 @@ def test_lang_vocab_overlap_bounds(spark):
     for r in rows:
         assert r.n_common <= min(r.n_a, r.n_b)
         assert 0 < r.jaccard <= 1
+
+
+def test_logreg_irls1_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    xq = np.round(np.array([e[0] for e in t.embedding], dtype=np.float64) * 1e6)
+    y = (t.label.to_numpy() >= 5).astype(np.int64)
+    X = np.column_stack([np.ones_like(xq), xq])
+    beta = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    row = analytics._q_logreg_irls1(spark, SF_SMOKE).collect()[0]
+    assert row.n == len(y)
+    assert abs(row.beta0 - beta[0]) < 1e-5
+    assert abs(row.beta1 - beta[1] * 1e6) < 1e-5
+
+
+def test_try_arith_null_semantics(spark):
+    rows = analytics._q_try_arith(spark, SF_SMOKE).collect()
+    assert all(r.bad_cast is None for r in rows)  # 'click' etc. never int
+    zero_k = [r for r in rows if r.k_or_default == 0]
+    assert zero_k, "fixture should contain k=0 props"
+    assert all(r.cents_per_k is None for r in zero_k)  # divide-by-zero -> NULL
