@@ -2147,6 +2147,130 @@ def _q_logreg_irls1(spark, sf_dir):
     )
 
 
+def _q_drawdown(spark, sf_dir):
+    """Running peak and drawdown of the cumulative purchase-revenue curve
+    (the financial risk statistic applied to the event stream): cumsum in
+    exact cents over the (ts, event_id) total order, peak = running max,
+    drawdown = peak − current. Two frames over one global sort — at scale
+    the same windows partition by portfolio/user key."""
+    ev = tables.table(spark, sf_dir, "events").filter(
+        col("event_type") == "purchase"
+    )
+    sign = F.when(col("event_id") % 2 == 0, 1).otherwise(-1)
+    pts = ev.select(
+        "event_id", "ts_us", (cents(col("value")) * sign).alias("delta_c")
+    )
+    w = Window.orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pts.withColumn("cum_c", F.sum("delta_c").over(w))
+    r = cum.withColumn("peak_c", F.max("cum_c").over(w))
+    return r.select(
+        "event_id",
+        "cum_c",
+        "peak_c",
+        (col("peak_c") - col("cum_c")).alias("drawdown_c"),
+    )
+
+
+def _q_kcore_peel(spark, sf_dir):
+    """Two unrolled k-core peeling rounds (k=3) over the mutual-kNN
+    graph: drop nodes with degree < 3, recompute degrees on the induced
+    subgraph, drop again — the bounded-round core decomposition (full
+    k-core = iterate to fixpoint; the non-converged state is
+    deterministic and graded). Each round is one groupBy + two
+    anti-joins, all shuffling on node ids."""
+    from .knn import _q_mutual
+
+    # The edge list (≪ the kNN pair space that derives it) feeds five
+    # downstream degree/induced-subgraph computations — materialize it
+    # once instead of re-running the kNN self-join per consumer.
+    m = _q_mutual(spark, sf_dir).localCheckpoint(eager=True)
+
+    def degrees(edges):
+        sym = edges.select(col("a").alias("node")).unionByName(
+            edges.select(col("b").alias("node"))
+        )
+        return sym.groupBy("node").agg(F.count("*").alias("deg"))
+
+    d0 = degrees(m)
+    rm1 = d0.filter(col("deg") < 3).select("node")
+    e1 = m.join(rm1.withColumnRenamed("node", "a"), "a", "left_anti").join(
+        rm1.withColumnRenamed("node", "b"), "b", "left_anti"
+    )
+    d1 = degrees(e1)
+    rm2 = d1.filter(col("deg") < 3).select("node")
+    e2 = e1.join(rm2.withColumnRenamed("node", "a"), "a", "left_anti").join(
+        rm2.withColumnRenamed("node", "b"), "b", "left_anti"
+    )
+    d2 = degrees(e2)
+    return (
+        d2.join(d0.select("node", col("deg").alias("deg0")), "node")
+        .select("node", "deg0", col("deg").alias("deg_after_peel2"))
+    )
+
+
+def _q_sax_symbols(spark, sf_dir):
+    """SAX symbolic discretization of the hourly event-count series:
+    global z-score against the series mean/sd (exact integer moments, one
+    double expression), then the 4-letter alphabet at the standard normal
+    quartile breakpoints ±0.6745 — the time-series indexing/motif
+    alphabet. Identical expression trees on both engines decide the
+    letter on identical doubles."""
+    series = _hourly_series(spark, sf_dir)
+    g = series.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(col("c") * col("c")).alias("ss"),
+    )
+    z = (
+        "(c - CAST(s AS DOUBLE) / n) / "
+        "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+    )
+    return series.crossJoin(F.broadcast(g)).select(
+        "h",
+        "c",
+        F.expr(
+            f"CASE WHEN {z} < -0.6745 THEN 'a' WHEN {z} < 0 THEN 'b' "
+            f"WHEN {z} < 0.6745 THEN 'c' ELSE 'd' END"
+        ).alias("sym"),
+    )
+
+
+def _q_shingle_containment(spark, sf_dir):
+    """Asymmetric near-dup containment (|A∩B|/|A| vs /|B|) for same-lang
+    shingle pairs with ≥5 shared shingles — catches subset/quotation
+    relations that symmetric Jaccard under-scores. Pair candidates come
+    from the shared-shingle equi-join (never all-pairs); counts are exact
+    integers."""
+    from .llm import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(col("doc_id").alias("doc_a"), col("lang").alias("lang_a"), "s")
+    b = sh.select(col("doc_id").alias("doc_b"), col("lang").alias("lang_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter((col("lang_a") == col("lang_b")) & (col("doc_a") < col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .filter(col("i") >= 5)
+    )
+    return (
+        inter.join(sizes.select(col("doc_id").alias("doc_a"), col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").alias("doc_b"), col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            "n_a",
+            "n_b",
+            F.expr("round(i / CAST(n_a AS DOUBLE), 4)").alias("contain_a"),
+            F.expr("round(i / CAST(n_b AS DOUBLE), 4)").alias("contain_b"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2213,6 +2337,10 @@ QUERIES = {
     "rel_order_by_all": _q_order_by_all,
     "rel_try_arith": _q_try_arith,
     "ml_logreg_irls1": _q_logreg_irls1,
+    "ts_drawdown": _q_drawdown,
+    "graph_kcore_peel": _q_kcore_peel,
+    "ts_sax_symbols": _q_sax_symbols,
+    "llm_shingle_containment": _q_shingle_containment,
 }
 
 
@@ -3084,4 +3212,68 @@ ORACLE["ml_logreg_irls1"] = (
     "/ (n * v - u * u), 6) AS beta0, "
     "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
     "/ (n * v - u * u) * 1000000, 6) AS beta1 FROM m"
+)
+
+ORACLE["ts_drawdown"] = (
+    "WITH p AS (SELECT event_id, epoch_us(ts) AS t, "
+    "CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END * "
+    f"{_CENTS.format(x='value')} AS delta_c "
+    "FROM events WHERE event_type = 'purchase'), "
+    "cc AS (SELECT event_id, t, "
+    "CAST(sum(delta_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c "
+    "FROM p), "
+    "r AS (SELECT event_id, cum_c, "
+    "CAST(max(cum_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_c "
+    "FROM cc) "
+    "SELECT event_id, cum_c, peak_c, peak_c - cum_c AS drawdown_c FROM r"
+)
+
+ORACLE["graph_kcore_peel"] = (
+    # mm AS MATERIALIZED: the edge list is referenced six times below —
+    # without materialization DuckDB inlines the kNN ranking per reference.
+    f"WITH {_MUTUAL}, "
+    "mm AS MATERIALIZED (SELECT a, b FROM m), "
+    "d0 AS (SELECT node, count(*) AS deg FROM "
+    "(SELECT a AS node FROM mm UNION ALL SELECT b FROM mm) GROUP BY node), "
+    "rm1 AS (SELECT node FROM d0 WHERE deg < 3), "
+    "e1 AS (SELECT a, b FROM mm WHERE a NOT IN (SELECT node FROM rm1) "
+    "AND b NOT IN (SELECT node FROM rm1)), "
+    "d1 AS (SELECT node, count(*) AS deg FROM "
+    "(SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node), "
+    "rm2 AS (SELECT node FROM d1 WHERE deg < 3), "
+    "e2 AS (SELECT a, b FROM e1 WHERE a NOT IN (SELECT node FROM rm2) "
+    "AND b NOT IN (SELECT node FROM rm2)), "
+    "d2 AS (SELECT node, count(*) AS deg FROM "
+    "(SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node) "
+    "SELECT d2.node, d0.deg AS deg0, d2.deg AS deg_after_peel2 "
+    "FROM d2 JOIN d0 ON d2.node = d0.node"
+)
+
+ORACLE["ts_sax_symbols"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "g AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM s) "
+    "SELECT h, c, "
+    "CASE WHEN (c - CAST(s AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) < -0.6745 THEN 'a' "
+    "WHEN (c - CAST(s AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) < 0 THEN 'b' "
+    "WHEN (c - CAST(s AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) < 0.6745 THEN 'c' "
+    "ELSE 'd' END AS sym FROM s, g"
+)
+
+ORACLE["llm_shingle_containment"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT doc_a, doc_b, i, sa.n AS n_a, sb.n AS n_b, "
+    "round(i / CAST(sa.n AS DOUBLE), 4) AS contain_a, "
+    "round(i / CAST(sb.n AS DOUBLE), 4) AS contain_b "
+    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+    "JOIN sizes sb ON doc_b = sb.doc_id WHERE i >= 5"
 )

@@ -745,3 +745,65 @@ def test_try_arith_null_semantics(spark):
     zero_k = [r for r in rows if r.k_or_default == 0]
     assert zero_k, "fixture should contain k=0 props"
     assert all(r.cents_per_k is None for r in zero_k)  # divide-by-zero -> NULL
+
+
+def test_drawdown_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    p = t[t.event_type == "purchase"].copy()
+    p["tus"] = p.ts.values.astype("datetime64[us]").astype("int64")
+    p["delta"] = ((p.value * 100).round().astype("int64")
+                  * np.where(p.event_id % 2 == 0, 1, -1))
+    p = p.sort_values(["tus", "event_id"])
+    cum = p.delta.cumsum().to_numpy()
+    peak = np.maximum.accumulate(cum)
+    exp = {eid: (c, pk, pk - c) for eid, c, pk in zip(p.event_id, cum, peak)}
+    got = {r.event_id: (r.cum_c, r.peak_c, r.drawdown_c)
+           for r in analytics._q_drawdown(spark, SF_SMOKE).collect()}
+    assert got == exp
+
+
+def test_kcore_peel_matches_python(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    edges = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+
+    def peel(es, k=3):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        rm = {n for n, d in deg.items() if d < k}
+        return [(a, b) for a, b in es if a not in rm and b not in rm]
+
+    e2 = peel(peel(edges))
+    deg2 = {}
+    for a, b in e2:
+        deg2[a] = deg2.get(a, 0) + 1
+        deg2[b] = deg2.get(b, 0) + 1
+    got = {r.node: r.deg_after_peel2
+           for r in analytics._q_kcore_peel(spark, SF_SMOKE).collect()}
+    assert got == deg2
+
+
+def test_sax_symbols_partition(spark):
+    rows = analytics._q_sax_symbols(spark, SF_SMOKE).collect()
+    assert len(rows) == 720
+    counts = [r.c for r in rows]
+    mu = np.mean(counts)
+    sd = np.std(counts, ddof=1)
+    for r in rows:
+        z = (r.c - mu) / sd
+        exp = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r.sym == exp, (r.h, z)
+
+
+def test_shingle_containment_dominates_jaccard(spark):
+    rows = analytics._q_shingle_containment(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        jac = r.i / (r.n_a + r.n_b - r.i)
+        assert r.contain_a >= round(jac, 4) - 1e-9
+        assert r.contain_b >= round(jac, 4) - 1e-9
+        assert r.i <= min(r.n_a, r.n_b)
