@@ -2271,6 +2271,96 @@ def _q_shingle_containment(spark, sf_dir):
     )
 
 
+def _q_decompose(spark, sf_dir):
+    """Additive seasonal-trend decomposition of the hourly series (the
+    STL-lite view): seasonal = hour-of-day mean, trend = centered 25-hour
+    moving average, residual = observed − seasonal − trend + grand mean
+    (so components sum back to the observation). Every component is a
+    ratio of exact integer window/group sums; one rounded double each."""
+    series = _hourly_series(spark, sf_dir)
+    hod = series.withColumn("hod", F.expr("h % 24"))
+    ws = Window.partitionBy("hod")
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    g = series.agg(F.count("*").alias("gn"), F.sum("c").alias("gs"))
+    r = (
+        hod.withColumn("s_sum", F.sum("c").over(ws))
+        .withColumn("s_n", F.count("*").over(ws))
+        .withColumn("t_sum", F.sum("c").over(wt))
+        .withColumn("t_n", F.count("*").over(wt))
+        .crossJoin(F.broadcast(g))
+    )
+    return r.select(
+        "h",
+        "c",
+        F.expr("round(CAST(s_sum AS DOUBLE) / s_n, 4)").alias("seasonal"),
+        F.expr("round(CAST(t_sum AS DOUBLE) / t_n, 4)").alias("trend"),
+        F.expr(
+            "round(c - CAST(s_sum AS DOUBLE) / s_n - CAST(t_sum AS DOUBLE) / t_n "
+            "+ CAST(gs AS DOUBLE) / gn, 4)"
+        ).alias("residual"),
+    )
+
+
+def _q_mcc(spark, sf_dir):
+    """Matthews correlation coefficient of the kNN classifier collapsed
+    to the binary task (label ≥ 5): the chance-robust single-number
+    summary from the exact integer 2×2 confusion — the metric that stays
+    honest under class imbalance. One double sqrt at the end."""
+    from .knn import classify
+
+    p = classify(spark, sf_dir).select(
+        (col("pred_label") >= 5).cast("long").alias("yp"),
+        (col("true_label") >= 5).cast("long").alias("yt"),
+    )
+    m = p.agg(
+        F.sum(F.expr("CASE WHEN yp = 1 AND yt = 1 THEN 1 ELSE 0 END")).alias("tp"),
+        F.sum(F.expr("CASE WHEN yp = 0 AND yt = 0 THEN 1 ELSE 0 END")).alias("tn"),
+        F.sum(F.expr("CASE WHEN yp = 1 AND yt = 0 THEN 1 ELSE 0 END")).alias("fp"),
+        F.sum(F.expr("CASE WHEN yp = 0 AND yt = 1 THEN 1 ELSE 0 END")).alias("fn"),
+    )
+    return m.select(
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.expr(
+            "round(CAST(tp * tn - fp * fn AS DOUBLE) / "
+            "sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 4)"
+        ).alias("mcc"),
+    )
+
+
+def _q_platt_1step(spark, sf_dir):
+    """One IRLS step of Platt scaling from β = 0: logistic calibration of
+    the kNN vote count (1..k) against correctness — the
+    confidence-calibration fit over ml_calibration_knn's raw table.
+    Votes are small exact integers, so every moment is exact; the 2×2
+    solve is one closed-form double expression (same algebra as
+    ml_logreg_irls1, applied to a model's own outputs)."""
+    from .knn import K_DEFAULT, _pairs, majority_vote, topk
+
+    pred = majority_vote(topk(_pairs(spark, sf_dir), K_DEFAULT))
+    pts = pred.select(col("votes").alias("xq"), col("correct").cast("long").alias("y"))
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("u"),
+        F.sum(col("xq") * col("xq")).alias("v"),
+        F.sum("y").alias("sy"),
+        F.sum(col("xq") * col("y")).alias("sxy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
+            "/ (n * v - u * u), 6)"
+        ).alias("beta0"),
+        F.expr(
+            "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
+            "/ (n * v - u * u), 6)"
+        ).alias("beta1_per_vote"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2341,6 +2431,9 @@ QUERIES = {
     "graph_kcore_peel": _q_kcore_peel,
     "ts_sax_symbols": _q_sax_symbols,
     "llm_shingle_containment": _q_shingle_containment,
+    "ts_decompose_stl": _q_decompose,
+    "ml_mcc": _q_mcc,
+    "ml_platt_1step": _q_platt_1step,
 }
 
 
@@ -3276,4 +3369,66 @@ ORACLE["llm_shingle_containment"] = (
     "round(i / CAST(sb.n AS DOUBLE), 4) AS contain_b "
     "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
     "JOIN sizes sb ON doc_b = sb.doc_id WHERE i >= 5"
+)
+
+ORACLE["ts_decompose_stl"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "g AS (SELECT count(*) AS gn, CAST(sum(c) AS BIGINT) AS gs FROM s), "
+    "r AS (SELECT h, c, "
+    "CAST(sum(c) OVER (PARTITION BY h % 24) AS BIGINT) AS s_sum, "
+    "count(*) OVER (PARTITION BY h % 24) AS s_n, "
+    "CAST(sum(c) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) "
+    "AS BIGINT) AS t_sum, "
+    "count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) "
+    "AS t_n FROM s) "
+    "SELECT h, c, round(CAST(s_sum AS DOUBLE) / s_n, 4) AS seasonal, "
+    "round(CAST(t_sum AS DOUBLE) / t_n, 4) AS trend, "
+    "round(c - CAST(s_sum AS DOUBLE) / s_n - CAST(t_sum AS DOUBLE) / t_n "
+    "+ CAST(gs AS DOUBLE) / gn, 4) AS residual FROM r, g"
+)
+
+ORACLE["ml_mcc"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, qlabel, tlabel, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "p AS (SELECT CASE WHEN tlabel >= 5 THEN 1 ELSE 0 END AS yp, "
+    "CASE WHEN qlabel >= 5 THEN 1 ELSE 0 END AS yt FROM pred WHERE vr = 1), "
+    "m AS (SELECT "
+    "CAST(sum(CASE WHEN yp = 1 AND yt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+    "CAST(sum(CASE WHEN yp = 0 AND yt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, "
+    "CAST(sum(CASE WHEN yp = 1 AND yt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+    "CAST(sum(CASE WHEN yp = 0 AND yt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn "
+    "FROM p) "
+    "SELECT tp, tn, fp, fn, "
+    "round(CAST(tp * tn - fp * fn AS DOUBLE) / "
+    "sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 4) "
+    "AS mcc FROM m"
+)
+
+ORACLE["ml_platt_1step"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "predr AS (SELECT qid, qlabel, tlabel, votes, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "pts AS (SELECT votes AS xq, "
+    "CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END AS y FROM predr WHERE vr = 1), "
+    "m AS (SELECT count(*) AS n, CAST(sum(xq) AS BIGINT) AS u, "
+    "CAST(sum(xq * xq) AS BIGINT) AS v, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(xq * y) AS BIGINT) AS sxy FROM pts) "
+    "SELECT n, "
+    "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
+    "/ (n * v - u * u), 6) AS beta0, "
+    "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
+    "/ (n * v - u * u), 6) AS beta1_per_vote FROM m"
 )

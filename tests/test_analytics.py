@@ -807,3 +807,44 @@ def test_shingle_containment_dominates_jaccard(spark):
         assert r.contain_a >= round(jac, 4) - 1e-9
         assert r.contain_b >= round(jac, 4) - 1e-9
         assert r.i <= min(r.n_a, r.n_b)
+
+
+def test_decompose_components_reconstruct(spark):
+    rows = analytics._q_decompose(spark, SF_SMOKE).collect()
+    assert len(rows) == 720
+    counts = {r.h: r.c for r in rows}
+    grand = np.mean(list(counts.values()))
+    for r in rows[:100]:
+        # components reconstruct the observation (additive model identity)
+        assert r.c == pytest.approx(
+            r.seasonal + r.trend + r.residual - grand, abs=3e-4
+        )
+
+
+def test_mcc_matches_sklearn_formula(spark):
+    row = analytics._q_mcc(spark, SF_SMOKE).collect()[0]
+    tp, tn, fp, fn = row.tp, row.tn, row.fp, row.fn
+    assert tp + tn + fp + fn == 100  # sf0.001 test split
+    exp = (tp * tn - fp * fn) / np.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(row.mcc - exp) < 1e-4
+    assert -1 <= row.mcc <= 1
+
+
+def test_platt_step_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        K_DEFAULT,
+        _pairs,
+        majority_vote,
+        topk,
+    )
+
+    pred = majority_vote(topk(_pairs(spark, SF_SMOKE), K_DEFAULT)).collect()
+    x = np.array([r.votes for r in pred], dtype=np.float64)
+    y = np.array([r.correct for r in pred], dtype=np.float64)
+    X = np.column_stack([np.ones_like(x), x])
+    beta = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    row = analytics._q_platt_1step(spark, SF_SMOKE).collect()[0]
+    assert abs(row.beta0 - beta[0]) < 1e-5
+    assert abs(row.beta1_per_vote - beta[1]) < 1e-5
