@@ -2361,6 +2361,127 @@ def _q_platt_1step(spark, sf_dir):
     )
 
 
+def _q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau statistic Q = n(n+2)·Σ r²ₖ/(n−k) over lags
+    1..10 of the hourly series — the is-this-white-noise test that
+    validates a residual series. The r²ₖ/(n−k) terms quantize to integer
+    pico-units before the cross-lag sum (10 doubles summed in
+    nondeterministic order otherwise); ACF moments are the exact integer
+    sums of ts_autocorr."""
+    series = _hourly_series(spark, sf_dir)
+    ks = spark.range(1, 11).select(col("id").alias("k"))
+    a = series.select(col("h").alias("ht"), col("c").alias("ct"))
+    b = series.select(col("h").alias("hl"), col("c").alias("cl"))
+    pairs = a.crossJoin(F.broadcast(ks)).join(b, col("ht") - col("k") == col("hl"))
+    lagagg = pairs.groupBy("k").agg(
+        F.count("*").alias("nk"),
+        F.sum(col("ct") * col("cl")).alias("p"),
+        F.sum("ct").alias("ak"),
+        F.sum("cl").alias("bk"),
+    )
+    g = series.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(col("c") * col("c")).alias("ss"),
+    )
+    terms = (
+        lagagg.crossJoin(F.broadcast(g))
+        .withColumn("m", F.expr("s1 / n"))
+        .withColumn(
+            "r", F.expr("(p - m * (ak + bk) + nk * m * m) / (ss - n * m * m)")
+        )
+        .select(
+            "n",
+            F.expr("CAST(round(r * r / (n - k) * 1000000000000, 0) AS BIGINT)").alias(
+                "tq"
+            ),
+        )
+    )
+    return terms.groupBy("n").agg(F.sum("tq").alias("s")).select(
+        col("n").alias("n_hours"),
+        lit(10).alias("lags"),
+        F.expr("round(n * (n + 2) * (s / CAST(1000000000000 AS DOUBLE)), 4)").alias("q_stat"),
+    )
+
+
+def _q_peak_detect(spark, sf_dir):
+    """Local-peak detection on the hourly series: strictly above both
+    neighbors AND more than one global standard deviation above the
+    mean — the alerting primitive over any rollup. Neighbor tests are
+    integer comparisons; the z threshold is one identical double
+    expression on both engines."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.orderBy("h")
+    g = series.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(col("c") * col("c")).alias("ss"),
+    )
+    nb = series.withColumn("cp", F.lag("c").over(w)).withColumn(
+        "cn", F.lead("c").over(w)
+    )
+    z = (
+        "(c - CAST(s AS DOUBLE) / n) / "
+        "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+    )
+    return (
+        nb.crossJoin(F.broadcast(g))
+        .filter(
+            col("cp").isNotNull()
+            & col("cn").isNotNull()
+            & (col("c") > col("cp"))
+            & (col("c") > col("cn"))
+            & F.expr(f"{z} > 1.0")
+        )
+        .select("h", "c", F.expr(f"round({z}, 4)").alias("z"))
+    )
+
+
+def _q_variant_fn(spark, sf_dir):
+    """Spark 4 VARIANT surface: parse the JSON props column once into a
+    typed variant, then typed extraction and arithmetic on it (⟷ DuckDB
+    JSON extraction) — the semi-structured fast path that replaces
+    repeated string parsing of the same column."""
+    ev = tables.table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("CAST(variant_get(parse_json(props), '$.k') AS INT)").alias("k_int"),
+        F.expr("CAST(variant_get(parse_json(props), '$.k') AS STRING)").alias("k_str"),
+        F.expr(
+            "CAST(variant_get(parse_json(props), '$.k') AS INT) * "
+            "CAST(variant_get(parse_json(props), '$.k') AS INT)"
+        ).alias("k_sq"),
+    )
+
+
+def _q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the kNN-graph indegree distribution — the
+    single-number hubness summary (0 = every point equally cited,
+    →1 = a few hub points dominate all neighbor lists). Zero-indegree
+    nodes included via the left join; exact rank·count sums."""
+    from .knn import K_JOIN, knn_self_join
+
+    edges = knn_self_join(spark, sf_dir, K_JOIN).select("qid", "tid")
+    nodes = tables.embeddings(spark, sf_dir).select(col("vec_id").alias("node"))
+    indeg = edges.groupBy(col("tid").alias("node")).agg(F.count("*").alias("d"))
+    x = nodes.join(indeg, "node", "left").select(
+        "node", F.coalesce("d", lit(0)).alias("x")
+    )
+    r = x.select("x", F.row_number().over(Window.orderBy("x", "node")).alias("i"))
+    g = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(col("i") * col("x")).alias("sx"),
+    )
+    return g.select(
+        col("n").alias("n_nodes"),
+        col("s").alias("total_edges"),
+        F.expr(
+            "round((2.0 * sx - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4)"
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2434,6 +2555,10 @@ QUERIES = {
     "ts_decompose_stl": _q_decompose,
     "ml_mcc": _q_mcc,
     "ml_platt_1step": _q_platt_1step,
+    "ts_ljung_box": _q_ljung_box,
+    "ts_peak_detect": _q_peak_detect,
+    "rel_fn_variant": _q_variant_fn,
+    "graph_degree_gini": _q_degree_gini,
 }
 
 
@@ -3431,4 +3556,61 @@ ORACLE["ml_platt_1step"] = (
     "/ (n * v - u * u), 6) AS beta0, "
     "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
     "/ (n * v - u * u), 6) AS beta1_per_vote FROM m"
+)
+
+ORACLE["ts_ljung_box"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "lagagg AS (SELECT k, count(*) AS nk, sum(a.c * b.c) AS p, "
+    "sum(a.c) AS ak, sum(b.c) AS bk "
+    "FROM s a, range(1, 11) t(k), s b WHERE a.h - k = b.h GROUP BY k), "
+    "g AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS ss FROM s), "
+    "terms AS (SELECT n, CAST(round("
+    "pow((p - (s1 / n) * (ak + bk) + nk * (s1 / n) * (s1 / n)) / "
+    "(ss - n * (s1 / n) * (s1 / n)), 2) / (n - k) * 1000000000000, 0) AS BIGINT) "
+    "AS tq FROM lagagg, g), "
+    "agg AS (SELECT n, CAST(sum(tq) AS BIGINT) AS s FROM terms GROUP BY n) "
+    "SELECT n AS n_hours, 10 AS lags, "
+    "round(n * (n + 2) * (s / CAST(1000000000000 AS DOUBLE)), 4) AS q_stat FROM agg"
+)
+
+ORACLE["ts_peak_detect"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "g AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sg, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM s), "
+    "nb AS (SELECT h, c, lag(c) OVER (ORDER BY h) AS cp, "
+    "lead(c) OVER (ORDER BY h) AS cn FROM s) "
+    "SELECT h, c, "
+    "round((c - CAST(sg AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(sg AS DOUBLE) * sg / n) / (n - 1)), 4) AS z "
+    "FROM nb, g WHERE cp IS NOT NULL AND cn IS NOT NULL "
+    "AND c > cp AND c > cn AND "
+    "(c - CAST(sg AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(sg AS DOUBLE) * sg / n) / (n - 1)) > 1.0"
+)
+
+ORACLE["rel_fn_variant"] = (
+    "SELECT event_id, "
+    "CAST(json_extract_string(props, '$.k') AS INT) AS k_int, "
+    "json_extract_string(props, '$.k') AS k_str, "
+    "CAST(json_extract_string(props, '$.k') AS INT) * "
+    "CAST(json_extract_string(props, '$.k') AS INT) AS k_sq "
+    "FROM events"
+)
+
+ORACLE["graph_degree_gini"] = (
+    f"WITH {_KNN_EMB}, "
+    "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+    "list_distance(q.emb, t.emb) AS dist FROM emb q, emb t "
+    "WHERE t.vec_id <> q.vec_id), "
+    "ranked AS (SELECT qid, tid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "e AS (SELECT qid, tid FROM ranked WHERE rnk <= 5), "
+    "indeg AS (SELECT tid AS node, count(*) AS d FROM e GROUP BY tid), "
+    "x AS (SELECT emb.vec_id AS node, coalesce(indeg.d, 0) AS x FROM emb "
+    "LEFT JOIN indeg ON emb.vec_id = indeg.node), "
+    "r AS (SELECT x, row_number() OVER (ORDER BY x, node) AS i FROM x), "
+    "g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s, "
+    "CAST(sum(i * x) AS BIGINT) AS sx FROM r) "
+    "SELECT n AS n_nodes, s AS total_edges, "
+    "round((2.0 * sx - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4) AS gini FROM g"
 )

@@ -848,3 +848,54 @@ def test_platt_step_matches_numpy(spark):
     row = analytics._q_platt_1step(spark, SF_SMOKE).collect()[0]
     assert abs(row.beta0 - beta[0]) < 1e-5
     assert abs(row.beta1_per_vote - beta[1]) < 1e-5
+
+
+def test_ljung_box_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo, hi = h.min(), h.max()
+    c = np.bincount(h - lo, minlength=hi - lo + 1).astype(np.float64)
+    n = len(c)
+    q = 0.0
+    for k in range(1, 11):
+        q += _np_acf(c.astype(np.int64), k) ** 2 / (n - k)
+    q *= n * (n + 2)
+    row = analytics._q_ljung_box(spark, SF_SMOKE).collect()[0]
+    assert row.n_hours == n
+    assert abs(row.q_stat - q) < 2e-3
+
+
+def test_peak_detect_is_local_max(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    mu, sd = c.mean(), c.std(ddof=1)
+    exp = {
+        int(i + lo)
+        for i in range(1, len(c) - 1)
+        if c[i] > c[i - 1] and c[i] > c[i + 1] and (c[i] - mu) / sd > 1.0
+    }
+    got = {r.h for r in analytics._q_peak_detect(spark, SF_SMOKE).collect()}
+    assert got == exp
+
+
+def test_variant_extraction_typed(spark):
+    rows = analytics._q_variant_fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1000
+    for r in rows[:50]:
+        assert r.k_sq == r.k_int * r.k_int
+        assert r.k_str == str(r.k_int)
+
+
+def test_degree_gini_bounds(spark):
+    row = analytics._q_degree_gini(spark, SF_SMOKE).collect()[0]
+    assert row.n_nodes == 500
+    assert row.total_edges == 500 * 5  # every node emits k=5 edges
+    assert 0 <= row.gini < 1
