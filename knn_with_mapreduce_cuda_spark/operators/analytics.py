@@ -2482,6 +2482,115 @@ def _q_degree_gini(spark, sf_dir):
     )
 
 
+def _typed_hourly(spark, sf_dir, event_type):
+    """Zero-filled hourly count series for one event type over the
+    global hour spine."""
+    ev = tables.table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(col("event_type") == event_type)
+        .groupBy(F.expr("ts_us div 3600000000").alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    spine = (
+        ev.agg(
+            F.expr("min(ts_us) div 3600000000").alias("mn"),
+            F.expr("max(ts_us) div 3600000000").alias("mx"),
+        )
+        .select(F.explode(F.sequence(col("mn"), col("mx"))).alias("h"))
+    )
+    return spine.join(hourly, "h", "left").select(
+        "h", F.coalesce("c", lit(0)).alias("c")
+    )
+
+
+def _q_cross_correlation(spark, sf_dir):
+    """Cross-correlation function view→purchase at lags 0..12 hours —
+    does browsing predict buying, and with what delay? Same
+    exact-integer-moment expansion as ts_autocorr, applied across two
+    zero-filled series: numerator from the lag equi-join, denominators
+    from each series' own global moments; one double expression per
+    lag."""
+    x = _typed_hourly(spark, sf_dir, "view").select(
+        col("h").alias("hx"), col("c").alias("cx")
+    )
+    y = _typed_hourly(spark, sf_dir, "purchase").select(
+        col("h").alias("hy"), col("c").alias("cy")
+    )
+    ks = spark.range(0, 13).select(col("id").alias("k"))
+    pairs = y.crossJoin(F.broadcast(ks)).join(x, col("hy") - col("k") == col("hx"))
+    lagagg = pairs.groupBy("k").agg(
+        F.count("*").alias("nk"),
+        F.sum(col("cy") * col("cx")).alias("p"),
+        F.sum("cy").alias("ay"),
+        F.sum("cx").alias("bx"),
+    )
+    gx = x.agg(
+        F.count("*").alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum(col("cx") * col("cx")).alias("ssx"),
+    )
+    gy = y.agg(F.sum("cy").alias("sy"), F.sum(col("cy") * col("cy")).alias("ssy"))
+    return (
+        lagagg.crossJoin(F.broadcast(gx))
+        .crossJoin(F.broadcast(gy))
+        .select(
+            "k",
+            col("nk").alias("n_pairs"),
+            F.expr(
+                "round((p - (CAST(sy AS DOUBLE) / n) * bx - (CAST(sx AS DOUBLE) / n) * ay "
+                "+ nk * (CAST(sy AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / "
+                "(sqrt(ssx - CAST(sx AS DOUBLE) * sx / n) * "
+                "sqrt(ssy - CAST(sy AS DOUBLE) * sy / n)), 4)"
+            ).alias("ccf"),
+        )
+    )
+
+
+def _q_variance_time(spark, sf_dir):
+    """Variance-time curve: sample variance of w-hour block sums for
+    w ∈ {1,2,4,8,16,32} (complete blocks only) — the long-range-
+    dependence / self-similarity diagnostic (slope ≈ 2H−2). One bounded
+    6× fan-out of the hourly series; block sums and moments are exact
+    integers."""
+    series = _hourly_series(spark, sf_dir)
+    ws = spark.range(6).select(F.expr("CAST(pow(2, id) AS BIGINT)").alias("w"))
+    blocks = (
+        series.crossJoin(F.broadcast(ws))
+        .groupBy("w", F.expr("h div w").alias("blk"))
+        .agg(F.sum("c").alias("bs"), F.count("*").alias("bn"))
+        .filter(col("bn") == col("w"))
+    )
+    m = blocks.groupBy("w").agg(
+        F.count("*").alias("nb"),
+        F.sum("bs").alias("s"),
+        F.sum(col("bs") * col("bs")).alias("ss"),
+    )
+    return m.select(
+        "w",
+        col("nb").alias("n_blocks"),
+        F.expr(
+            "round((ss - CAST(s AS DOUBLE) * s / nb) / (nb - 1), 4)"
+        ).alias("block_var"),
+    )
+
+
+def _q_histogram_log(spark, sf_dir):
+    """Log₁₀-scale histogram of order totals — the one-pass skewed-
+    money-distribution profile (fixed decade bins need no data-driven
+    bounds broadcast, unlike rel_histogram_fixed). Bin = floor(log10 of
+    exact cents), an identical double expression both engines."""
+    o = tables.table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                f"CAST(floor(log10({_CENTS.format(x='o_totalprice')})) AS BIGINT)"
+            ).alias("decade")
+        )
+        .groupBy("decade")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2559,6 +2668,9 @@ QUERIES = {
     "ts_peak_detect": _q_peak_detect,
     "rel_fn_variant": _q_variant_fn,
     "graph_degree_gini": _q_degree_gini,
+    "ts_cross_correlation": _q_cross_correlation,
+    "ts_variance_time": _q_variance_time,
+    "rel_histogram_log": _q_histogram_log,
 }
 
 
@@ -3613,4 +3725,47 @@ ORACLE["graph_degree_gini"] = (
     "CAST(sum(i * x) AS BIGINT) AS sx FROM r) "
     "SELECT n AS n_nodes, s AS total_edges, "
     "round((2.0 * sx - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4) AS gini FROM g"
+)
+
+ORACLE["ts_cross_correlation"] = (
+    "WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events), "
+    "b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev), "
+    "spine AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b), "
+    "xv AS (SELECT spine.h, coalesce(c, 0) AS c FROM spine LEFT JOIN "
+    "(SELECT h, count(*) AS c FROM ev WHERE event_type = 'view' GROUP BY h) hx "
+    "ON spine.h = hx.h), "
+    "yv AS (SELECT spine.h, coalesce(c, 0) AS c FROM spine LEFT JOIN "
+    "(SELECT h, count(*) AS c FROM ev WHERE event_type = 'purchase' GROUP BY h) hy "
+    "ON spine.h = hy.h), "
+    "lagagg AS (SELECT k, count(*) AS nk, sum(y.c * x.c) AS p, "
+    "sum(y.c) AS ay, sum(x.c) AS bx "
+    "FROM yv y, range(0, 13) t(k), xv x WHERE y.h - k = x.h GROUP BY k), "
+    "gx AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sx, "
+    "CAST(sum(c * c) AS BIGINT) AS ssx FROM xv), "
+    "gy AS (SELECT CAST(sum(c) AS BIGINT) AS sy, "
+    "CAST(sum(c * c) AS BIGINT) AS ssy FROM yv) "
+    "SELECT k, nk AS n_pairs, "
+    "round((p - (CAST(sy AS DOUBLE) / n) * bx - (CAST(sx AS DOUBLE) / n) * ay "
+    "+ nk * (CAST(sy AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / "
+    "(sqrt(ssx - CAST(sx AS DOUBLE) * sx / n) * "
+    "sqrt(ssy - CAST(sy AS DOUBLE) * sy / n)), 4) AS ccf "
+    "FROM lagagg, gx, gy"
+)
+
+ORACLE["ts_variance_time"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "ws AS (SELECT CAST(pow(2, i) AS BIGINT) AS w FROM range(6) t(i)), "
+    "blocks AS (SELECT w, h // w AS blk, CAST(sum(c) AS BIGINT) AS bs, "
+    "count(*) AS bn FROM s, ws GROUP BY w, blk), "
+    "cb AS (SELECT * FROM blocks WHERE bn = w), "
+    "m AS (SELECT w, count(*) AS nb, CAST(sum(bs) AS BIGINT) AS s, "
+    "CAST(sum(bs * bs) AS BIGINT) AS ss FROM cb GROUP BY w) "
+    "SELECT w, nb AS n_blocks, "
+    "round((ss - CAST(s AS DOUBLE) * s / nb) / (nb - 1), 4) AS block_var FROM m"
+)
+
+ORACLE["rel_histogram_log"] = (
+    "SELECT CAST(floor(log10("
+    f"{_CENTS.format(x='o_totalprice')}"
+    ")) AS BIGINT) AS decade, count(*) AS n FROM orders GROUP BY decade"
 )

@@ -899,3 +899,49 @@ def test_degree_gini_bounds(spark):
     assert row.n_nodes == 500
     assert row.total_edges == 500 * 5  # every node emits k=5 edges
     assert 0 <= row.gini < 1
+
+
+def test_cross_correlation_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo, n = h.min(), h.max() - h.min() + 1
+    x = np.bincount(h[t.event_type == "view"] - lo, minlength=n).astype(float)
+    y = np.bincount(h[t.event_type == "purchase"] - lo, minlength=n).astype(float)
+    mx, my = x.mean(), y.mean()
+    den = np.sqrt(((x - mx) ** 2).sum()) * np.sqrt(((y - my) ** 2).sum())
+    got = {r.k: r.ccf for r in analytics._q_cross_correlation(spark, SF_SMOKE).collect()}
+    for k in range(13):
+        num = ((y[k:] - my) * (x[: n - k] - mx)).sum()
+        assert abs(got[k] - num / den) < 2e-4, k
+
+
+def test_variance_time_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    got = {r.w: (r.n_blocks, r.block_var)
+           for r in analytics._q_variance_time(spark, SF_SMOKE).collect()}
+    # blocks are keyed by absolute hour index h div w, so alignment
+    # follows the absolute grid, not the series start
+    for w in [1, 2, 4, 8, 16, 32]:
+        blk = (np.arange(lo, h.max() + 1)) // w
+        sums, counts = {}, {}
+        for bi, ci in zip(blk, c):
+            sums[bi] = sums.get(bi, 0) + ci
+            counts[bi] = counts.get(bi, 0) + 1
+        vals = np.array([sums[b] for b in sums if counts[b] == w], dtype=float)
+        assert got[w][0] == len(vals)
+        assert abs(got[w][1] - vals.var(ddof=1)) < 2e-3, w
+
+
+def test_histogram_log_total(spark):
+    rows = analytics._q_histogram_log(spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == 1500  # sf0.001 orders
+    assert all(2 <= r.decade <= 8 for r in rows)
