@@ -2591,6 +2591,100 @@ def _q_histogram_log(spark, sf_dir):
     )
 
 
+def _q_perplexity(spark, sf_dir):
+    """Held-out perplexity under a Laplace-smoothed unigram LM trained on
+    the md5-bucket train split — the language-model data-quality score
+    (high perplexity = out-of-distribution document). Per-token
+    log-probabilities quantize to integer nano-nats before the per-doc
+    sum, so PP is exact under any partitioning; the model (vocab counts)
+    is an aggregate, scoring is a broadcast-model join."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id",
+        (F.substring(F.md5(col("doc_id").cast("string")), 1, 2) < "cc").alias(
+            "is_train"
+        ),
+        F.explode("ts").alias("term"),
+    )
+    train = toks.filter(col("is_train"))
+    counts = train.groupBy("term").agg(F.count("*").alias("c"))
+    tot = train.agg(F.count("*").alias("nt"))
+    vocab = counts.agg(F.count("*").alias("vs"))
+    held = toks.filter(~col("is_train"))
+    scored = (
+        held.join(counts, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(ln((coalesce(c, 0) + 1) / "
+                "CAST(nt + vs + 1 AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+            ).alias("lp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lp").alias("s")
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "round(exp(-(s / CAST(1000000000 AS DOUBLE)) / n_tokens), 4)"
+        ).alias("perplexity"),
+    )
+
+
+def _q_ndcg(spark, sf_dir):
+    """NDCG@10 of cosine similarity search against same-label relevance —
+    the IR ranking-quality metric over the graded top-k pipeline. Per-
+    position DCG terms (rel/log2(rank+1)) quantize to integer nano-units
+    so both the per-query DCG and the corpus mean are exact; IDCG comes
+    from the same query's sorted relevance counts."""
+    from .knn import _pairs, topk
+
+    # Euclidean ranking ≡ cosine ranking on the unit-norm fixture vectors.
+    t = topk(_pairs(spark, sf_dir), 10)
+    terms = t.select(
+        "qid",
+        (col("tlabel") == col("qlabel")).cast("long").alias("rel"),
+        "rnk",
+    )
+    dcg = terms.groupBy("qid").agg(
+        F.sum(
+            F.expr("CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)")
+        ).alias("dcg_n"),
+        F.sum("rel").alias("n_rel"),
+    )
+    # ideal DCG: the same n_rel relevant docs at ranks 1..n_rel
+    ideal = dcg.select(
+        "qid",
+        "dcg_n",
+        "n_rel",
+        F.expr(
+            "aggregate(sequence(1, CAST(greatest(n_rel, 1) AS INT)), 0L, "
+            "(acc, i) -> acc + CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT))"
+        ).alias("idcg_n"),
+    )
+    per = ideal.select(
+        "qid",
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) "
+            "END"
+        ).alias("ndcg_n"),
+    )
+    return per.agg(
+        F.count("*").alias("nq"), F.sum("ndcg_n").alias("sn")
+    ).select(
+        col("nq").alias("n_queries"),
+        F.expr(
+            "round(CAST(sn AS DOUBLE) / (nq * CAST(1000000000 AS DOUBLE)), 4)"
+        ).alias("mean_ndcg_at10"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2671,6 +2765,8 @@ QUERIES = {
     "ts_cross_correlation": _q_cross_correlation,
     "ts_variance_time": _q_variance_time,
     "rel_histogram_log": _q_histogram_log,
+    "llm_perplexity_unigram": _q_perplexity,
+    "ml_ndcg_at10": _q_ndcg,
 }
 
 
@@ -3768,4 +3864,49 @@ ORACLE["rel_histogram_log"] = (
     "SELECT CAST(floor(log10("
     f"{_CENTS.format(x='o_totalprice')}"
     ")) AS BIGINT) AS decade, count(*) AS n FROM orders GROUP BY decade"
+)
+
+ORACLE["llm_perplexity_unigram"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train, "
+    "unnest(string_split(text, ' ')) AS term FROM documents), "
+    "train AS (SELECT term FROM tok WHERE is_train), "
+    "counts AS (SELECT term, count(*) AS c FROM train GROUP BY term), "
+    "tot AS (SELECT count(*) AS nt FROM train), "
+    "vocab AS (SELECT count(*) AS vs FROM counts), "
+    "held AS (SELECT doc_id, term FROM tok WHERE NOT is_train), "
+    "scored AS (SELECT doc_id, "
+    "CAST(round(ln((coalesce(c, 0) + 1) / CAST(nt + vs + 1 AS DOUBLE)) "
+    "* 1000000000, 0) AS BIGINT) AS lp "
+    "FROM held LEFT JOIN counts ON held.term = counts.term, tot, vocab), "
+    "per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS s "
+    "FROM scored GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "round(exp(-(s / CAST(1000000000 AS DOUBLE)) / n_tokens), 4) AS perplexity "
+    "FROM per"
+)
+
+ORACLE["ml_ndcg_at10"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "terms AS (SELECT qid, CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END AS rel, "
+    "rnk FROM topk), "
+    "dcg AS (SELECT qid, "
+    "CAST(sum(CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)) "
+    "AS BIGINT) AS dcg_n, CAST(sum(rel) AS BIGINT) AS n_rel "
+    "FROM terms GROUP BY qid), "
+    "pos AS (SELECT i, CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT) "
+    "AS g FROM range(1, 11) t(i)), "
+    "lut AS (SELECT p1.i AS n, CAST(sum(p2.g) AS BIGINT) AS idcg_n "
+    "FROM pos p1 JOIN pos p2 ON p2.i <= p1.i GROUP BY p1.i), "
+    "ideal AS (SELECT qid, dcg_n, n_rel, lut.idcg_n FROM dcg "
+    "LEFT JOIN lut ON lut.n = greatest(dcg.n_rel, 1)), "
+    "per AS (SELECT qid, CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) END "
+    "AS ndcg_n FROM ideal) "
+    "SELECT count(*) AS n_queries, "
+    "round(CAST(sum(ndcg_n) AS DOUBLE) / "
+    "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS mean_ndcg_at10 FROM per"
 )

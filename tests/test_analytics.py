@@ -945,3 +945,57 @@ def test_histogram_log_total(spark):
     rows = analytics._q_histogram_log(spark, SF_SMOKE).collect()
     assert sum(r.n for r in rows) == 1500  # sf0.001 orders
     assert all(2 <= r.decade <= 8 for r in rows)
+
+
+def test_perplexity_matches_numpy(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    is_train = {
+        d: hashlib.md5(str(d).encode()).hexdigest()[:2] < "cc" for d in t.doc_id
+    }
+    counts, nt = Counter(), 0
+    for d, text in zip(t.doc_id, t.text):
+        if is_train[d]:
+            toks = text.split(" ")
+            counts.update(toks)
+            nt += len(toks)
+    vs = len(counts)
+    got = {r.doc_id: (r.n_tokens, r.perplexity)
+           for r in analytics._q_perplexity(spark, SF_SMOKE).collect()}
+    checked = 0
+    for d, text in zip(t.doc_id, t.text):
+        if is_train[d]:
+            continue
+        toks = text.split(" ")
+        lp = sum(np.log((counts[w] + 1) / (nt + vs + 1)) for w in toks)
+        pp = np.exp(-lp / len(toks))
+        assert got[d][0] == len(toks)
+        assert abs(got[d][1] - pp) / pp < 1e-4
+        checked += 1
+    assert checked == len(got) > 0
+
+
+def test_ndcg_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _pairs, topk
+
+    rows = topk(_pairs(spark, SF_SMOKE), 10).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.qid, []).append((r.rnk, int(r.tlabel == r.qlabel)))
+    ndcgs = []
+    for qid, lst in per.items():
+        lst.sort()
+        dcg = sum(rel / np.log2(rk + 1) for rk, rel in lst)
+        nrel = sum(rel for _, rel in lst)
+        if nrel == 0:
+            ndcgs.append(0.0)
+            continue
+        idcg = sum(1 / np.log2(i + 1) for i in range(1, nrel + 1))
+        ndcgs.append(dcg / idcg)
+    row = analytics._q_ndcg(spark, SF_SMOKE).collect()[0]
+    assert row.n_queries == len(per)
+    assert abs(row.mean_ndcg_at10 - np.mean(ndcgs)) < 1e-4
