@@ -2685,6 +2685,100 @@ def _q_ndcg(spark, sf_dir):
     )
 
 
+def _q_modularity(spark, sf_dir):
+    """Newman modularity Q of the label-propagation communities over the
+    mutual-kNN graph — did community detection find real structure?
+    Q = Σ_c [e_c/m − (D_c/2m)²] from exact integer counts (within-
+    community edges, community degree sums); per-community terms
+    quantize to nano units before the cross-community sum."""
+    from .knn import _q_mutual
+
+    e = tables.embeddings(spark, sf_dir)
+    edges = _q_mutual(spark, sf_dir).localCheckpoint(eager=True)
+    comm = label_propagation(e.select(col("vec_id").alias("id")), edges)
+    mtot = edges.agg(F.count("*").alias("m"))
+    ca = comm.select(col("node").alias("a"), col("community").alias("comm_a"))
+    cb = comm.select(col("node").alias("b"), col("community").alias("comm_b"))
+    ec = (
+        edges.join(ca, "a")
+        .join(cb, "b")
+        .filter(col("comm_a") == col("comm_b"))
+        .groupBy(col("comm_a").alias("community"))
+        .agg(F.count("*").alias("ec"))
+    )
+    sym = edges.select(col("a").alias("node")).unionByName(
+        edges.select(col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    dc = (
+        comm.join(deg, "node", "left")
+        .groupBy("community")
+        .agg(F.sum(F.coalesce("d", lit(0))).alias("dc"))
+    )
+    terms = (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            F.expr(
+                "CAST(round((coalesce(ec, 0) / CAST(m AS DOUBLE) - "
+                "(dc / CAST(2 * m AS DOUBLE)) * (dc / CAST(2 * m AS DOUBLE))) "
+                "* 1000000000, 0) AS BIGINT)"
+            ).alias("tq")
+        )
+    )
+    return terms.agg(F.count("*").alias("n_communities"), F.sum("tq").alias("s")).select(
+        "n_communities",
+        F.expr("round(s / CAST(1000000000 AS DOUBLE), 4)").alias("modularity"),
+    )
+
+
+def _q_hurst_rs(spark, sf_dir):
+    """Rescaled-range (R/S) statistic of the hourly series at block sizes
+    8/16/32/64 — the Hurst-exponent estimator (slope of ln R/S vs ln w;
+    H > ½ = persistent). The cumulative deviation is scaled by w so it
+    stays an exact integer (w·C_j − j·S_b); per-block R/S values quantize
+    to nano units before the per-w mean."""
+    series = _hourly_series(spark, sf_dir)
+    ws = spark.range(3, 7).select(F.expr("CAST(pow(2, id) AS BIGINT)").alias("w"))
+    fan = series.crossJoin(F.broadcast(ws)).select(
+        "w",
+        F.expr("h div w").alias("blk"),
+        F.expr("h % w + 1").alias("j"),
+        "c",
+    )
+    wcum = Window.partitionBy("w", "blk").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("w", "blk")
+    r = (
+        fan.withColumn("cj", F.sum("c").over(wcum))
+        .withColumn("sb", F.sum("c").over(wall))
+        .withColumn("dev", col("w") * col("cj") - col("j") * col("sb"))
+    )
+    blocks = r.groupBy("w", "blk").agg(
+        F.max("dev").alias("mx"),
+        F.min("dev").alias("mn"),
+        F.sum("c").alias("s"),
+        F.sum(col("c") * col("c")).alias("ss"),
+        F.count("*").alias("bn"),
+    )
+    ok = blocks.filter((col("bn") == col("w")) & (col("w") * col("ss") > col("s") * col("s")))
+    q = ok.select(
+        "w",
+        F.expr(
+            "CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
+            "sqrt((ss - CAST(s AS DOUBLE) * s / w) / w) * 1000000000, 0) AS BIGINT)"
+        ).alias("rsq"),
+    )
+    return q.groupBy("w").agg(F.count("*").alias("n_blocks"), F.sum("rsq").alias("sq")).select(
+        "w",
+        "n_blocks",
+        F.expr(
+            "round(sq / (n_blocks * CAST(1000000000 AS DOUBLE)), 4)"
+        ).alias("mean_rs"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2767,6 +2861,8 @@ QUERIES = {
     "rel_histogram_log": _q_histogram_log,
     "llm_perplexity_unigram": _q_perplexity,
     "ml_ndcg_at10": _q_ndcg,
+    "graph_modularity": _q_modularity,
+    "ts_hurst_rs": _q_hurst_rs,
 }
 
 
@@ -3909,4 +4005,57 @@ ORACLE["ml_ndcg_at10"] = (
     "SELECT count(*) AS n_queries, "
     "round(CAST(sum(ndcg_n) AS DOUBLE) / "
     "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS mean_ndcg_at10 FROM per"
+)
+
+ORACLE["graph_modularity"] = (
+    f"WITH {_MUTUAL}, "
+    "mm AS MATERIALIZED (SELECT a, b FROM m), "
+    "sym AS (SELECT a, b FROM mm UNION ALL SELECT b AS a, a AS b FROM mm), "
+    "l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings), "
+    "nb1 AS (SELECT sym.a, min(l0.lbl) AS mn FROM sym "
+    "JOIN l0 ON sym.b = l0.id GROUP BY sym.a), "
+    "l1 AS (SELECT l0.id, least(l0.lbl, COALESCE(nb1.mn, l0.lbl)) AS lbl "
+    "FROM l0 LEFT JOIN nb1 ON l0.id = nb1.a), "
+    "nb2 AS (SELECT sym.a, min(l1.lbl) AS mn FROM sym "
+    "JOIN l1 ON sym.b = l1.id GROUP BY sym.a), "
+    "l2 AS (SELECT l1.id, least(l1.lbl, COALESCE(nb2.mn, l1.lbl)) AS lbl "
+    "FROM l1 LEFT JOIN nb2 ON l1.id = nb2.a), "
+    "mt AS (SELECT count(*) AS m FROM mm), "
+    "ec AS (SELECT x.lbl AS community, count(*) AS ec FROM mm "
+    "JOIN l2 x ON mm.a = x.id JOIN l2 y ON mm.b = y.id "
+    "WHERE x.lbl = y.lbl GROUP BY x.lbl), "
+    "deg AS (SELECT node, count(*) AS d FROM "
+    "(SELECT a AS node FROM mm UNION ALL SELECT b FROM mm) GROUP BY node), "
+    "dcs AS (SELECT l2.lbl AS community, "
+    "CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS dc FROM l2 "
+    "LEFT JOIN deg ON l2.id = deg.node GROUP BY l2.lbl), "
+    "terms AS (SELECT CAST(round((coalesce(ec.ec, 0) / CAST(m AS DOUBLE) - "
+    "(dc / CAST(2 * m AS DOUBLE)) * (dc / CAST(2 * m AS DOUBLE))) "
+    "* 1000000000, 0) AS BIGINT) AS tq "
+    "FROM dcs LEFT JOIN ec ON dcs.community = ec.community, mt) "
+    "SELECT count(*) AS n_communities, "
+    "round(CAST(sum(tq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) AS modularity "
+    "FROM terms"
+)
+
+ORACLE["ts_hurst_rs"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "ws AS (SELECT CAST(pow(2, i) AS BIGINT) AS w FROM range(3, 7) t(i)), "
+    "fan AS (SELECT w, h // w AS blk, h % w + 1 AS j, c FROM s, ws), "
+    "r AS (SELECT w, blk, j, c, "
+    "CAST(sum(c) OVER (PARTITION BY w, blk ORDER BY j "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cj, "
+    "CAST(sum(c) OVER (PARTITION BY w, blk) AS BIGINT) AS sb FROM fan), "
+    "d AS (SELECT w, blk, c, w * cj - j * sb AS dev FROM r), "
+    "blocks AS (SELECT w, blk, CAST(max(dev) AS BIGINT) AS mx, "
+    "CAST(min(dev) AS BIGINT) AS mn, CAST(sum(c) AS BIGINT) AS s, "
+    "CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS bn "
+    "FROM d GROUP BY w, blk), "
+    "ok AS (SELECT * FROM blocks WHERE bn = w AND w * ss > s * s), "
+    "q AS (SELECT w, CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
+    "sqrt((ss - CAST(s AS DOUBLE) * s / w) / w) * 1000000000, 0) AS BIGINT) "
+    "AS rsq FROM ok) "
+    "SELECT w, count(*) AS n_blocks, "
+    "round(CAST(sum(rsq) AS BIGINT) / "
+    "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS mean_rs FROM q GROUP BY w"
 )

@@ -296,6 +296,37 @@ def _q_join_stream_stream(spark, sf_dir):
     ).select("p_id", "c_id", (col("c_ts") - col("p_ts")).alias("delta_us"))
 
 
+def _q_join_stream_stream_outer(spark, sf_dir):
+    """Batch twin of the watermarked LEFT OUTER stream-stream join:
+    purchases keep a row even when no click falls in the ±10-minute
+    band (the state-timeout null-emission path of streaming outer
+    joins). The true readStream form runs in tests/test_streaming.py;
+    this bounded-input equivalent is the graded semantics."""
+    ev = tables.table(spark, sf_dir, "events")
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"),
+        col("user_id").alias("p_user"),
+        col("ts_us").alias("p_ts"),
+    )
+    c = ev.filter(col("event_type") == "click").select(
+        col("event_id").alias("c_id"),
+        col("user_id").alias("c_user"),
+        col("ts_us").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (col("p_user") == col("c_user"))
+        & (col("c_ts") >= col("p_ts") - lit(600_000_000))
+        & (col("c_ts") <= col("p_ts") + lit(600_000_000)),
+        "left",
+    ).select(
+        "p_id",
+        "c_id",
+        (col("c_ts") - col("p_ts")).alias("delta_us"),
+        col("c_id").isNull().cast("int").alias("unmatched"),
+    )
+
+
 def _q_stateful_map(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     w = (
@@ -331,6 +362,7 @@ QUERIES = {
     "str_late_data": _q_late_data,
     "str_join_stream_static": _q_join_stream_static,
     "str_join_stream_stream": _q_join_stream_stream,
+    "str_join_stream_stream_outer": _q_join_stream_stream_outer,
     "str_stateful_map": _q_stateful_map,
     "str_sink": _q_sink,
 }
@@ -460,6 +492,17 @@ ORACLE = {
         "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
         "WHERE event_type = 'click') "
         "SELECT p_id, c_id, c_ts - p_ts AS delta_us FROM p JOIN c ON p.user_id = c.user_id "
+        "AND c.c_ts >= p.p_ts - 600000000 AND c.c_ts <= p.p_ts + 600000000"
+    ),
+    "str_join_stream_stream_outer": (
+        f"WITH {_EV}, "
+        "p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM ev "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
+        "WHERE event_type = 'click') "
+        "SELECT p_id, c_id, c_ts - p_ts AS delta_us, "
+        "CAST(c_id IS NULL AS INTEGER) AS unmatched "
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id "
         "AND c.c_ts >= p.p_ts - 600000000 AND c.c_ts <= p.p_ts + 600000000"
     ),
     "str_stateful_map": (

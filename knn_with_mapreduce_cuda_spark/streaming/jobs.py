@@ -170,3 +170,38 @@ def run_to_parquet(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_left_outer(stream: DataFrame) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join (purchase ⟕ click within
+    ±10 minutes per user): matched pairs emit immediately; unmatched
+    purchases emit with nulls once the watermark passes their band — the
+    state-timeout path specific to outer stream joins. Graded batch twin:
+    operators/streaming_batch._q_join_stream_stream_outer."""
+    p = (
+        stream.filter(col("event_type") == "purchase")
+        .select(
+            col("event_id").alias("p_id"),
+            col("user_id").alias("p_user"),
+            col("ts").alias("p_ts"),
+            col("ts_us").alias("p_ts_us"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    c = (
+        stream.filter(col("event_type") == "click")
+        .select(
+            col("event_id").alias("c_id"),
+            col("user_id").alias("c_user"),
+            col("ts").alias("c_ts"),
+            col("ts_us").alias("c_ts_us"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    return p.join(
+        c,
+        (col("p_user") == col("c_user"))
+        & (col("c_ts") >= col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (col("c_ts") <= col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("p_id", "c_id", (col("c_ts_us") - col("p_ts_us")).alias("delta_us"))

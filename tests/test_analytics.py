@@ -999,3 +999,60 @@ def test_ndcg_matches_numpy(spark):
     row = analytics._q_ndcg(spark, SF_SMOKE).collect()[0]
     assert row.n_queries == len(per)
     assert abs(row.mean_ndcg_at10 - np.mean(ndcgs)) < 1e-4
+
+
+def test_modularity_matches_python(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    edges = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+    comm = {
+        r.node: r.community
+        for r in analytics.label_propagation(
+            analytics.tables.embeddings(spark, SF_SMOKE).select(
+                col("vec_id").alias("id")
+            ),
+            spark.createDataFrame(edges, "a long, b long"),
+        ).collect()
+    }
+    m = len(edges)
+    deg, ec, dc = {}, {}, {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if comm[a] == comm[b]:
+            ec[comm[a]] = ec.get(comm[a], 0) + 1
+    for n, c in comm.items():
+        dc[c] = dc.get(c, 0) + deg.get(n, 0)
+    q = sum(ec.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc)
+    row = analytics._q_modularity(spark, SF_SMOKE).collect()[0]
+    assert row.n_communities == len(dc)
+    assert abs(row.modularity - q) < 1e-4
+    assert -0.5 <= row.modularity <= 1
+
+
+def test_hurst_rs_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1).astype(np.int64)
+    got = {r.w: (r.n_blocks, r.mean_rs)
+           for r in analytics._q_hurst_rs(spark, SF_SMOKE).collect()}
+    for w in [8, 16, 32, 64]:
+        vals = []
+        # blocks keyed by absolute h div w (not series-relative)
+        habs = np.arange(lo, h.max() + 1)
+        for blk in np.unique(habs // w):
+            mask = habs // w == blk
+            if mask.sum() != w:
+                continue
+            x = c[mask]
+            if x.std() == 0:
+                continue
+            dev = np.cumsum(x - x.mean())
+            rs = (dev.max() - dev.min()) / x.std()
+            vals.append(rs)
+        assert got[w][0] == len(vals)
+        assert abs(got[w][1] - np.mean(vals)) < 2e-3, w

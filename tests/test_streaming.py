@@ -8,6 +8,7 @@ import os
 import tempfile
 
 import pytest
+from pandas import isna as pd_isna
 from pyspark.sql import functions as F
 
 from knn_with_mapreduce_cuda_spark import tables
@@ -204,3 +205,24 @@ def test_checkpoint_restart_exactly_once(spark):
     assert 0 < n_half < n_events
     assert got.count() == n_events  # no loss, no duplicates
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stream_left_outer_join(spark, chunk_dir):
+    """Outer stream-stream join: matched pairs equal the batch inner
+    join; null-expanded rows appear only for batch-unmatched purchases
+    (emitted once the watermark passes their band)."""
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    got = jobs.run_to_memory(
+        jobs.stream_stream_left_outer(stream), "t_ssoj", "append"
+    ).toPandas()
+    batch = streaming_batch._q_join_stream_stream_outer(spark, SF_SMOKE).toPandas()
+    batch_pairs = {
+        (r.p_id, r.c_id) for r in batch.itertuples() if r.unmatched == 0
+    }
+    batch_unmatched = {r.p_id for r in batch.itertuples() if r.unmatched == 1}
+    got_pairs = {
+        (r.p_id, r.c_id) for r in got.itertuples() if r.c_id is not None and not pd_isna(r.c_id)
+    }
+    got_nulls = {r.p_id for r in got.itertuples() if pd_isna(r.c_id)}
+    assert got_pairs == batch_pairs
+    assert got_nulls <= batch_unmatched
