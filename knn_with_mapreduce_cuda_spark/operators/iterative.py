@@ -346,6 +346,62 @@ def _q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPMI topic coherence of the cluster topics — the topic-model
+    quality score: for each cluster's top-5 tokens, average normalized
+    PMI of token pairs from corpus-wide document co-occurrence. Pairs
+    are bounded by k·C(5,2) regardless of corpus size; document
+    frequencies come from the deduped (doc, token) set. Per-pair NPMI
+    quantizes to nano units before the per-cluster mean; pairs that
+    never co-occur take NPMI = −1 exactly."""
+    topics = _q_cluster_topics(spark, sf_dir).select("cluster", "tok")
+    pairs = (
+        topics.select("cluster", col("tok").alias("w1"))
+        .join(topics.select("cluster", col("tok").alias("w2")), "cluster")
+        .filter(col("w1") < col("w2"))
+    )
+    docs = tables.table(spark, sf_dir, "documents")
+    ds = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    df_ = ds.groupBy("tok").agg(F.count("*").alias("df"))
+    co = (
+        ds.select(col("doc_id"), col("tok").alias("w1"))
+        .join(ds.select(col("doc_id"), col("tok").alias("w2")), "doc_id")
+        .filter(col("w1") < col("w2"))
+        .join(
+            F.broadcast(pairs.select("w1", "w2").distinct()), ["w1", "w2"], "left_semi"
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("codf"))
+    )
+    scored = (
+        pairs.join(co, ["w1", "w2"], "left")
+        .join(F.broadcast(df_.select(col("tok").alias("w1"), col("df").alias("df1"))), "w1")
+        .join(F.broadcast(df_.select(col("tok").alias("w2"), col("df").alias("df2"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cluster",
+            F.expr(
+                "CASE WHEN coalesce(codf, 0) = 0 THEN CAST(-1000000000 AS BIGINT) "
+                "WHEN codf = n THEN CAST(1000000000 AS BIGINT) "
+                "ELSE CAST(round(ln(codf * CAST(n AS DOUBLE) / (df1 * df2)) / "
+                "(-ln(codf / CAST(n AS DOUBLE))) * 1000000000, 0) AS BIGINT) END"
+            ).alias("npmi_n"),
+        )
+    )
+    return scored.groupBy("cluster").agg(
+        F.count("*").alias("n_pairs"), F.sum("npmi_n").alias("s")
+    ).select(
+        "cluster",
+        "n_pairs",
+        F.expr(
+            "round(s / (n_pairs * CAST(1000000000 AS DOUBLE)), 4)"
+        ).alias("coherence_npmi"),
+    )
+
+
 QUERIES = {
     "ml_kmeans_lloyd": _q_kmeans,
     "graph_components_dedup": _q_components,
@@ -354,6 +410,7 @@ QUERIES = {
     "ml_pca_power": _q_pca_power,
     "ml_dbscan": _q_dbscan,
     "llm_cluster_topics": _q_cluster_topics,
+    "llm_topic_coherence": _q_topic_coherence,
 }
 
 
@@ -498,3 +555,36 @@ ORACLE = {
         "SELECT cluster, tok, cnt, rn FROM r WHERE rn <= 5"
     ),
 }
+
+ORACLE["llm_topic_coherence"] = (
+    f"WITH asg AS ({_KMEANS_SQL}), "
+    "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "j AS (SELECT asg.cluster, tk.tok FROM tk "
+    "JOIN asg ON asg.vec_id = tk.doc_id), "
+    "c AS (SELECT cluster, tok, count(*) AS cnt FROM j GROUP BY cluster, tok), "
+    "r AS (SELECT cluster, tok, row_number() OVER "
+    "(PARTITION BY cluster ORDER BY cnt DESC, tok) AS rn FROM c), "
+    "topics AS (SELECT cluster, tok FROM r WHERE rn <= 5), "
+    "pairs AS (SELECT t1.cluster, t1.tok AS w1, t2.tok AS w2 FROM topics t1 "
+    "JOIN topics t2 ON t1.cluster = t2.cluster AND t1.tok < t2.tok), "
+    "ds AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "nn AS (SELECT count(*) AS n FROM documents), "
+    "dfq AS (SELECT tok, count(*) AS df FROM ds GROUP BY tok), "
+    "co AS (SELECT d1.tok AS w1, d2.tok AS w2, count(*) AS codf "
+    "FROM ds d1 JOIN ds d2 ON d1.doc_id = d2.doc_id AND d1.tok < d2.tok "
+    "WHERE EXISTS (SELECT 1 FROM pairs WHERE pairs.w1 = d1.tok "
+    "AND pairs.w2 = d2.tok) GROUP BY d1.tok, d2.tok), "
+    "scored AS (SELECT pairs.cluster, "
+    "CASE WHEN coalesce(co.codf, 0) = 0 THEN CAST(-1000000000 AS BIGINT) "
+    "WHEN co.codf = n THEN CAST(1000000000 AS BIGINT) "
+    "ELSE CAST(round(ln(co.codf * CAST(n AS DOUBLE) / (f1.df * f2.df)) / "
+    "(-ln(co.codf / CAST(n AS DOUBLE))) * 1000000000, 0) AS BIGINT) END AS npmi_n "
+    "FROM pairs LEFT JOIN co ON pairs.w1 = co.w1 AND pairs.w2 = co.w2 "
+    "JOIN dfq f1 ON pairs.w1 = f1.tok JOIN dfq f2 ON pairs.w2 = f2.tok, nn) "
+    "SELECT cluster, count(*) AS n_pairs, "
+    "round(CAST(sum(npmi_n) AS BIGINT) / "
+    "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS coherence_npmi "
+    "FROM scored GROUP BY cluster"
+)

@@ -145,7 +145,71 @@ def _q_partition_prune_read(spark, sf_dir):
     )
 
 
+def _q_parquet_metadata(spark, sf_dir):
+    """Storage introspection: per-row-group footer statistics of the
+    fact table (row counts, column-chunk count, exact compressed bytes)
+    read distributed — one task per file via mapInPandas over the file
+    list, footers only, zero data pages touched. The scan-planning
+    telemetry a 100 TB table needs before choosing split sizes; oracle:
+    DuckDB's parquet_metadata() over the same footer. The oracle path is
+    pinned to the graded sf0.01 fixture (the driver's t2 runs oracle SQL
+    verbatim with no path templating), so this key is only
+    oracle-comparable at sf0.01 — skip it in other-SF sweeps."""
+    import pandas as pd
+
+    files = sorted(
+        os.path.join(sf_dir, "lineitem.parquet", f)
+        if os.path.isdir(os.path.join(sf_dir, "lineitem.parquet"))
+        else os.path.join(sf_dir, "lineitem.parquet")
+        for f in (
+            os.listdir(os.path.join(sf_dir, "lineitem.parquet"))
+            if os.path.isdir(os.path.join(sf_dir, "lineitem.parquet"))
+            else [""]
+        )
+        if f.endswith(".parquet") or f == ""
+    )
+    fdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
+    )
+
+    def footer(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    out.append(
+                        {
+                            "row_group_id": rg,
+                            "num_rows": g.num_rows,
+                            "n_cols": g.num_columns,
+                            "compressed_bytes": sum(
+                                g.column(i).total_compressed_size
+                                for i in range(g.num_columns)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "row_group_id",
+                    "num_rows",
+                    "n_cols",
+                    "compressed_bytes",
+                ],
+            )
+
+    return fdf.mapInPandas(
+        footer,
+        "row_group_id long, num_rows long, n_cols long, compressed_bytes long",
+    )
+
+
 QUERIES = {
+    "src_parquet_metadata": _q_parquet_metadata,
     "src_csv_roundtrip": _q_csv_roundtrip,
     "src_jsonl_roundtrip": _q_jsonl_roundtrip,
     "src_knn_text_roundtrip": _q_knn_text_roundtrip,
@@ -155,6 +219,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "src_parquet_metadata": (
+        "SELECT row_group_id, row_group_num_rows AS num_rows, "
+        "count(*) AS n_cols, "
+        "CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes "
+        "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') "
+        "GROUP BY row_group_id, row_group_num_rows"
+    ),
     "src_csv_roundtrip": (
         "SELECT c_mktsegment, count(*) AS cnt, "
         + _sum_cents_sql("c_acctbal")

@@ -327,6 +327,50 @@ def _q_join_stream_stream_outer(spark, sf_dir):
     )
 
 
+def _q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's cents split
+    equally across the user's clicks in the preceding 24 h; the integer
+    remainder goes to the earliest touch, so attributed cents sum back
+    to the purchase exactly (conservation under any partitioning — the
+    cents convention applied to allocation). Touchless purchases emit an
+    unattributed marker row."""
+    ev = tables.table(spark, sf_dir, "events")
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"),
+        col("user_id").alias("p_user"),
+        col("ts_us").alias("p_ts"),
+        cents(col("value")).alias("p_cents"),
+    )
+    c = ev.filter(col("event_type") == "click").select(
+        col("event_id").alias("c_id"),
+        col("user_id").alias("c_user"),
+        col("ts_us").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (col("p_user") == col("c_user"))
+        & (col("c_ts") < col("p_ts"))
+        & (col("c_ts") >= col("p_ts") - lit(86_400_000_000)),
+        "left",
+    )
+    w = Window.partitionBy("p_id")
+    worder = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    r = (
+        touches.withColumn("n_touch", F.count("c_id").over(w))
+        .withColumn("tr", F.row_number().over(worder))
+    )
+    return r.select(
+        "p_id",
+        F.coalesce("c_id", lit(-1)).alias("touch_id"),
+        "n_touch",
+        F.expr(
+            "CASE WHEN n_touch = 0 THEN p_cents ELSE "
+            "p_cents div n_touch + CASE WHEN tr = 1 THEN p_cents % n_touch "
+            "ELSE 0 END END"
+        ).alias("attr_cents"),
+    )
+
+
 def _q_stateful_map(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     w = (
@@ -363,6 +407,7 @@ QUERIES = {
     "str_join_stream_static": _q_join_stream_static,
     "str_join_stream_stream": _q_join_stream_stream,
     "str_join_stream_stream_outer": _q_join_stream_stream_outer,
+    "str_attribution_linear": _q_attribution_linear,
     "str_stateful_map": _q_stateful_map,
     "str_sink": _q_sink,
 }
@@ -504,6 +549,24 @@ ORACLE = {
         "CAST(c_id IS NULL AS INTEGER) AS unmatched "
         "FROM p LEFT JOIN c ON p.user_id = c.user_id "
         "AND c.c_ts >= p.p_ts - 600000000 AND c.c_ts <= p.p_ts + 600000000"
+    ),
+    "str_attribution_linear": (
+        f"WITH {_EV}, "
+        "p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts, "
+        f"{_CENTS_VALUE} AS p_cents FROM ev WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM ev "
+        "WHERE event_type = 'click'), "
+        "touches AS (SELECT p.p_id, p.p_cents, c.c_id, c.c_ts "
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id "
+        "AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - 86400000000), "
+        "r AS (SELECT p_id, p_cents, c_id, "
+        "count(c_id) OVER (PARTITION BY p_id) AS n_touch, "
+        "row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS tr "
+        "FROM touches) "
+        "SELECT p_id, coalesce(c_id, -1) AS touch_id, n_touch, "
+        "CASE WHEN n_touch = 0 THEN p_cents ELSE "
+        "p_cents // n_touch + CASE WHEN tr = 1 THEN p_cents % n_touch "
+        "ELSE 0 END END AS attr_cents FROM r"
     ),
     "str_stateful_map": (
         f"WITH {_EV} SELECT event_id, user_id, "

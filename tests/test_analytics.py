@@ -1056,3 +1056,62 @@ def test_hurst_rs_matches_numpy(spark):
             vals.append(rs)
         assert got[w][0] == len(vals)
         assert abs(got[w][1] - np.mean(vals)) < 2e-3, w
+
+
+def test_attribution_conserves_cents(spark):
+    import pyarrow.parquet as pq
+
+    from knn_with_mapreduce_cuda_spark.operators import streaming_batch
+
+    rows = streaming_batch._q_attribution_linear(spark, SF_SMOKE).collect()
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    p = t[t.event_type == "purchase"]
+    total_cents = int((p.value * 100).round().astype("int64").sum())
+    # allocation conserves every purchase's cents exactly
+    assert sum(r.attr_cents for r in rows) == total_cents
+    per_p = {}
+    for r in rows:
+        per_p.setdefault(r.p_id, []).append(r)
+    for pid, lst in per_p.items():
+        n = lst[0].n_touch
+        if n == 0:
+            assert len(lst) == 1 and lst[0].touch_id == -1
+        else:
+            assert len(lst) == n
+            shares = sorted(r.attr_cents for r in lst)
+            assert shares[-1] - shares[0] <= n  # remainder goes to one touch
+
+
+def test_parquet_metadata_matches_duckdb(spark):
+    import duckdb
+
+    from knn_with_mapreduce_cuda_spark.operators import sources_io
+
+    got = sorted(
+        (r.row_group_id, r.num_rows, r.n_cols, r.compressed_bytes)
+        for r in sources_io._q_parquet_metadata(spark, SF_SMOKE).collect()
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                "SELECT row_group_id, row_group_num_rows, count(*), "
+                "CAST(sum(total_compressed_size) AS BIGINT) "
+                f"FROM parquet_metadata('{SF_SMOKE}/lineitem.parquet') "
+                "GROUP BY 1, 2"
+            )
+            .fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_topic_coherence_bounds(spark):
+    from knn_with_mapreduce_cuda_spark.operators import iterative
+
+    rows = iterative._q_topic_coherence(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # k=5 clusters
+    for r in rows:
+        assert r.n_pairs == 10  # C(5,2) pairs of top tokens
+        assert -1 <= r.coherence_npmi <= 1
