@@ -2779,6 +2779,118 @@ def _q_hurst_rs(spark, sf_dir):
     )
 
 
+def _q_cluster_purity_nmi(spark, sf_dir):
+    """External clustering evaluation: purity and normalized mutual
+    information of the k-means assignment against the true labels — the
+    did-the-clusters-find-the-classes gate. Contingency counts are exact
+    integers; entropy/MI terms quantize to nano-nats before their sums;
+    NMI normalizes by the arithmetic mean of the marginal entropies."""
+    from .iterative import _q_kmeans
+
+    asg = _q_kmeans(spark, sf_dir)
+    lab = tables.embeddings(spark, sf_dir).select("vec_id", "label")
+    j = asg.join(lab, "vec_id")
+    n = j.agg(F.count("*").alias("n"))
+    ct = j.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    purity = (
+        ct.groupBy("cluster")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").alias("pure"))
+    )
+    a = ct.groupBy("cluster").agg(F.sum("c").alias("ac"))
+    b = ct.groupBy("label").agg(F.sum("c").alias("bc"))
+    mi = (
+        ct.join(F.broadcast(a), "cluster")
+        .join(F.broadcast(b), "label")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(c / CAST(n AS DOUBLE) * "
+                    "ln(c * CAST(n AS DOUBLE) / (ac * CAST(bc AS DOUBLE))) "
+                    "* 1000000000, 0) AS BIGINT)"
+                )
+            ).alias("mi_n")
+        )
+    )
+    ha = a.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(ac / CAST(n AS DOUBLE)) * ln(ac / CAST(n AS DOUBLE)) "
+                "* 1000000000, 0) AS BIGINT)"
+            )
+        ).alias("ha_n")
+    )
+    hb = b.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(bc / CAST(n AS DOUBLE)) * ln(bc / CAST(n AS DOUBLE)) "
+                "* 1000000000, 0) AS BIGINT)"
+            )
+        ).alias("hb_n")
+    )
+    return (
+        n.crossJoin(purity)
+        .crossJoin(mi)
+        .crossJoin(ha)
+        .crossJoin(hb)
+        .select(
+            "n",
+            F.expr("round(pure / CAST(n AS DOUBLE), 4)").alias("purity"),
+            F.expr(
+                "round(2 * mi_n / CAST(ha_n + hb_n AS DOUBLE), 4)"
+            ).alias("nmi"),
+        )
+    )
+
+
+def _q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per order year — the comparative
+    KPI over the lineitem fact: exact cents per year, lag() for the
+    prior year, growth as one rounded ratio of exact integers."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("yr")
+    return per.withColumn("prev_cents", F.lag("rev_cents").over(w)).select(
+        "yr",
+        "rev_cents",
+        "prev_cents",
+        F.expr(
+            "round((rev_cents - prev_cents) * 100 / CAST(prev_cents AS DOUBLE), 4)"
+        ).alias("growth_pct"),
+    )
+
+
+def _q_tukey_fences(spark, sf_dir):
+    """Tukey-fence outlier detection on order totals: exact quartiles
+    (quantile_cont parity both engines), fences at Q1/Q3 ± 1.5·IQR,
+    outlier counts from comparisons against the identical fence doubles.
+    The boxplot rule as one aggregate + one filtered count."""
+    o = tables.table(spark, sf_dir, "orders").select(
+        cents(col("o_totalprice")).alias("tc")
+    )
+    q = o.agg(
+        F.expr("percentile(tc, 0.25)").alias("q1"),
+        F.expr("percentile(tc, 0.75)").alias("q3"),
+        F.count("*").alias("n"),
+    )
+    return o.crossJoin(F.broadcast(q)).agg(
+        F.max(F.expr("round(q1, 4)")).alias("q1"),
+        F.max(F.expr("round(q3, 4)")).alias("q3"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("CASE WHEN tc < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END")
+        ).alias("n_low"),
+        F.sum(
+            F.expr("CASE WHEN tc > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END")
+        ).alias("n_high"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2863,6 +2975,9 @@ QUERIES = {
     "ml_ndcg_at10": _q_ndcg,
     "graph_modularity": _q_modularity,
     "ts_hurst_rs": _q_hurst_rs,
+    "ml_cluster_purity_nmi": _q_cluster_purity_nmi,
+    "rel_yoy_growth": _q_yoy_growth,
+    "ml_tukey_fences": _q_tukey_fences,
 }
 
 
@@ -4058,4 +4173,54 @@ ORACLE["ts_hurst_rs"] = (
     "SELECT w, count(*) AS n_blocks, "
     "round(CAST(sum(rsq) AS BIGINT) / "
     "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS mean_rs FROM q GROUP BY w"
+)
+
+from .iterative import _KMEANS_SQL as _KM_SQL  # noqa: E402
+
+ORACLE["ml_cluster_purity_nmi"] = (
+    f"WITH asg AS ({_KM_SQL}), "
+    "j AS (SELECT asg.cluster, e.label FROM asg "
+    "JOIN embeddings e ON asg.vec_id = e.vec_id), "
+    "nn AS (SELECT count(*) AS n FROM j), "
+    "ct AS (SELECT cluster, label, count(*) AS c FROM j GROUP BY cluster, label), "
+    "pur AS (SELECT CAST(sum(mx) AS BIGINT) AS pure FROM "
+    "(SELECT cluster, max(c) AS mx FROM ct GROUP BY cluster)), "
+    "am AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS ac FROM ct GROUP BY cluster), "
+    "bm AS (SELECT label, CAST(sum(c) AS BIGINT) AS bc FROM ct GROUP BY label), "
+    "mi AS (SELECT CAST(sum(CAST(round(c / CAST(n AS DOUBLE) * "
+    "ln(c * CAST(n AS DOUBLE) / (ac * CAST(bc AS DOUBLE))) * 1000000000, 0) "
+    "AS BIGINT)) AS BIGINT) AS mi_n FROM ct "
+    "JOIN am ON ct.cluster = am.cluster JOIN bm ON ct.label = bm.label, nn), "
+    "ha AS (SELECT CAST(sum(CAST(round(-(ac / CAST(n AS DOUBLE)) * "
+    "ln(ac / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS ha_n "
+    "FROM am, nn), "
+    "hb AS (SELECT CAST(sum(CAST(round(-(bc / CAST(n AS DOUBLE)) * "
+    "ln(bc / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS hb_n "
+    "FROM bm, nn) "
+    "SELECT n, round(pure / CAST(n AS DOUBLE), 4) AS purity, "
+    "round(2 * mi_n / CAST(ha_n + hb_n AS DOUBLE), 4) AS nmi "
+    "FROM nn, pur, mi, ha, hb"
+)
+
+ORACLE["rel_yoy_growth"] = (
+    "WITH per AS (SELECT year(l_shipdate) AS yr, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) AS BIGINT) "
+    "AS rev_cents FROM lineitem GROUP BY yr), "
+    "r AS (SELECT yr, rev_cents, "
+    "lag(rev_cents) OVER (ORDER BY yr) AS prev_cents FROM per) "
+    "SELECT yr, rev_cents, prev_cents, "
+    "round((rev_cents - prev_cents) * 100 / CAST(prev_cents AS DOUBLE), 4) "
+    "AS growth_pct FROM r"
+)
+
+ORACLE["ml_tukey_fences"] = (
+    "WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc "
+    "FROM orders), "
+    "q AS (SELECT quantile_cont(tc, 0.25) AS q1, quantile_cont(tc, 0.75) AS q3, "
+    "count(*) AS n FROM o) "
+    "SELECT max(round(q1, 4)) AS q1, max(round(q3, 4)) AS q3, max(n) AS n, "
+    "CAST(sum(CASE WHEN tc < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_low, "
+    "CAST(sum(CASE WHEN tc > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_high FROM o, q"
 )

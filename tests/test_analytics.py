@@ -1115,3 +1115,58 @@ def test_topic_coherence_bounds(spark):
     for r in rows:
         assert r.n_pairs == 10  # C(5,2) pairs of top tokens
         assert -1 <= r.coherence_npmi <= 1
+
+
+def test_cluster_purity_nmi_matches_sklearn_formulas(spark):
+    from collections import Counter
+
+    from knn_with_mapreduce_cuda_spark.operators.iterative import _q_kmeans
+
+    asg = {r.vec_id: r.cluster for r in _q_kmeans(spark, SF_SMOKE).collect()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    lab = dict(zip(t.vec_id, t.label))
+    n = len(asg)
+    ct = Counter((asg[v], lab[v]) for v in asg)
+    purity = sum(
+        max(c for (cl, _), c in ct.items() if cl == cluster)
+        for cluster in {cl for cl, _ in ct}
+    ) / n
+    a = Counter(asg.values())
+    b = Counter(lab[v] for v in asg)
+    mi = sum(
+        c / n * np.log(c * n / (a[cl] * b[l])) for (cl, l), c in ct.items()
+    )
+    ha = -sum(v / n * np.log(v / n) for v in a.values())
+    hb = -sum(v / n * np.log(v / n) for v in b.values())
+    row = analytics._q_cluster_purity_nmi(spark, SF_SMOKE).collect()[0]
+    assert row.n == n
+    assert abs(row.purity - purity) < 1e-4
+    assert abs(row.nmi - 2 * mi / (ha + hb)) < 1e-4
+    assert 0 <= row.nmi <= 1
+
+
+def test_yoy_growth_consistency(spark):
+    rows = sorted(analytics._q_yoy_growth(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.yr)
+    assert rows[0].prev_cents is None and rows[0].growth_pct is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_cents == prev.rev_cents
+        exp = (cur.rev_cents - cur.prev_cents) * 100 / cur.prev_cents
+        assert cur.growth_pct == pytest.approx(exp, abs=1e-4)
+
+
+def test_tukey_fences_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    tc = (t.o_totalprice * 100).round().astype("int64").to_numpy()
+    q1 = np.quantile(tc, 0.25, method="linear")
+    q3 = np.quantile(tc, 0.75, method="linear")
+    row = analytics._q_tukey_fences(spark, SF_SMOKE).collect()[0]
+    assert row.n == len(tc)
+    assert row.q1 == pytest.approx(q1, abs=1e-2)
+    assert row.q3 == pytest.approx(q3, abs=1e-2)
+    assert row.n_low == int((tc < q1 - 1.5 * (q3 - q1)).sum())
+    assert row.n_high == int((tc > q3 + 1.5 * (q3 - q1)).sum())
