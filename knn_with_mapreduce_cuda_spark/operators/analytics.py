@@ -2891,6 +2891,84 @@ def _q_tukey_fences(spark, sf_dir):
     )
 
 
+def _q_kmeans_inertia(spark, sf_dir):
+    """Within-cluster inertia of the final k-means assignment (the elbow
+    statistic): squared distance of every point to its centroid,
+    micro-quantized before the per-cluster and total sums. Composes the
+    graded Lloyd pipeline; per-cluster rows + the k value give one elbow
+    point per run."""
+    from .iterative import _q_kmeans, kmeans_update
+
+    e = tables.embeddings(spark, sf_dir)
+    asg = _q_kmeans(spark, sf_dir).select("vec_id", col("cluster").alias("c"))
+    cent = kmeans_update(e, asg)
+    d = (
+        e.join(asg, "vec_id")
+        .join(F.broadcast(cent), "c")
+        .select(
+            col("c").alias("cluster"),
+            F.expr(
+                "CAST(round(aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
+                "0D, (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
+            ).alias("sq_u"),
+        )
+    )
+    return d.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.expr("round(sum(sq_u) / CAST(1000000 AS DOUBLE), 4)").alias("inertia"),
+    )
+
+
+def _q_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the n-gram language identifier against the
+    true lang column — which languages the marker heuristic confuses.
+    Completes the llm_lang_id eval the way knn_confusion completes the
+    classifier."""
+    from .llm import QUERIES as _LLM_Q
+
+    pred = _LLM_Q["llm_lang_id"](spark, sf_dir)
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        pred.join(docs, "doc_id")
+        .groupBy(col("lang").alias("true_lang"), col("pred_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_learning_curve(spark, sf_dir):
+    """kNN learning curve: test accuracy when the train side is
+    restricted to ~25/50/75/100% md5 buckets of the corpus — the
+    sample-efficiency read a data-buying decision needs. All four
+    fractions share ONE distance computation (the knn_crossval
+    amortization trick); nested buckets mean each fraction is a superset
+    of the previous."""
+    from .knn import K_DEFAULT, _pairs
+
+    pairs = _pairs(spark, sf_dir).withColumn(
+        "bkt", F.substring(F.md5(col("tid").cast("string")), 1, 2)
+    )
+    fr = spark.createDataFrame(
+        [(25, "40"), (50, "80"), (75, "c0"), (100, "zz")], "frac int, thr string"
+    )
+    fan = pairs.crossJoin(F.broadcast(fr)).filter(col("bkt") < col("thr"))
+    w = Window.partitionBy("frac", "qid").orderBy("dist", "tid")
+    top = fan.withColumn("rnk", F.row_number().over(w)).filter(
+        col("rnk") <= K_DEFAULT
+    )
+    votes = top.groupBy("frac", "qid", "qlabel", "tlabel").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("frac", "qid").orderBy(F.desc("v"), "tlabel")
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(col("vr") == 1)
+    return pred.groupBy("frac").agg(
+        F.count("*").alias("n_queries"),
+        F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_correct"),
+        F.expr(
+            "round(sum(CAST(tlabel = qlabel AS INT)) / CAST(count(*) AS DOUBLE), 4)"
+        ).alias("accuracy"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -2978,6 +3056,9 @@ QUERIES = {
     "ml_cluster_purity_nmi": _q_cluster_purity_nmi,
     "rel_yoy_growth": _q_yoy_growth,
     "ml_tukey_fences": _q_tukey_fences,
+    "ml_kmeans_inertia": _q_kmeans_inertia,
+    "llm_lang_confusion": _q_lang_confusion,
+    "ml_learning_curve": _q_learning_curve,
 }
 
 
@@ -4223,4 +4304,52 @@ ORACLE["ml_tukey_fences"] = (
     "AS n_low, "
     "CAST(sum(CASE WHEN tc > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) "
     "AS n_high FROM o, q"
+)
+
+from .llm import _LANG_COUNTS as _LC, _TOKS as _LT, _lang_pred_case as _lpc  # noqa: E402
+
+ORACLE["ml_kmeans_inertia"] = (
+    f"WITH asg AS ({_KM_SQL}), "
+    "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "cd AS (SELECT asg.cluster AS c, i, "
+    "round(avg(emb[CAST(i + 1 AS INT)]), 4) AS cm "
+    "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id, range(64) t(i) "
+    "GROUP BY c, i), "
+    "cent AS (SELECT c, list(cm ORDER BY i) AS cl FROM cd GROUP BY c), "
+    "d AS (SELECT asg.cluster, "
+    "CAST(round(list_aggregate(list_transform(list_zip(emb, cl), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 1000000, 0) AS BIGINT) AS sq_u "
+    "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id "
+    "JOIN cent ON asg.cluster = cent.c) "
+    "SELECT cluster, count(*) AS n_members, "
+    "round(CAST(sum(sq_u) AS BIGINT) / CAST(1000000 AS DOUBLE), 4) AS inertia "
+    "FROM d GROUP BY cluster"
+)
+
+ORACLE["llm_lang_confusion"] = (
+    f"WITH {_LT}, scored AS (SELECT doc_id, lang, {_LC} FROM toks), "
+    f"p AS (SELECT doc_id, lang, {_lpc()} AS pred_lang FROM scored) "
+    "SELECT lang AS true_lang, pred_lang, count(*) AS n "
+    "FROM p GROUP BY true_lang, pred_lang"
+)
+
+ORACLE["ml_learning_curve"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "pb AS (SELECT pairs.*, substring(md5(CAST(tid AS VARCHAR)), 1, 2) AS bkt "
+    "FROM pairs), "
+    "fr AS (SELECT * FROM (VALUES (25, '40'), (50, '80'), (75, 'c0'), "
+    "(100, 'zz')) t(frac, thr)), "
+    "fan AS (SELECT fr.frac, pb.* FROM pb, fr WHERE pb.bkt < fr.thr), "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY frac, qid ORDER BY dist, tid) AS rnk FROM fan), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT frac, qid, qlabel, tlabel, count(*) AS v FROM topk "
+    "GROUP BY frac, qid, qlabel, tlabel), "
+    "pred AS (SELECT *, row_number() OVER "
+    "(PARTITION BY frac, qid ORDER BY v DESC, tlabel) AS vr FROM votes) "
+    "SELECT frac, count(*) AS n_queries, "
+    "CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_correct, "
+    "round(sum(CAST(tlabel = qlabel AS INT)) / CAST(count(*) AS DOUBLE), 4) "
+    "AS accuracy FROM pred WHERE vr = 1 GROUP BY frac"
 )

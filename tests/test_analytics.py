@@ -1170,3 +1170,46 @@ def test_tukey_fences_matches_numpy(spark):
     assert row.q3 == pytest.approx(q3, abs=1e-2)
     assert row.n_low == int((tc < q1 - 1.5 * (q3 - q1)).sum())
     assert row.n_high == int((tc > q3 + 1.5 * (q3 - q1)).sum())
+
+
+def test_kmeans_inertia_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    from knn_with_mapreduce_cuda_spark.operators.iterative import _q_kmeans
+
+    asg = {r.vec_id: r.cluster for r in _q_kmeans(spark, SF_SMOKE).collect()}
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    E = {v: np.asarray(e, dtype=np.float64) for v, e in zip(t.vec_id, t.embedding)}
+    got = {r.cluster: (r.n_members, r.inertia)
+           for r in analytics._q_kmeans_inertia(spark, SF_SMOKE).collect()}
+    for c in got:
+        members = [v for v in asg if asg[v] == c]
+        cent = np.round(np.mean([E[v] for v in members], axis=0), 4)
+        inertia = sum(((E[v] - cent) ** 2).sum() for v in members)
+        assert got[c][0] == len(members)
+        assert abs(got[c][1] - inertia) < 1e-2, c
+
+
+def test_lang_confusion_consistent_with_lang_id(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import QUERIES as LLM_Q
+
+    rows = analytics._q_lang_confusion(spark, SF_SMOKE).collect()
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.true_lang == r.pred_lang)
+    assert total == 500
+    correct = (
+        LLM_Q["llm_lang_id"](spark, SF_SMOKE)
+        .agg(F.sum("is_correct"))
+        .collect()[0][0]
+    )
+    assert diag == correct  # the matrix diagonal IS the lang_id accuracy
+
+
+def test_learning_curve_monotone_data(spark):
+    rows = {r.frac: r for r in analytics._q_learning_curve(spark, SF_SMOKE).collect()}
+    assert set(rows) == {25, 50, 75, 100}
+    for f in rows:
+        assert rows[f].n_queries == 100  # every fraction answers all queries
+    # more data should not catastrophically hurt: 100% within 15pp of best
+    best = max(r.accuracy for r in rows.values())
+    assert rows[100].accuracy >= best - 0.15
