@@ -2969,6 +2969,147 @@ def _q_learning_curve(spark, sf_dir):
     )
 
 
+def _q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across every fixture foreign key:
+    anti-join orphan counts plus referenced-row totals, one row per FK
+    edge — the data-quality gate a warehouse load runs before publishing.
+    Each edge is one anti-join on its key (broadcast for dimension
+    parents); a healthy catalog reads all zeros."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    orders = tables.table(spark, sf_dir, "orders")
+    cust = tables.table(spark, sf_dir, "customer")
+    supp = tables.table(spark, sf_dir, "supplier")
+    part = tables.table(spark, sf_dir, "part")
+    nation = tables.table(spark, sf_dir, "nation")
+    region = tables.table(spark, sf_dir, "region")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        ("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        orphans = child.join(
+            F.broadcast(parent.select(col(pk).alias(ck)).distinct()), ck, "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        rows = child.agg(F.count("*").alias("n_child"))
+        one = (
+            rows.crossJoin(orphans)
+            .select(lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _q_user_temporal_entropy(spark, sf_dir):
+    """Per-user temporal regularity: Shannon entropy of each user's
+    hour-of-day activity distribution (0 = always the same hour,
+    ln 24 ≈ 3.178 = uniformly spread) — the behavioral-fingerprint /
+    bot-signal feature. Exact integer (user, hod) counts; entropy terms
+    quantize to nano-nats per user before the sum."""
+    ev = tables.table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "user_id", F.expr("(ts_us div 3600000000) % 24").alias("hod")
+    ).agg(F.count("*").alias("c"))
+    tot = per.groupBy("user_id").agg(F.sum("c").alias("tu"))
+    return (
+        per.join(tot, "user_id")
+        .select(
+            "user_id",
+            "tu",
+            F.expr(
+                "CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
+                "* 1000000000, 0) AS BIGINT)"
+            ).alias("hq"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("tu").alias("n_events"),
+            F.expr(
+                "round(sum(hq) / CAST(1000000000 AS DOUBLE), 4)"
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def _q_ivf_recall(spark, sf_dir):
+    """Recall@10 of IVF approximate search with n_probe = 2 against the
+    exact top-10 — the accuracy-vs-cost curve point that justifies the
+    pruned index. Fully deterministic (coarse centroids come from the
+    graded Lloyd run; probes and ranks are total-ordered), so the recall
+    itself is hash-graded: the rare honest evaluation of an ANN index
+    that two engines can agree on bit-for-bit."""
+    from .iterative import _q_kmeans, kmeans_update
+    from .knn import _pairs, topk
+
+    e = tables.embeddings(spark, sf_dir)
+    asg = _q_kmeans(spark, sf_dir).select("vec_id", col("cluster").alias("c"))
+    cent = kmeans_update(e, asg)
+    test = e.filter(col("vec_id") % 5 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    # probe the 2 nearest coarse cells per query (rounded dist, tie → c)
+    qc = test.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "c",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qemb, cent, (x, y) -> (x - y) * (x - y)), "
+                "0D, (acc, v) -> acc + v)"
+            ),
+            4,
+        ).alias("cd"),
+    )
+    wq = Window.partitionBy("qid").orderBy("cd", "c")
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(col("pr") <= 2)
+    # candidates = train points in probed cells (self excluded)
+    cand = (
+        probes.select("qid", "c")
+        .join(asg.select(col("vec_id").alias("tid"), "c"), "c")
+        .filter(col("qid") != col("tid"))
+    )
+    tq = test.select("qid", "qemb")
+    scored = (
+        cand.join(F.broadcast(tq), "qid")
+        .join(e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid")
+        .select(
+            "qid",
+            "tid",
+            F.round(
+                F.expr(
+                    "sqrt(aggregate(zip_with(qemb, temb, (x, y) -> (x - y) * (x - y)), "
+                    "0D, (acc, v) -> acc + v))"
+                ),
+                4,
+            ).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy("dist", "tid")
+    approx = scored.withColumn("rnk", F.row_number().over(wr)).filter(
+        col("rnk") <= 10
+    )
+    exact = topk(_pairs(spark, sf_dir), 10).select("qid", "tid")
+    hits = approx.select("qid", "tid").join(exact, ["qid", "tid"], "left_semi")
+    per = (
+        exact.groupBy("qid")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("qid").agg(F.count("*").alias("n_hit")), "qid", "left")
+        .select("qid", F.coalesce("n_hit", lit(0)).alias("n_hit"), "n_exact")
+    )
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("hits"),
+        F.sum("n_exact").alias("truths"),
+        F.expr("round(sum(n_hit) / CAST(sum(n_exact) AS DOUBLE), 4)").alias(
+            "recall_at10"
+        ),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3059,6 +3200,9 @@ QUERIES = {
     "ml_kmeans_inertia": _q_kmeans_inertia,
     "llm_lang_confusion": _q_lang_confusion,
     "ml_learning_curve": _q_learning_curve,
+    "rel_fk_integrity_audit": _q_fk_integrity,
+    "str_user_temporal_entropy": _q_user_temporal_entropy,
+    "ml_ivf_recall_at10": _q_ivf_recall,
 }
 
 
@@ -4352,4 +4496,91 @@ ORACLE["ml_learning_curve"] = (
     "AS n_correct, "
     "round(sum(CAST(tlabel = qlabel AS INT)) / CAST(count(*) AS DOUBLE), 4) "
     "AS accuracy FROM pred WHERE vr = 1 GROUP BY frac"
+)
+
+ORACLE["rel_fk_integrity_audit"] = (
+    "SELECT 'lineitem.l_orderkey->orders' AS fk, "
+    "(SELECT count(*) FROM lineitem) AS n_child, "
+    "(SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN "
+    "(SELECT o_orderkey FROM orders)) AS n_orphans "
+    "UNION ALL SELECT 'lineitem.l_partkey->part', "
+    "(SELECT count(*) FROM lineitem), "
+    "(SELECT count(*) FROM lineitem WHERE l_partkey NOT IN "
+    "(SELECT p_partkey FROM part)) "
+    "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+    "(SELECT count(*) FROM lineitem), "
+    "(SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier)) "
+    "UNION ALL SELECT 'orders.o_custkey->customer', "
+    "(SELECT count(*) FROM orders), "
+    "(SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+    "(SELECT c_custkey FROM customer)) "
+    "UNION ALL SELECT 'customer.c_nationkey->nation', "
+    "(SELECT count(*) FROM customer), "
+    "(SELECT count(*) FROM customer WHERE c_nationkey NOT IN "
+    "(SELECT n_nationkey FROM nation)) "
+    "UNION ALL SELECT 'supplier.s_nationkey->nation', "
+    "(SELECT count(*) FROM supplier), "
+    "(SELECT count(*) FROM supplier WHERE s_nationkey NOT IN "
+    "(SELECT n_nationkey FROM nation)) "
+    "UNION ALL SELECT 'nation.n_regionkey->region', "
+    "(SELECT count(*) FROM nation), "
+    "(SELECT count(*) FROM nation WHERE n_regionkey NOT IN "
+    "(SELECT r_regionkey FROM region))"
+)
+
+ORACLE["str_user_temporal_entropy"] = (
+    "WITH per AS (SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hod, "
+    "count(*) AS c FROM events GROUP BY user_id, hod), "
+    "tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS tu FROM per "
+    "GROUP BY user_id), "
+    "q AS (SELECT per.user_id, tu, "
+    "CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
+    "* 1000000000, 0) AS BIGINT) AS hq "
+    "FROM per JOIN tot ON per.user_id = tot.user_id) "
+    "SELECT user_id, max(tu) AS n_events, "
+    "round(CAST(sum(hq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
+    "AS entropy_nats FROM q GROUP BY user_id"
+)
+
+ORACLE["ml_ivf_recall_at10"] = (
+    f"WITH asg AS ({_KM_SQL}), "
+    "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "cd AS (SELECT asg.cluster AS c, i, "
+    "round(avg(emb[CAST(i + 1 AS INT)]), 4) AS cm "
+    "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id, range(64) t(i) "
+    "GROUP BY c, i), "
+    "cent AS (SELECT c, list(cm ORDER BY i) AS cl FROM cd GROUP BY c), "
+    "test AS (SELECT vec_id AS qid, emb AS qemb FROM emb2 "
+    "WHERE vec_id % 5 = 0), "
+    "qc AS (SELECT qid, c, round(list_aggregate(list_transform("
+    "list_zip(qemb, cl), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 4) AS cdist "
+    "FROM test, cent), "
+    "probes AS (SELECT qid, c FROM (SELECT qid, c, row_number() OVER "
+    "(PARTITION BY qid ORDER BY cdist, c) AS pr FROM qc) WHERE pr <= 2), "
+    "cand AS (SELECT probes.qid, asg.vec_id AS tid FROM probes "
+    "JOIN asg ON probes.c = asg.cluster WHERE asg.vec_id <> probes.qid), "
+    "scored AS (SELECT cand.qid, cand.tid, "
+    "round(sqrt(list_aggregate(list_transform(list_zip(tq.qemb, te.emb), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 4) AS dist "
+    "FROM cand JOIN test tq ON cand.qid = tq.qid "
+    "JOIN emb2 te ON cand.tid = te.vec_id), "
+    "approx AS (SELECT qid, tid FROM (SELECT qid, tid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM scored) WHERE rnk <= 10), "
+    "exact_p AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+    "list_distance(q.emb2c, t.emb2c) AS dist FROM "
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb2c FROM embeddings) q, "
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb2c FROM embeddings) t "
+    "WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id), "
+    "exact AS (SELECT qid, tid FROM (SELECT qid, tid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM exact_p) WHERE rnk <= 10), "
+    "hits AS (SELECT approx.qid, count(*) AS n_hit FROM approx "
+    "JOIN exact ON approx.qid = exact.qid AND approx.tid = exact.tid "
+    "GROUP BY approx.qid), "
+    "per AS (SELECT exact.qid, count(*) AS n_exact, "
+    "coalesce(max(hits.n_hit), 0) AS n_hit FROM exact "
+    "LEFT JOIN hits ON exact.qid = hits.qid GROUP BY exact.qid) "
+    "SELECT count(*) AS n_queries, CAST(sum(n_hit) AS BIGINT) AS hits, "
+    "CAST(sum(n_exact) AS BIGINT) AS truths, "
+    "round(sum(n_hit) / CAST(sum(n_exact) AS DOUBLE), 4) AS recall_at10 FROM per"
 )

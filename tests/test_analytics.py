@@ -1213,3 +1213,27 @@ def test_learning_curve_monotone_data(spark):
     # more data should not catastrophically hurt: 100% within 15pp of best
     best = max(r.accuracy for r in rows.values())
     assert rows[100].accuracy >= best - 0.15
+
+
+def test_fk_integrity_all_clean(spark):
+    rows = {r.fk: (r.n_child, r.n_orphans)
+            for r in analytics._q_fk_integrity(spark, SF_SMOKE).collect()}
+    assert len(rows) == 7
+    assert all(o == 0 for _, o in rows.values())  # fixtures are consistent
+    assert rows["lineitem.l_orderkey->orders"][0] == 6000
+
+
+def test_user_temporal_entropy_bounds(spark):
+    rows = analytics._q_user_temporal_entropy(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy_nats <= np.log(24) + 1e-9
+
+
+def test_ivf_recall_reasonable_and_bounded(spark):
+    row = analytics._q_ivf_recall(spark, SF_SMOKE).collect()[0]
+    assert row.n_queries == 100
+    assert row.truths == 1000  # 100 queries x exact top-10
+    assert 0 < row.recall_at10 <= 1
+    # probing 2 of 5 cells must beat the 2/5 random-cell floor
+    assert row.recall_at10 > 0.4
