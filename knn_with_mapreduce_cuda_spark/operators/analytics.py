@@ -3110,6 +3110,87 @@ def _q_ivf_recall(spark, sf_dir):
     )
 
 
+def _q_lag_features(spark, sf_dir):
+    """Forecasting feature matrix over the hourly series: lag-1, lag-24,
+    trailing-24h mean/max, and first difference — the windowed feature
+    generator every supervised time-series model trains on. One sort
+    per partition key (global here, per-entity at scale); trailing mean
+    is a ratio of exact integer window sums."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.orderBy("h")
+    w24 = Window.orderBy("h").rowsBetween(-24, -1)
+    return series.select(
+        "h",
+        "c",
+        F.lag("c", 1).over(w).alias("lag_1"),
+        F.lag("c", 24).over(w).alias("lag_24"),
+        (col("c") - F.lag("c", 1).over(w)).alias("diff_1"),
+        F.expr(
+            "round(sum(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 "
+            "PRECEDING) / CAST(count(c) OVER (ORDER BY h ROWS BETWEEN 24 "
+            "PRECEDING AND 1 PRECEDING) AS DOUBLE), 4)"
+        ).alias("mean_24"),
+        F.max("c").over(w24).alias("max_24"),
+    )
+
+
+def _q_embed_outliers(spark, sf_dir):
+    """Embedding-space outlier score per document: distance to the
+    corpus centroid, z-scored against the distance distribution — the
+    filter that catches off-manifold documents before training. Centroid
+    components round to 6dp (both engines weight identical doubles);
+    distances round to 4dp and quantize to integer units for the moment
+    sums, so the z-scores are partitioning-exact."""
+    e = tables.embeddings(spark, sf_dir)
+    cent = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("cvec"))
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.expr(
+            "CAST(round(sqrt(aggregate(zip_with(emb, cvec, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, v) -> acc + v)) * 10000, 0) AS BIGINT)"
+        ).alias("dq"),
+    )
+    g = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dq").alias("s"),
+        F.sum(col("dq") * col("dq")).alias("ss"),
+    )
+    return d.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.expr("round(dq / CAST(10000 AS DOUBLE), 4)").alias("dist_centroid"),
+        F.expr(
+            "round((dq - CAST(s AS DOUBLE) / n) / "
+            "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4)"
+        ).alias("z"),
+    )
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Reciprocity of the directed kNN graph: the fraction of (q → t)
+    edges whose reverse edge also exists — how symmetric "nearest" is in
+    this embedding space (low reciprocity = hub-dominated asymmetry).
+    One self-join of the edge list on the reversed key pair."""
+    from .knn import K_JOIN, knn_self_join
+
+    edges = knn_self_join(spark, sf_dir, K_JOIN).select("qid", "tid")
+    rev = edges.select(col("tid").alias("qid"), col("qid").alias("tid"))
+    mutual = edges.join(rev, ["qid", "tid"], "left_semi")
+    n = edges.agg(F.count("*").alias("n_edges"))
+    m = mutual.agg(F.count("*").alias("n_mutual"))
+    return n.crossJoin(m).select(
+        "n_edges",
+        "n_mutual",
+        F.expr("round(n_mutual / CAST(n_edges AS DOUBLE), 4)").alias("reciprocity"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3203,6 +3284,9 @@ QUERIES = {
     "rel_fk_integrity_audit": _q_fk_integrity,
     "str_user_temporal_entropy": _q_user_temporal_entropy,
     "ml_ivf_recall_at10": _q_ivf_recall,
+    "ts_lag_features": _q_lag_features,
+    "llm_embed_outliers": _q_embed_outliers,
+    "graph_reciprocity": _q_reciprocity,
 }
 
 
@@ -4583,4 +4667,47 @@ ORACLE["ml_ivf_recall_at10"] = (
     "SELECT count(*) AS n_queries, CAST(sum(n_hit) AS BIGINT) AS hits, "
     "CAST(sum(n_exact) AS BIGINT) AS truths, "
     "round(sum(n_hit) / CAST(sum(n_exact) AS DOUBLE), 4) AS recall_at10 FROM per"
+)
+
+ORACLE["ts_lag_features"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL} "
+    "SELECT h, c, lag(c, 1) OVER (ORDER BY h) AS lag_1, "
+    "lag(c, 24) OVER (ORDER BY h) AS lag_24, "
+    "c - lag(c, 1) OVER (ORDER BY h) AS diff_1, "
+    "round(sum(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) "
+    "/ CAST(count(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 "
+    "PRECEDING) AS DOUBLE), 4) AS mean_24, "
+    "max(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) "
+    "AS max_24 FROM s"
+)
+
+ORACLE["llm_embed_outliers"] = (
+    "WITH emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+    "FROM embeddings), "
+    "cd AS (SELECT i, round(avg(emb[CAST(i + 1 AS INT)]), 6) AS m "
+    "FROM emb2, range(64) t(i) GROUP BY i), "
+    "cent AS (SELECT list(m ORDER BY i) AS cvec FROM cd), "
+    "d AS (SELECT vec_id, CAST(round(sqrt(list_aggregate(list_transform("
+    "list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')) "
+    "* 10000, 0) AS BIGINT) AS dq FROM emb2, cent), "
+    "g AS (SELECT count(*) AS n, CAST(sum(dq) AS BIGINT) AS s, "
+    "CAST(sum(dq * dq) AS BIGINT) AS ss FROM d) "
+    "SELECT vec_id, round(dq / CAST(10000 AS DOUBLE), 4) AS dist_centroid, "
+    "round((dq - CAST(s AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) AS z FROM d, g"
+)
+
+ORACLE["graph_reciprocity"] = (
+    f"WITH {_KNN_EMB}, "
+    "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+    "list_distance(q.emb, t.emb) AS dist FROM emb q, emb t "
+    "WHERE t.vec_id <> q.vec_id), "
+    "ranked AS (SELECT qid, tid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "e AS (SELECT qid, tid FROM ranked WHERE rnk <= 5), "
+    "mu AS (SELECT count(*) AS n_mutual FROM e a WHERE EXISTS "
+    "(SELECT 1 FROM e b WHERE b.qid = a.tid AND b.tid = a.qid)), "
+    "ne AS (SELECT count(*) AS n_edges FROM e) "
+    "SELECT n_edges, n_mutual, "
+    "round(n_mutual / CAST(n_edges AS DOUBLE), 4) AS reciprocity FROM ne, mu"
 )

@@ -1237,3 +1237,39 @@ def test_ivf_recall_reasonable_and_bounded(spark):
     assert 0 < row.recall_at10 <= 1
     # probing 2 of 5 cells must beat the 2/5 random-cell floor
     assert row.recall_at10 > 0.4
+
+
+def test_lag_features_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    got = {r.h - lo: r for r in analytics._q_lag_features(spark, SF_SMOKE).collect()}
+    for i in range(25, len(c), 37):
+        r = got[i]
+        assert r.lag_1 == c[i - 1] and r.lag_24 == c[i - 24]
+        assert r.diff_1 == c[i] - c[i - 1]
+        win = c[max(0, i - 24) : i]
+        assert r.mean_24 == pytest.approx(win.mean(), abs=1e-4)
+        assert r.max_24 == win.max()
+
+
+def test_embed_outliers_z_distribution(spark):
+    rows = analytics._q_embed_outliers(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    zs = np.array([r.z for r in rows])
+    assert abs(zs.mean()) < 0.01  # z-scores center on 0
+    assert all(r.dist_centroid >= 0 for r in rows)
+
+
+def test_reciprocity_consistent_with_mutual_graph(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    n_mutual_undirected = _q_mutual(spark, SF_SMOKE).count()
+    row = analytics._q_reciprocity(spark, SF_SMOKE).collect()[0]
+    assert row.n_edges == 500 * 5
+    # each undirected mutual pair = 2 reciprocated directed edges
+    assert row.n_mutual == 2 * n_mutual_undirected
