@@ -3191,6 +3191,104 @@ def _q_reciprocity(spark, sf_dir):
     )
 
 
+def _q_hash_uniformity(spark, sf_dir):
+    """χ² uniformity audit of the md5 bucket function the engine's
+    deterministic splits ride on (rel_sample, llm_split_stratified,
+    ml_learning_curve): doc_id buckets into 256 cells, χ² against the
+    uniform expectation — the split-quality gate. Exact integer counts;
+    χ² terms exact under cross-multiplication by 256."""
+    docs = tables.table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.substring(F.md5(col("doc_id").cast("string")), 1, 2).alias("bkt")
+    )
+    per = b.groupBy("bkt").agg(F.count("*").alias("c"))
+    n = docs.agg(F.count("*").alias("n"))
+    # chi2 = sum (c - n/256)^2 / (n/256) = (256 * sum(c^2) - n^2) / n
+    agg = per.agg(
+        F.count("*").alias("n_buckets_hit"), F.sum(col("c") * col("c")).alias("ssq")
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_buckets_hit",
+        col("n").alias("n_rows"),
+        F.expr(
+            "round((256 * ssq - CAST(n AS DOUBLE) * n) / n, 4)"
+        ).alias("chi2_255df"),
+    )
+
+
+def _q_bigram_crossentropy(spark, sf_dir):
+    """Held-out cross-entropy (nats/token) of a Laplace-smoothed bigram
+    LM trained on the md5-bucket split — the conditional companion to
+    llm_perplexity_unigram (how much does one token of context help).
+    Bigram and unigram-context counts are exact integers; per-token log
+    terms quantize to nano-nats; V = distinct train vocabulary."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id",
+        (F.substring(F.md5(col("doc_id").cast("string")), 1, 2) < "cc").alias(
+            "is_train"
+        ),
+        "ts",
+    )
+    big = toks.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "j -> struct(element_at(ts, j) AS w1, element_at(ts, j + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "is_train", col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+    train = big.filter(col("is_train"))
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.filter(col("is_train")).select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    held = big.filter(~col("is_train"))
+    scored = (
+        held.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.expr(
+                "CAST(round(-ln((coalesce(c12, 0) + 1) / "
+                "CAST(coalesce(c1, 0) + v AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+            ).alias("nl")
+        )
+    )
+    return scored.agg(F.count("*").alias("n_bigrams"), F.sum("nl").alias("s")).select(
+        "n_bigrams",
+        F.expr(
+            "round(s / (n_bigrams * CAST(1000000000 AS DOUBLE)), 4)"
+        ).alias("cross_entropy_nats"),
+    )
+
+
+def _q_skyline(spark, sf_dir):
+    """Skyline (Pareto-frontier) operator over parts: rows where no other
+    part is both cheaper and larger — the classic multi-criteria
+    dominance query. Expressed as an anti-join against dominators; at
+    scale the anti-join keys on coarse grid cells so candidates shrink
+    before the pairwise test (here the dominance test is the plain
+    decorrelated NOT EXISTS both engines run identically)."""
+    part = tables.table(spark, sf_dir, "part").select(
+        "p_partkey", cents(col("p_retailprice")).alias("price_c"), "p_size"
+    )
+    dom = part.select(
+        col("price_c").alias("d_price"), col("p_size").alias("d_size")
+    )
+    return part.join(
+        dom,
+        (col("d_price") <= col("price_c"))
+        & (col("d_size") >= col("p_size"))
+        & ((col("d_price") < col("price_c")) | (col("d_size") > col("p_size"))),
+        "left_anti",
+    ).select("p_partkey", "price_c", "p_size")
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3287,6 +3385,9 @@ QUERIES = {
     "ts_lag_features": _q_lag_features,
     "llm_embed_outliers": _q_embed_outliers,
     "graph_reciprocity": _q_reciprocity,
+    "rel_hash_uniformity_chi2": _q_hash_uniformity,
+    "llm_bigram_crossentropy": _q_bigram_crossentropy,
+    "rel_skyline_pareto": _q_skyline,
 }
 
 
@@ -4710,4 +4811,46 @@ ORACLE["graph_reciprocity"] = (
     "ne AS (SELECT count(*) AS n_edges FROM e) "
     "SELECT n_edges, n_mutual, "
     "round(n_mutual / CAST(n_edges AS DOUBLE), 4) AS reciprocity FROM ne, mu"
+)
+
+ORACLE["rel_hash_uniformity_chi2"] = (
+    "WITH b AS (SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) "
+    "AS bkt FROM documents), "
+    "per AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt), "
+    "nn AS (SELECT count(*) AS n FROM documents), "
+    "agg AS (SELECT count(*) AS n_buckets_hit, "
+    "CAST(sum(c * c) AS BIGINT) AS ssq FROM per) "
+    "SELECT n_buckets_hit, n AS n_rows, "
+    "round((256 * ssq - CAST(n AS DOUBLE) * n) / n, 4) AS chi2_255df "
+    "FROM agg, nn"
+)
+
+ORACLE["llm_bigram_crossentropy"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train, "
+    "string_split(text, ' ') AS ts FROM documents), "
+    "big AS (SELECT doc_id, is_train, ts[j] AS w1, ts[j + 1] AS w2 "
+    "FROM tok, unnest(range(1, len(ts))) t(j)), "
+    "train AS (SELECT w1, w2 FROM big WHERE is_train), "
+    "c12 AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1), "
+    "vocab AS (SELECT count(DISTINCT w) AS v FROM "
+    "(SELECT unnest(ts) AS w FROM tok WHERE is_train)), "
+    "held AS (SELECT big.w1, big.w2 FROM big WHERE NOT is_train), "
+    "scored AS (SELECT CAST(round(-ln((coalesce(c12.c12, 0) + 1) / "
+    "CAST(coalesce(c1.c1, 0) + v AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS nl "
+    "FROM held LEFT JOIN c12 ON held.w1 = c12.w1 AND held.w2 = c12.w2 "
+    "LEFT JOIN c1 ON held.w1 = c1.w1, vocab) "
+    "SELECT count(*) AS n_bigrams, "
+    "round(CAST(sum(nl) AS BIGINT) / "
+    "(count(*) * CAST(1000000000 AS DOUBLE)), 4) AS cross_entropy_nats "
+    "FROM scored"
+)
+
+ORACLE["rel_skyline_pareto"] = (
+    "WITH p AS (SELECT p_partkey, "
+    f"{_CENTS.format(x='p_retailprice')} AS price_c, p_size FROM part) "
+    "SELECT p_partkey, price_c, p_size FROM p a WHERE NOT EXISTS ("
+    "SELECT 1 FROM p b WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size "
+    "AND (b.price_c < a.price_c OR b.p_size > a.p_size))"
 )

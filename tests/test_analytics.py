@@ -1273,3 +1273,52 @@ def test_reciprocity_consistent_with_mutual_graph(spark):
     assert row.n_edges == 500 * 5
     # each undirected mutual pair = 2 reciprocated directed edges
     assert row.n_mutual == 2 * n_mutual_undirected
+
+
+def test_hash_uniformity_chi2_matches_numpy(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    from collections import Counter
+
+    cnt = Counter(hashlib.md5(str(d).encode()).hexdigest()[:2] for d in t.doc_id)
+    n = len(t)
+    exp = n / 256
+    chi2 = sum((c - exp) ** 2 for c in cnt.values()) / exp + (256 - len(cnt)) * exp
+    row = analytics._q_hash_uniformity(spark, SF_SMOKE).collect()[0]
+    assert row.n_rows == n and row.n_buckets_hit == len(cnt)
+    assert row.chi2_255df == pytest.approx(chi2, abs=1e-2)
+
+
+def test_bigram_crossentropy_bounds(spark):
+    from knn_with_mapreduce_cuda_spark.operators import analytics as A
+
+    row = A._q_bigram_crossentropy(spark, SF_SMOKE).collect()[0]
+    uni = A._q_perplexity(spark, SF_SMOKE).collect()
+    # bigram CE should beat (or at least approach) the unigram LM's CE
+    uni_ce = np.mean([np.log(r.perplexity) for r in uni])
+    assert 0 < row.cross_entropy_nats < uni_ce + 0.5
+
+
+def test_skyline_matches_bruteforce(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/part.parquet").to_pandas()
+    pts = [
+        (k, int(round(p * 100)), s)
+        for k, p, s in zip(t.p_partkey, t.p_retailprice, t.p_size)
+    ]
+    exp = {
+        (k, pc, sz)
+        for k, pc, sz in pts
+        if not any(
+            (qc <= pc and qs >= sz and (qc < pc or qs > sz))
+            for _, qc, qs in pts
+        )
+    }
+    got = {(r.p_partkey, r.price_c, r.p_size)
+           for r in analytics._q_skyline(spark, SF_SMOKE).collect()}
+    assert got == exp
+    assert got  # frontier is never empty
