@@ -3289,6 +3289,107 @@ def _q_skyline(spark, sf_dir):
     ).select("p_partkey", "price_c", "p_size")
 
 
+def _q_conformal_knn(spark, sf_dir):
+    """Split-conformal prediction interval for kNN regression: absolute
+    residuals on the md5-bucket calibration half of the test split give
+    the 90th-percentile conformal radius q̂; the other half reports
+    empirical coverage of pred ± q̂ — the distribution-free uncertainty
+    wrapper around the graded regressor. Residuals are exact integer
+    micro-units; the quantile index is ⌈0.9(n+1)⌉ by rank (no
+    interpolation), so q̂ is a single exact value both engines pick
+    identically."""
+    from .knn import K_DEFAULT, _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    pred = t.groupBy("qid", "qlabel").agg(
+        F.expr(
+            "CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        ).alias("pred_u")
+    )
+    scored = pred.select(
+        "qid",
+        (F.substring(F.md5(col("qid").cast("string")), 1, 2) < "80").alias("is_cal"),
+        F.expr("abs(qlabel * 1000000 - pred_u)").alias("res_u"),
+    )
+    cal = scored.filter(col("is_cal"))
+    ncal = cal.agg(F.count("*").alias("nc"))
+    wq = Window.orderBy("res_u", "qid")
+    qhat = (
+        cal.withColumn("r", F.row_number().over(wq))
+        .crossJoin(F.broadcast(ncal))
+        .filter(col("r") == F.expr("CAST(ceil(0.9 * (nc + 1)) AS BIGINT)"))
+        .select(col("res_u").alias("qhat_u"))
+    )
+    test = scored.filter(~col("is_cal"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.max(F.expr("round(qhat_u / CAST(1000000 AS DOUBLE), 4)")).alias(
+                "qhat"
+            ),
+            F.sum(F.expr("CASE WHEN res_u <= qhat_u THEN 1 ELSE 0 END")).alias(
+                "n_covered"
+            ),
+        )
+        .select(
+            "n_test",
+            "qhat",
+            "n_covered",
+            F.expr("round(n_covered / CAST(n_test AS DOUBLE), 4)").alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def _q_boilerplate_prefix(spark, sf_dir):
+    """Boilerplate detection by shared document prefixes: groups of docs
+    opening with the same first-3-token template — the cheap
+    header/footer screen that runs before MinHash. One groupBy on the
+    prefix; exact counts, min doc as the exemplar."""
+    from .llm import _tokens
+
+    t = _tokens(spark, sf_dir)
+    pre = t.filter(F.size("ts") >= 3).select(
+        "doc_id",
+        F.concat_ws(" ", F.expr("slice(ts, 1, 3)")).alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("exemplar_doc"))
+        .filter(col("n_docs") > 1)
+    )
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance verification of MinHash near-dup candidates:
+    Levenshtein over the first 80 characters of each candidate pair
+    (bounded cost per pair), plus the normalized similarity — the
+    character-level second opinion after shingle-level screening.
+    Candidates come from the graded MinHash band join, so the pair space
+    is already pruned."""
+    from .llm import _q_dedup_near_minhash
+
+    cand = _q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("t80")
+    )
+    return (
+        cand.join(docs.select(col("doc_id").alias("doc_a"), col("t80").alias("ta")), "doc_a")
+        .join(docs.select(col("doc_id").alias("doc_b"), col("t80").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.expr(
+                "round(1 - levenshtein(ta, tb) / "
+                "CAST(greatest(length(ta), length(tb)) AS DOUBLE), 4)"
+            ).alias("sim_ratio"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3388,6 +3489,9 @@ QUERIES = {
     "rel_hash_uniformity_chi2": _q_hash_uniformity,
     "llm_bigram_crossentropy": _q_bigram_crossentropy,
     "rel_skyline_pareto": _q_skyline,
+    "ml_conformal_knn": _q_conformal_knn,
+    "llm_boilerplate_prefix": _q_boilerplate_prefix,
+    "llm_edit_distance_pairs": _q_edit_distance_pairs,
 }
 
 
@@ -4853,4 +4957,52 @@ ORACLE["rel_skyline_pareto"] = (
     "SELECT p_partkey, price_c, p_size FROM p a WHERE NOT EXISTS ("
     "SELECT 1 FROM p b WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size "
     "AND (b.price_c < a.price_c OR b.p_size > a.p_size))"
+)
+
+from .llm import _BANDS as _LLM_BANDS2, _MINHASH as _LLM_MINHASH2  # noqa: E402
+
+ORACLE["ml_conformal_knn"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "pred AS (SELECT qid, qlabel, "
+    "CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT) AS pred_u "
+    "FROM topk GROUP BY qid, qlabel), "
+    "scored AS (SELECT qid, "
+    "substring(md5(CAST(qid AS VARCHAR)), 1, 2) < '80' AS is_cal, "
+    "abs(qlabel * 1000000 - pred_u) AS res_u FROM pred), "
+    "cal AS (SELECT * FROM scored WHERE is_cal), "
+    "nc AS (SELECT count(*) AS nc FROM cal), "
+    "qh AS (SELECT res_u AS qhat_u FROM "
+    "(SELECT res_u, row_number() OVER (ORDER BY res_u, qid) AS r FROM cal), nc "
+    "WHERE r = CAST(ceil(0.9 * (nc + 1)) AS BIGINT)), "
+    "test AS (SELECT * FROM scored WHERE NOT is_cal) "
+    "SELECT count(*) AS n_test, "
+    "max(round(qhat_u / CAST(1000000 AS DOUBLE), 4)) AS qhat, "
+    "CAST(sum(CASE WHEN res_u <= qhat_u THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_covered, "
+    "round(sum(CASE WHEN res_u <= qhat_u THEN 1 ELSE 0 END) / "
+    "CAST(count(*) AS DOUBLE), 4) AS coverage FROM test, qh"
+)
+
+ORACLE["llm_boilerplate_prefix"] = (
+    f"WITH {_LLM_TOKS} "
+    "SELECT array_to_string(ts[1:3], ' ') AS prefix, count(*) AS n_docs, "
+    "min(doc_id) AS exemplar_doc FROM toks WHERE len(ts) >= 3 "
+    "GROUP BY prefix HAVING count(*) > 1"
+)
+
+ORACLE["llm_edit_distance_pairs"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, {_LLM_MINHASH2}, {_LLM_BANDS2}, "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+    "AND a.doc_id < b.doc_id), "
+    "d AS (SELECT doc_id, substring(text, 1, 80) AS t80 FROM documents) "
+    "SELECT doc_a, doc_b, "
+    "CAST(levenshtein(da.t80, db.t80) AS BIGINT) AS edit_dist, "
+    "round(1 - levenshtein(da.t80, db.t80) / "
+    "CAST(greatest(length(da.t80), length(db.t80)) AS DOUBLE), 4) AS sim_ratio "
+    "FROM cand JOIN d da ON cand.doc_a = da.doc_id "
+    "JOIN d db ON cand.doc_b = db.doc_id"
 )

@@ -1322,3 +1322,28 @@ def test_skyline_matches_bruteforce(spark):
            for r in analytics._q_skyline(spark, SF_SMOKE).collect()}
     assert got == exp
     assert got  # frontier is never empty
+
+
+def test_conformal_coverage_near_nominal(spark):
+    row = analytics._q_conformal_knn(spark, SF_SMOKE).collect()[0]
+    assert row.n_test > 0 and row.qhat >= 0
+    # split-conformal guarantees >= 90% marginal coverage in expectation;
+    # finite-sample slack on ~50 test points
+    assert row.coverage >= 0.75
+
+
+def test_boilerplate_prefix_groups(spark):
+    rows = analytics._q_boilerplate_prefix(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_docs > 1
+        assert len(r.prefix.split(" ")) == 3
+
+
+def test_edit_distance_pairs_sane(spark):
+    rows = analytics._q_edit_distance_pairs(spark, SF_SMOKE).collect()
+    assert rows  # planted near-dups produce candidates
+    for r in rows:
+        assert 0 <= r.sim_ratio <= 1
+        assert r.edit_dist >= 0
+    # at least one candidate pair should be strongly similar at char level
+    assert max(r.sim_ratio for r in rows) > 0.5
