@@ -3390,6 +3390,98 @@ def _q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+def _q_merge_intervals(spark, sf_dir):
+    """Merge overlapping intervals (each purchase opens a 5-minute
+    window): the classic stack algorithm made window-parallel — a new
+    merged group starts where start > max(previous ends), group id =
+    running sum of those breaks. Output: merged busy periods with exact
+    µs bounds and member counts. One sort; at scale partition by the
+    entity key."""
+    ev = tables.table(spark, sf_dir, "events").filter(
+        col("event_type") == "purchase"
+    )
+    iv = ev.select(
+        col("ts_us").alias("s"),
+        (col("ts_us") + lit(300_000_000)).alias("e"),
+        "event_id",
+    )
+    w = Window.orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = iv.withColumn(
+        "brk",
+        F.when(col("s") > F.max("e").over(wprev), 1).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return marked.groupBy("grp").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+def _q_backtest_snaive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict every hour of the final
+    7 days with the value 24 hours earlier, report MAE / RMSE / bias —
+    the baseline every forecasting model must beat, with the error
+    arithmetic exact (integer counts; squared errors summed as
+    integers)."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.orderBy("h")
+    horizon = series.agg(F.max("h").alias("mx"))
+    r = (
+        series.withColumn("pred", F.lag("c", 24).over(w))
+        .crossJoin(F.broadcast(horizon))
+        .filter(col("pred").isNotNull() & (col("h") > col("mx") - 168))
+    )
+    return r.agg(
+        F.count("*").alias("n_hours"),
+        F.expr("round(sum(abs(c - pred)) / CAST(count(*) AS DOUBLE), 4)").alias(
+            "mae"
+        ),
+        F.expr(
+            "round(sqrt(sum((c - pred) * (c - pred)) / CAST(count(*) AS DOUBLE)), 4)"
+        ).alias("rmse"),
+        F.expr("round(sum(c - pred) / CAST(count(*) AS DOUBLE), 4)").alias("bias"),
+    )
+
+
+def _q_pattern_match_seq(spark, sf_dir):
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): encode
+    each user's time-ordered event types as a letter string, then count
+    users whose journey matches signup → purchase with no intervening
+    error ('s[^e]*p') vs those derailed by an error. Ordered string_agg
+    + one regex — the sequence-motif query without a self-join
+    explosion."""
+    ev = tables.table(spark, sf_dir, "events")
+    lett = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("l"),
+    )
+    seq = (
+        lett.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts_us, event_id, l))), "
+                    "x -> x.l)"
+                ),
+            ).alias("journey")
+        )
+    )
+    return seq.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.expr("CAST(journey RLIKE 's[^e]*p' AS INT)")).alias(
+            "clean_converters"
+        ),
+        F.sum(F.expr("CAST(journey RLIKE 's.*p' AS INT)")).alias(
+            "any_converters"
+        ),
+        F.sum(F.expr("CAST(journey RLIKE 'e' AS INT)")).alias("saw_error"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3492,6 +3584,9 @@ QUERIES = {
     "ml_conformal_knn": _q_conformal_knn,
     "llm_boilerplate_prefix": _q_boilerplate_prefix,
     "llm_edit_distance_pairs": _q_edit_distance_pairs,
+    "ts_merge_intervals": _q_merge_intervals,
+    "ts_backtest_snaive": _q_backtest_snaive,
+    "str_pattern_match_seq": _q_pattern_match_seq,
 }
 
 
@@ -5005,4 +5100,45 @@ ORACLE["llm_edit_distance_pairs"] = (
     "CAST(greatest(length(da.t80), length(db.t80)) AS DOUBLE), 4) AS sim_ratio "
     "FROM cand JOIN d da ON cand.doc_a = da.doc_id "
     "JOIN d db ON cand.doc_b = db.doc_id"
+)
+
+ORACLE["ts_merge_intervals"] = (
+    "WITH iv AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e, "
+    "event_id FROM events WHERE event_type = 'purchase'), "
+    "marked AS (SELECT s, e, "
+    "CASE WHEN s > max(e) OVER (ORDER BY s, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END "
+    "AS brk FROM iv), "
+    "grps AS (SELECT s, e, CAST(sum(brk) OVER (ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp "
+    "FROM marked) "
+    "SELECT grp, CAST(min(s) AS BIGINT) AS start_us, "
+    "CAST(max(e) AS BIGINT) AS end_us, count(*) AS n_intervals "
+    "FROM grps GROUP BY grp"
+)
+
+ORACLE["ts_backtest_snaive"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "horizon AS (SELECT max(h) AS mx FROM s), "
+    "r AS (SELECT h, c, lag(c, 24) OVER (ORDER BY h) AS pred FROM s) "
+    "SELECT count(*) AS n_hours, "
+    "round(sum(abs(c - pred)) / CAST(count(*) AS DOUBLE), 4) AS mae, "
+    "round(sqrt(sum((c - pred) * (c - pred)) / CAST(count(*) AS DOUBLE)), 4) "
+    "AS rmse, "
+    "round(sum(c - pred) / CAST(count(*) AS DOUBLE), 4) AS bias "
+    "FROM r, horizon WHERE pred IS NOT NULL AND h > mx - 168"
+)
+
+ORACLE["str_pattern_match_seq"] = (
+    "WITH lett AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+    "substring(event_type, 1, 1) AS l FROM events), "
+    "seq AS (SELECT user_id, string_agg(l, '' ORDER BY t, event_id) "
+    "AS journey FROM lett GROUP BY user_id) "
+    "SELECT count(*) AS n_users, "
+    "CAST(sum(CASE WHEN regexp_matches(journey, 's[^e]*p') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS clean_converters, "
+    "CAST(sum(CASE WHEN regexp_matches(journey, 's.*p') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS any_converters, "
+    "CAST(sum(CASE WHEN regexp_matches(journey, 'e') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS saw_error FROM seq"
 )

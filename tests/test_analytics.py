@@ -1347,3 +1347,64 @@ def test_edit_distance_pairs_sane(spark):
         assert r.edit_dist >= 0
     # at least one candidate pair should be strongly similar at char level
     assert max(r.sim_ratio for r in rows) > 0.5
+
+
+def test_merge_intervals_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    p = t[t.event_type == "purchase"].copy()
+    p["s"] = p.ts.values.astype("datetime64[us]").astype("int64")
+    ivs = sorted(zip(p.s, p.s + 300_000_000, p.event_id))
+    merged = []
+    for s, e, _ in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += 1
+        else:
+            merged.append([s, e, 1])
+    got = sorted(
+        (r.start_us, r.end_us, r.n_intervals)
+        for r in analytics._q_merge_intervals(spark, SF_SMOKE).collect()
+    )
+    assert got == [tuple(m) for m in merged]
+
+
+def test_backtest_snaive_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1).astype(np.int64)
+    mx = len(c) - 1
+    idx = [i for i in range(24, len(c)) if i > mx - 168]
+    err = np.array([c[i] - c[i - 24] for i in idx], dtype=np.float64)
+    row = analytics._q_backtest_snaive(spark, SF_SMOKE).collect()[0]
+    assert row.n_hours == len(idx)
+    assert row.mae == pytest.approx(np.abs(err).mean(), abs=1e-3)
+    assert row.rmse == pytest.approx(np.sqrt((err**2).mean()), abs=1e-3)
+    assert row.bias == pytest.approx(err.mean(), abs=1e-3)
+
+
+def test_pattern_match_matches_python(spark):
+    import re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    t["tus"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    t = t.sort_values(["tus", "event_id"])
+    clean = anyc = err = 0
+    for _, g in t.groupby("user_id"):
+        j = "".join(s[0] for s in g.event_type)
+        clean += bool(re.search(r"s[^e]*p", j))
+        anyc += bool(re.search(r"s.*p", j))
+        err += "e" in j
+    row = analytics._q_pattern_match_seq(spark, SF_SMOKE).collect()[0]
+    assert (row.clean_converters, row.any_converters, row.saw_error) == (
+        clean,
+        anyc,
+        err,
+    )
