@@ -3482,6 +3482,79 @@ def _q_pattern_match_seq(spark, sf_dir):
     )
 
 
+def _q_rle_sax(spark, sf_dir):
+    """Run-length encoding of the SAX symbol sequence — the compressed
+    motif view of the series (long 'a' runs = sustained quiet, 'd' runs
+    = sustained bursts). RLE by the islands trick: run id = row_number
+    minus per-symbol row_number; exact integers throughout."""
+    sax = _q_sax_symbols(spark, sf_dir)
+    w = Window.orderBy("h")
+    ws = Window.partitionBy("sym").orderBy("h")
+    runs = sax.withColumn(
+        "grp", F.row_number().over(w) - F.row_number().over(ws)
+    )
+    return runs.groupBy("sym", "grp").agg(
+        F.min("h").alias("start_h"),
+        F.count("*").alias("run_len"),
+    ).select("sym", "start_h", "run_len")
+
+
+def _q_class_weights(spark, sf_dir):
+    """Inverse-frequency class weights w_c = n/(k·n_c) (sklearn's
+    'balanced' convention) for the embedding labels — the imbalance
+    correction a loss function consumes. Exact integer counts; one
+    rounded double per class."""
+    e = tables.embeddings(spark, sf_dir)
+    per = e.groupBy("label").agg(F.count("*").alias("n_c"))
+    tot = e.agg(F.count("*").alias("n"))
+    k = per.agg(F.count("*").alias("k"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "label",
+            "n_c",
+            F.expr("round(n / (k * CAST(n_c AS DOUBLE)), 4)").alias("weight"),
+        )
+    )
+
+
+def _q_season_strength(spark, sf_dir):
+    """Strength of seasonality F_s = max(0, 1 − var(residual)/var(series))
+    with residual = series − hour-of-day means — one number saying how
+    much of the series the daily cycle explains (the Hyndman
+    feature-based strength, trend term omitted for the stationary
+    fixture). Component sums quantize to micro units so both variances
+    are exact-integer-backed."""
+    series = _hourly_series(spark, sf_dir)
+    hod = series.withColumn("hod", F.expr("h % 24"))
+    ws = Window.partitionBy("hod")
+    parts = hod.withColumn("s_sum", F.sum("c").over(ws)).withColumn(
+        "s_n", F.count("*").over(ws)
+    )
+    q = parts.select(
+        F.expr(
+            "CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000000, 0) AS BIGINT)"
+        ).alias("rq"),
+        F.expr("CAST(c AS BIGINT) * 1000000").alias("cq"),
+    )
+    g = q.agg(
+        F.count("*").alias("n"),
+        F.sum("rq").alias("sr"),
+        F.sum(col("rq") * col("rq")).alias("ssr"),
+        F.sum("cq").alias("sc"),
+        F.sum(col("cq") * col("cq")).alias("ssc"),
+    )
+    return g.select(
+        col("n").alias("n_hours"),
+        F.expr(
+            "round(greatest(CAST(0 AS DOUBLE), 1 - "
+            "((ssr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / "
+            "((ssc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))), 4)"
+        ).alias("season_strength"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3587,6 +3660,9 @@ QUERIES = {
     "ts_merge_intervals": _q_merge_intervals,
     "ts_backtest_snaive": _q_backtest_snaive,
     "str_pattern_match_seq": _q_pattern_match_seq,
+    "ts_rle_sax": _q_rle_sax,
+    "ml_class_weights": _q_class_weights,
+    "ts_season_strength": _q_season_strength,
 }
 
 
@@ -5141,4 +5217,49 @@ ORACLE["str_pattern_match_seq"] = (
     "AS BIGINT) AS any_converters, "
     "CAST(sum(CASE WHEN regexp_matches(journey, 'e') THEN 1 ELSE 0 END) "
     "AS BIGINT) AS saw_error FROM seq"
+)
+
+_SAX_SQL = (
+    "g2 AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sg, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM s), "
+    "sax AS (SELECT h, c, CASE WHEN (c - CAST(sg AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(sg AS DOUBLE) * sg / n) / (n - 1)) < -0.6745 THEN 'a' "
+    "WHEN (c - CAST(sg AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(sg AS DOUBLE) * sg / n) / (n - 1)) < 0 THEN 'b' "
+    "WHEN (c - CAST(sg AS DOUBLE) / n) / "
+    "sqrt((ss - CAST(sg AS DOUBLE) * sg / n) / (n - 1)) < 0.6745 THEN 'c' "
+    "ELSE 'd' END AS sym FROM s, g2)"
+)
+
+ORACLE["ts_rle_sax"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, {_SAX_SQL}, "
+    "runs AS (SELECT sym, h, row_number() OVER (ORDER BY h) - "
+    "row_number() OVER (PARTITION BY sym ORDER BY h) AS grp FROM sax) "
+    "SELECT sym, min(h) AS start_h, count(*) AS run_len "
+    "FROM runs GROUP BY sym, grp"
+)
+
+ORACLE["ml_class_weights"] = (
+    "WITH per AS (SELECT label, count(*) AS n_c FROM embeddings GROUP BY label), "
+    "tot AS (SELECT count(*) AS n FROM embeddings), "
+    "kk AS (SELECT count(*) AS k FROM per) "
+    "SELECT label, n_c, round(n / (k * CAST(n_c AS DOUBLE)), 4) AS weight "
+    "FROM per, tot, kk"
+)
+
+ORACLE["ts_season_strength"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "parts AS (SELECT h, c, "
+    "CAST(sum(c) OVER (PARTITION BY h % 24) AS BIGINT) AS s_sum, "
+    "count(*) OVER (PARTITION BY h % 24) AS s_n FROM s), "
+    "q AS (SELECT CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000000, 0) "
+    "AS BIGINT) AS rq, CAST(c AS BIGINT) * 1000000 AS cq FROM parts), "
+    "g AS (SELECT count(*) AS n, CAST(sum(rq) AS BIGINT) AS sr, "
+    "CAST(sum(rq * rq) AS BIGINT) AS ssr, CAST(sum(cq) AS BIGINT) AS sc, "
+    "CAST(sum(cq * cq) AS BIGINT) AS ssc FROM q) "
+    "SELECT n AS n_hours, "
+    "round(greatest(CAST(0 AS DOUBLE), 1 - "
+    "((ssr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / "
+    "((ssc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))), 4) AS season_strength "
+    "FROM g"
 )

@@ -1408,3 +1408,49 @@ def test_pattern_match_matches_python(spark):
         anyc,
         err,
     )
+
+
+def test_rle_sax_reconstructs_sequence(spark):
+    sax = {r.h: r.sym for r in analytics._q_sax_symbols(spark, SF_SMOKE).collect()}
+    runs = sorted(
+        analytics._q_rle_sax(spark, SF_SMOKE).collect(), key=lambda r: r.start_h
+    )
+    assert sum(r.run_len for r in runs) == len(sax)
+    # runs tile the hour axis contiguously and agree with the symbols
+    pos = min(sax)
+    for r in runs:
+        assert r.start_h == pos
+        for h in range(r.start_h, r.start_h + r.run_len):
+            assert sax[h] == r.sym
+        pos += r.run_len
+    # adjacent runs must alternate symbols (maximal runs)
+    for a, b in zip(runs, runs[1:]):
+        assert a.sym != b.sym
+
+
+def test_class_weights_weighted_mean_is_one(spark):
+    rows = analytics._q_class_weights(spark, SF_SMOKE).collect()
+    n = sum(r.n_c for r in rows)
+    # sum_c n_c * w_c == n  (balanced-weight identity)
+    assert sum(r.n_c * r.weight for r in rows) == pytest.approx(n, rel=1e-3)
+
+
+def test_season_strength_bounds_and_formula(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1).astype(np.float64)
+    habs = np.arange(lo, h.max() + 1)
+    seas = np.zeros_like(c)
+    for hd in range(24):
+        m = habs % 24 == hd
+        seas[m] = c[m].mean()
+    resid = c - seas
+    fs = max(0.0, 1 - resid.var(ddof=1) / c.var(ddof=1))
+    row = analytics._q_season_strength(spark, SF_SMOKE).collect()[0]
+    assert row.n_hours == len(c)
+    assert row.season_strength == pytest.approx(fs, abs=1e-3)
+    assert 0 <= row.season_strength <= 1
