@@ -3524,8 +3524,8 @@ def _q_season_strength(spark, sf_dir):
     with residual = series − hour-of-day means — one number saying how
     much of the series the daily cycle explains (the Hyndman
     feature-based strength, trend term omitted for the stationary
-    fixture). Component sums quantize to micro units so both variances
-    are exact-integer-backed."""
+    fixture). Component sums quantize to milli units (overflow-safe at any
+    fixture scale) so both variances are exact-integer-backed."""
     series = _hourly_series(spark, sf_dir)
     hod = series.withColumn("hod", F.expr("h % 24"))
     ws = Window.partitionBy("hod")
@@ -3534,9 +3534,9 @@ def _q_season_strength(spark, sf_dir):
     )
     q = parts.select(
         F.expr(
-            "CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000000, 0) AS BIGINT)"
+            "CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) AS BIGINT)"
         ).alias("rq"),
-        F.expr("CAST(c AS BIGINT) * 1000000").alias("cq"),
+        F.expr("CAST(c AS BIGINT) * 1000").alias("cq"),
     )
     g = q.agg(
         F.count("*").alias("n"),
@@ -5252,8 +5252,8 @@ ORACLE["ts_season_strength"] = (
     "parts AS (SELECT h, c, "
     "CAST(sum(c) OVER (PARTITION BY h % 24) AS BIGINT) AS s_sum, "
     "count(*) OVER (PARTITION BY h % 24) AS s_n FROM s), "
-    "q AS (SELECT CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000000, 0) "
-    "AS BIGINT) AS rq, CAST(c AS BIGINT) * 1000000 AS cq FROM parts), "
+    "q AS (SELECT CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) "
+    "AS BIGINT) AS rq, CAST(c AS BIGINT) * 1000 AS cq FROM parts), "
     "g AS (SELECT count(*) AS n, CAST(sum(rq) AS BIGINT) AS sr, "
     "CAST(sum(rq * rq) AS BIGINT) AS ssr, CAST(sum(cq) AS BIGINT) AS sc, "
     "CAST(sum(cq * cq) AS BIGINT) AS ssc FROM q) "
