@@ -3555,6 +3555,54 @@ def _q_season_strength(spark, sf_dir):
     )
 
 
+def _q_embed_drift_ks(spark, sf_dir):
+    """Embedding-distribution drift monitor: two-sample KS between the
+    train and test splits' emb[0] values (micro-quantized) plus the
+    √((n1+n2)/(n1·n2))-scaled 5% critical value — the
+    did-my-feature-distribution-move check a serving pipeline runs per
+    release, here validating the vec_id%5 split is unbiased. D·n1·n2 is
+    exact integer (the graded KS machinery reused on embeddings)."""
+    e = tables.embeddings(spark, sf_dir)
+    vals = e.select(
+        F.expr("CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("vc"),
+        F.when(col("vec_id") % 5 == 0, 2).otherwise(1).alias("grp"),
+    )
+    d = ks_two_sample(vals)
+    return d.select(
+        "n1",
+        "n2",
+        F.expr("round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4)").alias("d_stat"),
+        F.expr(
+            "round(1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / "
+            "(n1 * CAST(n2 AS DOUBLE))), 4)"
+        ).alias("crit_5pct"),
+        F.expr(
+            "CAST(CAST(d_scaled AS DOUBLE) / (n1 * n2) > "
+            "1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE))) "
+            "AS INT)"
+        ).alias("drift_flag"),
+    )
+
+
+def _q_acf_significance(spark, sf_dir):
+    """ACF with whiteness flags: each lag's autocorrelation against the
+    ±1.96/√n large-sample band — which lags carry real structure. The
+    flag compares micro-quantized acf² · n against 1.96²·10¹² in exact
+    integers, so the significance decision is partitioning-proof."""
+    series = _hourly_series(spark, sf_dir)
+    a = autocorr(series, max_lag=24)
+    n = series.agg(F.count("*").alias("n"))
+    return a.crossJoin(F.broadcast(n)).select(
+        "k",
+        "acf",
+        F.expr(
+            "CAST(CAST(round(acf * 1000000, 0) AS BIGINT) * "
+            "CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 "
+            "AS INT)"
+        ).alias("significant"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3663,6 +3711,8 @@ QUERIES = {
     "ts_rle_sax": _q_rle_sax,
     "ml_class_weights": _q_class_weights,
     "ts_season_strength": _q_season_strength,
+    "ml_embed_drift_ks": _q_embed_drift_ks,
+    "ts_acf_significance": _q_acf_significance,
 }
 
 
@@ -5262,4 +5312,45 @@ ORACLE["ts_season_strength"] = (
     "((ssr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / "
     "((ssc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))), 4) AS season_strength "
     "FROM g"
+)
+
+ORACLE["ml_embed_drift_ks"] = (
+    "WITH vals AS (SELECT CAST(round(CAST(embedding AS DOUBLE[])[1] * 1000000, 0) "
+    "AS BIGINT) AS vc, CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS grp "
+    "FROM embeddings), "
+    "per AS (SELECT vc, "
+    "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+    "CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b "
+    "FROM vals GROUP BY vc), "
+    "cum AS (SELECT CAST(sum(a) OVER w AS BIGINT) AS ca, "
+    "CAST(sum(b) OVER w AS BIGINT) AS cb FROM per "
+    "WINDOW w AS (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n1, CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+    "FROM vals), "
+    "ds AS (SELECT n1, n2, max(abs(ca * n2 - cb * n1)) AS d_scaled "
+    "FROM cum, g GROUP BY n1, n2) "
+    "SELECT n1, n2, round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4) AS d_stat, "
+    "round(1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / "
+    "(n1 * CAST(n2 AS DOUBLE))), 4) AS crit_5pct, "
+    "CAST(CAST(d_scaled AS DOUBLE) / (n1 * n2) > "
+    "1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE))) "
+    "AS INT) AS drift_flag FROM ds"
+)
+
+ORACLE["ts_acf_significance"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "lagagg AS (SELECT k, count(*) AS nk, sum(a.c * b.c) AS p, "
+    "sum(a.c) AS ak, sum(b.c) AS bk "
+    "FROM s a, range(1, 25) t(k), s b WHERE a.h - k = b.h GROUP BY k), "
+    "g AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS ss FROM s), "
+    "j AS (SELECT *, s1 / n AS m FROM lagagg, g), "
+    "r AS (SELECT k, n, "
+    "round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4) AS acf "
+    "FROM j) "
+    "SELECT k, acf, "
+    "CAST(CAST(round(acf * 1000000, 0) AS BIGINT) * "
+    "CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 AS INT) "
+    "AS significant FROM r"
 )

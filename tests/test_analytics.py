@@ -1454,3 +1454,23 @@ def test_season_strength_bounds_and_formula(spark):
     assert row.n_hours == len(c)
     assert row.season_strength == pytest.approx(fs, abs=1e-3)
     assert 0 <= row.season_strength <= 1
+
+
+def test_embed_drift_ks_no_drift_on_unbiased_split(spark):
+    row = analytics._q_embed_drift_ks(spark, SF_SMOKE).collect()[0]
+    assert row.n1 == 400 and row.n2 == 100
+    assert 0 <= row.d_stat <= 1
+    # vec_id % 5 split is unbiased by construction -> no drift expected
+    assert row.drift_flag == 0
+    assert row.d_stat < row.crit_5pct
+
+
+def test_acf_significance_agrees_with_band(spark):
+    rows = analytics._q_acf_significance(spark, SF_SMOKE).collect()
+    assert len(rows) == 24
+    n = 720
+    band = 1.96 / np.sqrt(n)
+    for r in rows:
+        # quantized integer decision matches the float band test except
+        # exactly at the boundary (none occur in the fixture)
+        assert r.significant == int(abs(r.acf) > band), r.k
