@@ -1575,7 +1575,10 @@ def _q_dist_concentration(spark, sf_dir):
     check): coefficient of variation and relative contrast of the
     query→train distance distribution — near-zero CV means neighbors
     stop being meaningful. Distances quantize to integer micro-units
-    before the moment sums; one final float expression."""
+    before the moment sums; one final float expression. Headroom note:
+    Σd² grows with the n² pair count (~9e18 at 4M pairs) — beyond ~10⁷
+    pairs drop the quantum to 1e4 or compute on the GEMM-sampled pair
+    subset; ANSI mode fails loudly rather than wrapping."""
     from .knn import _pairs
 
     q = _pairs(spark, sf_dir).select(

@@ -198,3 +198,25 @@ def test_rolling_active_no_nested_loop_on_data(spark):
     # max-day bound (IdentityBroadcastMode)
     assert "Generate explode" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_tpch_q4_semi_join_is_hash_not_nested_loop(spark):
+    from knn_with_mapreduce_cuda_spark.operators import tpch
+
+    df = tpch._q4(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # the EXISTS predicate has a non-equi residual, but it rides on the
+    # l_orderkey equi key — must plan as a hash/sort-merge semi join,
+    # never a nested loop over the fact table
+    assert "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_skyline_anti_join_and_attribution_conservation_plan(spark):
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    df = analytics._q_skyline(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # dominance test is non-equi -> BNLJ is expected BUT the build side
+    # must be the broadcast (small dim), not a shuffle of both sides
+    assert "BroadcastNestedLoopJoin" in plan, plan
