@@ -3606,6 +3606,116 @@ def _q_acf_significance(spark, sf_dir):
     )
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for user lifetime (first→last event,
+    in days; censored if the user was still active in the final 3 days
+    of the window): S(t) = Π(1 − dᵢ/nᵢ) over distinct event times.
+    The product becomes a window cumsum of nano-quantized ln(1 − d/n)
+    terms — exact under any partitioning; censored spells reduce the
+    risk set without an event. The churn/retention curve as pure
+    relational algebra."""
+    ev = tables.table(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts_us").alias("mx"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_us").alias("fu"), F.max("ts_us").alias("lu"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.expr("(lu - fu) div 86400000000").alias("t"),
+            F.expr("CAST(lu < mx - 3 * 86400000000 AS INT)").alias("event"),
+        )
+    )
+    n_tot = life.agg(F.count("*").alias("n0"))
+    per = life.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count("*").alias("rem")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per.crossJoin(F.broadcast(n_tot)).withColumn(
+        "n_at_risk", col("n0") - F.coalesce(F.sum("rem").over(w), lit(0))
+    )
+    terms = risk.withColumn(
+        "lnq",
+        F.expr(
+            "CASE WHEN d = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
+            "AS BIGINT) END"
+        ),
+    ).withColumn("cum_ln", F.sum("lnq").over(wc))
+    return terms.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.expr("round(exp(cum_ln / CAST(1000000000 AS DOUBLE)), 4)").alias(
+            "survival"
+        ),
+    )
+
+
+def _q_transitivity(spark, sf_dir):
+    """Global transitivity of the mutual-kNN graph: 3·triangles / wedges
+    (wedges = ΣC(deg,2)) — the one-number closure companion to the
+    per-node clustering coefficient. Exact integer counts end-to-end."""
+    from .knn import _q_mutual
+
+    m = _q_mutual(spark, sf_dir).localCheckpoint(eager=True)
+    sym = m.select(col("a").alias("node")).unionByName(
+        m.select(col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("wedges")
+    )
+    e1 = m.select(col("a").alias("x"), col("b").alias("y"))
+    e2 = m.select(col("a").alias("y"), col("b").alias("z"))
+    e3 = m.select(col("a").alias("x2"), col("b").alias("z2"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, (col("x") == col("x2")) & (col("z") == col("z2")))
+        .agg(F.count("*").alias("triangles"))
+    )
+    return wedges.crossJoin(tri).select(
+        "wedges",
+        "triangles",
+        F.expr("round(3 * triangles / CAST(wedges AS DOUBLE), 4)").alias(
+            "transitivity"
+        ),
+    )
+
+
+def _q_mcnemar(spark, sf_dir):
+    """McNemar's paired test between the kNN and nearest-centroid
+    classifiers on the shared test split: the discordant counts b (kNN
+    right, centroid wrong) and c (centroid right, kNN wrong) decide
+    whether the accuracy gap is real — χ² = (|b−c|−1)²/(b+c) with
+    continuity correction, from exact integers. The right test when two
+    models share one test set (marginals cancel)."""
+    from .knn import _q_centroid, classify
+
+    p1 = classify(spark, sf_dir).select(
+        "qid", col("correct").cast("long").alias("k_ok")
+    )
+    p2 = _q_centroid(spark, sf_dir).select(
+        "qid", col("correct").cast("long").alias("c_ok")
+    )
+    j = p1.join(p2, "qid")
+    m = j.agg(
+        F.sum(F.expr("CASE WHEN k_ok = 1 AND c_ok = 0 THEN 1 ELSE 0 END")).alias("b"),
+        F.sum(F.expr("CASE WHEN k_ok = 0 AND c_ok = 1 THEN 1 ELSE 0 END")).alias("c"),
+        F.count("*").alias("n"),
+    )
+    return m.select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            "CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            "round((abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE), 4) "
+            "END"
+        ).alias("chi2_1df"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3716,6 +3826,9 @@ QUERIES = {
     "ts_season_strength": _q_season_strength,
     "ml_embed_drift_ks": _q_embed_drift_ks,
     "ts_acf_significance": _q_acf_significance,
+    "ml_kaplan_meier": _q_kaplan_meier,
+    "graph_transitivity": _q_transitivity,
+    "ml_mcnemar_test": _q_mcnemar,
 }
 
 
@@ -5356,4 +5469,75 @@ ORACLE["ts_acf_significance"] = (
     "CAST(CAST(round(acf * 1000000, 0) AS BIGINT) * "
     "CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 AS INT) "
     "AS significant FROM r"
+)
+
+ORACLE["ml_kaplan_meier"] = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+    "span AS (SELECT max(t) AS mx FROM ev), "
+    "life AS (SELECT (max(t) - min(t)) // 86400000000 AS t, "
+    "CAST(max(t) < (SELECT mx FROM span) - 3 * 86400000000 AS INT) AS event "
+    "FROM ev GROUP BY user_id), "
+    "n0 AS (SELECT count(*) AS n0 FROM life), "
+    "per AS (SELECT t, CAST(sum(event) AS BIGINT) AS d, count(*) AS rem "
+    "FROM life GROUP BY t), "
+    "risk AS (SELECT t, d, n0 - coalesce(CAST(sum(rem) OVER "
+    "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), "
+    "0) AS n_at_risk FROM per, n0), "
+    "terms AS (SELECT t, d, n_at_risk, "
+    "CASE WHEN d = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
+    "AS BIGINT) END AS lnq FROM risk), "
+    "cum AS (SELECT t, d, n_at_risk, CAST(sum(lnq) OVER "
+    "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_ln FROM terms) "
+    "SELECT t, d, n_at_risk, "
+    "round(exp(cum_ln / CAST(1000000000 AS DOUBLE)), 4) AS survival FROM cum"
+)
+
+ORACLE["graph_transitivity"] = (
+    f"WITH {_MUTUAL}, "
+    "mm AS MATERIALIZED (SELECT a, b FROM m), "
+    "deg AS (SELECT node, count(*) AS deg FROM "
+    "(SELECT a AS node FROM mm UNION ALL SELECT b FROM mm) GROUP BY node), "
+    "wg AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges "
+    "FROM deg), "
+    "tri AS (SELECT count(*) AS triangles FROM mm e1 "
+    "JOIN mm e2 ON e1.b = e2.a JOIN mm e3 ON e3.a = e1.a AND e3.b = e2.b) "
+    "SELECT wedges, triangles, "
+    "round(3 * triangles / CAST(wedges AS DOUBLE), 4) AS transitivity "
+    "FROM wg, tri"
+)
+
+ORACLE["ml_mcnemar_test"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, CAST(tlabel = qlabel AS INT) AS k_ok, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "knn_ok AS (SELECT qid, k_ok FROM pred WHERE vr = 1), "
+    "tr AS (SELECT * FROM emb WHERE vec_id % 5 <> 0), "
+    "cent AS (SELECT label AS clabel, i, "
+    "round(avg(emb[CAST(i + 1 AS INT)]), 6) AS mc "
+    "FROM tr, range(64) t(i) GROUP BY clabel, i), "
+    "test AS (SELECT vec_id AS qid, emb, label AS qlabel FROM emb "
+    "WHERE vec_id % 5 = 0), "
+    "dc AS (SELECT qid, qlabel, clabel, "
+    "sum(pow(emb[CAST(i + 1 AS INT)] - mc, 2)) AS sq "
+    "FROM test, cent GROUP BY qid, qlabel, clabel), "
+    "rc AS (SELECT qid, CAST(clabel = qlabel AS INT) AS c_ok, "
+    "row_number() OVER (PARTITION BY qid ORDER BY sq, clabel) AS rn FROM dc), "
+    "cen_ok AS (SELECT qid, c_ok FROM rc WHERE rn = 1), "
+    "j AS (SELECT k_ok, c_ok FROM knn_ok JOIN cen_ok USING (qid)), "
+    "m2 AS (SELECT CAST(sum(CASE WHEN k_ok = 1 AND c_ok = 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS b, "
+    "CAST(sum(CASE WHEN k_ok = 0 AND c_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS c, count(*) AS n FROM j) "
+    "SELECT n, b, c, "
+    "CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE) ELSE "
+    "round((abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE), 4) END "
+    "AS chi2_1df FROM m2"
 )

@@ -1474,3 +1474,72 @@ def test_acf_significance_agrees_with_band(spark):
         # quantized integer decision matches the float band test except
         # exactly at the boundary (none occur in the fixture)
         assert r.significant == int(abs(r.acf) > band), r.k
+
+
+def test_kaplan_meier_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    t["tus"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    mx = t.tus.max()
+    lives = []
+    for _, g in t.groupby("user_id"):
+        lt = (g.tus.max() - g.tus.min()) // 86_400_000_000
+        lives.append((lt, int(g.tus.max() < mx - 3 * 86_400_000_000)))
+    lives.sort()
+    n_at_risk = len(lives)
+    s = 1.0
+    exp = {}
+    from itertools import groupby
+
+    for lt, grp in groupby(lives, key=lambda x: x[0]):
+        grp = list(grp)
+        d = sum(e for _, e in grp)
+        if d:
+            s *= 1 - d / n_at_risk
+        exp[lt] = (d, n_at_risk, round(s, 4))
+        n_at_risk -= len(grp)
+    got = {r.t: (r.d, r.n_at_risk, r.survival)
+           for r in analytics._q_kaplan_meier(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0] and got[k][1] == exp[k][1]
+        assert got[k][2] == pytest.approx(exp[k][2], abs=2e-4)
+
+
+def test_transitivity_consistent_with_parts(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    edges = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+    deg = {}
+    adj = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < b < c
+    )
+    row = analytics._q_transitivity(spark, SF_SMOKE).collect()[0]
+    assert row.wedges == wedges and row.triangles == tri
+    assert 0 <= row.transitivity <= 1
+
+
+def test_mcnemar_consistent_with_kappa_inputs(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_centroid, classify
+
+    k = {r.qid: r.correct for r in classify(spark, SF_SMOKE).collect()}
+    c = {r.qid: r.correct for r in _q_centroid(spark, SF_SMOKE).collect()}
+    b = sum(1 for q in k if k[q] == 1 and c[q] == 0)
+    cc = sum(1 for q in k if k[q] == 0 and c[q] == 1)
+    row = analytics._q_mcnemar(spark, SF_SMOKE).collect()[0]
+    assert (row.b, row.c) == (b, cc)
+    if b + cc:
+        assert row.chi2_1df == pytest.approx(
+            (abs(b - cc) - 1) ** 2 / (b + cc), abs=1e-4
+        )
