@@ -3716,6 +3716,104 @@ def _q_mcnemar(spark, sf_dir):
     )
 
 
+def _q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve: cumulative purchase revenue per signup-day
+    cohort across day offsets, per cohort user — the
+    lifetime-value-by-age table a growth team reads. Cohort sizes and
+    revenue are exact integers; the cumulative is a window over the
+    (cohort, offset) rollup, never the raw events."""
+    ev = tables.table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.expr("min(ts_us) div 86400000000").alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.filter(col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .agg(F.sum(cents(col("value"))).alias("rev_c"))
+        .select(
+            "cohort_day",
+            (col("day") - col("cohort_day")).alias("day_offset"),
+            "rev_c",
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_c", F.sum("rev_c").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cum_c",
+        # exact integer micro-dollars per user: cents·10⁴/users floor-div —
+        # the cents convention instead of a ratio that can land on a .5
+        # rounding boundary the two engines break differently
+        F.expr("cum_c * 10000 div n_users").alias("ltv_per_user_micro"),
+    )
+
+
+def _q_lsh_bucket_stats(spark, sf_dir):
+    """LSH band-bucket telemetry: the bucket-size histogram behind the
+    MinHash join — the skew audit that justifies the max_bucket_size
+    guard (one boilerplate bucket of B docs explodes to B² candidate
+    pairs). Per (band, signature) sizes → size histogram + the candidate
+    pairs each size class contributes."""
+    from .llm import N_BANDS, minhash_signatures
+
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))
+                ).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
+    )
+    buckets = bands.groupBy("band", "bsig").agg(F.count("*").alias("sz"))
+    return buckets.groupBy("sz").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).alias("candidate_pairs"),
+    )
+
+
+def _q_weekday_weekend_profile(spark, sf_dir):
+    """Hour-of-day activity profile split by weekday vs weekend — the
+    two-regime seasonality view (is the daily cycle different on
+    weekends). Day-of-week from the epoch day index (1970-01-01 was a
+    Thursday ⇒ dow = (epoch_day + 4) % 7, 0 = Sunday); exact integer
+    counts, one rounded mean per cell."""
+    ev = tables.table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr("(ts_us div 3600000000) % 24").alias("hod"),
+        F.expr(
+            "CAST(((ts_us div 86400000000) + 4) % 7 IN (0, 6) AS INT)"
+        ).alias("is_weekend"),
+    ).groupBy("hod", "is_weekend").agg(F.count("*").alias("c"))
+    days = ev.select(
+        F.expr("ts_us div 86400000000").alias("d"),
+        F.expr(
+            "CAST(((ts_us div 86400000000) + 4) % 7 IN (0, 6) AS INT)"
+        ).alias("is_weekend"),
+    ).distinct().groupBy("is_weekend").agg(F.count("*").alias("n_days"))
+    return cells.join(F.broadcast(days), "is_weekend").select(
+        "hod",
+        "is_weekend",
+        "c",
+        F.expr("round(c / CAST(n_days AS DOUBLE), 4)").alias("per_day_rate"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3829,6 +3927,9 @@ QUERIES = {
     "ml_kaplan_meier": _q_kaplan_meier,
     "graph_transitivity": _q_transitivity,
     "ml_mcnemar_test": _q_mcnemar,
+    "str_cohort_ltv": _q_cohort_ltv,
+    "llm_lsh_bucket_stats": _q_lsh_bucket_stats,
+    "ts_weekday_weekend_profile": _q_weekday_weekend_profile,
 }
 
 
@@ -5540,4 +5641,48 @@ ORACLE["ml_mcnemar_test"] = (
     "CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE) ELSE "
     "round((abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE), 4) END "
     "AS chi2_1df FROM m2"
+)
+
+ORACLE["str_cohort_ltv"] = (
+    "WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS t "
+    "FROM events), "
+    "fu AS (SELECT user_id, min(t) // 86400000000 AS cohort_day "
+    "FROM ev GROUP BY user_id), "
+    "sizes AS (SELECT cohort_day, count(*) AS n_users FROM fu "
+    "GROUP BY cohort_day), "
+    "rev AS (SELECT cohort_day, (t // 86400000000) - cohort_day AS offs, "
+    f"CAST(sum({_CENTS.format(x='value')}) AS BIGINT) AS rev_c "
+    "FROM ev JOIN fu ON ev.user_id = fu.user_id "
+    "WHERE event_type = 'purchase' "
+    "GROUP BY cohort_day, offs), "
+    "cum AS (SELECT cohort_day, offs AS day_offset, rev_c, "
+    "CAST(sum(rev_c) OVER (PARTITION BY cohort_day ORDER BY offs "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c "
+    "FROM rev) "
+    "SELECT cohort_day, day_offset, n_users, cum_c, "
+    "cum_c * 10000 // n_users AS ltv_per_user_micro "
+    "FROM cum JOIN sizes USING (cohort_day)"
+)
+
+ORACLE["llm_lsh_bucket_stats"] = (
+    f"WITH {_LLM_TOKS}, {_LLM_SH}, {_LLM_MINHASH2}, {_LLM_BANDS2}, "
+    "buckets AS (SELECT band, bsig, count(*) AS sz FROM bands "
+    "GROUP BY band, bsig) "
+    "SELECT sz, count(*) AS n_buckets, "
+    "CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs "
+    "FROM buckets GROUP BY sz"
+)
+
+ORACLE["ts_weekday_weekend_profile"] = (
+    "WITH ev AS (SELECT epoch_us(ts) AS t FROM events), "
+    "cells AS (SELECT (t // 3600000000) % 24 AS hod, "
+    "CAST(((t // 86400000000) + 4) % 7 IN (0, 6) AS INT) AS is_weekend, "
+    "count(*) AS c FROM ev GROUP BY hod, is_weekend), "
+    "days AS (SELECT is_weekend, count(*) AS n_days FROM "
+    "(SELECT DISTINCT t // 86400000000 AS d, "
+    "CAST(((t // 86400000000) + 4) % 7 IN (0, 6) AS INT) AS is_weekend "
+    "FROM ev) GROUP BY is_weekend) "
+    "SELECT hod, is_weekend, c, "
+    "round(c / CAST(n_days AS DOUBLE), 4) AS per_day_rate "
+    "FROM cells JOIN days USING (is_weekend)"
 )

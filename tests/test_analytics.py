@@ -1543,3 +1543,38 @@ def test_mcnemar_consistent_with_kappa_inputs(spark):
         assert row.chi2_1df == pytest.approx(
             (abs(b - cc) - 1) ** 2 / (b + cc), abs=1e-4
         )
+
+
+def test_cohort_ltv_monotone_and_conserves(spark):
+    import pyarrow.parquet as pq
+
+    rows = analytics._q_cohort_ltv(spark, SF_SMOKE).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.cohort_day, []).append((r.day_offset, r.cum_c))
+    for c, lst in per.items():
+        lst.sort()
+        cums = [v for _, v in lst]
+        assert cums == sorted(cums)  # cumulative revenue is monotone
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    total = int(
+        (t[t.event_type == "purchase"].value * 100).round().astype("int64").sum()
+    )
+    assert sum(max(v for _, v in lst) for lst in per.values()) == total
+
+
+def test_lsh_bucket_stats_mass(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import N_BANDS
+
+    rows = analytics._q_lsh_bucket_stats(spark, SF_SMOKE).collect()
+    # every (doc, band) signature lands in exactly one bucket
+    assert sum(r.sz * r.n_buckets for r in rows) == 500 * N_BANDS
+    for r in rows:
+        assert r.candidate_pairs == r.n_buckets * r.sz * (r.sz - 1) // 2
+
+
+def test_weekday_weekend_profile_mass(spark):
+    rows = analytics._q_weekday_weekend_profile(spark, SF_SMOKE).collect()
+    assert sum(r.c for r in rows) == 1000
+    hods = {(r.hod, r.is_weekend) for r in rows}
+    assert len(hods) == len(rows)  # one row per (hod, regime) cell
