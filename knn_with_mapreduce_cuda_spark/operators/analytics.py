@@ -3814,6 +3814,67 @@ def _q_weekday_weekend_profile(spark, sf_dir):
     )
 
 
+def _q_ece(spark, sf_dir):
+    """Expected calibration error of the kNN classifier: Σ (nᵦ/n)·
+    |conf(b) − acc(b)| over the vote-count confidence bins — the scalar
+    the calibration table (ml_calibration_knn) rolls up to. The bin
+    terms |conf·k·n_b − correct·k... are cross-multiplied to exact
+    integers: ECE·n·k = Σ |votes·n_b/k·... rearranged so only the final
+    division floats."""
+    from .knn import K_DEFAULT, _pairs, majority_vote, topk
+
+    pred = majority_vote(topk(_pairs(spark, sf_dir), K_DEFAULT))
+    bins = pred.groupBy("votes").agg(
+        F.count("*").alias("nb"),
+        F.sum(col("correct").cast("long")).alias("cb"),
+    )
+    # per-bin |votes/k − cb/nb| · nb = |votes·nb − k·cb| / k  (exact ints / k)
+    g = bins.agg(
+        F.sum(F.abs(col("votes") * col("nb") - lit(K_DEFAULT) * col("cb"))).alias(
+            "num"
+        ),
+        F.sum("nb").alias("n"),
+    )
+    return g.select(
+        "n",
+        F.expr(f"round(num / (CAST(n AS DOUBLE) * {K_DEFAULT}), 4)").alias("ece"),
+    )
+
+
+def _q_hapax_stats(spark, sf_dir):
+    """Hapax legomena audit: corpus-frequency-1 tokens per document plus
+    the corpus totals — the vocabulary-tail health check (too many
+    hapaxes = noise/OCR damage; too few = template text). Exact counts;
+    the hapax set is vocabulary-sized."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    hapax = tf.filter(col("cf") == 1).select("term")
+    per_doc = (
+        toks.join(F.broadcast(hapax), "term", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hapax"))
+    )
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_hapax", lit(0)).alias("n_hapax")
+    )
+
+
+def _q_join_natural(spark, sf_dir):
+    """NATURAL JOIN surface (both engines): nation ⋈ region on the
+    implicitly shared key after projecting region's key to the common
+    name — the schema-driven join shorthand, graded like any equi-join."""
+    tables.table(spark, sf_dir, "nation").createOrReplaceTempView("nation_nj")
+    tables.table(spark, sf_dir, "region").selectExpr(
+        "r_regionkey AS n_regionkey", "r_name"
+    ).createOrReplaceTempView("region_nj")
+    return spark.sql(
+        "SELECT n_name, r_name FROM nation_nj NATURAL JOIN region_nj"
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3930,6 +3991,9 @@ QUERIES = {
     "str_cohort_ltv": _q_cohort_ltv,
     "llm_lsh_bucket_stats": _q_lsh_bucket_stats,
     "ts_weekday_weekend_profile": _q_weekday_weekend_profile,
+    "ml_ece": _q_ece,
+    "llm_hapax_stats": _q_hapax_stats,
+    "rel_join_natural": _q_join_natural,
 }
 
 
@@ -5685,4 +5749,38 @@ ORACLE["ts_weekday_weekend_profile"] = (
     "SELECT hod, is_weekend, c, "
     "round(c / CAST(n_days AS DOUBLE), 4) AS per_day_rate "
     "FROM cells JOIN days USING (is_weekend)"
+)
+
+ORACLE["ml_ece"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, votes, CAST(tlabel = qlabel AS INT) AS correct, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "bins AS (SELECT votes, count(*) AS nb, "
+    "CAST(sum(correct) AS BIGINT) AS cb FROM pred WHERE vr = 1 "
+    "GROUP BY votes), "
+    "g AS (SELECT CAST(sum(abs(votes * nb - 10 * cb)) AS BIGINT) AS num, "
+    "CAST(sum(nb) AS BIGINT) AS n FROM bins) "
+    "SELECT n, round(num / (CAST(n AS DOUBLE) * 10), 4) AS ece FROM g"
+)
+
+ORACLE["llm_hapax_stats"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term), "
+    "hapax AS (SELECT term FROM tf WHERE cf = 1), "
+    "per AS (SELECT doc_id, count(*) AS n_hapax FROM tok "
+    "WHERE term IN (SELECT term FROM hapax) GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(per.n_hapax, 0) AS n_hapax "
+    "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+)
+
+ORACLE["rel_join_natural"] = (
+    "SELECT n_name, r_name FROM nation NATURAL JOIN "
+    "(SELECT r_regionkey AS n_regionkey, r_name FROM region) r"
 )

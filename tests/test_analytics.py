@@ -1578,3 +1578,45 @@ def test_weekday_weekend_profile_mass(spark):
     assert sum(r.c for r in rows) == 1000
     hods = {(r.hod, r.is_weekend) for r in rows}
     assert len(hods) == len(rows)  # one row per (hod, regime) cell
+
+
+def test_ece_matches_calibration_table(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        K_DEFAULT,
+        _pairs,
+        majority_vote,
+        topk,
+    )
+
+    pred = majority_vote(topk(_pairs(spark, SF_SMOKE), K_DEFAULT)).collect()
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0])
+    for r in pred:
+        bins[r.votes][0] += 1
+        bins[r.votes][1] += r.correct
+    n = len(pred)
+    ece = sum(
+        nb / n * abs(v / K_DEFAULT - cb / nb) for v, (nb, cb) in bins.items()
+    )
+    row = analytics._q_ece(spark, SF_SMOKE).collect()[0]
+    assert row.n == n
+    assert row.ece == pytest.approx(ece, abs=1e-4)
+
+
+def test_hapax_mass_conserved(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    cf = Counter(w for text in t.text for w in text.split(" "))
+    n_hapax_total = sum(1 for c in cf.values() if c == 1)
+    rows = analytics._q_hapax_stats(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    assert sum(r.n_hapax for r in rows) == n_hapax_total
+
+
+def test_natural_join_matches_manual(spark):
+    rows = {(r.n_name, r.r_name)
+            for r in analytics._q_join_natural(spark, SF_SMOKE).collect()}
+    assert len(rows) == 25  # every nation resolves its region
