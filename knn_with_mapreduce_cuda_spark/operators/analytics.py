@@ -3875,6 +3875,124 @@ def _q_join_natural(spark, sf_dir):
     )
 
 
+def _q_type_correlation(spark, sf_dir):
+    """Pearson correlation matrix between the five event types' hourly
+    count series (which behaviors co-move) — the cross-series structure
+    view. Series are zero-filled on the shared spine so moments align;
+    all sums are exact integers, one double expression per pair."""
+    ev = tables.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        ev.agg(
+            F.expr("min(ts_us) div 3600000000").alias("mn"),
+            F.expr("max(ts_us) div 3600000000").alias("mx"),
+        )
+        .select(F.explode(F.sequence(col("mn"), col("mx"))).alias("h"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    z = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", lit(0)).alias("c")
+    )
+    a = z.select(col("event_type").alias("ta"), "h", col("c").alias("ca"))
+    b = z.select(col("event_type").alias("tb"), "h", col("c").alias("cb"))
+    j = a.join(b, "h").filter(col("ta") < col("tb"))
+    g = j.groupBy("ta", "tb").agg(
+        F.count("*").alias("n"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(col("ca") * col("ca")).alias("ssa"),
+        F.sum(col("cb") * col("cb")).alias("ssb"),
+        F.sum(col("ca") * col("cb")).alias("sab"),
+    )
+    return g.select(
+        "ta",
+        "tb",
+        F.expr(
+            "round((n * sab - CAST(sa AS DOUBLE) * sb) / "
+            "(sqrt(n * ssa - CAST(sa AS DOUBLE) * sa) * "
+            "sqrt(n * ssb - CAST(sb AS DOUBLE) * sb)), 4)"
+        ).alias("pearson_r"),
+    )
+
+
+def _q_dim_ablation(spark, sf_dir):
+    """Feature-dimension ablation: kNN accuracy using only the first 32
+    embedding dimensions vs the full 64, both distances computed in the
+    SAME pair pass (two expressions over one join — the ablation trick
+    that never rescans). Distances round to 4dp with total-order
+    tie-breaks, so both rankings are engine-exact."""
+    from .knn import K_DEFAULT, all_pairs, split_test, train_all
+
+    e = tables.embeddings(spark, sf_dir)
+    pairs = all_pairs(split_test(e), train_all(e))
+    d = pairs.select(
+        "qid",
+        "qlabel",
+        "tid",
+        "tlabel",
+        F.round(
+            F.expr(
+                "sqrt(aggregate(zip_with(qemb, temb, (x, y) -> (x - y) * (x - y)), "
+                "0D, (acc, v) -> acc + v))"
+            ),
+            4,
+        ).alias("d64"),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(zip_with(slice(qemb, 1, 32), slice(temb, 1, 32), "
+                "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+            ),
+            4,
+        ).alias("d32"),
+    )
+    out = None
+    for name, dist in [("dims_64", "d64"), ("dims_32", "d32")]:
+        w = Window.partitionBy("qid").orderBy(dist, "tid")
+        top = d.withColumn("rnk", F.row_number().over(w)).filter(
+            col("rnk") <= K_DEFAULT
+        )
+        votes = top.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("v"))
+        wv = Window.partitionBy("qid").orderBy(F.desc("v"), "tlabel")
+        pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
+            col("vr") == 1
+        )
+        acc = pred.agg(
+            F.count("*").alias("n_queries"),
+            F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_correct"),
+        ).select(lit(name).alias("variant"), "n_queries", "n_correct")
+        out = acc if out is None else out.unionByName(acc)
+    return out.select(
+        "variant",
+        "n_queries",
+        "n_correct",
+        F.expr("round(n_correct / CAST(n_queries AS DOUBLE), 4)").alias("accuracy"),
+    )
+
+
+def _q_new_vs_returning(spark, sf_dir):
+    """Daily actives split into new (first-ever-seen that day) vs
+    returning — the growth-accounting decomposition every DAU chart
+    hides. First-seen day per user is one aggregate; the daily rollup
+    counts distinct users per class."""
+    ev = tables.table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.expr("min(ts_us) div 86400000000").alias("first_day")
+    )
+    ud = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("CAST(day = first_day AS INT)")).alias("new_users"),
+            F.sum(F.expr("CAST(day > first_day AS INT)")).alias("returning_users"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -3994,6 +4112,9 @@ QUERIES = {
     "ml_ece": _q_ece,
     "llm_hapax_stats": _q_hapax_stats,
     "rel_join_natural": _q_join_natural,
+    "ts_type_correlation_matrix": _q_type_correlation,
+    "ml_dim_ablation": _q_dim_ablation,
+    "str_new_vs_returning": _q_new_vs_returning,
 }
 
 
@@ -5783,4 +5904,72 @@ ORACLE["llm_hapax_stats"] = (
 ORACLE["rel_join_natural"] = (
     "SELECT n_name, r_name FROM nation NATURAL JOIN "
     "(SELECT r_regionkey AS n_regionkey, r_name FROM region) r"
+)
+
+ORACLE["ts_type_correlation_matrix"] = (
+    "WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h "
+    "FROM events), "
+    "hourly AS (SELECT event_type, h, count(*) AS c FROM ev "
+    "GROUP BY event_type, h), "
+    "b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev), "
+    "spine AS (SELECT t.event_type, g.h FROM "
+    "(SELECT unnest(generate_series(mn, mx)) AS h FROM b) g, "
+    "(SELECT DISTINCT event_type FROM ev) t), "
+    "z AS (SELECT spine.event_type, spine.h, coalesce(hourly.c, 0) AS c "
+    "FROM spine LEFT JOIN hourly ON spine.event_type = hourly.event_type "
+    "AND spine.h = hourly.h), "
+    "j AS (SELECT x.event_type AS ta, y.event_type AS tb, x.c AS ca, "
+    "y.c AS cb FROM z x JOIN z y ON x.h = y.h "
+    "AND x.event_type < y.event_type), "
+    "g AS (SELECT ta, tb, count(*) AS n, CAST(sum(ca) AS BIGINT) AS sa, "
+    "CAST(sum(cb) AS BIGINT) AS sb, CAST(sum(ca * ca) AS BIGINT) AS ssa, "
+    "CAST(sum(cb * cb) AS BIGINT) AS ssb, "
+    "CAST(sum(ca * cb) AS BIGINT) AS sab FROM j GROUP BY ta, tb) "
+    "SELECT ta, tb, "
+    "round((n * sab - CAST(sa AS DOUBLE) * sb) / "
+    "(sqrt(n * ssa - CAST(sa AS DOUBLE) * sa) * "
+    "sqrt(n * ssb - CAST(sb AS DOUBLE) * sb)), 4) AS pearson_r FROM g"
+)
+
+ORACLE["ml_dim_ablation"] = (
+    f"WITH {_KNN_EMB}, "
+    "p AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, "
+    "t.label AS tlabel, "
+    "round(sqrt(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')), 4) AS d64, "
+    "round(sqrt(list_aggregate(list_transform(list_zip(q.emb[1:32], "
+    "t.emb[1:32]), x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')), 4) AS d32 "
+    "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id), "
+    "r64 AS (SELECT qid, qlabel, tlabel, row_number() OVER "
+    "(PARTITION BY qid ORDER BY d64, tid) AS rnk FROM p), "
+    "v64 AS (SELECT qid, qlabel, tlabel, count(*) AS v FROM r64 "
+    "WHERE rnk <= 10 GROUP BY qid, qlabel, tlabel), "
+    "pr64 AS (SELECT qid, CAST(tlabel = qlabel AS INT) AS ok, row_number() "
+    "OVER (PARTITION BY qid ORDER BY v DESC, tlabel) AS vr FROM v64), "
+    "a64 AS (SELECT 'dims_64' AS variant, count(*) AS n_queries, "
+    "CAST(sum(ok) AS BIGINT) AS n_correct FROM pr64 WHERE vr = 1), "
+    "r32 AS (SELECT qid, qlabel, tlabel, row_number() OVER "
+    "(PARTITION BY qid ORDER BY d32, tid) AS rnk FROM p), "
+    "v32 AS (SELECT qid, qlabel, tlabel, count(*) AS v FROM r32 "
+    "WHERE rnk <= 10 GROUP BY qid, qlabel, tlabel), "
+    "pr32 AS (SELECT qid, CAST(tlabel = qlabel AS INT) AS ok, row_number() "
+    "OVER (PARTITION BY qid ORDER BY v DESC, tlabel) AS vr FROM v32), "
+    "a32 AS (SELECT 'dims_32' AS variant, count(*) AS n_queries, "
+    "CAST(sum(ok) AS BIGINT) AS n_correct FROM pr32 WHERE vr = 1), "
+    "u AS (SELECT * FROM a64 UNION ALL SELECT * FROM a32) "
+    "SELECT variant, n_queries, n_correct, "
+    "round(n_correct / CAST(n_queries AS DOUBLE), 4) AS accuracy FROM u"
+)
+
+ORACLE["str_new_vs_returning"] = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "
+    "FROM events), "
+    "fu AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id), "
+    "ud AS (SELECT DISTINCT user_id, day FROM ev) "
+    "SELECT day, "
+    "CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS new_users, "
+    "CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS returning_users "
+    "FROM ud JOIN fu USING (user_id) GROUP BY day"
 )

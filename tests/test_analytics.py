@@ -1620,3 +1620,44 @@ def test_natural_join_matches_manual(spark):
     rows = {(r.n_name, r.r_name)
             for r in analytics._q_join_natural(spark, SF_SMOKE).collect()}
     assert len(rows) == 25  # every nation resolves its region
+
+
+def test_type_correlation_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    t = t.assign(h=tus // 3_600_000_000)
+    lo, hi = t.h.min(), t.h.max()
+    series = {}
+    for et, g in t.groupby("event_type"):
+        series[et] = np.bincount(g.h - lo, minlength=hi - lo + 1)
+    got = {(r.ta, r.tb): r.pearson_r
+           for r in analytics._q_type_correlation(spark, SF_SMOKE).collect()}
+    assert len(got) == 10
+    for (a, b), r in got.items():
+        exp = np.corrcoef(series[a], series[b])[0, 1]
+        assert abs(r - exp) < 2e-4, (a, b)
+
+
+def test_dim_ablation_shapes(spark):
+    rows = {r.variant: r for r in analytics._q_dim_ablation(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"dims_32", "dims_64"}
+    for r in rows.values():
+        assert r.n_queries == 100
+        assert 0 <= r.accuracy <= 1
+
+
+def test_new_vs_returning_identity(spark):
+    import pyarrow.parquet as pq
+
+    rows = analytics._q_new_vs_returning(spark, SF_SMOKE).collect()
+    # every user is new exactly once
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    assert sum(r.new_users for r in rows) == t.user_id.nunique()
+    # daily actives = new + returning
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    t = t.assign(day=tus // 86_400_000_000)
+    dau = t.groupby("day").user_id.nunique()
+    got = {r.day: r.new_users + r.returning_users for r in rows}
+    assert got == dau.to_dict()
