@@ -3993,6 +3993,84 @@ def _q_new_vs_returning(spark, sf_dir):
     )
 
 
+def _q_column_profile(spark, sf_dir):
+    """One-pass data-profiling of the fact table: per column, distinct
+    count, null count, and min/max rendered to strings — the "describe"
+    a warehouse runs on ingest, as a single stack/unpivot aggregate
+    (every statistic from one scan, no per-column jobs)."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    ]
+    # doubles render via exact cents so min/max stringify identically on
+    # both engines (raw float formatting differs); ints/strings cast clean
+    def _canon(c):
+        if c in ("l_quantity", "l_extendedprice"):
+            return F.expr(f"CAST(round({c} * 100, 0) AS BIGINT)")
+        return col(c)
+
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        *[F.sum(col(c).isNull().cast("long")).alias(f"z_{c}") for c in cols],
+        *[F.min(_canon(c)).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(_canon(c)).cast("string").alias(f"mx_{c}") for c in cols],
+    )
+    stacked = ", ".join(
+        f"'{c}', d_{c}, z_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stacked}) AS (col_name, n_distinct, n_null, "
+        "min_str, max_str)",
+    )
+
+
+def _q_completeness(spark, sf_dir):
+    """Data-completeness SLA report: per day, hours with at least one
+    event out of 24 — the is-the-feed-healthy gate a pipeline checks
+    before publishing a partition. Exact counts from the (day, hour)
+    dedup; share as integer hours over 24."""
+    ev = tables.table(spark, sf_dir, "events")
+    dh = ev.select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.expr("ts_us div 3600000000").alias("hr"),
+    ).distinct()
+    return dh.groupBy("day").agg(
+        F.count("*").alias("hours_present"),
+        F.expr("round(count(*) / CAST(24 AS DOUBLE), 4)").alias("completeness"),
+    )
+
+
+def _q_label_noise_flags(spark, sf_dir):
+    """Label-noise candidates (confident-learning-lite): points whose
+    kNN neighborhood overwhelmingly disagrees with their own label
+    (≥ 80% of the 5 nearest have a different class) — the mislabeled-
+    example queue an annotation-QA loop reviews. Reuses the graded kNN
+    self-join; the flag is an exact integer comparison."""
+    from .knn import K_JOIN, knn_self_join
+
+    e = tables.embeddings(spark, sf_dir)
+    top = (
+        knn_self_join(spark, sf_dir, K_JOIN)
+        .join(e.select(col("vec_id").alias("qid"), col("label").alias("qlabel")), "qid")
+        .join(e.select(col("vec_id").alias("tid"), col("label").alias("tlabel")), "tid")
+    )
+    agree = top.groupBy("qid", "qlabel").agg(
+        F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_same"),
+        F.count("*").alias("k"),
+    )
+    # n_same/k ≤ 0.2 cross-multiplied: 5·n_same ≤ k — exact integers
+    return agree.filter(5 * col("n_same") <= col("k")).select(
+        "qid", col("qlabel").alias("label"), "n_same", "k"
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4115,6 +4193,9 @@ QUERIES = {
     "ts_type_correlation_matrix": _q_type_correlation,
     "ml_dim_ablation": _q_dim_ablation,
     "str_new_vs_returning": _q_new_vs_returning,
+    "rel_column_profile": _q_column_profile,
+    "ts_completeness": _q_completeness,
+    "ml_label_noise_flags": _q_label_noise_flags,
 }
 
 
@@ -5972,4 +6053,59 @@ ORACLE["str_new_vs_returning"] = (
     "CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) "
     "AS returning_users "
     "FROM ud JOIN fu USING (user_id) GROUP BY day"
+)
+
+ORACLE["rel_column_profile"] = (
+    "WITH agg AS (SELECT count(*) AS n_rows, "
+    "count(DISTINCT l_orderkey) AS d1, "
+    "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1, "
+    "CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1, "
+    "count(DISTINCT l_partkey) AS d2, "
+    "CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2, "
+    "CAST(min(l_partkey) AS VARCHAR) AS mn2, CAST(max(l_partkey) AS VARCHAR) AS mx2, "
+    "count(DISTINCT l_suppkey) AS d3, "
+    "CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3, "
+    "CAST(min(l_suppkey) AS VARCHAR) AS mn3, CAST(max(l_suppkey) AS VARCHAR) AS mx3, "
+    "count(DISTINCT l_quantity) AS d4, "
+    "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4, "
+    "CAST(CAST(round(min(l_quantity) * 100, 0) AS BIGINT) AS VARCHAR) AS mn4, "
+    "CAST(CAST(round(max(l_quantity) * 100, 0) AS BIGINT) AS VARCHAR) AS mx4, "
+    "count(DISTINCT l_extendedprice) AS d5, "
+    "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5, "
+    "CAST(CAST(round(min(l_extendedprice) * 100, 0) AS BIGINT) AS VARCHAR) AS mn5, "
+    "CAST(CAST(round(max(l_extendedprice) * 100, 0) AS BIGINT) AS VARCHAR) AS mx5, "
+    "count(DISTINCT l_returnflag) AS d6, "
+    "CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z6, "
+    "CAST(min(l_returnflag) AS VARCHAR) AS mn6, "
+    "CAST(max(l_returnflag) AS VARCHAR) AS mx6 "
+    "FROM lineitem) "
+    "SELECT n_rows, t.* FROM agg, LATERAL (VALUES "
+    "('l_orderkey', d1, z1, mn1, mx1), ('l_partkey', d2, z2, mn2, mx2), "
+    "('l_suppkey', d3, z3, mn3, mx3), ('l_quantity', d4, z4, mn4, mx4), "
+    "('l_extendedprice', d5, z5, mn5, mx5), "
+    "('l_returnflag', d6, z6, mn6, mx6)) "
+    "t(col_name, n_distinct, n_null, min_str, max_str)"
+)
+
+ORACLE["ts_completeness"] = (
+    "WITH dh AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, "
+    "epoch_us(ts) // 3600000000 AS hr FROM events) "
+    "SELECT day, count(*) AS hours_present, "
+    "round(count(*) / CAST(24 AS DOUBLE), 4) AS completeness "
+    "FROM dh GROUP BY day"
+)
+
+ORACLE["ml_label_noise_flags"] = (
+    f"WITH {_KNN_EMB}, "
+    "pairs AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, "
+    "t.label AS tlabel, list_distance(q.emb, t.emb) AS dist "
+    "FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
+    "ranked AS (SELECT qid, qlabel, tlabel, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "agree AS (SELECT qid, qlabel, "
+    "CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_same, count(*) AS k FROM ranked WHERE rnk <= 5 "
+    "GROUP BY qid, qlabel) "
+    "SELECT qid, qlabel AS label, n_same, k FROM agree "
+    "WHERE 5 * n_same <= k"
 )

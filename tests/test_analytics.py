@@ -1661,3 +1661,42 @@ def test_new_vs_returning_identity(spark):
     dau = t.groupby("day").user_id.nunique()
     got = {r.day: r.new_users + r.returning_users for r in rows}
     assert got == dau.to_dict()
+
+
+def test_column_profile_matches_pandas(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    rows = {r.col_name: r for r in analytics._q_column_profile(spark, SF_SMOKE).collect()}
+    assert rows["l_orderkey"].n_distinct == t.l_orderkey.nunique()
+    assert rows["l_returnflag"].n_distinct == 3
+    assert all(r.n_null == 0 for r in rows.values())
+    assert int(rows["l_quantity"].max_str) == int(round(t.l_quantity.max() * 100))
+
+
+def test_completeness_bounds(spark):
+    rows = analytics._q_completeness(spark, SF_SMOKE).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 1 <= r.hours_present <= 24
+        assert r.completeness <= 1.0001
+
+
+def test_label_noise_flags_match_bruteforce(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    E = np.array([np.asarray(e, dtype=np.float64) for e in t.embedding])
+    ids = t.vec_id.to_numpy()
+    labels = t.label.to_numpy()
+    flagged = set()
+    for i in range(len(ids)):
+        d = np.sqrt(((E - E[i]) ** 2).sum(axis=1))
+        d[i] = np.inf
+        order = sorted((round(dv, 4), tid) for dv, tid in zip(d, ids) if dv < np.inf)
+        nbrs = [tid for _, tid in order[:5]]
+        same = sum(labels[list(ids).index(tid)] == labels[i] for tid in nbrs)
+        if 5 * same <= 5:
+            flagged.add(ids[i])
+    got = {r.qid for r in analytics._q_label_noise_flags(spark, SF_SMOKE).collect()}
+    assert got == flagged
