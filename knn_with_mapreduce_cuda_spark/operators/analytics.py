@@ -4071,6 +4071,98 @@ def _q_label_noise_flags(spark, sf_dir):
     )
 
 
+def _q_lowe_ratio(spark, sf_dir):
+    """Lowe ratio test per query: nearest-neighbor distance over k-th
+    distance (d₁/d₅) — the match-confidence measure from SIFT matching;
+    ratios near 1 mean the neighborhood is ambiguous. One window pass
+    extracts both ranks; distances round to 4dp so the ratio divides
+    identical doubles."""
+    from .knn import _pairs
+
+    p = _pairs(spark, sf_dir).withColumn("dr", F.round("dist", 4))
+    w = Window.partitionBy("qid").orderBy("dr", "tid")
+    r = p.withColumn("rnk", F.row_number().over(w)).filter(col("rnk").isin(1, 5))
+    wide = r.groupBy("qid").agg(
+        F.max(F.when(col("rnk") == 1, col("dr"))).alias("d1"),
+        F.max(F.when(col("rnk") == 5, col("dr"))).alias("d5"),
+    )
+    return wide.select(
+        "qid",
+        "d1",
+        "d5",
+        F.expr("round(d1 / d5, 4)").alias("lowe_ratio"),
+    )
+
+
+def _q_balanced_accuracy(spark, sf_dir):
+    """Balanced accuracy of the kNN classifier: mean of per-class
+    recalls — the class-imbalance-proof headline number. Per-class
+    recalls quantize to micro units before the cross-class mean
+    (10 doubles would otherwise sum in nondeterministic order)."""
+    from .knn import classify
+
+    p = classify(spark, sf_dir)
+    per = p.groupBy("true_label").agg(
+        F.count("*").alias("n_c"),
+        F.sum(col("correct").cast("long")).alias("ok_c"),
+    )
+    q = per.select(
+        F.expr(
+            "CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        ).alias("rq")
+    )
+    return q.agg(F.count("*").alias("n_classes"), F.sum("rq").alias("s")).select(
+        "n_classes",
+        F.expr(
+            "round(s / (n_classes * CAST(1000000 AS DOUBLE)), 4)"
+        ).alias("balanced_accuracy"),
+    )
+
+
+def _q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the hourly series' above/below-median
+    sequence: too few runs = trending, too many = oscillating. The
+    median is the exact lower median (rank ⌈n/2⌉); runs counted with
+    lag(); the z-score is one identical double expression from integer
+    counts (ties-at-median rows are dropped, the standard handling)."""
+    series = _hourly_series(spark, sf_dir)
+    wq = Window.orderBy("c", "h")
+    n_all = series.agg(F.count("*").alias("na"))
+    med = (
+        series.withColumn("r", F.row_number().over(wq))
+        .crossJoin(F.broadcast(n_all))
+        .filter(col("r") == F.expr("CAST(ceil(na / 2.0) AS BIGINT)"))
+        .select(col("c").alias("med"))
+    )
+    lab = (
+        series.crossJoin(F.broadcast(med))
+        .filter(col("c") != col("med"))
+        .select("h", (col("c") > col("med")).cast("int").alias("above"))
+    )
+    w = Window.orderBy("h")
+    runs = lab.withColumn(
+        "new_run",
+        F.when(F.lag("above").over(w).isNull(), 1)
+        .when(F.lag("above").over(w) != col("above"), 1)
+        .otherwise(0),
+    )
+    g = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(F.expr("1 - above")).alias("n2"),
+    )
+    return g.select(
+        "r",
+        "n1",
+        "n2",
+        F.expr(
+            "round((r - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
+            "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+            "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)"
+        ).alias("z"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4196,6 +4288,9 @@ QUERIES = {
     "rel_column_profile": _q_column_profile,
     "ts_completeness": _q_completeness,
     "ml_label_noise_flags": _q_label_noise_flags,
+    "ml_lowe_ratio": _q_lowe_ratio,
+    "ml_balanced_accuracy": _q_balanced_accuracy,
+    "ts_runs_test": _q_runs_test,
 }
 
 
@@ -6108,4 +6203,54 @@ ORACLE["ml_label_noise_flags"] = (
     "GROUP BY qid, qlabel) "
     "SELECT qid, qlabel AS label, n_same, k FROM agree "
     "WHERE 5 * n_same <= k"
+)
+
+ORACLE["ml_lowe_ratio"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "p2 AS (SELECT qid, tid, round(dist, 4) AS dr FROM pairs), "
+    "r AS (SELECT qid, dr, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dr, tid) AS rnk FROM p2), "
+    "wide AS (SELECT qid, max(CASE WHEN rnk = 1 THEN dr END) AS d1, "
+    "max(CASE WHEN rnk = 5 THEN dr END) AS d5 FROM r "
+    "WHERE rnk IN (1, 5) GROUP BY qid) "
+    "SELECT qid, d1, d5, round(d1 / d5, 4) AS lowe_ratio FROM wide"
+)
+
+ORACLE["ml_balanced_accuracy"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, qlabel, CAST(tlabel = qlabel AS INT) AS ok, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "per AS (SELECT qlabel, count(*) AS n_c, CAST(sum(ok) AS BIGINT) AS ok_c "
+    "FROM pred WHERE vr = 1 GROUP BY qlabel), "
+    "q AS (SELECT CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) "
+    "AS BIGINT) AS rq FROM per) "
+    "SELECT count(*) AS n_classes, "
+    "round(CAST(sum(rq) AS BIGINT) / "
+    "(count(*) * CAST(1000000 AS DOUBLE)), 4) AS balanced_accuracy FROM q"
+)
+
+ORACLE["ts_runs_test"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "na AS (SELECT count(*) AS na FROM s), "
+    "med AS (SELECT c AS med FROM "
+    "(SELECT c, row_number() OVER (ORDER BY c, h) AS r FROM s), na "
+    "WHERE r = CAST(ceil(na / 2.0) AS BIGINT)), "
+    "lab AS (SELECT h, CAST(c > med AS INT) AS above FROM s, med "
+    "WHERE c <> med), "
+    "runs AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY h) IS NULL "
+    "THEN 1 WHEN lag(above) OVER (ORDER BY h) <> above THEN 1 ELSE 0 END "
+    "AS new_run FROM lab), "
+    "g AS (SELECT CAST(sum(new_run) AS BIGINT) AS r, "
+    "CAST(sum(above) AS BIGINT) AS n1, "
+    "CAST(sum(1 - above) AS BIGINT) AS n2 FROM runs) "
+    "SELECT r, n1, n2, "
+    "round((r - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
+    "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+    "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4) AS z FROM g"
 )

@@ -1700,3 +1700,48 @@ def test_label_noise_flags_match_bruteforce(spark):
             flagged.add(ids[i])
     got = {r.qid for r in analytics._q_label_noise_flags(spark, SF_SMOKE).collect()}
     assert got == flagged
+
+
+def test_lowe_ratio_bounds(spark):
+    rows = analytics._q_lowe_ratio(spark, SF_SMOKE).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert 0 < r.d1 <= r.d5
+        assert 0 < r.lowe_ratio <= 1.0001
+
+
+def test_balanced_accuracy_matches_python(spark):
+    from collections import defaultdict
+
+    from knn_with_mapreduce_cuda_spark.operators.knn import classify
+
+    per = defaultdict(lambda: [0, 0])
+    for r in classify(spark, SF_SMOKE).collect():
+        per[r.true_label][0] += 1
+        per[r.true_label][1] += r.correct
+    exp = np.mean([ok / n for n, ok in per.values()])
+    row = analytics._q_balanced_accuracy(spark, SF_SMOKE).collect()[0]
+    assert row.n_classes == len(per)
+    assert row.balanced_accuracy == pytest.approx(exp, abs=1e-4)
+
+
+def test_runs_test_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    med = np.sort(c, kind="stable")[int(np.ceil(len(c) / 2)) - 1]
+    seq = [int(x > med) for x in c if x != med]
+    r = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    row = analytics._q_runs_test(spark, SF_SMOKE).collect()[0]
+    assert (row.r, row.n1, row.n2) == (r, n1, n2)
+    assert row.z == pytest.approx((r - mu) / np.sqrt(var), abs=1e-3)
