@@ -4163,6 +4163,133 @@ def _q_runs_test(spark, sf_dir):
     )
 
 
+HITS_SCALE = 10**6
+
+
+def _q_hits(spark, sf_dir):
+    """HITS (2 unrolled iterations) over the directed kNN graph: hub
+    score = sum of pointed-to authorities, authority = sum of pointing
+    hubs. Scores stay in integer HITS_SCALE (ppm) units with
+    floor-divided normalization by the max each half-step — exact
+    integer arithmetic (raw·SCALE stays well under 2⁶³ at any degree)
+    under any partitioning (the pagerank determinism convention applied
+    to the two-score recursion)."""
+    from .knn import K_JOIN, knn_self_join
+
+    e = tables.embeddings(spark, sf_dir)
+    nodes = e.select(col("vec_id").alias("id"))
+    edges = knn_self_join(spark, sf_dir, K_JOIN).select(
+        col("qid").alias("src"), col("tid").alias("dst")
+    )
+    h = nodes.select("id", lit(HITS_SCALE).alias("h"))
+    a = None
+    for _ in range(2):
+        # authority ← sum of hub scores of in-neighbors, renormalized
+        asum = (
+            edges.join(h.select(col("id").alias("src"), col("h").alias("hs")), "src")
+            .groupBy(col("dst").alias("id"))
+            .agg(F.sum("hs").alias("raw"))
+        )
+        amax = asum.agg(F.max("raw").alias("mx"))
+        a = (
+            nodes.join(asum, "id", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "id",
+                F.expr(
+                    f"coalesce(raw, 0) * {HITS_SCALE} div mx"
+                ).alias("a"),
+            )
+        )
+        hsum = (
+            edges.join(a.select(col("id").alias("dst"), col("a").alias("av")), "dst")
+            .groupBy(col("src").alias("id"))
+            .agg(F.sum("av").alias("raw"))
+        )
+        hmax = hsum.agg(F.max("raw").alias("mx"))
+        h = (
+            nodes.join(hsum, "id", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "id",
+                F.expr(
+                    f"coalesce(raw, 0) * {HITS_SCALE} div mx"
+                ).alias("h"),
+            )
+        )
+    return h.join(a, "id").select("id", col("h").alias("hub_u"), col("a").alias("auth_u"))
+
+
+def _q_stickiness(spark, sf_dir):
+    """Product stickiness DAU / trailing-28-day actives per day — the
+    engagement-depth ratio. The trailing-actives set reuses the bounded
+    28× fan-out pattern (each (user, day) pair projects into the 28
+    future days it keeps the user "monthly active" for) — map-side
+    combine survives, no distinct-over-window."""
+    ev = tables.table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    span = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    fan = (
+        ud.select(
+            "user_id", F.explode(F.sequence(col("day"), col("day") + 27)).alias("day")
+        )
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .filter(col("day") <= col("mx"))
+    )
+    mau = fan.groupBy("day").agg(F.count("*").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("round(dau / CAST(mau AS DOUBLE), 4)").alias("stickiness"),
+        )
+    )
+
+
+def _q_youden_threshold(spark, sf_dir):
+    """Youden's J optimal operating point on the ROC curve: the score
+    threshold maximizing TPR − FPR, picked by exact integer
+    cross-multiplication (tp·neg − fp·p), ties → higher threshold —
+    turning the graded ROC sweep into a deployable cutoff."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
+    scored = cum.crossJoin(F.broadcast(g)).withColumn(
+        "j_scaled", col("tp") * col("neg") - col("fp") * col("p")
+    )
+    wbest = Window.orderBy(F.desc("j_scaled"), F.desc("score"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(col("rn") == 1)
+        .select(
+            F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
+            "tp",
+            "fp",
+            F.expr("round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / neg, 4)").alias(
+                "youden_j"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4291,6 +4418,9 @@ QUERIES = {
     "ml_lowe_ratio": _q_lowe_ratio,
     "ml_balanced_accuracy": _q_balanced_accuracy,
     "ts_runs_test": _q_runs_test,
+    "graph_hits": _q_hits,
+    "str_stickiness": _q_stickiness,
+    "ml_youden_threshold": _q_youden_threshold,
 }
 
 
@@ -6253,4 +6383,71 @@ ORACLE["ts_runs_test"] = (
     "round((r - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
     "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
     "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4) AS z FROM g"
+)
+
+ORACLE["graph_hits"] = (
+    f"WITH {_KNN_EMB}, "
+    "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
+    "list_distance(q.emb, t.emb) AS dist FROM emb q, emb t "
+    "WHERE t.vec_id <> q.vec_id), "
+    "ranked AS (SELECT qid, tid, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "edges AS (SELECT qid AS src, tid AS dst FROM ranked WHERE rnk <= 5), "
+    "nodes AS (SELECT vec_id AS id FROM embeddings), "
+    "h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), "
+    "as1 AS (SELECT dst AS id, CAST(sum(h) AS BIGINT) AS raw FROM edges "
+    "JOIN h0 ON edges.src = h0.id GROUP BY dst), "
+    "am1 AS (SELECT max(raw) AS mx FROM as1), "
+    "a1 AS (SELECT nodes.id, coalesce(raw, 0) * 1000000 // mx AS a "
+    "FROM nodes LEFT JOIN as1 ON nodes.id = as1.id, am1), "
+    "hs1 AS (SELECT src AS id, CAST(sum(a) AS BIGINT) AS raw FROM edges "
+    "JOIN a1 ON edges.dst = a1.id GROUP BY src), "
+    "hm1 AS (SELECT max(raw) AS mx FROM hs1), "
+    "h1 AS (SELECT nodes.id, coalesce(raw, 0) * 1000000 // mx AS h "
+    "FROM nodes LEFT JOIN hs1 ON nodes.id = hs1.id, hm1), "
+    "as2 AS (SELECT dst AS id, CAST(sum(h) AS BIGINT) AS raw FROM edges "
+    "JOIN h1 ON edges.src = h1.id GROUP BY dst), "
+    "am2 AS (SELECT max(raw) AS mx FROM as2), "
+    "a2 AS (SELECT nodes.id, coalesce(raw, 0) * 1000000 // mx AS a "
+    "FROM nodes LEFT JOIN as2 ON nodes.id = as2.id, am2), "
+    "hs2 AS (SELECT src AS id, CAST(sum(a) AS BIGINT) AS raw FROM edges "
+    "JOIN a2 ON edges.dst = a2.id GROUP BY src), "
+    "hm2 AS (SELECT max(raw) AS mx FROM hs2), "
+    "h2 AS (SELECT nodes.id, coalesce(raw, 0) * 1000000 // mx AS h "
+    "FROM nodes LEFT JOIN hs2 ON nodes.id = hs2.id, hm2) "
+    "SELECT h2.id, h2.h AS hub_u, a2.a AS auth_u "
+    "FROM h2 JOIN a2 ON h2.id = a2.id"
+)
+
+ORACLE["str_stickiness"] = (
+    "WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day "
+    "FROM events), "
+    "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), "
+    "span AS (SELECT min(day) AS mn, max(day) AS mx FROM ud), "
+    "fan AS (SELECT DISTINCT user_id, f.day FROM ud, span, "
+    "LATERAL (SELECT unnest(generate_series(ud.day, ud.day + 27)) AS day) f "
+    "WHERE f.day <= span.mx), "
+    "mau AS (SELECT day, count(*) AS mau FROM fan GROUP BY day) "
+    "SELECT day, dau, mau, round(dau / CAST(mau AS DOUBLE), 4) AS stickiness "
+    "FROM dau JOIN mau USING (day)"
+)
+
+ORACLE["ml_youden_threshold"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p, "
+    "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM pts), "
+    "scored AS (SELECT score, tp, fp, tp * neg - fp * p AS j_scaled, p, neg "
+    "FROM cum, g), "
+    "best AS (SELECT *, row_number() OVER "
+    "(ORDER BY j_scaled DESC, score DESC) AS rn FROM scored) "
+    "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
+    "round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / neg, 4) AS youden_j "
+    "FROM best WHERE rn = 1"
 )

@@ -1745,3 +1745,35 @@ def test_runs_test_matches_python(spark):
     row = analytics._q_runs_test(spark, SF_SMOKE).collect()[0]
     assert (row.r, row.n1, row.n2) == (r, n1, n2)
     assert row.z == pytest.approx((r - mu) / np.sqrt(var), abs=1e-3)
+
+
+def test_hits_top_hub_is_max(spark):
+    rows = analytics._q_hits(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    assert max(r.hub_u for r in rows) == analytics.HITS_SCALE
+    assert max(r.auth_u for r in rows) == analytics.HITS_SCALE
+    assert all(0 <= r.hub_u <= analytics.HITS_SCALE for r in rows)
+
+
+def test_stickiness_bounds(spark):
+    rows = analytics._q_stickiness(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.dau <= r.mau
+        assert 0 < r.stickiness <= 1
+
+
+def test_youden_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    s = np.array([e[0] for e in t.embedding], dtype=np.float64)
+    y = (t.label.to_numpy() >= 5).astype(int)
+    p, neg = y.sum(), (1 - y).sum()
+    best = (-1, None)
+    for thr in np.unique(s)[::-1]:
+        sel = s >= thr
+        j = y[sel].sum() * neg - (sel.sum() - y[sel].sum()) * p
+        if j > best[0]:
+            best = (j, thr)
+    row = analytics._q_youden_threshold(spark, SF_SMOKE).collect()[0]
+    assert row.threshold == pytest.approx(round(float(best[1]), 4), abs=1e-4)
