@@ -4290,6 +4290,99 @@ def _q_youden_threshold(spark, sf_dir):
     )
 
 
+def _q_average_precision(spark, sf_dir):
+    """Average precision (area under the PR curve by the step rule):
+    AP = Σ (R_i − R_{i−1})·P_i over distinct score thresholds — the
+    single-number PR summary. Per-step terms Δtp·(tp/(tp+fp)) quantize
+    to nano units before the cross-step sum; all counts exact."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy(F.desc("score"))
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    ).withColumn("dtp", col("tp") - F.coalesce(F.lag("tp").over(wl), lit(0)))
+    g = pts.agg(F.sum("y").alias("p"))
+    terms = cum.select(
+        F.expr(
+            "CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) * 1000000000, 0) "
+            "AS BIGINT)"
+        ).alias("tq")
+    )
+    return terms.agg(F.sum("tq").alias("s")).crossJoin(F.broadcast(g)).select(
+        col("p").alias("n_pos"),
+        F.expr(
+            "round(s / (p * CAST(1000000000 AS DOUBLE)), 4)"
+        ).alias("average_precision"),
+    )
+
+
+def _q_pacf_2(spark, sf_dir):
+    """Partial autocorrelation at lags 1 and 2 by the Durbin-Levinson
+    closed forms (φ₁₁ = r₁, φ₂₂ = (r₂ − r₁²)/(1 − r₁²)) — the AR-order
+    diagnostic, derived from the same exact-integer ACF moments with
+    one identical double expression per value."""
+    series = _hourly_series(spark, sf_dir)
+    a = autocorr(series, max_lag=2)
+    wide = a.groupBy().agg(
+        F.max(F.when(col("k") == 1, col("acf"))).alias("r1"),
+        F.max(F.when(col("k") == 2, col("acf"))).alias("r2"),
+    )
+    return wide.select(
+        "r1",
+        "r2",
+        col("r1").alias("pacf_1"),
+        F.expr("round((r2 - r1 * r1) / (1 - r1 * r1), 4)").alias("pacf_2"),
+    )
+
+
+def _q_graph_summary(spark, sf_dir):
+    """One-row graph card for the mutual-kNN graph: nodes, undirected
+    edges, density, isolated-node count, average and max degree — the
+    at-a-glance shape summary every downstream graph operator's cost
+    model starts from. Exact integers; two rounded ratios."""
+    from .knn import _q_mutual
+
+    e = tables.embeddings(spark, sf_dir)
+    nodes = e.select(col("vec_id").alias("node"))
+    m = _q_mutual(spark, sf_dir)
+    sym = m.select(col("a").alias("node")).unionByName(
+        m.select(col("b").alias("node"))
+    )
+    deg = nodes.join(
+        sym.groupBy("node").agg(F.count("*").alias("d")), "node", "left"
+    ).select(F.coalesce("d", lit(0)).alias("d"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    me = m.agg(F.count("*").alias("m"))
+    dg = deg.agg(
+        F.sum(F.expr("CAST(d = 0 AS INT)")).alias("n_isolated"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("sum_deg"),
+    )
+    return (
+        nn.crossJoin(me)
+        .crossJoin(dg)
+        .select(
+            "n",
+            "m",
+            F.expr(
+                "round(2 * m / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+            ).alias("density"),
+            "n_isolated",
+            "max_degree",
+            F.expr("round(sum_deg / CAST(n AS DOUBLE), 4)").alias("avg_degree"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4421,6 +4514,9 @@ QUERIES = {
     "graph_hits": _q_hits,
     "str_stickiness": _q_stickiness,
     "ml_youden_threshold": _q_youden_threshold,
+    "ml_average_precision": _q_average_precision,
+    "ts_pacf_2": _q_pacf_2,
+    "graph_summary_stats": _q_graph_summary,
 }
 
 
@@ -6450,4 +6546,56 @@ ORACLE["ml_youden_threshold"] = (
     "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
     "round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / neg, 4) AS youden_j "
     "FROM best WHERE rn = 1"
+)
+
+ORACLE["ml_average_precision"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)), "
+    "steps AS (SELECT tp, fp, tp - coalesce(lag(tp) OVER "
+    "(ORDER BY score DESC), 0) AS dtp FROM cum), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts), "
+    "terms AS (SELECT CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) "
+    "* 1000000000, 0) AS BIGINT) AS tq FROM steps) "
+    "SELECT p AS n_pos, "
+    "round(CAST(sum(tq) AS BIGINT) / (p * CAST(1000000000 AS DOUBLE)), 4) "
+    "AS average_precision FROM terms, g GROUP BY p"
+)
+
+ORACLE["ts_pacf_2"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "lagagg AS (SELECT k, count(*) AS nk, sum(a.c * b.c) AS p, "
+    "sum(a.c) AS ak, sum(b.c) AS bk "
+    "FROM s a, range(1, 3) t(k), s b WHERE a.h - k = b.h GROUP BY k), "
+    "g AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS ss FROM s), "
+    "j AS (SELECT *, s1 / n AS m FROM lagagg, g), "
+    "r AS (SELECT k, round((p - m * (ak + bk) + nk * m * m) / "
+    "(ss - n * m * m), 4) AS acf FROM j), "
+    "wide AS (SELECT max(CASE WHEN k = 1 THEN acf END) AS r1, "
+    "max(CASE WHEN k = 2 THEN acf END) AS r2 FROM r) "
+    "SELECT r1, r2, r1 AS pacf_1, "
+    "round((r2 - r1 * r1) / (1 - r1 * r1), 4) AS pacf_2 FROM wide"
+)
+
+ORACLE["graph_summary_stats"] = (
+    f"WITH {_MUTUAL}, "
+    "mm AS MATERIALIZED (SELECT a, b FROM m), "
+    "nodes AS (SELECT vec_id AS node FROM embeddings), "
+    "dg0 AS (SELECT node, count(*) AS d FROM "
+    "(SELECT a AS node FROM mm UNION ALL SELECT b FROM mm) GROUP BY node), "
+    "deg AS (SELECT coalesce(dg0.d, 0) AS d FROM nodes "
+    "LEFT JOIN dg0 ON nodes.node = dg0.node), "
+    "nn AS (SELECT count(*) AS n FROM nodes), "
+    "me AS (SELECT count(*) AS m FROM mm), "
+    "dg AS (SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_isolated, CAST(max(d) AS BIGINT) AS max_degree, "
+    "CAST(sum(d) AS BIGINT) AS sum_deg FROM deg) "
+    "SELECT n, m, round(2 * m / (CAST(n AS DOUBLE) * (n - 1)), 6) AS density, "
+    "n_isolated, max_degree, "
+    "round(sum_deg / CAST(n AS DOUBLE), 4) AS avg_degree FROM nn, me, dg"
 )

@@ -1777,3 +1777,45 @@ def test_youden_matches_numpy(spark):
             best = (j, thr)
     row = analytics._q_youden_threshold(spark, SF_SMOKE).collect()[0]
     assert row.threshold == pytest.approx(round(float(best[1]), 4), abs=1e-4)
+
+
+def test_average_precision_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    s = np.array([e[0] for e in t.embedding], dtype=np.float64)
+    y = (t.label.to_numpy() >= 5).astype(int)
+    order = np.argsort(-s, kind="stable")
+    ap, tp, fp, prev_tp = 0.0, 0, 0, 0
+    for thr in np.unique(s)[::-1]:
+        sel = s >= thr
+        tp = int(y[sel].sum())
+        fp = int(sel.sum() - tp)
+        ap += (tp - prev_tp) * tp / (tp + fp)
+        prev_tp = tp
+    ap /= y.sum()
+    row = analytics._q_average_precision(spark, SF_SMOKE).collect()[0]
+    assert row.n_pos == y.sum()
+    assert row.average_precision == pytest.approx(ap, abs=1e-4)
+
+
+def test_pacf_consistent_with_acf(spark):
+    row = analytics._q_pacf_2(spark, SF_SMOKE).collect()[0]
+    assert row.pacf_1 == row.r1
+    exp = (row.r2 - row.r1**2) / (1 - row.r1**2)
+    assert row.pacf_2 == pytest.approx(exp, abs=1e-4)
+
+
+def test_graph_summary_consistent(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    edges = [(r.a, r.b) for r in _q_mutual(spark, SF_SMOKE).collect()]
+    row = analytics._q_graph_summary(spark, SF_SMOKE).collect()[0]
+    assert row.n == 500 and row.m == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row.max_degree == max(deg.values())
+    assert row.n_isolated == 500 - len(deg)
+    assert row.avg_degree == pytest.approx(2 * len(edges) / 500, abs=1e-3)
