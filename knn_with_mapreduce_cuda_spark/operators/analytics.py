@@ -4383,6 +4383,78 @@ def _q_graph_summary(spark, sf_dir):
     )
 
 
+def _q_spectral_entropy(spark, sf_dir):
+    """Spectral entropy of the hourly series: Shannon entropy of the
+    normalized periodogram power distribution over frequencies 1..36 —
+    near ln(36) = white noise, low = energy concentrated in few cycles
+    (strong periodicity). Powers come from the graded periodogram's
+    exact integer trig sums; shares and entropy terms quantize to nano
+    units."""
+    series = _hourly_series(spark, sf_dir)
+    p = periodogram(series, max_k=36).select(
+        "k", F.expr("CAST(round(power * 1000000, 0) AS BIGINT)").alias("pq")
+    )
+    tot = p.agg(F.sum("pq").alias("tp"))
+    terms = p.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN pq = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
+            "* 1000000000, 0) AS BIGINT) END"
+        ).alias("hq")
+    )
+    return terms.agg(F.count("*").alias("n_freqs"), F.sum("hq").alias("s")).select(
+        "n_freqs",
+        F.expr(
+            "round(s / CAST(1000000000 AS DOUBLE), 4)"
+        ).alias("spectral_entropy_nats"),
+    )
+
+
+def _q_heaps_law(spark, sf_dir):
+    """Heaps' law fit (V ≈ k·Nᵝ): vocabulary size vs cumulative token
+    count at doc-count checkpoints 50,100,…,500, with the log-log OLS
+    slope β — the vocabulary-growth exponent that sizes a tokenizer's
+    future vocab. First-occurrence doc per term makes the cumulative
+    vocab a count over min-doc ≤ checkpoint; log moments quantize to
+    micro units for the slope."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    doc_tok = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    cps = spark.range(1, 11).select((col("id") * 50).alias("cp"))
+    vocab = (
+        cps.join(firsts, col("fd") < col("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("v"))
+    )
+    ntok = (
+        cps.join(doc_tok, col("doc_id") < col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("nt").alias("n"))
+    )
+    pts = vocab.join(ntok, "cp").select(
+        "cp",
+        "n",
+        "v",
+        F.expr("CAST(round(ln(n) * 1000000, 0) AS BIGINT)").alias("xq"),
+        F.expr("CAST(round(ln(v) * 1000000, 0) AS BIGINT)").alias("yq"),
+    )
+    g = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(col("xq") * col("xq")).alias("sxx"),
+        F.sum(col("xq") * col("yq")).alias("sxy"),
+    )
+    beta = g.select(
+        F.expr(
+            "round(CAST(m * sxy - sx * sy AS DOUBLE) / (m * sxx - sx * sx), 4)"
+        ).alias("beta")
+    )
+    return pts.crossJoin(F.broadcast(beta)).select("cp", "n", "v", "beta")
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4517,6 +4589,8 @@ QUERIES = {
     "ml_average_precision": _q_average_precision,
     "ts_pacf_2": _q_pacf_2,
     "graph_summary_stats": _q_graph_summary,
+    "ts_spectral_entropy": _q_spectral_entropy,
+    "llm_heaps_law": _q_heaps_law,
 }
 
 
@@ -6598,4 +6672,49 @@ ORACLE["graph_summary_stats"] = (
     "SELECT n, m, round(2 * m / (CAST(n AS DOUBLE) * (n - 1)), 6) AS density, "
     "n_isolated, max_degree, "
     "round(sum_deg / CAST(n AS DOUBLE), 4) AS avg_degree FROM nn, me, dg"
+)
+
+ORACLE["ts_spectral_entropy"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "tt AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS t FROM s), "
+    "nn AS (SELECT count(*) AS n FROM s), "
+    "terms0 AS (SELECT k, n, CAST(round(c * cos(2 * pi() * k * t / n) "
+    "* 100000000, 0) AS BIGINT) AS ca, "
+    "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
+    "FROM tt, range(1, 37) r(k), nn), "
+    "agg AS (SELECT k, n, CAST(sum(ca) AS BIGINT) AS a, "
+    "CAST(sum(cb) AS BIGINT) AS b FROM terms0 GROUP BY k, n), "
+    "pw AS (SELECT k, CAST(round(round(((CAST(a AS DOUBLE) / 100000000) * "
+    "(CAST(a AS DOUBLE) / 100000000) + (CAST(b AS DOUBLE) / 100000000) * "
+    "(CAST(b AS DOUBLE) / 100000000)) / n, 4) * 1000000, 0) AS BIGINT) AS pq "
+    "FROM agg), "
+    "tot AS (SELECT CAST(sum(pq) AS BIGINT) AS tp FROM pw), "
+    "hterms AS (SELECT CASE WHEN pq = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
+    "* 1000000000, 0) AS BIGINT) END AS hq FROM pw, tot) "
+    "SELECT count(*) AS n_freqs, "
+    "round(CAST(sum(hq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
+    "AS spectral_entropy_nats FROM hterms"
+)
+
+ORACLE["llm_heaps_law"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "firsts AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term), "
+    "doc_tok AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id), "
+    "cps AS (SELECT i * 50 AS cp FROM range(1, 11) t(i)), "
+    "vocab AS (SELECT cp, count(*) AS v FROM cps JOIN firsts ON fd < cp "
+    "GROUP BY cp), "
+    "ntok AS (SELECT cp, CAST(sum(nt) AS BIGINT) AS n FROM cps "
+    "JOIN doc_tok ON doc_id < cp GROUP BY cp), "
+    "pts AS (SELECT cp, n, v, "
+    "CAST(round(ln(n) * 1000000, 0) AS BIGINT) AS xq, "
+    "CAST(round(ln(v) * 1000000, 0) AS BIGINT) AS yq FROM vocab "
+    "JOIN ntok USING (cp)), "
+    "g AS (SELECT count(*) AS m, CAST(sum(xq) AS BIGINT) AS sx, "
+    "CAST(sum(yq) AS BIGINT) AS sy, CAST(sum(xq * xq) AS BIGINT) AS sxx, "
+    "CAST(sum(xq * yq) AS BIGINT) AS sxy FROM pts), "
+    "beta AS (SELECT round(CAST(m * sxy - sx * sy AS DOUBLE) / "
+    "(m * sxx - sx * sx), 4) AS beta FROM g) "
+    "SELECT cp, n, v, beta FROM pts, beta"
 )

@@ -1819,3 +1819,30 @@ def test_graph_summary_consistent(spark):
     assert row.max_degree == max(deg.values())
     assert row.n_isolated == 500 - len(deg)
     assert row.avg_degree == pytest.approx(2 * len(edges) / 500, abs=1e-3)
+
+
+def test_spectral_entropy_bounds(spark):
+    row = analytics._q_spectral_entropy(spark, SF_SMOKE).collect()[0]
+    assert row.n_freqs == 36
+    assert 0 < row.spectral_entropy_nats <= np.log(36) + 1e-9
+    # fixture has a planted daily cycle -> entropy below the white-noise max
+    assert row.spectral_entropy_nats < np.log(36) - 0.01
+
+
+def test_heaps_law_monotone_and_beta(spark):
+    rows = sorted(analytics._q_heaps_law(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.cp)
+    assert [r.cp for r in rows] == [50 * i for i in range(1, 11)]
+    vs = [r.v for r in rows]
+    ns = [r.n for r in rows]
+    assert vs == sorted(vs) and ns == sorted(ns)  # both grow
+    xq = np.round(np.log(ns) * 1e6)
+    yq = np.round(np.log(vs) * 1e6)
+    m = len(xq)
+    beta = (m * (xq * yq).sum() - xq.sum() * yq.sum()) / (
+        m * (xq * xq).sum() - xq.sum() ** 2
+    )
+    assert rows[0].beta == pytest.approx(beta, abs=1e-3)
+    # the fixture vocabulary is small and saturates almost immediately,
+    # so the exponent sits at ~0; real corpora land in (0, 1)
+    assert 0 <= rows[0].beta <= 1
