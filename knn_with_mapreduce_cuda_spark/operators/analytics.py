@@ -4455,6 +4455,77 @@ def _q_heaps_law(spark, sf_dir):
     return pts.crossJoin(F.broadcast(beta)).select("cp", "n", "v", "beta")
 
 
+def _q_f1_scores(spark, sf_dir):
+    """Macro and micro F1 of the kNN classifier: micro = pooled accuracy
+    (single-label multi-class identity), macro = mean of per-class F1
+    with 2TP/(2TP+FP+FN) terms quantized to micro units before the
+    cross-class mean — the headline pair every classification report
+    ends with."""
+    from .knn import classify
+
+    p = classify(spark, sf_dir).select("true_label", "pred_label")
+    tp = p.filter(col("true_label") == col("pred_label")).groupBy(
+        col("true_label").alias("lbl")
+    ).agg(F.count("*").alias("tp"))
+    actual = p.groupBy(col("true_label").alias("lbl")).agg(
+        F.count("*").alias("act")
+    )
+    predicted = p.groupBy(col("pred_label").alias("lbl")).agg(
+        F.count("*").alias("prd")
+    )
+    per = (
+        actual.join(predicted, "lbl", "full")
+        .join(tp, "lbl", "left")
+        .select(
+            F.coalesce("act", lit(0)).alias("act"),
+            F.coalesce("prd", lit(0)).alias("prd"),
+            F.coalesce("tp", lit(0)).alias("tp"),
+        )
+    )
+    q = per.select(
+        F.expr(
+            "CASE WHEN act + prd = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) "
+            "AS BIGINT) END"
+        ).alias("f1q")
+    )
+    n = p.agg(
+        F.count("*").alias("n"),
+        F.sum((col("true_label") == col("pred_label")).cast("long")).alias("ok"),
+    )
+    return (
+        q.agg(F.count("*").alias("k"), F.sum("f1q").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            col("k").alias("n_classes"),
+            F.expr("round(ok / CAST(n AS DOUBLE), 4)").alias("micro_f1"),
+            F.expr("round(s / (k * CAST(1000000 AS DOUBLE)), 4)").alias(
+                "macro_f1"
+            ),
+        )
+    )
+
+
+def _q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown summary over the signed cumulative purchase
+    curve: the deepest peak-to-trough fall in exact cents plus its
+    relative depth — the single risk number the full ts_drawdown series
+    rolls up to."""
+    dd = _q_drawdown(spark, sf_dir)
+    return dd.agg(
+        F.max("drawdown_c").alias("max_drawdown_c"),
+        F.max("peak_c").alias("max_peak_c"),
+        F.count("*").alias("n_points"),
+    ).select(
+        "n_points",
+        "max_drawdown_c",
+        "max_peak_c",
+        F.expr(
+            "round(max_drawdown_c / CAST(max_peak_c AS DOUBLE), 4)"
+        ).alias("max_dd_over_peak"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4591,6 +4662,8 @@ QUERIES = {
     "graph_summary_stats": _q_graph_summary,
     "ts_spectral_entropy": _q_spectral_entropy,
     "llm_heaps_law": _q_heaps_law,
+    "ml_f1_scores": _q_f1_scores,
+    "ts_max_drawdown": _q_max_drawdown,
 }
 
 
@@ -6717,4 +6790,56 @@ ORACLE["llm_heaps_law"] = (
     "beta AS (SELECT round(CAST(m * sxy - sx * sy AS DOUBLE) / "
     "(m * sxx - sx * sx), 4) AS beta FROM g) "
     "SELECT cp, n, v, beta FROM pts, beta"
+)
+
+ORACLE["ml_f1_scores"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "pred AS (SELECT qid, qlabel AS true_label, tlabel AS pred_label, "
+    "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel) AS vr "
+    "FROM votes), "
+    "p AS (SELECT true_label, pred_label FROM pred WHERE vr = 1), "
+    "tp AS (SELECT true_label AS lbl, count(*) AS tp FROM p "
+    "WHERE true_label = pred_label GROUP BY true_label), "
+    "act AS (SELECT true_label AS lbl, count(*) AS act FROM p "
+    "GROUP BY true_label), "
+    "prd AS (SELECT pred_label AS lbl, count(*) AS prd FROM p "
+    "GROUP BY pred_label), "
+    "per AS (SELECT coalesce(act.act, 0) AS act, coalesce(prd.prd, 0) AS prd, "
+    "coalesce(tp.tp, 0) AS tp FROM act FULL JOIN prd ON act.lbl = prd.lbl "
+    "LEFT JOIN tp ON coalesce(act.lbl, prd.lbl) = tp.lbl), "
+    "q AS (SELECT CASE WHEN act + prd = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) AS BIGINT) "
+    "END AS f1q FROM per), "
+    "nn AS (SELECT count(*) AS n, CAST(sum(CASE WHEN true_label = pred_label "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS ok FROM p) "
+    "SELECT (SELECT count(*) FROM q) AS n_classes, "
+    "round(ok / CAST(n AS DOUBLE), 4) AS micro_f1, "
+    "round((SELECT CAST(sum(f1q) AS BIGINT) FROM q) / "
+    "((SELECT count(*) FROM q) * CAST(1000000 AS DOUBLE)), 4) AS macro_f1 "
+    "FROM nn"
+)
+
+ORACLE["ts_max_drawdown"] = (
+    "WITH p AS (SELECT event_id, epoch_us(ts) AS t, "
+    "CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END * "
+    f"{_CENTS.format(x='value')} AS delta_c "
+    "FROM events WHERE event_type = 'purchase'), "
+    "cc AS (SELECT event_id, t, "
+    "CAST(sum(delta_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c "
+    "FROM p), "
+    "r AS (SELECT event_id, cum_c, "
+    "CAST(max(cum_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_c "
+    "FROM cc) "
+    "SELECT count(*) AS n_points, "
+    "CAST(max(peak_c - cum_c) AS BIGINT) AS max_drawdown_c, "
+    "CAST(max(peak_c) AS BIGINT) AS max_peak_c, "
+    "round(max(peak_c - cum_c) / CAST(max(peak_c) AS DOUBLE), 4) "
+    "AS max_dd_over_peak FROM r"
 )

@@ -1846,3 +1846,30 @@ def test_heaps_law_monotone_and_beta(spark):
     # the fixture vocabulary is small and saturates almost immediately,
     # so the exponent sits at ~0; real corpora land in (0, 1)
     assert 0 <= rows[0].beta <= 1
+
+
+def test_f1_scores_match_python(spark):
+    from collections import Counter
+
+    from knn_with_mapreduce_cuda_spark.operators.knn import classify
+
+    p = [(r.true_label, r.pred_label) for r in classify(spark, SF_SMOKE).collect()]
+    act = Counter(t for t, _ in p)
+    prd = Counter(q for _, q in p)
+    tp = Counter(t for t, q in p if t == q)
+    labels = set(act) | set(prd)
+    f1s = [
+        2 * tp[l] / (act[l] + prd[l]) if act[l] + prd[l] else 0.0 for l in labels
+    ]
+    row = analytics._q_f1_scores(spark, SF_SMOKE).collect()[0]
+    assert row.n_classes == len(labels)
+    assert row.micro_f1 == pytest.approx(sum(tp.values()) / len(p), abs=1e-4)
+    assert row.macro_f1 == pytest.approx(np.mean(f1s), abs=1e-4)
+
+
+def test_max_drawdown_rollup(spark):
+    series = analytics._q_drawdown(spark, SF_SMOKE).collect()
+    row = analytics._q_max_drawdown(spark, SF_SMOKE).collect()[0]
+    assert row.n_points == len(series)
+    assert row.max_drawdown_c == max(r.drawdown_c for r in series)
+    assert row.max_peak_c == max(r.peak_c for r in series)
