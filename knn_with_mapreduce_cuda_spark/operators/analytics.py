@@ -4526,6 +4526,41 @@ def _q_max_drawdown(spark, sf_dir):
     )
 
 
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the hourly series: S = Σ sign(c_j −
+    c_i) over ordered pairs, tie-corrected variance, continuity-
+    corrected z — the nonparametric is-there-a-monotone-trend test
+    (the hypothesis-test companion of the Theil-Sen slope). S and the
+    tie terms are exact integers from one self-join over the bounded
+    series; one double expression forms z."""
+    series = _hourly_series(spark, sf_dir)
+    a = series.select(col("h").alias("hi"), col("c").alias("ci"))
+    b = series.select(col("h").alias("hj"), col("c").alias("cj"))
+    s = (
+        a.join(b, col("hi") < col("hj"))
+        .agg(
+            F.sum(F.expr("CAST(sign(cj - ci) AS BIGINT)")).alias("s"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    ties = series.groupBy("c").agg(F.count("*").alias("tc")).agg(
+        F.sum(F.expr("tc * (tc - 1) * (2 * tc + 5)")).alias("tie_term")
+    )
+    n = series.agg(F.count("*").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            "n_pairs",
+            F.expr(
+                "round((s - sign(s)) / sqrt((CAST(n AS DOUBLE) * (n - 1) * "
+                "(2 * n + 5) - tie_term) / 18), 4)"
+            ).alias("z"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4664,6 +4699,7 @@ QUERIES = {
     "llm_heaps_law": _q_heaps_law,
     "ml_f1_scores": _q_f1_scores,
     "ts_max_drawdown": _q_max_drawdown,
+    "ts_mann_kendall": _q_mann_kendall,
 }
 
 
@@ -6842,4 +6878,16 @@ ORACLE["ts_max_drawdown"] = (
     "CAST(max(peak_c) AS BIGINT) AS max_peak_c, "
     "round(max(peak_c - cum_c) / CAST(max(peak_c) AS DOUBLE), 4) "
     "AS max_dd_over_peak FROM r"
+)
+
+ORACLE["ts_mann_kendall"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "sp AS (SELECT CAST(sum(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s, "
+    "count(*) AS n_pairs FROM s a JOIN s b ON a.h < b.h), "
+    "ties AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) "
+    "AS tie_term FROM (SELECT count(*) AS tc FROM s GROUP BY c)), "
+    "nn AS (SELECT count(*) AS n FROM s) "
+    "SELECT s, n_pairs, "
+    "round((s - sign(s)) / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) "
+    "- tie_term) / 18), 4) AS z FROM sp, ties, nn"
 )

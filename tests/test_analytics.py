@@ -1873,3 +1873,25 @@ def test_max_drawdown_rollup(spark):
     assert row.n_points == len(series)
     assert row.max_drawdown_c == max(r.drawdown_c for r in series)
     assert row.max_peak_c == max(r.peak_c for r in series)
+
+
+def test_mann_kendall_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1).astype(np.int64)
+    n = len(c)
+    s = sum(
+        np.sign(c[j] - c[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(tc * (tc - 1) * (2 * tc + 5) for tc in Counter(c).values())
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18
+    z = (s - np.sign(s)) / np.sqrt(var)
+    row = analytics._q_mann_kendall(spark, SF_SMOKE).collect()[0]
+    assert row.s == s and row.n_pairs == n * (n - 1) // 2
+    assert row.z == pytest.approx(z, abs=1e-3)
