@@ -4561,6 +4561,72 @@ def _q_mann_kendall(spark, sf_dir):
     )
 
 
+def _q_vocab_kl(spark, sf_dir):
+    """KL divergence of the held-out token distribution from the train
+    split's (Laplace-smoothed over the union vocabulary) — the
+    distribution-shift score between corpus slices, the token-level
+    companion of ml_embed_drift_ks. Per-token contributions quantize to
+    nano-nats; all counts exact."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id",
+        (F.substring(F.md5(col("doc_id").cast("string")), 1, 2) < "cc").alias(
+            "is_train"
+        ),
+        F.explode("ts").alias("term"),
+    )
+    per = toks.groupBy("term").agg(
+        F.sum(F.expr("CAST(is_train AS INT)")).alias("ct"),
+        F.sum(F.expr("CAST(NOT is_train AS INT)")).alias("ch"),
+    )
+    tot = per.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("ch").alias("nh"),
+        F.count("*").alias("v"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
+            "ln(((ch + 1) / CAST(nh + v AS DOUBLE)) / "
+            "((ct + 1) / CAST(nt + v AS DOUBLE))) * 1000000000, 0) AS BIGINT)"
+        ).alias("kq")
+    )
+    return terms.agg(F.count("*").alias("vocab_size"), F.sum("kq").alias("s")).select(
+        "vocab_size",
+        F.expr(
+            "round(s / CAST(1000000000 AS DOUBLE), 4)"
+        ).alias("kl_heldout_from_train"),
+    )
+
+
+def _q_churn_labels(spark, sf_dir):
+    """Churn labeling for supervised modeling: per user, a churned flag
+    (no activity in the final 7 days of the window) with the behavioral
+    features a churn model trains on — event count, active days, spend
+    cents, tenure, recency. One groupBy; every feature exact."""
+    ev = tables.table(spark, sf_dir, "events")
+    span = ev.agg(F.expr("max(ts_us) div 86400000000").alias("mxd"))
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.expr("ts_us div 86400000000")).alias("active_days"),
+        F.sum(
+            F.when(col("event_type") == "purchase", cents(col("value"))).otherwise(0)
+        ).alias("spend_c"),
+        F.expr("min(ts_us) div 86400000000").alias("first_day"),
+        F.expr("max(ts_us) div 86400000000").alias("last_day"),
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "spend_c",
+        (col("last_day") - col("first_day")).alias("tenure_days"),
+        (col("mxd") - col("last_day")).alias("recency_days"),
+        F.expr("CAST(last_day < mxd - 7 AS INT)").alias("churned"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4700,6 +4766,8 @@ QUERIES = {
     "ml_f1_scores": _q_f1_scores,
     "ts_max_drawdown": _q_max_drawdown,
     "ts_mann_kendall": _q_mann_kendall,
+    "llm_vocab_kl_divergence": _q_vocab_kl,
+    "str_churn_labels": _q_churn_labels,
 }
 
 
@@ -6890,4 +6958,38 @@ ORACLE["ts_mann_kendall"] = (
     "SELECT s, n_pairs, "
     "round((s - sign(s)) / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) "
     "- tie_term) / 18), 4) AS z FROM sp, ties, nn"
+)
+
+ORACLE["llm_vocab_kl_divergence"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train, "
+    "unnest(string_split(text, ' ')) AS term FROM documents), "
+    "per AS (SELECT term, "
+    "CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS ct, "
+    "CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS ch "
+    "FROM tok GROUP BY term), "
+    "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, "
+    "CAST(sum(ch) AS BIGINT) AS nh, count(*) AS v FROM per), "
+    "terms AS (SELECT CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
+    "ln(((ch + 1) / CAST(nh + v AS DOUBLE)) / "
+    "((ct + 1) / CAST(nt + v AS DOUBLE))) * 1000000000, 0) AS BIGINT) AS kq "
+    "FROM per, tot) "
+    "SELECT count(*) AS vocab_size, "
+    "round(CAST(sum(kq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
+    "AS kl_heldout_from_train FROM terms"
+)
+
+ORACLE["str_churn_labels"] = (
+    "WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS t "
+    "FROM events), "
+    "span AS (SELECT max(t) // 86400000000 AS mxd FROM ev), "
+    "per AS (SELECT user_id, count(*) AS n_events, "
+    "count(DISTINCT t // 86400000000) AS active_days, "
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN "
+    f"{_CENTS.format(x='value')} ELSE 0 END) AS BIGINT) AS spend_c, "
+    "min(t) // 86400000000 AS first_day, max(t) // 86400000000 AS last_day "
+    "FROM ev GROUP BY user_id) "
+    "SELECT user_id, n_events, active_days, spend_c, "
+    "last_day - first_day AS tenure_days, mxd - last_day AS recency_days, "
+    "CAST(last_day < mxd - 7 AS INT) AS churned FROM per, span"
 )

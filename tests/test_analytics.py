@@ -1895,3 +1895,35 @@ def test_mann_kendall_matches_numpy(spark):
     row = analytics._q_mann_kendall(spark, SF_SMOKE).collect()[0]
     assert row.s == s and row.n_pairs == n * (n - 1) // 2
     assert row.z == pytest.approx(z, abs=1e-3)
+
+
+def test_vocab_kl_nonnegative_and_matches_numpy(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    ct, ch = Counter(), Counter()
+    for d, text in zip(t.doc_id, t.text):
+        tgt = ct if hashlib.md5(str(d).encode()).hexdigest()[:2] < "cc" else ch
+        tgt.update(text.split(" "))
+    vocab = set(ct) | set(ch)
+    nt, nh, v = sum(ct.values()), sum(ch.values()), len(vocab)
+    kl = sum(
+        ((ch[w] + 1) / (nh + v))
+        * np.log(((ch[w] + 1) / (nh + v)) / ((ct[w] + 1) / (nt + v)))
+        for w in vocab
+    )
+    row = analytics._q_vocab_kl(spark, SF_SMOKE).collect()[0]
+    assert row.vocab_size == v
+    assert row.kl_heldout_from_train == pytest.approx(kl, abs=1e-3)
+    assert row.kl_heldout_from_train >= 0
+
+
+def test_churn_labels_consistent(spark):
+    rows = analytics._q_churn_labels(spark, SF_SMOKE).collect()
+    assert len(rows) == 15  # sf0.001 user population
+    for r in rows:
+        assert r.active_days <= r.tenure_days + 1
+        assert (r.recency_days > 7) == bool(r.churned)
