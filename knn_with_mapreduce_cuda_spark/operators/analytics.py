@@ -4627,6 +4627,101 @@ def _q_churn_labels(spark, sf_dir):
     )
 
 
+def _q_persistence_error_curve(spark, sf_dir):
+    """Forecast-horizon error curve: MAE/RMSE of the persistence
+    forecast (predict hour t with hour t−h) at horizons 1/6/12/24 —
+    how fast the series forgets itself, the curve that sizes a model's
+    usable lead time. One bounded 4× fan-out + lag equi-join; exact
+    integer error sums."""
+    series = _hourly_series(spark, sf_dir)
+    hs = spark.createDataFrame([(1,), (6,), (12,), (24,)], "hz long")
+    a = series.select(col("h").alias("ht"), col("c").alias("ct"))
+    b = series.select(col("h").alias("hl"), col("c").alias("cl"))
+    pairs = a.crossJoin(F.broadcast(hs)).join(
+        b, col("ht") - col("hz") == col("hl")
+    )
+    return pairs.groupBy("hz").agg(
+        F.count("*").alias("n"),
+        F.expr("round(sum(abs(ct - cl)) / CAST(count(*) AS DOUBLE), 4)").alias(
+            "mae"
+        ),
+        F.expr(
+            "round(sqrt(sum((ct - cl) * (ct - cl)) / CAST(count(*) AS DOUBLE)), 4)"
+        ).alias("rmse"),
+    )
+
+
+def _q_unique_key_audit(spark, sf_dir):
+    """Primary-key uniqueness audit across the catalog: for each
+    declared key, the number of duplicated key values and the surplus
+    rows they carry — the other half of the data-quality gate beside
+    rel_fk_integrity_audit. One groupBy per key; healthy fixtures read
+    all zeros."""
+    checks = [
+        ("events.event_id", tables.table(spark, sf_dir, "events"), ["event_id"]),
+        ("documents.doc_id", tables.table(spark, sf_dir, "documents"), ["doc_id"]),
+        ("embeddings.vec_id", tables.table(spark, sf_dir, "embeddings"), ["vec_id"]),
+        ("orders.o_orderkey", tables.table(spark, sf_dir, "orders"), ["o_orderkey"]),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            tables.table(spark, sf_dir, "lineitem"),
+            ["l_orderkey", "l_linenumber"],
+        ),
+    ]
+    out = None
+    for name, df, keys in checks:
+        g = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+        one = g.agg(
+            F.sum(F.expr("CAST(cnt > 1 AS INT)")).alias("dup_keys"),
+            F.sum(F.expr("CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END")).alias(
+                "surplus_rows"
+            ),
+            F.count("*").alias("distinct_keys"),
+        ).select(lit(name).alias("key"), "distinct_keys", "dup_keys", "surplus_rows")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _q_best_f1_threshold(spark, sf_dir):
+    """Best-F1 operating point on the score sweep: the threshold
+    maximizing 2TP/(2TP+FP+FN) — the imbalanced-data counterpart of
+    ml_youden_threshold. F1 per threshold quantizes to micro units from
+    exact counts; ties break to the higher threshold."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"))
+    scored = cum.crossJoin(F.broadcast(g)).withColumn(
+        "f1q",
+        F.expr(
+            "CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) "
+            "* 1000000, 0) AS BIGINT)"
+        ),
+    )
+    wbest = Window.orderBy(F.desc("f1q"), F.desc("score"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(col("rn") == 1)
+        .select(
+            F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
+            "tp",
+            "fp",
+            F.expr("round(f1q / CAST(1000000 AS DOUBLE), 4)").alias("best_f1"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4768,6 +4863,9 @@ QUERIES = {
     "ts_mann_kendall": _q_mann_kendall,
     "llm_vocab_kl_divergence": _q_vocab_kl,
     "str_churn_labels": _q_churn_labels,
+    "ts_persistence_error_curve": _q_persistence_error_curve,
+    "rel_unique_key_audit": _q_unique_key_audit,
+    "ml_best_f1_threshold": _q_best_f1_threshold,
 }
 
 
@@ -6992,4 +7090,60 @@ ORACLE["str_churn_labels"] = (
     "SELECT user_id, n_events, active_days, spend_c, "
     "last_day - first_day AS tenure_days, mxd - last_day AS recency_days, "
     "CAST(last_day < mxd - 7 AS INT) AS churned FROM per, span"
+)
+
+ORACLE["ts_persistence_error_curve"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "hs AS (SELECT unnest([1, 6, 12, 24]) AS hz), "
+    "pairs AS (SELECT hz, a.c AS ct, b.c AS cl FROM s a, hs, s b "
+    "WHERE a.h - hz = b.h) "
+    "SELECT hz, count(*) AS n, "
+    "round(sum(abs(ct - cl)) / CAST(count(*) AS DOUBLE), 4) AS mae, "
+    "round(sqrt(sum((ct - cl) * (ct - cl)) / CAST(count(*) AS DOUBLE)), 4) "
+    "AS rmse FROM pairs GROUP BY hz"
+)
+
+ORACLE["rel_unique_key_audit"] = (
+    "WITH e1 AS (SELECT count(*) AS cnt FROM events GROUP BY event_id), "
+    "d1 AS (SELECT count(*) AS cnt FROM documents GROUP BY doc_id), "
+    "v1 AS (SELECT count(*) AS cnt FROM embeddings GROUP BY vec_id), "
+    "o1 AS (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey), "
+    "l1 AS (SELECT count(*) AS cnt FROM lineitem "
+    "GROUP BY l_orderkey, l_linenumber) "
+    "SELECT 'events.event_id' AS key, count(*) AS distinct_keys, "
+    "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys, "
+    "CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) "
+    "AS surplus_rows FROM e1 "
+    "UNION ALL SELECT 'documents.doc_id', count(*), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) FROM d1 "
+    "UNION ALL SELECT 'embeddings.vec_id', count(*), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) FROM v1 "
+    "UNION ALL SELECT 'orders.o_orderkey', count(*), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) FROM o1 "
+    "UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) FROM l1"
+)
+
+ORACLE["ml_best_f1_threshold"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts), "
+    "scored AS (SELECT score, tp, fp, "
+    "CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) * 1000000, 0) "
+    "AS BIGINT) AS f1q FROM cum, g), "
+    "best AS (SELECT *, row_number() OVER "
+    "(ORDER BY f1q DESC, score DESC) AS rn FROM scored) "
+    "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
+    "round(f1q / CAST(1000000 AS DOUBLE), 4) AS best_f1 "
+    "FROM best WHERE rn = 1"
 )

@@ -1927,3 +1927,49 @@ def test_churn_labels_consistent(spark):
     for r in rows:
         assert r.active_days <= r.tenure_days + 1
         assert (r.recency_days > 7) == bool(r.churned)
+
+
+def test_persistence_error_grows_with_horizon(spark):
+    rows = {r.hz: r for r in analytics._q_persistence_error_curve(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 6, 12, 24}
+    # forecasting 24h ahead hits the same phase of the daily cycle:
+    # the seasonal horizon should beat the anti-phase 12h horizon
+    assert rows[24].mae < rows[12].mae
+    for r in rows.values():
+        assert r.rmse >= r.mae
+
+
+def test_unique_key_audit_findings(spark):
+    rows = {r.key: r for r in analytics._q_unique_key_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 5
+    # the four id columns are clean...
+    for k in ["events.event_id", "documents.doc_id", "embeddings.vec_id",
+              "orders.o_orderkey"]:
+        assert rows[k].dup_keys == 0 and rows[k].surplus_rows == 0
+    assert rows["events.event_id"].distinct_keys == 1000
+    # ...and the audit correctly SURFACES that the fixture's composite
+    # lineitem key is not unique (linenumbers are not sequential per
+    # order in the synthetic data) — distinct + surplus = total rows
+    li = rows["lineitem.(l_orderkey,l_linenumber)"]
+    assert li.dup_keys > 0
+    assert li.distinct_keys + li.surplus_rows == 6000
+
+
+def test_best_f1_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    s = np.array([e[0] for e in t.embedding], dtype=np.float64)
+    y = (t.label.to_numpy() >= 5).astype(int)
+    p = y.sum()
+    best = (-1.0, None)
+    for thr in np.unique(s)[::-1]:
+        sel = s >= thr
+        tp = int(y[sel].sum())
+        fp = int(sel.sum() - tp)
+        f1 = round(2 * tp / (2 * tp + fp + (p - tp)) * 1e6)
+        if f1 > best[0]:
+            best = (f1, thr)
+    row = analytics._q_best_f1_threshold(spark, SF_SMOKE).collect()[0]
+    assert row.threshold == pytest.approx(round(float(best[1]), 4), abs=1e-4)
+    assert row.best_f1 == pytest.approx(best[0] / 1e6, abs=1e-4)
