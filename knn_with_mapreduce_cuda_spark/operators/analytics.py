@@ -4722,6 +4722,77 @@ def _q_best_f1_threshold(spark, sf_dir):
     )
 
 
+def _q_gumbel_fit(spark, sf_dir):
+    """Extreme-value analysis: daily block maxima of the hourly series
+    with a method-of-moments Gumbel fit (scale β = s·√6/π, location
+    μ = m − γβ) and the implied 30-day return level — the
+    capacity-planning tail estimate. Block maxima are exact integers;
+    the fit is one identical double expression."""
+    series = _hourly_series(spark, sf_dir)
+    maxima = series.groupBy(F.expr("h div 24").alias("day")).agg(
+        F.max("c").alias("mx"), F.count("*").alias("bn")
+    ).filter(col("bn") == 24)
+    g = maxima.agg(
+        F.count("*").alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(col("mx") * col("mx")).alias("ss"),
+    )
+    return g.select(
+        col("n").alias("n_blocks"),
+        F.expr("round(CAST(s1 AS DOUBLE) / n, 4)").alias("mean_max"),
+        F.expr(
+            "round(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) "
+            "* sqrt(6) / pi(), 4)"
+        ).alias("gumbel_beta"),
+        F.expr(
+            "round(CAST(s1 AS DOUBLE) / n - 0.5772156649 * "
+            "(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) "
+            "* sqrt(6) / pi()), 4)"
+        ).alias("gumbel_mu"),
+        F.expr(
+            "round((CAST(s1 AS DOUBLE) / n - 0.5772156649 * "
+            "(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) "
+            "* sqrt(6) / pi())) - (sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) "
+            "/ (n - 1)) * sqrt(6) / pi()) * ln(-ln(1 - 1 / CAST(30 AS DOUBLE))), "
+            "4)"
+        ).alias("return_level_30d"),
+    )
+
+
+def _q_term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness for the 20 highest-document-frequency
+    terms: variance-to-mean ratio of per-document counts (1 ≈ Poisson
+    spread, higher = the term clumps into few documents) — the
+    content-word vs function-word separator. Zero-filled over all docs;
+    exact integer moments."""
+    from .llm import _tokens
+
+    toks = _tokens(spark, sf_dir).select("doc_id", F.explode("ts").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.sum("c").alias("cf"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+    nd = tables.table(spark, sf_dir, "documents").agg(F.count("*").alias("nd"))
+    m = (
+        tf.join(F.broadcast(top.select("term", "df", "cf")), "term")
+        .groupBy("term", "df", "cf")
+        .agg(F.sum(col("c") * col("c")).alias("ss"))
+    )
+    # zero-filled moments over nd docs: mean = cf/nd, E[x²] = ss/nd
+    return m.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        "cf",
+        F.expr(
+            "round((CAST(ss AS DOUBLE) / nd - (CAST(cf AS DOUBLE) / nd) * "
+            "(CAST(cf AS DOUBLE) / nd)) / (CAST(cf AS DOUBLE) / nd), 4)"
+        ).alias("burstiness"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4866,6 +4937,8 @@ QUERIES = {
     "ts_persistence_error_curve": _q_persistence_error_curve,
     "rel_unique_key_audit": _q_unique_key_audit,
     "ml_best_f1_threshold": _q_best_f1_threshold,
+    "ts_gumbel_fit": _q_gumbel_fit,
+    "llm_term_burstiness": _q_term_burstiness,
 }
 
 
@@ -7146,4 +7219,40 @@ ORACLE["ml_best_f1_threshold"] = (
     "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
     "round(f1q / CAST(1000000 AS DOUBLE), 4) AS best_f1 "
     "FROM best WHERE rn = 1"
+)
+
+ORACLE["ts_gumbel_fit"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "maxima AS (SELECT h // 24 AS day, CAST(max(c) AS BIGINT) AS mx, "
+    "count(*) AS bn FROM s GROUP BY day), "
+    "ok AS (SELECT * FROM maxima WHERE bn = 24), "
+    "g AS (SELECT count(*) AS n, CAST(sum(mx) AS BIGINT) AS s1, "
+    "CAST(sum(mx * mx) AS BIGINT) AS ss FROM ok) "
+    "SELECT n AS n_blocks, round(CAST(s1 AS DOUBLE) / n, 4) AS mean_max, "
+    "round(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) "
+    "* sqrt(6) / pi(), 4) AS gumbel_beta, "
+    "round(CAST(s1 AS DOUBLE) / n - 0.5772156649 * "
+    "(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) * sqrt(6) / pi()), "
+    "4) AS gumbel_mu, "
+    "round((CAST(s1 AS DOUBLE) / n - 0.5772156649 * "
+    "(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) * sqrt(6) / pi())) "
+    "- (sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) * sqrt(6) / pi()) "
+    "* ln(-ln(1 - 1 / CAST(30 AS DOUBLE))), 4) AS return_level_30d FROM g"
+)
+
+ORACLE["llm_term_burstiness"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term), "
+    "top AS (SELECT term, count(DISTINCT doc_id) AS df, "
+    "CAST(sum(c) AS BIGINT) AS cf FROM tf GROUP BY term "
+    "ORDER BY df DESC, term LIMIT 20), "
+    "nd AS (SELECT count(*) AS nd FROM documents), "
+    "m AS (SELECT tf.term, top.df, top.cf, "
+    "CAST(sum(tf.c * tf.c) AS BIGINT) AS ss FROM tf "
+    "JOIN top ON tf.term = top.term GROUP BY tf.term, top.df, top.cf) "
+    "SELECT term, df, cf, "
+    "round((CAST(ss AS DOUBLE) / nd - (CAST(cf AS DOUBLE) / nd) * "
+    "(CAST(cf AS DOUBLE) / nd)) / (CAST(cf AS DOUBLE) / nd), 4) AS burstiness "
+    "FROM m, nd"
 )

@@ -1973,3 +1973,51 @@ def test_best_f1_matches_numpy(spark):
     row = analytics._q_best_f1_threshold(spark, SF_SMOKE).collect()[0]
     assert row.threshold == pytest.approx(round(float(best[1]), 4), abs=1e-4)
     assert row.best_f1 == pytest.approx(best[0] / 1e6, abs=1e-4)
+
+
+def test_gumbel_fit_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    habs = np.arange(lo, h.max() + 1)
+    mx = []
+    for d in np.unique(habs // 24):
+        mask = habs // 24 == d
+        if mask.sum() == 24:
+            mx.append(c[mask].max())
+    mx = np.array(mx, dtype=np.float64)
+    beta = mx.std(ddof=1) * np.sqrt(6) / np.pi
+    mu = mx.mean() - 0.5772156649 * beta
+    rl = mu - beta * np.log(-np.log(1 - 1 / 30))
+    row = analytics._q_gumbel_fit(spark, SF_SMOKE).collect()[0]
+    assert row.n_blocks == len(mx)
+    assert row.gumbel_beta == pytest.approx(beta, abs=1e-3)
+    assert row.gumbel_mu == pytest.approx(mu, abs=1e-3)
+    assert row.return_level_30d == pytest.approx(rl, abs=1e-3)
+    assert row.return_level_30d > row.mean_max  # tail above the mean max
+
+
+def test_term_burstiness_matches_numpy(spark):
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    per_doc = defaultdict(Counter)
+    df = Counter()
+    for d, text in zip(t.doc_id, t.text):
+        cc = Counter(text.split(" "))
+        per_doc[d] = cc
+        df.update(cc.keys())
+    top = sorted(df, key=lambda w: (-df[w], w))[:20]
+    nd = len(t)
+    got = {r.term: r.burstiness
+           for r in analytics._q_term_burstiness(spark, SF_SMOKE).collect()}
+    assert set(got) == set(top)
+    for w in top[:5]:
+        xs = np.array([per_doc[d][w] for d in t.doc_id], dtype=np.float64)
+        b = xs.var() / xs.mean()
+        assert got[w] == pytest.approx(b, abs=1e-3), w
