@@ -4793,6 +4793,51 @@ def _q_term_burstiness(spark, sf_dir):
     )
 
 
+def _q_rfm_segments(spark, sf_dir):
+    """Classic RFM segmentation: quintile codes for Recency (days since
+    last purchase, lower = better), Frequency (purchase count) and
+    Monetary (exact spend cents) per user, plus the concatenated
+    segment code — the CRM workhorse. ntile(5) with unique tie-breaks
+    makes every code engine-exact."""
+    ev = tables.table(spark, sf_dir, "events").filter(
+        col("event_type") == "purchase"
+    )
+    span = ev.agg(F.expr("max(ts_us) div 86400000000").alias("mxd"))
+    per = ev.groupBy("user_id").agg(
+        F.expr("max(ts_us) div 86400000000").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(cents(col("value"))).alias("spend_c"),
+    )
+    base = per.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        (col("mxd") - col("last_day")).alias("recency_days"),
+        "freq",
+        "spend_c",
+    )
+    r_nt = F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
+    f_nt = F.ntile(5).over(Window.orderBy(F.desc("freq"), "user_id"))
+    m_nt = F.ntile(5).over(Window.orderBy(F.desc("spend_c"), "user_id"))
+    coded = base.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "spend_c",
+        r_nt.alias("r"),
+        f_nt.alias("f"),
+        m_nt.alias("m"),
+    )
+    return coded.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "spend_c",
+        "r",
+        "f",
+        "m",
+        F.concat_ws("", col("r"), col("f"), col("m")).alias("segment"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4939,6 +4984,7 @@ QUERIES = {
     "ml_best_f1_threshold": _q_best_f1_threshold,
     "ts_gumbel_fit": _q_gumbel_fit,
     "llm_term_burstiness": _q_term_burstiness,
+    "str_rfm_segments": _q_rfm_segments,
 }
 
 
@@ -7255,4 +7301,23 @@ ORACLE["llm_term_burstiness"] = (
     "round((CAST(ss AS DOUBLE) / nd - (CAST(cf AS DOUBLE) / nd) * "
     "(CAST(cf AS DOUBLE) / nd)) / (CAST(cf AS DOUBLE) / nd), 4) AS burstiness "
     "FROM m, nd"
+)
+
+ORACLE["str_rfm_segments"] = (
+    "WITH ev AS (SELECT user_id, value, epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'purchase'), "
+    "span AS (SELECT max(t) // 86400000000 AS mxd FROM ev), "
+    "per AS (SELECT user_id, max(t) // 86400000000 AS last_day, "
+    "count(*) AS freq, "
+    f"CAST(sum({_CENTS.format(x='value')}) AS BIGINT) AS spend_c "
+    "FROM ev GROUP BY user_id), "
+    "base AS (SELECT user_id, mxd - last_day AS recency_days, freq, spend_c "
+    "FROM per, span), "
+    "coded AS (SELECT user_id, recency_days, freq, spend_c, "
+    "ntile(5) OVER (ORDER BY recency_days, user_id) AS r, "
+    "ntile(5) OVER (ORDER BY freq DESC, user_id) AS f, "
+    "ntile(5) OVER (ORDER BY spend_c DESC, user_id) AS m FROM base) "
+    "SELECT user_id, recency_days, freq, spend_c, r, f, m, "
+    "CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) "
+    "AS segment FROM coded"
 )

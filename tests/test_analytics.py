@@ -2021,3 +2021,17 @@ def test_term_burstiness_matches_numpy(spark):
         xs = np.array([per_doc[d][w] for d in t.doc_id], dtype=np.float64)
         b = xs.var() / xs.mean()
         assert got[w] == pytest.approx(b, abs=1e-3), w
+
+
+def test_rfm_segments_quintiles(spark):
+    rows = analytics._q_rfm_segments(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import Counter
+
+    for dim in ("r", "f", "m"):
+        cnt = Counter(getattr(r, dim) for r in rows)
+        assert set(cnt) <= {1, 2, 3, 4, 5}
+        # ntile balance: sizes differ by at most one
+        assert max(cnt.values()) - min(cnt.values()) <= 1
+    for r in rows:
+        assert r.segment == f"{r.r}{r.f}{r.m}"
