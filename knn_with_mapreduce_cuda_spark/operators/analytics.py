@@ -4838,6 +4838,54 @@ def _q_rfm_segments(spark, sf_dir):
     )
 
 
+def _q_precision_at_k(spark, sf_dir):
+    """Precision@k curve (k = 1..10) of similarity search against
+    same-label relevance: mean over queries of the relevant share in
+    the top k — the cutoff-depth view NDCG compresses away. One top-10
+    pass; per-(query, k) precision is exact (rel_count/k), the
+    cross-query mean sums micro-quantized integers."""
+    from .knn import _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), 10).select(
+        "qid", "rnk", (col("tlabel") == col("qlabel")).cast("long").alias("rel")
+    )
+    w = Window.partitionBy("qid").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = t.withColumn("cum_rel", F.sum("rel").over(w)).select(
+        col("rnk").alias("k"),
+        F.expr(
+            "CAST(round(cum_rel / CAST(rnk AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        ).alias("pq"),
+    )
+    return cum.groupBy("k").agg(
+        F.count("*").alias("n_queries"), F.sum("pq").alias("s")
+    ).select(
+        "k",
+        "n_queries",
+        F.expr(
+            "round(s / (n_queries * CAST(1000000 AS DOUBLE)), 4)"
+        ).alias("precision_at_k"),
+    )
+
+
+def _q_dedup_cluster_langs(spark, sf_dir):
+    """Language purity of the near-dup clusters: per multi-member
+    cluster, member count and distinct languages — near-dups spanning
+    languages signal translation pairs or hash collisions, either way a
+    review queue. Composes the graded connected-components output."""
+    from .iterative import _q_components
+
+    comp = _q_components(spark, sf_dir)
+    docs = tables.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = comp.filter(col("cluster_size") > 1).join(docs, "doc_id")
+    return j.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("lang").alias("first_lang"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -4985,6 +5033,8 @@ QUERIES = {
     "ts_gumbel_fit": _q_gumbel_fit,
     "llm_term_burstiness": _q_term_burstiness,
     "str_rfm_segments": _q_rfm_segments,
+    "ml_precision_at_k": _q_precision_at_k,
+    "llm_dedup_cluster_langs": _q_dedup_cluster_langs,
 }
 
 
@@ -7320,4 +7370,28 @@ ORACLE["str_rfm_segments"] = (
     "SELECT user_id, recency_days, freq, spend_c, r, f, m, "
     "CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) "
     "AS segment FROM coded"
+)
+
+ORACLE["ml_precision_at_k"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT qid, rnk, CAST(tlabel = qlabel AS INT) AS rel "
+    "FROM ranked WHERE rnk <= 10), "
+    "cum AS (SELECT qid, rnk AS k, "
+    "CAST(round(CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rnk "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "/ rnk * 1000000, 0) AS BIGINT) AS pq FROM topk) "
+    "SELECT k, count(*) AS n_queries, "
+    "round(CAST(sum(pq) AS BIGINT) / "
+    "(count(*) * CAST(1000000 AS DOUBLE)), 4) AS precision_at_k "
+    "FROM cum GROUP BY k"
+)
+
+ORACLE["llm_dedup_cluster_langs"] = (
+    f"WITH comp AS ({_COMPONENTS_SQL}) "
+    "SELECT cluster, count(*) AS n_members, "
+    "count(DISTINCT d.lang) AS n_langs, min(d.lang) AS first_lang "
+    "FROM comp JOIN documents d ON comp.doc_id = d.doc_id "
+    "WHERE comp.cluster_size > 1 GROUP BY cluster"
 )

@@ -2035,3 +2035,31 @@ def test_rfm_segments_quintiles(spark):
         assert max(cnt.values()) - min(cnt.values()) <= 1
     for r in rows:
         assert r.segment == f"{r.r}{r.f}{r.m}"
+
+
+def test_precision_at_k_consistent_with_ndcg_inputs(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import _pairs, topk
+
+    rows = topk(_pairs(spark, SF_SMOKE), 10).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.qid, []).append((r.rnk, int(r.tlabel == r.qlabel)))
+    got = {r.k: r.precision_at_k
+           for r in analytics._q_precision_at_k(spark, SF_SMOKE).collect()}
+    for k in range(1, 11):
+        ps = []
+        for lst in per.values():
+            lst.sort()
+            ps.append(round(sum(rel for rk, rel in lst[:k]) / k * 1e6) / 1e6)
+        assert got[k] == pytest.approx(np.mean(ps), abs=1e-4), k
+
+
+def test_dedup_cluster_langs_same_lang(spark):
+    rows = analytics._q_dedup_cluster_langs(spark, SF_SMOKE).collect()
+    assert rows  # planted near-dups form multi-member clusters
+    for r in rows:
+        assert r.n_members > 1
+        assert 1 <= r.n_langs <= r.n_members
+    # the MinHash band join is NOT language-gated, so the review queue
+    # genuinely surfaces cross-language near-dup clusters in the fixture
+    assert any(r.n_langs > 1 for r in rows)
