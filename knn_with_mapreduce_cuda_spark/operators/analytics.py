@@ -4886,6 +4886,50 @@ def _q_dedup_cluster_langs(spark, sf_dir):
     )
 
 
+def _q_operating_point_card(spark, sf_dir):
+    """Operating-point card at the Youden-optimal threshold:
+    sensitivity, specificity, PPV and NPV from the exact confusion at
+    that cutoff — the four numbers a deployment review reads after
+    picking the threshold. Same integer-cross-multiplied selection as
+    ml_youden_threshold; each ratio is one rounded division of exact
+    counts."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
+    scored = cum.crossJoin(F.broadcast(g)).withColumn(
+        "j_scaled", col("tp") * col("neg") - col("fp") * col("p")
+    )
+    wbest = Window.orderBy(F.desc("j_scaled"), F.desc("score"))
+    best = scored.withColumn("rn", F.row_number().over(wbest)).filter(
+        col("rn") == 1
+    )
+    return best.select(
+        F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
+        "tp",
+        "fp",
+        (col("p") - col("tp")).alias("fn"),
+        (col("neg") - col("fp")).alias("tn"),
+        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("sensitivity"),
+        F.expr("round(CAST(neg - fp AS DOUBLE) / neg, 4)").alias("specificity"),
+        F.expr("round(CAST(tp AS DOUBLE) / (tp + fp), 4)").alias("ppv"),
+        F.expr(
+            "round(CAST(neg - fp AS DOUBLE) / ((neg - fp) + (p - tp)), 4)"
+        ).alias("npv"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -5035,6 +5079,7 @@ QUERIES = {
     "str_rfm_segments": _q_rfm_segments,
     "ml_precision_at_k": _q_precision_at_k,
     "llm_dedup_cluster_langs": _q_dedup_cluster_langs,
+    "ml_operating_point_card": _q_operating_point_card,
 }
 
 
@@ -7394,4 +7439,28 @@ ORACLE["llm_dedup_cluster_langs"] = (
     "count(DISTINCT d.lang) AS n_langs, min(d.lang) AS first_lang "
     "FROM comp JOIN documents d ON comp.doc_id = d.doc_id "
     "WHERE comp.cluster_size > 1 GROUP BY cluster"
+)
+
+ORACLE["ml_operating_point_card"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p, "
+    "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM pts), "
+    "scored AS (SELECT score, tp, fp, tp * neg - fp * p AS j_scaled, p, neg "
+    "FROM cum, g), "
+    "best AS (SELECT *, row_number() OVER "
+    "(ORDER BY j_scaled DESC, score DESC) AS rn FROM scored) "
+    "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
+    "p - tp AS fn, neg - fp AS tn, "
+    "round(CAST(tp AS DOUBLE) / p, 4) AS sensitivity, "
+    "round(CAST(neg - fp AS DOUBLE) / neg, 4) AS specificity, "
+    "round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS ppv, "
+    "round(CAST(neg - fp AS DOUBLE) / ((neg - fp) + (p - tp)), 4) AS npv "
+    "FROM best WHERE rn = 1"
 )

@@ -2063,3 +2063,13 @@ def test_dedup_cluster_langs_same_lang(spark):
     # the MinHash band join is NOT language-gated, so the review queue
     # genuinely surfaces cross-language near-dup clusters in the fixture
     assert any(r.n_langs > 1 for r in rows)
+
+
+def test_operating_point_card_consistent_with_youden(spark):
+    y = analytics._q_youden_threshold(spark, SF_SMOKE).collect()[0]
+    c = analytics._q_operating_point_card(spark, SF_SMOKE).collect()[0]
+    assert c.threshold == y.threshold and c.tp == y.tp and c.fp == y.fp
+    assert c.tp + c.fn + c.fp + c.tn == 500
+    assert c.sensitivity - (1 - c.specificity) == pytest.approx(
+        y.youden_j, abs=2e-4
+    )
