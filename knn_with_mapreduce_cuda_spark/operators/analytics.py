@@ -4930,6 +4930,59 @@ def _q_operating_point_card(spark, sf_dir):
     )
 
 
+def _q_median_filter(spark, sf_dir):
+    """Rolling median-of-5 filter over the hourly series — the
+    impulse-noise smoother (median kills spikes a moving average only
+    spreads). The window median of 5 integers is computed exactly as
+    the middle element of a sorted 5-array built from lags/leads — no
+    percentile machinery, engine-exact. Edge hours (first/last two)
+    pass through unfiltered."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.orderBy("h")
+    r = (
+        series.withColumn("m2", F.lag("c", 2).over(w))
+        .withColumn("m1", F.lag("c", 1).over(w))
+        .withColumn("p1", F.lead("c", 1).over(w))
+        .withColumn("p2", F.lead("c", 2).over(w))
+    )
+    return r.select(
+        "h",
+        "c",
+        F.expr(
+            "CASE WHEN m2 IS NULL OR m1 IS NULL OR p1 IS NULL OR p2 IS NULL "
+            "THEN c ELSE sort_array(array(m2, m1, c, p1, p2))[2] END"
+        ).alias("median5"),
+    )
+
+
+def _q_vote_margin(spark, sf_dir):
+    """kNN vote-margin distribution: per query, top-1 minus top-2 vote
+    counts (0 = coin-flip decision, k = unanimous) rolled up with the
+    empirical accuracy at each margin — the decision-confidence
+    spectrum that says which predictions to trust. Exact integer votes
+    and counts throughout."""
+    from .knn import K_DEFAULT, _pairs, topk
+
+    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("qid").orderBy(F.desc("v"), "tlabel")
+    r = votes.withColumn("vr", F.row_number().over(w)).filter(col("vr") <= 2)
+    per = r.groupBy("qid").agg(
+        F.max(F.when(col("vr") == 1, col("v"))).alias("v1"),
+        F.coalesce(F.max(F.when(col("vr") == 2, col("v"))), lit(0)).alias("v2"),
+        F.max(
+            F.when(col("vr") == 1, (col("tlabel") == col("qlabel")).cast("long"))
+        ).alias("ok"),
+    )
+    return per.groupBy((col("v1") - col("v2")).alias("margin")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum("ok").alias("n_correct"),
+        F.expr(
+            "round(sum(ok) / CAST(count(*) AS DOUBLE), 4)"
+        ).alias("accuracy"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -5080,6 +5133,8 @@ QUERIES = {
     "ml_precision_at_k": _q_precision_at_k,
     "llm_dedup_cluster_langs": _q_dedup_cluster_langs,
     "ml_operating_point_card": _q_operating_point_card,
+    "ts_median_filter": _q_median_filter,
+    "ml_vote_margin": _q_vote_margin,
 }
 
 
@@ -7463,4 +7518,34 @@ ORACLE["ml_operating_point_card"] = (
     "round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS ppv, "
     "round(CAST(neg - fp AS DOUBLE) / ((neg - fp) + (p - tp)), 4) AS npv "
     "FROM best WHERE rn = 1"
+)
+
+ORACLE["ts_median_filter"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "r AS (SELECT h, c, lag(c, 2) OVER (ORDER BY h) AS m2, "
+    "lag(c, 1) OVER (ORDER BY h) AS m1, "
+    "lead(c, 1) OVER (ORDER BY h) AS p1, "
+    "lead(c, 2) OVER (ORDER BY h) AS p2 FROM s) "
+    "SELECT h, c, "
+    "CASE WHEN m2 IS NULL OR m1 IS NULL OR p1 IS NULL OR p2 IS NULL "
+    "THEN c ELSE list_sort([m2, m1, c, p1, p2])[3] END AS median5 FROM r"
+)
+
+ORACLE["ml_vote_margin"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
+    "votes AS (SELECT qid, qlabel, tlabel, count(*) AS v FROM topk "
+    "GROUP BY qid, qlabel, tlabel), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY qid ORDER BY v DESC, tlabel) AS vr FROM votes), "
+    "per AS (SELECT qid, max(CASE WHEN vr = 1 THEN v END) AS v1, "
+    "coalesce(max(CASE WHEN vr = 2 THEN v END), 0) AS v2, "
+    "max(CASE WHEN vr = 1 THEN CAST(tlabel = qlabel AS INT) END) AS ok "
+    "FROM r WHERE vr <= 2 GROUP BY qid) "
+    "SELECT v1 - v2 AS margin, count(*) AS n_queries, "
+    "CAST(sum(ok) AS BIGINT) AS n_correct, "
+    "round(sum(ok) / CAST(count(*) AS DOUBLE), 4) AS accuracy "
+    "FROM per GROUP BY margin"
 )

@@ -2073,3 +2073,28 @@ def test_operating_point_card_consistent_with_youden(spark):
     assert c.sensitivity - (1 - c.specificity) == pytest.approx(
         y.youden_j, abs=2e-4
     )
+
+
+def test_median_filter_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    got = {r.h - lo: r.median5 for r in analytics._q_median_filter(spark, SF_SMOKE).collect()}
+    for i in range(len(c)):
+        if i < 2 or i >= len(c) - 2:
+            assert got[i] == c[i]
+        else:
+            assert got[i] == int(np.median(c[i - 2 : i + 3])), i
+
+
+def test_vote_margin_mass_and_monotone_trend(spark):
+    rows = sorted(analytics._q_vote_margin(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.margin)
+    assert sum(r.n_queries for r in rows) == 100
+    for r in rows:
+        assert 0 <= r.margin <= 10
+        assert r.n_correct <= r.n_queries
