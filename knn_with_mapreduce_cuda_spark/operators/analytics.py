@@ -4983,6 +4983,81 @@ def _q_vote_margin(spark, sf_dir):
     )
 
 
+def _q_recall_at_k(spark, sf_dir):
+    """Recall@k curve (k = 1..10): per query, the share of ALL same-label
+    train points captured in the top k, averaged over queries — the
+    completeness companion of ml_precision_at_k. Per-query denominators
+    come from exact label counts on the train side; per-(query, k)
+    recalls quantize to micro units before the cross-query mean."""
+    from .knn import _pairs, topk
+
+    e = tables.embeddings(spark, sf_dir)
+    t = topk(_pairs(spark, sf_dir), 10).select(
+        "qid", "qlabel", "rnk", (col("tlabel") == col("qlabel")).cast("long").alias("rel")
+    )
+    # relevant set size per query: same-label points excluding the query
+    lbl_counts = e.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    qrel = (
+        t.select("qid", "qlabel").distinct()
+        .join(F.broadcast(lbl_counts), col("qlabel") == col("label"))
+        .select("qid", F.expr("n_lbl - 1").alias("n_rel"))
+    )
+    w = Window.partitionBy("qid").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = t.withColumn("cum_rel", F.sum("rel").over(w)).join(qrel, "qid").select(
+        col("rnk").alias("k"),
+        F.expr(
+            "CAST(round(cum_rel / CAST(n_rel AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        ).alias("rq"),
+    )
+    return cum.groupBy("k").agg(
+        F.count("*").alias("n_queries"), F.sum("rq").alias("s")
+    ).select(
+        "k",
+        "n_queries",
+        F.expr(
+            "round(s / (n_queries * CAST(1000000 AS DOUBLE)), 4)"
+        ).alias("recall_at_k"),
+    )
+
+
+def _q_edge_length_stats(spark, sf_dir):
+    """Distance statistics over the mutual-kNN edges: min / mean / exact
+    median / max of the edge lengths — how tight the symmetric
+    neighborhood structure is, the scale parameter an ε-graph would
+    need. Distances round to 4dp; the median is the exact lower median
+    by rank; the mean sums the rounded values as scaled integers."""
+    from .knn import K_JOIN, _q_mutual, knn_self_join
+
+    m = _q_mutual(spark, sf_dir)
+    d = knn_self_join(spark, sf_dir, K_JOIN).select(
+        col("qid").alias("a"), col("tid").alias("b"), F.round("dist", 4).alias("dr")
+    )
+    ed = m.join(d, ["a", "b"]).select("dr")
+    n = ed.agg(F.count("*").alias("n"))
+    wq = Window.orderBy("dr")
+    med = (
+        ed.withColumn("r", F.row_number().over(wq))
+        .crossJoin(F.broadcast(n))
+        .filter(col("r") == F.expr("CAST(ceil(n / 2.0) AS BIGINT)"))
+        .select(col("dr").alias("median_d"))
+    )
+    agg = ed.agg(
+        F.count("*").alias("n_edges"),
+        F.min("dr").alias("min_d"),
+        F.max("dr").alias("max_d"),
+        F.sum(F.expr("CAST(round(dr * 10000, 0) AS BIGINT)")).alias("s4"),
+    )
+    return agg.crossJoin(med).select(
+        "n_edges",
+        "min_d",
+        F.expr("round(s4 / (n_edges * CAST(10000 AS DOUBLE)), 4)").alias("mean_d"),
+        "median_d",
+        "max_d",
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -5135,6 +5210,8 @@ QUERIES = {
     "ml_operating_point_card": _q_operating_point_card,
     "ts_median_filter": _q_median_filter,
     "ml_vote_margin": _q_vote_margin,
+    "ml_recall_at_k": _q_recall_at_k,
+    "graph_edge_length_stats": _q_edge_length_stats,
 }
 
 
@@ -7548,4 +7625,39 @@ ORACLE["ml_vote_margin"] = (
     "CAST(sum(ok) AS BIGINT) AS n_correct, "
     "round(sum(ok) / CAST(count(*) AS DOUBLE), 4) AS accuracy "
     "FROM per GROUP BY margin"
+)
+
+ORACLE["ml_recall_at_k"] = (
+    f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
+    "ranked AS (SELECT pairs.*, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
+    "topk AS (SELECT qid, qlabel, rnk, CAST(tlabel = qlabel AS INT) AS rel "
+    "FROM ranked WHERE rnk <= 10), "
+    "lbl AS (SELECT label, count(*) AS n_lbl FROM embeddings GROUP BY label), "
+    "qrel AS (SELECT DISTINCT topk.qid, lbl.n_lbl - 1 AS n_rel FROM topk "
+    "JOIN lbl ON topk.qlabel = lbl.label), "
+    "cum AS (SELECT topk.qid, rnk AS k, "
+    "CAST(round(CAST(sum(rel) OVER (PARTITION BY topk.qid ORDER BY rnk "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "/ n_rel * 1000000, 0) AS BIGINT) AS rq "
+    "FROM topk JOIN qrel ON topk.qid = qrel.qid) "
+    "SELECT k, count(*) AS n_queries, "
+    "round(CAST(sum(rq) AS BIGINT) / "
+    "(count(*) * CAST(1000000 AS DOUBLE)), 4) AS recall_at_k "
+    "FROM cum GROUP BY k"
+)
+
+ORACLE["graph_edge_length_stats"] = (
+    f"WITH {_MUTUAL}, "
+    "ed AS (SELECT round(p.dist, 4) AS dr FROM m "
+    "JOIN pairs p ON m.a = p.qid AND m.b = p.tid), "
+    "nn AS (SELECT count(*) AS n FROM ed), "
+    "med AS (SELECT dr AS median_d FROM "
+    "(SELECT dr, row_number() OVER (ORDER BY dr) AS r FROM ed), nn "
+    "WHERE r = CAST(ceil(n / 2.0) AS BIGINT)), "
+    "agg AS (SELECT count(*) AS n_edges, min(dr) AS min_d, max(dr) AS max_d, "
+    "CAST(sum(CAST(round(dr * 10000, 0) AS BIGINT)) AS BIGINT) AS s4 FROM ed) "
+    "SELECT n_edges, min_d, "
+    "round(s4 / (n_edges * CAST(10000 AS DOUBLE)), 4) AS mean_d, "
+    "median_d, max_d FROM agg, med"
 )

@@ -2098,3 +2098,21 @@ def test_vote_margin_mass_and_monotone_trend(spark):
     for r in rows:
         assert 0 <= r.margin <= 10
         assert r.n_correct <= r.n_queries
+
+
+def test_recall_at_k_monotone_and_bounded(spark):
+    rows = {r.k: r.recall_at_k
+            for r in analytics._q_recall_at_k(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, 11))
+    vals = [rows[k] for k in range(1, 11)]
+    assert vals == sorted(vals)  # recall grows with k
+    assert 0 < vals[-1] < 0.5  # 10 of ~50 same-label points max
+
+
+def test_edge_length_stats_consistent(spark):
+    row = analytics._q_edge_length_stats(spark, SF_SMOKE).collect()[0]
+    assert row.min_d <= row.median_d <= row.max_d
+    assert row.min_d <= row.mean_d <= row.max_d
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
+
+    assert row.n_edges == _q_mutual(spark, SF_SMOKE).count()
