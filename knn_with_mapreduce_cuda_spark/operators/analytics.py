@@ -5058,6 +5058,78 @@ def _q_edge_length_stats(spark, sf_dir):
     )
 
 
+def _q_bounce_rate(spark, sf_dir):
+    """Session bounce rate per user bucket: share of 30-minute-gap
+    sessions containing exactly one event — the engagement-quality
+    metric on top of the graded sessionization. Sessions come from the
+    lag/gap/cumsum formulation (the str_window_session twin); exact
+    integer counts, deciles by user id bucket for a bounded output."""
+    ev = tables.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (col("ts_us") - F.lag("ts_us").over(w) > lit(1_800_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn(
+        "sess",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = marked.groupBy("user_id", "sess").agg(F.count("*").alias("n_ev"))
+    return sess.groupBy((col("user_id") % 10).alias("user_bucket")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.expr("CAST(n_ev = 1 AS INT)")).alias("n_bounces"),
+        F.expr(
+            "round(sum(CAST(n_ev = 1 AS INT)) / CAST(count(*) AS DOUBLE), 4)"
+        ).alias("bounce_rate"),
+    )
+
+
+def _q_degree_entropy(spark, sf_dir):
+    """Shannon entropy of the mutual-kNN degree distribution — the
+    heterogeneity of the neighborhood structure in one number (0 =
+    regular graph, higher = broad degree spread). Exact integer degree
+    histogram; nano-quantized entropy terms."""
+    from .knn import _q_mutual
+
+    m = _q_mutual(spark, sf_dir)
+    e = tables.embeddings(spark, sf_dir)
+    sym = m.select(col("a").alias("node")).unionByName(
+        m.select(col("b").alias("node"))
+    )
+    deg = (
+        e.select(col("vec_id").alias("node"))
+        .join(sym.groupBy("node").agg(F.count("*").alias("d")), "node", "left")
+        .select(F.coalesce("d", lit(0)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    n = deg.agg(F.count("*").alias("n"))
+    terms = hist.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) "
+            "* 1000000000, 0) AS BIGINT)"
+        ).alias("hq")
+    )
+    return terms.agg(
+        F.count("*").alias("n_degree_values"), F.sum("hq").alias("s")
+    ).select(
+        "n_degree_values",
+        F.expr(
+            "round(s / CAST(1000000000 AS DOUBLE), 4)"
+        ).alias("degree_entropy_nats"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -5212,6 +5284,8 @@ QUERIES = {
     "ml_vote_margin": _q_vote_margin,
     "ml_recall_at_k": _q_recall_at_k,
     "graph_edge_length_stats": _q_edge_length_stats,
+    "str_bounce_rate": _q_bounce_rate,
+    "graph_degree_entropy": _q_degree_entropy,
 }
 
 
@@ -7660,4 +7734,39 @@ ORACLE["graph_edge_length_stats"] = (
     "SELECT n_edges, min_d, "
     "round(s4 / (n_edges * CAST(10000 AS DOUBLE)), 4) AS mean_d, "
     "median_d, max_d FROM agg, med"
+)
+
+ORACLE["str_bounce_rate"] = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events), "
+    "marked AS (SELECT user_id, t, event_id, "
+    "CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM ev "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+    "sessed AS (SELECT user_id, CAST(sum(brk) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess "
+    "FROM marked), "
+    "sess AS (SELECT user_id, sess, count(*) AS n_ev FROM sessed "
+    "GROUP BY user_id, sess) "
+    "SELECT user_id % 10 AS user_bucket, count(*) AS n_sessions, "
+    "CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces, "
+    "round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) / "
+    "CAST(count(*) AS DOUBLE), 4) AS bounce_rate "
+    "FROM sess GROUP BY user_bucket"
+)
+
+ORACLE["graph_degree_entropy"] = (
+    f"WITH {_MUTUAL}, "
+    "sym AS (SELECT a AS node FROM m UNION ALL SELECT b FROM m), "
+    "dg0 AS (SELECT node, count(*) AS d FROM sym GROUP BY node), "
+    "deg AS (SELECT coalesce(dg0.d, 0) AS d FROM embeddings "
+    "LEFT JOIN dg0 ON embeddings.vec_id = dg0.node), "
+    "hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d), "
+    "nn AS (SELECT count(*) AS n FROM deg), "
+    "terms AS (SELECT CAST(round(-(c / CAST(n AS DOUBLE)) * "
+    "ln(c / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS hq "
+    "FROM hist, nn) "
+    "SELECT count(*) AS n_degree_values, "
+    "round(CAST(sum(hq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
+    "AS degree_entropy_nats FROM terms"
 )

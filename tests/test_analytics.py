@@ -2116,3 +2116,19 @@ def test_edge_length_stats_consistent(spark):
     from knn_with_mapreduce_cuda_spark.operators.knn import _q_mutual
 
     assert row.n_edges == _q_mutual(spark, SF_SMOKE).count()
+
+
+def test_bounce_rate_session_mass(spark):
+    from knn_with_mapreduce_cuda_spark.operators import streaming_batch
+
+    rows = analytics._q_bounce_rate(spark, SF_SMOKE).collect()
+    n_sessions = streaming_batch._q_window_session(spark, SF_SMOKE).count()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.bounce_rate <= 1
+        assert r.n_bounces <= r.n_sessions
+
+
+def test_degree_entropy_bounds(spark):
+    row = analytics._q_degree_entropy(spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.degree_entropy_nats <= np.log(row.n_degree_values) + 1e-9
