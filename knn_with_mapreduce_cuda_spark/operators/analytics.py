@@ -5130,6 +5130,68 @@ def _q_degree_entropy(spark, sf_dir):
     )
 
 
+def _q_tpr_at_fixed_fpr(spark, sf_dir):
+    """TPR at the largest threshold keeping FPR ≤ 5% — the fixed-
+    false-positive-budget operating constraint (security/fraud
+    deployments pick thresholds this way). The FPR cap compares
+    fp·20 ≤ neg in exact integers; among admissible thresholds the
+    lowest (most sensitive) wins deterministically."""
+    e = tables.embeddings(spark, sf_dir)
+    pts = e.select(
+        col("emb").getItem(0).alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
+    adm = cum.crossJoin(F.broadcast(g)).filter(col("fp") * 20 <= col("neg"))
+    wbest = Window.orderBy(F.desc("tp"), "score")
+    return (
+        adm.withColumn("rn", F.row_number().over(wbest))
+        .filter(col("rn") == 1)
+        .select(
+            F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
+            "tp",
+            "fp",
+            F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("tpr"),
+            F.expr("round(CAST(fp AS DOUBLE) / neg, 4)").alias("fpr"),
+        )
+    )
+
+
+def _q_exceedance_episodes(spark, sf_dir):
+    """Exceedance episodes: maximal runs of hours above the series'
+    exact P90 (rank ⌈0.9n⌉) — how long overload conditions persist,
+    the duration view ts_peak_detect's point flags miss. Islands trick
+    over the thresholded hours; exact integers throughout."""
+    series = _hourly_series(spark, sf_dir)
+    wq = Window.orderBy("c", "h")
+    n = series.agg(F.count("*").alias("n"))
+    thr = (
+        series.withColumn("r", F.row_number().over(wq))
+        .crossJoin(F.broadcast(n))
+        .filter(col("r") == F.expr("CAST(ceil(0.9 * n) AS BIGINT)"))
+        .select(col("c").alias("thr"))
+    )
+    above = series.crossJoin(F.broadcast(thr)).filter(col("c") > col("thr"))
+    w = Window.orderBy("h")
+    runs = above.withColumn(
+        "grp", col("h") - F.row_number().over(w)
+    )
+    return runs.groupBy("grp").agg(
+        F.min("h").alias("start_h"),
+        F.count("*").alias("duration_h"),
+        F.max("c").alias("peak_c"),
+    ).select("start_h", "duration_h", "peak_c")
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
@@ -5286,6 +5348,8 @@ QUERIES = {
     "graph_edge_length_stats": _q_edge_length_stats,
     "str_bounce_rate": _q_bounce_rate,
     "graph_degree_entropy": _q_degree_entropy,
+    "ml_tpr_at_fixed_fpr": _q_tpr_at_fixed_fpr,
+    "ts_exceedance_episodes": _q_exceedance_episodes,
 }
 
 
@@ -7769,4 +7833,36 @@ ORACLE["graph_degree_entropy"] = (
     "SELECT count(*) AS n_degree_values, "
     "round(CAST(sum(hq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
     "AS degree_entropy_nats FROM terms"
+)
+
+ORACLE["ml_tpr_at_fixed_fpr"] = (
+    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+    "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
+    "FROM pts GROUP BY score), "
+    "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp FROM per "
+    "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)), "
+    "g AS (SELECT CAST(sum(y) AS BIGINT) AS p, "
+    "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM pts), "
+    "adm AS (SELECT * FROM cum, g WHERE fp * 20 <= neg), "
+    "best AS (SELECT *, row_number() OVER (ORDER BY tp DESC, score) AS rn "
+    "FROM adm) "
+    "SELECT round(score, 4) + CAST(0 AS DOUBLE) AS threshold, tp, fp, "
+    "round(CAST(tp AS DOUBLE) / p, 4) AS tpr, "
+    "round(CAST(fp AS DOUBLE) / neg, 4) AS fpr FROM best WHERE rn = 1"
+)
+
+ORACLE["ts_exceedance_episodes"] = (
+    f"WITH {_EVD}, {_HOURLY_SQL}, "
+    "nn AS (SELECT count(*) AS n FROM s), "
+    "thr AS (SELECT c AS thr FROM "
+    "(SELECT c, row_number() OVER (ORDER BY c, h) AS r FROM s), nn "
+    "WHERE r = CAST(ceil(0.9 * n) AS BIGINT)), "
+    "above AS (SELECT h, c FROM s, thr WHERE c > thr), "
+    "runs AS (SELECT h, c, h - row_number() OVER (ORDER BY h) AS grp "
+    "FROM above) "
+    "SELECT min(h) AS start_h, count(*) AS duration_h, "
+    "CAST(max(c) AS BIGINT) AS peak_c FROM runs GROUP BY grp"
 )

@@ -2132,3 +2132,40 @@ def test_bounce_rate_session_mass(spark):
 def test_degree_entropy_bounds(spark):
     row = analytics._q_degree_entropy(spark, SF_SMOKE).collect()[0]
     assert 0 <= row.degree_entropy_nats <= np.log(row.n_degree_values) + 1e-9
+
+
+def test_tpr_at_fixed_fpr_constraint(spark):
+    row = analytics._q_tpr_at_fixed_fpr(spark, SF_SMOKE).collect()[0]
+    assert row.fpr <= 0.05 + 1e-9
+    assert 0 <= row.tpr <= 1
+    y = analytics._q_youden_threshold(spark, SF_SMOKE).collect()[0]
+    # the FPR-capped point can never beat the unconstrained ROC frontier
+    assert row.tp <= y.tp or row.fp <= y.fp
+
+
+def test_exceedance_episodes_match_numpy(spark):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    tus = t.ts.values.astype("datetime64[us]").astype("int64")
+    h = tus // 3_600_000_000
+    lo = h.min()
+    c = np.bincount(h - lo, minlength=h.max() - lo + 1)
+    thr = np.sort(c, kind="stable")[int(np.ceil(0.9 * len(c))) - 1]
+    exp = []
+    i = 0
+    habs = np.arange(lo, h.max() + 1)
+    while i < len(c):
+        if c[i] > thr:
+            j = i
+            while j < len(c) and c[j] > thr:
+                j += 1
+            exp.append((int(habs[i]), j - i, int(c[i:j].max())))
+            i = j
+        else:
+            i += 1
+    got = sorted(
+        (r.start_h, r.duration_h, r.peak_c)
+        for r in analytics._q_exceedance_episodes(spark, SF_SMOKE).collect()
+    )
+    assert got == exp
