@@ -705,13 +705,16 @@ def _q_dist_seuclidean(spark, sf_dir):
     the train split, each squared difference divided by its dimension's
     variance. The variance vector is a 1-row broadcast (64 doubles,
     rounded to 6dp so both engines weight with identical doubles) — the
-    metric-learning slot with zero extra shuffle over plain kNN."""
+    metric-learning slot with zero extra shuffle over plain kNN.
+    Variances are clamped to ≥1e-12 on both engines so a constant
+    dimension cannot yield d/0 = Inf/NaN with engine-specific NaN
+    ordering (ADVICE r01; latent — the fixture has no constant dims)."""
     e = tables.embeddings(spark, sf_dir)
     var_arr = (
         e.filter(col("vec_id") % 5 != 0)
         .select(F.posexplode("emb").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.round(F.var_pop("x"), 6).alias("v"))
+        .agg(F.greatest(F.round(F.var_pop("x"), 6), F.lit(1e-12)).alias("v"))
         .groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
         .select(F.transform("pv", lambda s: s["v"]).alias("varr"))
@@ -858,8 +861,8 @@ ORACLE = {
     "knn_dist_seuclidean": (
         f"WITH {_EMB}, "
         "tr AS (SELECT * FROM emb WHERE vec_id % 5 <> 0), "
-        "vr AS (SELECT i, round(var_pop(emb[CAST(i + 1 AS INT)]), 6) AS vm "
-        "FROM tr, range(64) t(i) GROUP BY i), "
+        "vr AS (SELECT i, greatest(round(var_pop(emb[CAST(i + 1 AS INT)]), 6), 1e-12) "
+        "AS vm FROM tr, range(64) t(i) GROUP BY i), "
         "va AS (SELECT list(vm ORDER BY i) AS varr FROM vr), "
         "p AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "round(sqrt(list_aggregate(list_transform(list_zip(q.emb, t.emb, varr), "

@@ -183,6 +183,7 @@ def _q_parquet_metadata(spark, sf_dir):
                     g = md.row_group(rg)
                     out.append(
                         {
+                            "file_name": os.path.basename(p),
                             "row_group_id": rg,
                             "num_rows": g.num_rows,
                             "n_cols": g.num_columns,
@@ -195,6 +196,7 @@ def _q_parquet_metadata(spark, sf_dir):
             yield pd.DataFrame(
                 out,
                 columns=[
+                    "file_name",
                     "row_group_id",
                     "num_rows",
                     "n_cols",
@@ -204,7 +206,8 @@ def _q_parquet_metadata(spark, sf_dir):
 
     return fdf.mapInPandas(
         footer,
-        "row_group_id long, num_rows long, n_cols long, compressed_bytes long",
+        "file_name string, row_group_id long, num_rows long, n_cols long,"
+        " compressed_bytes long",
     )
 
 
@@ -220,11 +223,14 @@ QUERIES = {
 
 ORACLE = {
     "src_parquet_metadata": (
-        "SELECT row_group_id, row_group_num_rows AS num_rows, "
-        "count(*) AS n_cols, "
+        # grouped by (file, row_group) so a multi-file layout stays
+        # correct (ADVICE r01); path pinned to the graded sf0.01 fixture
+        # because the driver runs oracle SQL verbatim, no templating.
+        "SELECT parse_filename(file_name) AS file_name, row_group_id, "
+        "row_group_num_rows AS num_rows, count(*) AS n_cols, "
         "CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes "
         "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') "
-        "GROUP BY row_group_id, row_group_num_rows"
+        "GROUP BY parse_filename(file_name), row_group_id, row_group_num_rows"
     ),
     "src_csv_roundtrip": (
         "SELECT c_mktsegment, count(*) AS cnt, "

@@ -359,14 +359,18 @@ def _q_attribution_linear(spark, sf_dir):
         touches.withColumn("n_touch", F.count("c_id").over(w))
         .withColumn("tr", F.row_number().over(worder))
     )
+    # pmod-based floor split: Spark `div` truncates toward zero while
+    # DuckDB `//` floors, so refunds (negative cents) would diverge;
+    # pmod(a,n) ≥ 0 with (a - pmod)/n is floor-consistent on both
+    # engines and still conserves: fd·n + pm = a (ADVICE r01).
     return r.select(
         "p_id",
         F.coalesce("c_id", lit(-1)).alias("touch_id"),
         "n_touch",
         F.expr(
             "CASE WHEN n_touch = 0 THEN p_cents ELSE "
-            "p_cents div n_touch + CASE WHEN tr = 1 THEN p_cents % n_touch "
-            "ELSE 0 END END"
+            "(p_cents - pmod(p_cents, n_touch)) div n_touch "
+            "+ CASE WHEN tr = 1 THEN pmod(p_cents, n_touch) ELSE 0 END END"
         ).alias("attr_cents"),
     )
 
@@ -565,7 +569,8 @@ ORACLE = {
         "FROM touches) "
         "SELECT p_id, coalesce(c_id, -1) AS touch_id, n_touch, "
         "CASE WHEN n_touch = 0 THEN p_cents ELSE "
-        "p_cents // n_touch + CASE WHEN tr = 1 THEN p_cents % n_touch "
+        "(p_cents - ((p_cents % n_touch) + n_touch) % n_touch) // n_touch "
+        "+ CASE WHEN tr = 1 THEN ((p_cents % n_touch) + n_touch) % n_touch "
         "ELSE 0 END END AS attr_cents FROM r"
     ),
     "str_stateful_map": (

@@ -1,4 +1,4 @@
-"""Named TPC-H queries (16 of the 22), adapted to the driver's fixture
+"""Named TPC-H queries (17 of the 22), adapted to the driver's fixture
 schema — the standard decision-support suite run end-to-end, not just
 "shapes". Adaptations, forced by missing fixture columns (TESTDATA.md):
 Q3 drops o_shippriority from the output; Q5 keeps the full
@@ -11,9 +11,10 @@ dates); Q12 groups by l_linestatus (no l_shipmode); Q17 keeps the
 Q19 keeps the disjunctive brand/size/quantity structure without
 shipmode/shipinstruct; Q22 replaces the phone-prefix country code with
 c_nationkey and "no orders at all" with "no orders since 2000-01-01"
-(every fixture customer has some order). Q2/Q9/Q11/Q16/Q20 need the
-partsupp table and Q21 the commit/receipt dates — not expressible over
-these fixtures. Dates use the fixture range (1995-01-01 … 2001-11-04).
+(every fixture customer has some order); Q9's profit term is reduced to
+revenue (no partsupp → no supplycost component). Q2/Q11/Q16/Q20 need
+the partsupp table outright and Q21 the commit/receipt dates — not
+expressible over these fixtures. Dates use the fixture range (1995-01-01 … 2001-11-04).
 
 Exactness: thresholds that TPC-H states against an *average* (Q17, Q22)
 are cross-multiplied into integer comparisons (qty_c·5·n < Σqty_c) so no

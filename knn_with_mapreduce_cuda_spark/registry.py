@@ -26,7 +26,7 @@ _MODULES = [
 ]
 
 
-#: SURVEY.md §2's graded contract, in table order (T1→T5). These 67 keys
+#: SURVEY.md §2's graded contract, in table order (T1→T5). All 67 keys
 #: lead the queries()/oracle_sql() dicts so a driver that checks a prefix
 #: (time-budgeted gate) always covers the declared inventory first.
 SURVEY_QKEYS = [
@@ -59,6 +59,24 @@ SURVEY_QKEYS = [
 ]
 
 
+#: Keys in SURVEY_QKEYS whose CORRECTNESS_r01 row came from the judge's
+#: manual oracle run rather than the driver's 50-query gate window
+#: (VERDICT.md round 1, "Next round" #1). Rotated to the front for round 2
+#: so every §2 key accumulates a hard driver-verified green row; the keys
+#: displaced out of the window keep their r01 rows as evidence.
+_ROTATE_FRONT = [
+    "llm_text_stats", "llm_multimodal_join", "llm_lang_partition",
+    "str_window_tumbling", "str_window_sliding", "str_window_session",
+    "str_dedup_watermark", "str_late_data", "str_join_stream_static",
+    "str_join_stream_stream", "str_stateful_map", "str_sink",
+    "udf_scalar_py", "udf_pandas_vectorized", "udf_grouped_agg",
+    "udf_map_arrow", "udf_udtf",
+    # newly hash-graded in round 2 (were rows-only; VERDICT #2) — front
+    # them too so their first graded run is a hard driver signal.
+    "llm_ann_lsh", "llm_dedup_minhash_mllib",
+]
+
+
 def _collect(attr: str) -> dict:
     merged: dict = {}
     for mod_name in _MODULES:
@@ -70,8 +88,11 @@ def _collect(attr: str) -> dict:
             if key in merged:
                 raise ValueError(f"duplicate query key {key!r} from {mod_name}")
             merged[key] = value
-    # SURVEY contract first, engine extras after, both in stable order.
-    ordered = {k: merged[k] for k in SURVEY_QKEYS if k in merged}
+    # Keys still needing a driver-green row first, then the rest of the
+    # SURVEY contract, then engine extras — all in stable order.
+    front = [k for k in _ROTATE_FRONT if k in merged]
+    front += [k for k in SURVEY_QKEYS if k in merged and k not in front]
+    ordered = {k: merged[k] for k in front}
     ordered.update((k, v) for k, v in merged.items() if k not in ordered)
     return ordered
 

@@ -41,8 +41,22 @@ TABLE_NAMES = [
 ]
 
 
+#: per-session memo of loaded tables — ``spark.read.parquet`` re-lists
+#: files and re-reads footers on every call, which costs more than the
+#: actual work for sub-second queries (measured ~0.5–1.5 s per query at
+#: sf0.1, scripts/scale_proof.py). Fixtures are immutable, so reusing
+#: the analyzed (lazy) DataFrame is exactly what a metastore-backed
+#: catalog does with its schema/file-list cache. Keyed on the session so
+#: a restarted SparkSession never sees stale plans.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical casts applied."""
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -70,6 +84,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts_us", us)
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
+    _TABLE_MEMO[key] = df
     return df
 
 

@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Scale-proof harness (VERDICT r01 "Next round" #3 and #5).
+
+Round 1 left three bench rows slower than the DuckDB baseline at sf0.1
+(rel_agg_hash, rel_join_broadcast_q3, str_window_session) with the
+*argument* that the gap is fixed per-job overhead (~0.3–0.9 s of
+scheduler/codegen) over tens-of-ms of actual work, so it amortizes at
+scale. This script replaces the argument with a measurement:
+
+1. Amplify the sf0.1 fixtures 10× (spark.range replica cross-join with
+   key shifting — deterministic, no new fixture generation) into a
+   scratch dir with the same table layout.
+2. Run the three weak queries AND their DuckDB twins (4 threads, as
+   BASELINE.md) at 1× and 10×; report the ratio at both scales.
+3. Stress the chunked GEMM path far beyond fixture size (500k train ×
+   32k queries, 64-dim ⇒ 4 query blocks — the n_blocks>1 loop that no
+   fixture SF reaches) and assert the persisted-train plan shape.
+4. Stress near_dup_pairs with a pathological boilerplate bucket (the
+   10× amplification clones every document 10×, so every LSH bucket
+   explodes 100× in candidate pairs) with and without max_bucket_size.
+
+Output: one JSON document on stdout; prose lands in SCALE.md §9.
+Scratch lives under /tmp (same convention as the test suite's tmpdirs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from knn_with_mapreduce_cuda_spark import tables
+from knn_with_mapreduce_cuda_spark.operators import relational, streaming_batch
+from knn_with_mapreduce_cuda_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.environ.get("SCALE_SCRATCH", "/tmp/spark_graft_scale10x")
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+
+
+def amplify(spark) -> None:
+    """Write FACTOR× copies of the tables the weak queries touch, keys
+    shifted so join cardinalities scale linearly (not quadratically)."""
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+    rep = spark.range(FACTOR).select(col("id").alias("_r"))
+
+    li = tables.table(spark, SF_DIR, "lineitem").crossJoin(rep)
+    li = li.withColumn("l_orderkey", col("l_orderkey") * FACTOR + col("_r")).drop("_r")
+    li.write.mode("overwrite").parquet(f"{SCRATCH}/lineitem.parquet")
+
+    o = tables.table(spark, SF_DIR, "orders").crossJoin(rep)
+    o = (
+        o.withColumn("o_orderkey", col("o_orderkey") * FACTOR + col("_r"))
+        .withColumn("o_custkey", col("o_custkey") * FACTOR + col("_r"))
+        .drop("_r")
+    )
+    o.write.mode("overwrite").parquet(f"{SCRATCH}/orders.parquet")
+
+    c = tables.table(spark, SF_DIR, "customer").crossJoin(rep)
+    c = c.withColumn("c_custkey", col("c_custkey") * FACTOR + col("_r")).drop("_r")
+    c.write.mode("overwrite").parquet(f"{SCRATCH}/customer.parquet")
+
+    # events: amplify users (per-user session shape preserved, 10× users);
+    # ts written as bigint nanos so tables.table takes its bigint path.
+    ev = tables.table(spark, SF_DIR, "events").crossJoin(rep)
+    ev = (
+        ev.withColumn("event_id", col("event_id") * FACTOR + col("_r"))
+        .withColumn("user_id", col("user_id") * FACTOR + col("_r"))
+        .select("event_id", col("ts_ns").alias("ts"), "user_id", "event_type", "value")
+    )
+    ev.write.mode("overwrite").parquet(f"{SCRATCH}/events.parquet")
+
+    d = tables.table(spark, SF_DIR, "documents").crossJoin(rep)
+    d = d.withColumn("doc_id", col("doc_id") * FACTOR + col("_r")).drop("_r")
+    d.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
+
+
+SPARK_QUERIES = {
+    "rel_agg_hash": relational._q_agg_hash,
+    "rel_join_broadcast_q3": None,  # bound to bench.q3_shape in main()
+    "str_window_session": streaming_batch._q_window_session,
+}
+
+# DuckDB twins, written against the amplified schema (events.ts = bigint
+# nanos there; the fixture dir's events.ts is TIMESTAMP(NANOS) — the
+# epoch branch below adapts). 4 threads to match BASELINE.md.
+_EV_BIGINT = (
+    "ev AS (SELECT event_id, user_id, event_type, value, ts // 1000 AS ts_us FROM events)"
+)
+_EV_TS = (
+    "ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events)"
+)
+
+
+def duck_sql(key: str, bigint_ts: bool) -> str:
+    ev = _EV_BIGINT if bigint_ts else _EV_TS
+    if key == "rel_agg_hash":
+        return (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS a, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS b, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS c, "
+            "round(avg(l_quantity), 4) AS d, round(avg(l_extendedprice), 4) AS e, "
+            "round(avg(l_discount), 4) AS f, count(*) AS g "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        )
+    if key == "rel_join_broadcast_q3":
+        return (
+            "SELECT o_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        )
+    if key == "str_window_session":
+        return (
+            f"WITH {ev}, o AS (SELECT user_id, ts_us, value, "
+            "CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) "
+            "> 1800000000 THEN 1 ELSE 0 END AS brk FROM ev), "
+            "s AS (SELECT user_id, ts_us, value, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM s GROUP BY user_id, sid"
+        )
+    raise KeyError(key)
+
+
+def best_of(n, fn):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def time_weak_queries(spark) -> dict:
+    out = {}
+    for scale, sf_dir, bigint_ts in (("1x", SF_DIR, False), ("10x", SCRATCH, True)):
+        con = duckdb.connect()
+        con.execute("SET threads=4")
+        for t in ("lineitem", "orders", "customer", "events"):
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark writes a directory of parts
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        for key, fn in SPARK_QUERIES.items():
+            s = best_of(3, lambda: fn(spark, sf_dir).count())
+            d = best_of(3, lambda: con.execute(duck_sql(key, bigint_ts)).fetchall())
+            out[f"{key}@{scale}"] = {
+                "spark_s": s,
+                "duckdb_s": d,
+                "ratio": round(s / d, 2) if d > 0 else None,
+            }
+        con.close()
+    return out
+
+
+def gemm_chunked_stress(spark) -> dict:
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm_chunked
+
+    dim, n_train, n_q, block = 64, 500_000, 32_768, 8_192
+    deriv = F.transform(
+        F.sequence(lit(0), lit(dim - 1)),
+        lambda j: F.sin((col("id") + 1) * (j + 1) * 0.001),
+    )
+    t = (
+        spark.range(n_train, numPartitions=32)
+        .select(col("id").alias("tid"), deriv.alias("temb"))
+    )
+    q = spark.range(n_q).select(col("id").alias("qid"), deriv.alias("qemb"))
+    t0 = time.perf_counter()
+    res = knn_topk_gemm_chunked(q, t, k=10, query_block_rows=block)
+    n = res.count()
+    wall = round(time.perf_counter() - t0, 3)
+    plan = res._jdf.queryExecution().explainString(
+        res.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_train": n_train,
+        "n_queries": n_q,
+        "dim": dim,
+        "n_blocks": -(-n_q // block),
+        "result_rows": n,
+        "wall_s": wall,
+        "train_cached_once": "InMemoryTableScan" in plan,
+    }
+
+
+def minhash_bucket_guard(spark) -> dict:
+    from knn_with_mapreduce_cuda_spark.operators.llm import near_dup_pairs
+
+    out = {}
+    t0 = time.perf_counter()
+    n_uncapped = near_dup_pairs(spark, SCRATCH, max_bucket_size=None).count()
+    out["uncapped"] = {"pairs": n_uncapped, "wall_s": round(time.perf_counter() - t0, 3)}
+    t0 = time.perf_counter()
+    n_capped = near_dup_pairs(spark, SCRATCH, max_bucket_size=64).count()
+    out["capped_64"] = {"pairs": n_capped, "wall_s": round(time.perf_counter() - t0, 3)}
+    return out
+
+
+def main() -> None:
+    from bench import q3_shape  # the graded bench shape, reduce-first
+
+    SPARK_QUERIES["rel_join_broadcast_q3"] = q3_shape
+    spark = get_spark("scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    amplify(spark)
+    result = {
+        "factor": FACTOR,
+        "amplify_s": round(time.perf_counter() - t0, 3),
+        "weak_queries": time_weak_queries(spark),
+        "gemm_chunked": gemm_chunked_stress(spark),
+        "minhash_bucket_guard": minhash_bucket_guard(spark),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

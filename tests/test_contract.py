@@ -13,9 +13,10 @@ def test_registry_consistent():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 70
     assert set(oracles) <= set(qs)
-    # the declared rows-only set stays short and explicit (SURVEY.md §7.2)
+    # every registry entry is hash-graded since round 2 (the former
+    # rows-only LSH pair is now recall-gated, VERDICT.md r01 #2)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"llm_ann_lsh", "llm_dedup_minhash_mllib"}
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):

@@ -86,9 +86,58 @@ def test_gemm_chunked_equals_unchunked(spark):
     q = e.selectExpr("vec_id as qid", "emb as qemb")
     t = e.selectExpr("vec_id as tid", "emb as temb")
     whole = knn_topk_gemm(q, t, 5).collect()
-    chunked = knn_topk_gemm_chunked(q, t, 5, query_block_rows=40).collect()
+    chunked_df = knn_topk_gemm_chunked(q, t, 5, query_block_rows=40)
+    chunked = chunked_df.collect()
     key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
     assert key(whole) == key(chunked)
+    # one train scan regardless of n_blocks: blocks read the persisted
+    # (tid, temb, tnorm) relation, not the parquet scan (VERDICT r01 #8)
+    plan = _plan(chunked_df)
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_gemm_no_eager_jobs_on_construction(spark):
+    """Building the unchunked GEMM plan must not launch Spark jobs (the
+    r01 `_ensure_parallel` probe ran .rdd + count() per call)."""
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb").limit(5)
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    # toPandas() on the tiny query side is the one permitted job
+    knn_topk_gemm(q, t, 3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1, f"{after - before} jobs during plan construction"
+
+
+def test_gemm_cupy_parity(spark):
+    """When a CUDA device is visible the CuPy backend must produce the
+    same top-k as NumPy (selection runs on host either way)."""
+    import pytest
+
+    from knn_with_mapreduce_cuda_spark.plans import gemm_knn
+
+    if gemm_knn.gemm_backend() != "cupy":
+        pytest.skip("no CUDA device in this container — NumPy backend active")
+    from knn_with_mapreduce_cuda_spark import tables as T
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    gpu = (
+        gemm_knn.knn_topk_gemm(q, t, 5, backend="cupy")
+        .select("qid", "tid", "rnk")
+        .collect()
+    )
+    cpu = (
+        gemm_knn.knn_topk_gemm(q, t, 5, backend="numpy")
+        .select("qid", "tid", "rnk")
+        .collect()
+    )
+    assert sorted(map(tuple, gpu)) == sorted(map(tuple, cpu))
 
 
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
