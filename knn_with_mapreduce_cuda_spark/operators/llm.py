@@ -46,10 +46,10 @@ def _tokens(spark, sf_dir):
     return docs.withColumn("ts", F.split("text", " "))
 
 
-def _shingles(spark, sf_dir):
-    """Distinct word 3-gram shingles per doc (1-based element_at ⟷ DuckDB)."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
-    sh = F.array_distinct(
+def _shingle_array():
+    """Distinct word 3-gram shingle array expression over ``ts``
+    (1-based element_at ⟷ DuckDB)."""
+    return F.array_distinct(
         F.transform(
             F.sequence(lit(1), F.size("ts") - (SHINGLE_K - 1)),
             lambda j: F.concat_ws(
@@ -60,7 +60,12 @@ def _shingles(spark, sf_dir):
             ),
         )
     )
-    return t.select("doc_id", "lang", F.explode(sh).alias("s"))
+
+
+def _shingles(spark, sf_dir):
+    """Distinct word 3-gram shingles per doc, one row per shingle."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
+    return t.select("doc_id", "lang", F.explode(_shingle_array()).alias("s"))
 
 
 # ------------------------------------------------------------------ dedup
@@ -79,18 +84,26 @@ def _q_dedup_hash(spark, sf_dir):
 
 
 def minhash_signatures(spark, sf_dir) -> DataFrame:
-    """(doc_id, h0..h7): md5-family MinHash signature — engine-independent."""
-    sh = _shingles(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", F.explode(F.sequence(lit(0), lit(N_MINHASH - 1))).alias("i"), "s"
-    ).select(
-        "doc_id", "i", F.md5(F.concat(col("i").cast("string"), lit("|"), col("s"))).alias("h")
-    )
-    per_i = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
-    aggs = [
-        F.min(F.when(col("i") == k, col("h"))).alias(f"h{k}") for k in range(N_MINHASH)
+    """(doc_id, h0..h7): md5-family MinHash signature — engine-independent.
+
+    Entirely map-side: each component is ``array_min(transform(shingles,
+    s → md5(i|s)))`` over the per-doc shingle array, so the whole
+    signature stage is one narrow projection — ZERO shuffles (the r01
+    form exploded shingles × 8 hash indices and paid two groupBy
+    exchanges for the identical min). At 100 TB signatures stream with
+    the scan; the only shuffle left in dedup is the band-bucket join."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
+    sh = t.select("doc_id", _shingle_array().alias("sharr"))
+    comps = [
+        F.array_min(
+            F.transform(
+                col("sharr"),
+                lambda s: F.md5(F.concat(lit(str(k)), lit("|"), s)),
+            )
+        ).alias(f"h{k}")
+        for k in range(N_MINHASH)
     ]
-    return per_i.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *comps)
 
 
 def near_dup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
@@ -126,6 +139,13 @@ def near_dup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
             .filter(col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    # Hash-partition on the bucket key BEFORE the self-join: the two
+    # join branches then share one canonical Exchange (ReusedExchange in
+    # the plan), so the signature pipeline — now a pure map stage —
+    # computes ONCE. Without this Catalyst picks a broadcast self-join
+    # that re-evaluates all 8 md5 folds on both sides (2× the md5 work,
+    # measured slower at sf0.1 and pathological at 100 TB).
+    bands = bands.repartition("band", "bsig")
     a = bands.select(col("doc_id").alias("doc_a"), "band", "bsig")
     b_ = bands.select(col("doc_id").alias("doc_b"), "band", "bsig")
     return (
