@@ -731,14 +731,18 @@ def _q_naive_bayes(spark, sf_dir):
     counts = train.groupBy(col("true_lang").alias("clang"), "tok").agg(
         F.count("*").alias("c")
     )
-    totals = train.groupBy(col("true_lang").alias("clang")).agg(
-        F.count("*").alias("n_l")
-    )
-    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    # totals and vocab derive FROM counts (not from a fresh pass over the
+    # exploded tokens), so all three model aggregates share the one
+    # (clang, tok) exchange instead of re-scanning/re-exploding the
+    # corpus per aggregate — at 100 TB the corpus streams once.
+    totals = counts.groupBy("clang").agg(F.sum("c").alias("n_l"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    # doc priors need no token explode at all — count docs per lang
+    # straight off the documents table.
     docs_lang = (
-        train.select("doc_id", "true_lang")
-        .distinct()
-        .groupBy(col("true_lang").alias("clang"))
+        tables.table(spark, sf_dir, "documents")
+        .filter(col("doc_id") % 5 != 0)
+        .groupBy(col("lang").alias("clang"))
         .agg(F.count("*").alias("d_l"))
     )
     docs_tot = docs_lang.agg(F.sum("d_l").alias("d_tot"))

@@ -43,6 +43,13 @@ except Exception:  # no cupy wheel / no visible device
 #: (task scheduling + Python worker spin-up vs a sub-ms BLAS call).
 BLOCK_ROWS = 65_536
 
+#: query rows per kernel tile. The d2 tile (Q_TILE × arrow-batch-rows)
+#: is the kernel's working set; at 8192×10000 f32 it is ~330 MB and 32
+#: concurrent workers thrash shared cache/bandwidth (measured 7.8 s per
+#: batch solo, 36 s under 32-way). Tiling to 2048 keeps the working set
+#: ~80 MB: 1.3 s solo, 9 s under 32-way — 3.7× aggregate throughput.
+Q_TILE = 2_048
+
 
 def gemm_backend() -> str:
     """'cupy' when a CUDA device is visible, else 'numpy'."""
@@ -53,10 +60,16 @@ def _pair_scores(qmat: np.ndarray, tmat: np.ndarray, use_cupy: bool) -> np.ndarr
     """q @ tᵀ on the requested backend; always returns a host ndarray.
     The flag is resolved driver-side and captured in the task closure so
     the whole job runs one backend (workers re-import this module, so a
-    module-global flip would not propagate)."""
+    module-global flip would not propagate).
+
+    The train operand is materialized (dim, n_t) C-contiguous before the
+    multiply: this container's OpenBLAS dgemm runs ~3× faster on the
+    pre-transposed layout than on the F-contiguous ``tmat.T`` view
+    (measured 1.08 s vs 3.03 s for 8192×64 @ 64×10000), and the copy is
+    an O(n_t·dim) drop against the O(n_q·n_t·dim) multiply."""
     if use_cupy and _cp is not None:
         return _cp.asnumpy(_cp.asarray(qmat) @ _cp.asarray(tmat).T)
-    return qmat @ tmat.T
+    return qmat @ np.ascontiguousarray(tmat.T)
 
 
 def _ensure_parallel(train_df: DataFrame, min_partitions: int | None) -> DataFrame:
@@ -74,6 +87,13 @@ def _ensure_parallel(train_df: DataFrame, min_partitions: int | None) -> DataFra
     return train_df
 
 
+#: extra candidates fetched per partition in float32 selection mode —
+#: the exact f64 rerank then keeps the true top-k. f32 relative error is
+#: ~1e-7, so a true neighbor would have to sit more than OVERFETCH ranks
+#: past k purely on last-float noise to be missed.
+OVERFETCH = 16
+
+
 def knn_topk_gemm(
     queries_df: DataFrame,
     train_df: DataFrame,
@@ -81,6 +101,7 @@ def knn_topk_gemm(
     exclude_self: bool = True,
     min_partitions: int | None = None,
     backend: str | None = None,
+    precision: str = "float32",
 ) -> DataFrame:
     """Exact top-k neighbors of each query among train, GEMM-accelerated.
 
@@ -88,11 +109,20 @@ def knn_topk_gemm(
     temb array<double>). Returns (qid, tid, rnk, dist) with rnk 1..k,
     ties broken on tid — same contract as operators.knn.topk.
     backend: 'cupy' | 'numpy' | None (auto: CuPy when a device exists).
+    precision: 'float32' (default) runs the big GEMM in f32 — exactly
+    what the CUDA kernels this slot models do — selects k+OVERFETCH
+    candidates per partition, then recomputes their distances exactly in
+    f64 (sum of squared diffs, the expression-path formula) before the
+    global merge, so emitted distances and ranks match the f64 path.
+    This container's OpenBLAS runs sgemm ~16× faster than dgemm under
+    32-way worker concurrency (measured; see SCALE.md §9).
+    'float64' keeps the whole kernel in doubles.
     """
     import pyarrow as pa
 
     spark = queries_df.sparkSession
     use_cupy = (backend or gemm_backend()) == "cupy"
+    use_f32 = precision == "float32" and not use_cupy
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     qids = qpdf["qid"].to_numpy()
@@ -101,7 +131,8 @@ def knn_topk_gemm(
 
     def block_knn(batches):
         b_qids, b_qmat = q_bc.value
-        qnorm = (b_qmat * b_qmat).sum(axis=1)
+        gmat = b_qmat.astype(np.float32) if use_f32 else b_qmat
+        qnorm = (gmat * gmat).sum(axis=1)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -114,28 +145,65 @@ def knn_topk_gemm(
                 .to_numpy(zero_copy_only=False)
                 .reshape(len(tids), -1)
             )
-            if "tnorm" in batch.schema.names:
+            tsel = tmat.astype(np.float32) if use_f32 else tmat
+            if not use_cupy:
+                # one pre-transposed copy per batch, shared by all tiles
+                # (this OpenBLAS runs ~3× faster on the C-contiguous
+                # transposed operand than on the .T view)
+                tsel_t = np.ascontiguousarray(tsel.T)
+            if not use_f32 and "tnorm" in batch.schema.names:
                 # precomputed once in the cached train relation
                 # (knn_topk_gemm_chunked) — not per block
                 tnorm = batch.column("tnorm").to_numpy()
             else:
-                tnorm = (tmat * tmat).sum(axis=1)
-            # (n_q, n_t) squared distances via one GEMM
-            d2 = qnorm[:, None] + tnorm[None, :] - 2.0 * _pair_scores(
-                b_qmat, tmat, use_cupy
-            )
-            np.maximum(d2, 0.0, out=d2)
+                tnorm = (tsel * tsel).sum(axis=1)
+            # O(n_t) sparse self-mask columns instead of an (n_q, n_t)
+            # boolean compare (which allocates and scans a full matrix)
             if exclude_self:
-                d2[b_qids[:, None] == tids[None, :]] = np.inf
-            kk = min(k, d2.shape[1])
-            idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(b_qids, kk)
-            rows_t = tids[idx.ravel()]
-            rows_d = np.sqrt(np.take_along_axis(d2, idx, axis=1).ravel())
-            keep = np.isfinite(rows_d)
-            yield pa.RecordBatch.from_pydict(
-                {"qid": rows_q[keep], "tid": rows_t[keep], "dist": rows_d[keep]}
-            )
+                qrow = {int(q): i for i, q in enumerate(b_qids)}
+                self_pairs = [
+                    (qrow[int(tids[j])], j)
+                    for j in np.nonzero(np.isin(tids, b_qids))[0]
+                ]
+            kk = min(k + (OVERFETCH if use_f32 else 0), len(tids))
+            # Tile over queries: the (tile, n_t) distance tile is the
+            # working set — Q_TILE keeps it cache-resident so 32
+            # concurrent workers don't thrash shared bandwidth (3.7×
+            # aggregate throughput vs whole-block tiles; see Q_TILE).
+            for s in range(0, len(b_qids), Q_TILE):
+                e = min(s + Q_TILE, len(b_qids))
+                if use_cupy:
+                    d2 = _pair_scores(gmat[s:e], tsel, use_cupy)
+                else:
+                    d2 = gmat[s:e] @ tsel_t
+                # assembled in-place on the GEMM output: no temporaries
+                d2 *= -2.0
+                d2 += qnorm[s:e, None]
+                d2 += tnorm[None, :]
+                if exclude_self:
+                    for r, j in self_pairs:
+                        if s <= r < e:
+                            d2[r - s, j] = np.inf
+                idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                if use_f32:
+                    # exact f64 rerank of the selected candidates only:
+                    # O(tile·kk·dim) vs the O(tile·n_t·dim) GEMM
+                    diff = b_qmat[s:e, None, :] - tmat[idx]
+                    d2k = (diff * diff).sum(axis=2)
+                    if exclude_self:
+                        d2k[b_qids[s:e, None] == tids[idx]] = np.inf
+                else:
+                    d2k = np.take_along_axis(d2, idx, axis=1)
+                    # sqrt-of-negative guard for the GEMM decomposition's
+                    # catastrophic cancellation on near-zero distances
+                    np.maximum(d2k, 0.0, out=d2k)
+                rows_q = np.repeat(b_qids[s:e], kk)
+                rows_t = tids[idx.ravel()]
+                rows_d = np.sqrt(d2k.ravel())
+                keep = np.isfinite(rows_d)
+                yield pa.RecordBatch.from_pydict(
+                    {"qid": rows_q[keep], "tid": rows_t[keep], "dist": rows_d[keep]}
+                )
 
     local = train_df.mapInArrow(block_knn, "qid long, tid long, dist double")
     w = Window.partitionBy("qid").orderBy("dist", "tid")
@@ -195,15 +263,19 @@ def cosine_topk_gemm(
     exclude_self: bool = True,
     min_partitions: int | None = None,
     backend: str | None = None,
+    precision: str = "float32",
 ) -> DataFrame:
     """Top-k by cosine similarity (descending) — the similarity-search
     twin of knn_topk_gemm: scores for a whole partition come from one
     ``q @ tᵀ`` GEMM over norm-scaled matrices. Returns (qid, tid, rnk,
-    cos), ties broken on tid."""
+    cos), ties broken on tid. precision='float32' (default) selects
+    k+OVERFETCH candidates with an sgemm, then recomputes their cosines
+    exactly in f64 — same contract as knn_topk_gemm's fast path."""
     import pyarrow as pa
 
     spark = queries_df.sparkSession
     use_cupy = (backend or gemm_backend()) == "cupy"
+    use_f32 = precision == "float32" and not use_cupy
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     qids = qpdf["qid"].to_numpy()
@@ -213,6 +285,7 @@ def cosine_topk_gemm(
 
     def block_sim(batches):
         b_qids, b_qmat = q_bc.value
+        gmat = b_qmat.astype(np.float32) if use_f32 else b_qmat
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -224,18 +297,43 @@ def cosine_topk_gemm(
                 .reshape(len(tids), -1)
             )
             tmat = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)
-            cos = _pair_scores(b_qmat, tmat, use_cupy)
+            tsel = tmat.astype(np.float32) if use_f32 else tmat
+            if not use_cupy:
+                tsel_t = np.ascontiguousarray(tsel.T)
             if exclude_self:
-                cos[b_qids[:, None] == tids[None, :]] = -np.inf
-            kk = min(k, cos.shape[1])
-            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(b_qids, kk)
-            rows_t = tids[idx.ravel()]
-            rows_c = np.take_along_axis(cos, idx, axis=1).ravel()
-            keep = np.isfinite(rows_c)
-            yield pa.RecordBatch.from_pydict(
-                {"qid": rows_q[keep], "tid": rows_t[keep], "cos": rows_c[keep]}
-            )
+                qrow = {int(q): i for i, q in enumerate(b_qids)}
+                self_pairs = [
+                    (qrow[int(tids[j])], j)
+                    for j in np.nonzero(np.isin(tids, b_qids))[0]
+                ]
+            kk = min(k + (OVERFETCH if use_f32 else 0), len(tids))
+            # query tiling — see knn_topk_gemm / Q_TILE
+            for s in range(0, len(b_qids), Q_TILE):
+                e = min(s + Q_TILE, len(b_qids))
+                if use_cupy:
+                    cos = _pair_scores(gmat[s:e], tsel, use_cupy)
+                else:
+                    cos = gmat[s:e] @ tsel_t
+                if exclude_self:
+                    for r, j in self_pairs:
+                        if s <= r < e:
+                            cos[r - s, j] = -np.inf
+                idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+                if use_f32:
+                    # exact f64 cosine for the candidates only (unit-norm
+                    # f64 rows → plain dot), self-pairs re-masked
+                    cosk = np.einsum("qd,qkd->qk", b_qmat[s:e], tmat[idx])
+                    if exclude_self:
+                        cosk[b_qids[s:e, None] == tids[idx]] = -np.inf
+                else:
+                    cosk = np.take_along_axis(cos, idx, axis=1)
+                rows_q = np.repeat(b_qids[s:e], kk)
+                rows_t = tids[idx.ravel()]
+                rows_c = cosk.ravel()
+                keep = np.isfinite(rows_c)
+                yield pa.RecordBatch.from_pydict(
+                    {"qid": rows_q[keep], "tid": rows_t[keep], "cos": rows_c[keep]}
+                )
 
     local = train_df.mapInArrow(block_sim, "qid long, tid long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "tid")
