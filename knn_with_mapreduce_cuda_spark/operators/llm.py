@@ -972,6 +972,159 @@ def _q_pipeline_e2e(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- round-2 pipeline additions
+
+SEMDEDUP_THRESHOLD = 0.45  # cosine above which same-cluster vectors are dups
+SPAN_K = 8  # tokens per exact repeated span (substring-dedup gram size)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: assign every embedding to its
+    nearest coarse centroid (the IVF assignment), then within each
+    cluster mark any vector whose cosine to a LOWER-id cluster-mate
+    exceeds the threshold as a duplicate. Pair comparisons are confined
+    to clusters — the pruning that makes semantic dedup feasible at
+    100 TB (candidate space shrinks by the centroid count; the
+    all-pairs twin is llm_dedup_embed). Deterministic: fixed centroid
+    ids, lower-id-survives rule."""
+    e = tables.embeddings(spark, sf_dir)
+    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        col("vec_id").alias("cid"), col("emb").alias("cemb")
+    )
+    v = e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
+    ac = v.join(F.broadcast(cents)).withColumn("cdist", euclidean("vemb", "cemb"))
+    w = Window.partitionBy("vid").orderBy("cdist", "cid")
+    assign = (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("vid", "cid", "vemb")
+    )
+    a = assign.select(col("vid").alias("va"), "cid", col("vemb").alias("ea"))
+    b = assign.select(col("vid").alias("vb"), "cid", col("vemb").alias("eb"))
+    dups = (
+        a.join(b, ["cid"])
+        .filter(col("va") > col("vb"))
+        .withColumn("cos", cosine("ea", "eb"))
+        .filter(col("cos") >= SEMDEDUP_THRESHOLD)
+        .select(col("va").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", lit(1))
+    )
+    return (
+        assign.join(dups, "vid", "left")
+        .select(
+            col("vid").alias("vec_id"),
+            "cid",
+            F.coalesce("is_dup", lit(0)).alias("is_dup"),
+        )
+    )
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher-rule repetition signals per document: duplicate-token and
+    duplicate-bigram fractions from array cardinalities (map-side), the
+    top-token frequency share via one (doc, tok) aggregate, and the
+    composite repetition flag. The array fractions never shuffle; the
+    top-token share is the one groupBy — the standard repetition filter
+    of an LLM ingest pipeline at any scale."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= 2)
+    bi = F.transform(
+        F.sequence(lit(1), F.size("ts") - 1),
+        lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),
+    )
+    m = t.select(
+        "doc_id",
+        F.size("ts").alias("n_tok"),
+        F.round(lit(1.0) - F.size(F.array_distinct("ts")) / F.size("ts"), 4).alias(
+            "dup_tok_frac"
+        ),
+        F.round(lit(1.0) - F.size(F.array_distinct(bi)) / (F.size("ts") - 1), 4).alias(
+            "dup_bigram_frac"
+        ),
+    )
+    top = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return m.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "dup_tok_frac",
+        "dup_bigram_frac",
+        F.round(col("top_c") / col("n_tok"), 4).alias("top_tok_frac"),
+        (
+            (col("dup_bigram_frac") > 0.05) | (col("top_c") * 5 > col("n_tok"))
+        ).cast("int").alias("rep_flag"),
+    )
+
+
+def _q_substring_dup_spans(spark, sf_dir):
+    """Exact repeated SPAN_K-token spans across documents — the
+    train-data substring-dedup signal [P:Lee22-style]: any 8-token span
+    occurring in ≥2 distinct docs. The span explode is linear in corpus
+    tokens and the aggregate shuffles on the span hash — no pairwise
+    comparison anywhere, so the shape survives 100 TB (the pair-join
+    twin of fuzzy dedup is llm_dedup_jaccard)."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SPAN_K)
+    span = F.transform(
+        F.sequence(lit(1), F.size("ts") - (SPAN_K - 1)),
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(col("ts"), j + i) for i in range(SPAN_K)]
+        ),
+    )
+    g = t.select("doc_id", F.explode(span).alias("span"))
+    return (
+        g.groupBy(F.md5("span").alias("span_md5"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(col("n_docs") >= 2)
+    )
+
+
+def _q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel: cumulative survivor counts through the
+    standard ingest gates (length → token count → bigram repetition →
+    top-token share). One pass over the corpus, one aggregate row —
+    the coverage report every filtering pipeline emits before training.
+    Thresholds sit inside the fixture's metric distribution so every
+    stage prunes."""
+    t = _tokens(spark, sf_dir).filter(F.size("ts") >= 2)
+    bi = F.transform(
+        F.sequence(lit(1), F.size("ts") - 1),
+        lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),
+    )
+    m = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("ts").alias("n_tok"),
+        (lit(1.0) - F.size(F.array_distinct(bi)) / (F.size("ts") - 1)).alias("dbf"),
+    )
+    top = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = m.join(top, "doc_id")
+    s1 = col("n_chars").between(100, 1000)
+    s2 = s1 & (col("n_tok") >= 20)
+    s3 = s2 & (col("dbf") <= 0.05)
+    s4 = s3 & (col("top_c") * 25 <= col("n_tok") * 3)  # top share ≤ 12%
+    return j.agg(
+        F.count("*").alias("n_total"),
+        F.sum(s1.cast("long")).alias("n_len"),
+        F.sum(s2.cast("long")).alias("n_tokmin"),
+        F.sum(s3.cast("long")).alias("n_rep"),
+        F.sum(s4.cast("long")).alias("n_top"),
+    )
+
+
 QUERIES = {
     "llm_dedup_hash": _q_dedup_hash,
     "llm_dedup_near_minhash": _q_dedup_near_minhash,
@@ -1006,6 +1159,10 @@ QUERIES = {
     "ml_naive_bayes": _q_naive_bayes,
     "llm_lang_partition": _q_lang_partition,
     "llm_pipeline_e2e": _q_pipeline_e2e,
+    "llm_semdedup": _q_semdedup,
+    "llm_gopher_repetition": _q_gopher_repetition,
+    "llm_substring_dup_spans": _q_substring_dup_spans,
+    "llm_filter_funnel": _q_filter_funnel,
 }
 
 
@@ -1361,6 +1518,65 @@ ORACLE = {
     ),
     "llm_lang_partition": (
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"
+    ),
+    "llm_semdedup": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
+        + ", ".join(str(i) for i in IVF_CENTROID_IDS)
+        + ")), "
+        "ac AS (SELECT v.vec_id AS vid, c.cid, v.emb AS vemb, "
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY list_distance(v.emb, c.cemb), "
+        "c.cid) AS rn FROM emb v, cents c), "
+        "assign AS (SELECT vid, cid, vemb FROM ac WHERE rn = 1), "
+        "dups AS (SELECT DISTINCT a.vid FROM assign a JOIN assign b "
+        "ON a.cid = b.cid AND a.vid > b.vid "
+        f"WHERE list_cosine_similarity(a.vemb, b.vemb) >= {SEMDEDUP_THRESHOLD}) "
+        "SELECT s.vid AS vec_id, s.cid, CASE WHEN d.vid IS NULL THEN 0 ELSE 1 END "
+        "AS is_dup FROM assign s LEFT JOIN dups d ON s.vid = d.vid"
+    ),
+    "llm_gopher_repetition": (
+        f"WITH {_TOKS}, t AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2), "
+        "m AS (SELECT doc_id, len(ts) AS n_tok, "
+        "round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 4) AS dup_tok_frac, "
+        "round(1.0 - len(list_distinct(list_transform(generate_series(1, "
+        "CAST(len(ts) - 1 AS INT)), i -> ts[i] || ' ' || ts[i+1]))) * 1.0 "
+        "/ (len(ts) - 1), 4) AS dup_bigram_frac FROM t), "
+        "tok AS (SELECT doc_id, unnest(ts) AS tok FROM t), "
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
+        "topx AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id) "
+        "SELECT m.doc_id, n_tok, dup_tok_frac, dup_bigram_frac, "
+        "round(top_c * 1.0 / n_tok, 4) AS top_tok_frac, "
+        "CAST(dup_bigram_frac > 0.05 OR top_c * 5 > n_tok AS INT) AS rep_flag "
+        "FROM m JOIN topx ON m.doc_id = topx.doc_id"
+    ),
+    "llm_substring_dup_spans": (
+        f"WITH {_TOKS}, t AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= {SPAN_K}), "
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+        f"CAST(len(ts) - {SPAN_K - 1} AS INT)), i -> array_to_string(ts[i:i+{SPAN_K - 1}], "
+        "' '))) AS span FROM t) "
+        "SELECT md5(span) AS span_md5, count(DISTINCT doc_id) AS n_docs, "
+        "count(*) AS n_occ FROM g GROUP BY md5(span) "
+        "HAVING count(DISTINCT doc_id) >= 2"
+    ),
+    "llm_filter_funnel": (
+        f"WITH {_TOKS}, t AS (SELECT doc_id, n_chars, ts FROM toks WHERE len(ts) >= 2), "
+        "m AS (SELECT doc_id, n_chars, len(ts) AS n_tok, "
+        "1.0 - len(list_distinct(list_transform(generate_series(1, "
+        "CAST(len(ts) - 1 AS INT)), i -> ts[i] || ' ' || ts[i+1]))) * 1.0 "
+        "/ (len(ts) - 1) AS dbf FROM t), "
+        "tok AS (SELECT doc_id, unnest(ts) AS tok FROM t), "
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
+        "topx AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id), "
+        "j AS (SELECT m.*, top_c FROM m JOIN topx ON m.doc_id = topx.doc_id), "
+        "f AS (SELECT n_chars BETWEEN 100 AND 1000 AS s1, "
+        "n_chars BETWEEN 100 AND 1000 AND n_tok >= 20 AS s2, "
+        "n_chars BETWEEN 100 AND 1000 AND n_tok >= 20 AND dbf <= 0.05 AS s3, "
+        "n_chars BETWEEN 100 AND 1000 AND n_tok >= 20 AND dbf <= 0.05 "
+        "AND top_c * 25 <= n_tok * 3 AS s4 FROM j) "
+        "SELECT count(*) AS n_total, CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_len, CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokmin, "
+        "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep, "
+        "CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_top FROM f"
     ),
     "llm_pipeline_e2e": (
         f"WITH {_TOKS}, "

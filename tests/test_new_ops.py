@@ -444,3 +444,89 @@ def test_gen_range_is_exact(spark):
     row = df.filter("id = 99999").collect()[0]
     assert row.h == (99999 * 2654435761) % 1000003
     assert row.m == 99999 % 7
+
+
+def test_semdedup_marks_lower_id_survivor(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        SEMDEDUP_THRESHOLD,
+        _q_semdedup,
+    )
+
+    rows = _q_semdedup(spark, SF_SMOKE).collect()
+    ids, X, y = _emb_matrix(spark)
+    assert len(rows) == len(ids)  # every vector assigned exactly once
+    got_dups = {r.vec_id for r in rows if r.is_dup == 1}
+    # numpy oracle: nearest fixed centroid, then same-cluster cosine
+    from knn_with_mapreduce_cuda_spark.operators.llm import IVF_CENTROID_IDS
+
+    C = X[np.isin(ids, IVF_CENTROID_IDS)]
+    cids = ids[np.isin(ids, IVF_CENTROID_IDS)]
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = cids[d.argmin(axis=1)]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = set()
+    for i in range(len(ids)):
+        same = np.where((assign == assign[i]) & (ids < ids[i]))[0]
+        if len(same) and (Xn[same] @ Xn[i]).max() >= SEMDEDUP_THRESHOLD:
+            want.add(int(ids[i]))
+    assert got_dups == want
+
+
+def test_gopher_repetition_fractions(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_gopher_repetition
+
+    df = _q_gopher_repetition(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    docs = tables.table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    for r in docs[:50]:
+        ts = r.text.split(" ")
+        if len(ts) < 2:
+            continue
+        row = df.loc[r.doc_id]
+        assert row.n_tok == len(ts)
+        # Spark rounds HALF_UP while Python round() banker's-rounds, so
+        # compare to the unrounded value within the half-step
+        tol = 5e-5 + 1e-12
+        assert abs(row.dup_tok_frac - (1 - len(set(ts)) / len(ts))) <= tol
+        bigrams = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        assert abs(row.dup_bigram_frac - (1 - len(set(bigrams)) / len(bigrams))) <= tol
+        from collections import Counter
+
+        top = max(Counter(ts).values())
+        assert abs(row.top_tok_frac - top / len(ts)) <= tol
+
+
+def test_substring_dup_spans_python_oracle(spark):
+    from collections import defaultdict
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        SPAN_K,
+        _q_substring_dup_spans,
+    )
+
+    got = {
+        r.span_md5: (r.n_docs, r.n_occ)
+        for r in _q_substring_dup_spans(spark, SF_SMOKE).collect()
+    }
+    spans = defaultdict(lambda: [set(), 0])
+    for r in tables.table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect():
+        ts = r.text.split(" ")
+        for i in range(len(ts) - SPAN_K + 1):
+            s = " ".join(ts[i : i + SPAN_K])
+            spans[s][0].add(r.doc_id)
+            spans[s][1] += 1
+    import hashlib
+
+    want = {
+        hashlib.md5(s.encode()).hexdigest(): (len(d), n)
+        for s, (d, n) in spans.items()
+        if len(d) >= 2
+    }
+    assert got == want
+
+
+def test_filter_funnel_monotone(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_filter_funnel
+
+    row = _q_filter_funnel(spark, SF_SMOKE).collect()[0]
+    assert row.n_total >= row.n_len >= row.n_tokmin >= row.n_rep >= row.n_top
+    assert row.n_top > 0  # thresholds sit inside the fixture distribution
