@@ -41,9 +41,40 @@ LANG_MARKERS = {"de": "join", "en": "hash", "es": "row", "fr": "batch", "zh": "s
 IVF_CENTROID_IDS = [7, 107, 207, 307, 407]
 
 
+_TOKENS_MEMO: dict = {}
+
+
 def _tokens(spark, sf_dir):
+    """documents + token array (narrow — inherits the scan's layout)."""
     docs = tables.table(spark, sf_dir, "documents")
     return docs.withColumn("ts", F.split("text", " "))
+
+
+def _tokens_wide(spark, sf_dir):
+    """_tokens spread across the cluster when the scan arrives narrow.
+
+    The fixture tables are single-row-group parquet files (one scan
+    task), which would serialize a map-heavy token stage — MinHash
+    signatures (8 md5 folds per shingle), span explodes, quality
+    metrics — onto one core. A real lake scan arrives with thousands of
+    partitions and skips the branch entirely; the probe is driver-side
+    plan inspection (no job), memoized per (session, sf_dir).
+
+    Use this ONLY for pipelines whose next stage is expression-heavy on
+    a single consumer; queries that broadcast several sub-aggregates of
+    the tokens (e.g. naive Bayes) must keep the narrow form — each
+    BroadcastExchange re-executes its subtree, so a repartition there
+    multiplies corpus shuffles instead of map work."""
+    key = (id(spark), sf_dir)
+    memo = _TOKENS_MEMO.get(key)
+    if memo is not None:
+        return memo
+    t = _tokens(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if t.rdd.getNumPartitions() < max(2, par // 2):
+        t = t.repartition(par)
+    _TOKENS_MEMO[key] = t
+    return t
 
 
 def _shingle_array():
@@ -64,7 +95,7 @@ def _shingle_array():
 
 def _shingles(spark, sf_dir):
     """Distinct word 3-gram shingles per doc, one row per shingle."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
+    t = _tokens_wide(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
     return t.select("doc_id", "lang", F.explode(_shingle_array()).alias("s"))
 
 
@@ -92,7 +123,7 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     form exploded shingles × 8 hash indices and paid two groupBy
     exchanges for the identical min). At 100 TB signatures stream with
     the scan; the only shuffle left in dedup is the band-bucket join."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
+    t = _tokens_wide(spark, sf_dir).filter(F.size("ts") >= SHINGLE_K)
     sh = t.select("doc_id", _shingle_array().alias("sharr"))
     comps = [
         F.array_min(
@@ -1027,7 +1058,7 @@ def _q_gopher_repetition(spark, sf_dir):
     composite repetition flag. The array fractions never shuffle; the
     top-token share is the one groupBy — the standard repetition filter
     of an LLM ingest pipeline at any scale."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= 2)
+    t = _tokens_wide(spark, sf_dir).filter(F.size("ts") >= 2)
     bi = F.transform(
         F.sequence(lit(1), F.size("ts") - 1),
         lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),
@@ -1068,7 +1099,7 @@ def _q_substring_dup_spans(spark, sf_dir):
     tokens and the aggregate shuffles on the span hash — no pairwise
     comparison anywhere, so the shape survives 100 TB (the pair-join
     twin of fuzzy dedup is llm_dedup_jaccard)."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= SPAN_K)
+    t = _tokens_wide(spark, sf_dir).filter(F.size("ts") >= SPAN_K)
     span = F.transform(
         F.sequence(lit(1), F.size("ts") - (SPAN_K - 1)),
         lambda j: F.concat_ws(
@@ -1093,7 +1124,7 @@ def _q_filter_funnel(spark, sf_dir):
     the coverage report every filtering pipeline emits before training.
     Thresholds sit inside the fixture's metric distribution so every
     stage prunes."""
-    t = _tokens(spark, sf_dir).filter(F.size("ts") >= 2)
+    t = _tokens_wide(spark, sf_dir).filter(F.size("ts") >= 2)
     bi = F.transform(
         F.sequence(lit(1), F.size("ts") - 1),
         lambda j: F.concat_ws(" ", F.element_at(col("ts"), j), F.element_at(col("ts"), j + 1)),

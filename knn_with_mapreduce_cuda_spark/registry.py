@@ -74,6 +74,9 @@ _ROTATE_FRONT = [
     # newly hash-graded in round 2 (were rows-only; VERDICT #2) — front
     # them too so their first graded run is a hard driver signal.
     "llm_ann_lsh", "llm_dedup_minhash_mllib",
+    # new round-2 pipeline operators — first graded run this round.
+    "llm_semdedup", "llm_gopher_repetition", "llm_substring_dup_spans",
+    "llm_filter_funnel",
 ]
 
 
