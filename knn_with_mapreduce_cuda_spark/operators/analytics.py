@@ -4858,14 +4858,16 @@ def _q_precision_at_k(spark, sf_dir):
             "CAST(round(cum_rel / CAST(rnk AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("pq"),
     )
+    # integer half-up quantization to 4dp: round(s/(n·1e6), 4) rides a
+    # decimal-half boundary that Spark (shortest-repr HALF_UP) and DuckDB
+    # (binary-double nearest) settle differently (seen at sf0.001);
+    # (s + n·50) div (n·100) is the same quantity, exact on both engines.
     return cum.groupBy("k").agg(
         F.count("*").alias("n_queries"), F.sum("pq").alias("s")
     ).select(
         "k",
         "n_queries",
-        F.expr(
-            "round(s / (n_queries * CAST(1000000 AS DOUBLE)), 4)"
-        ).alias("precision_at_k"),
+        F.expr("(s + n_queries * 50) div (n_queries * 100)").alias("precision_q4"),
     )
 
 
@@ -7698,9 +7700,8 @@ ORACLE["ml_precision_at_k"] = (
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
     "/ rnk * 1000000, 0) AS BIGINT) AS pq FROM topk) "
     "SELECT k, count(*) AS n_queries, "
-    "round(CAST(sum(pq) AS BIGINT) / "
-    "(count(*) * CAST(1000000 AS DOUBLE)), 4) AS precision_at_k "
-    "FROM cum GROUP BY k"
+    "(CAST(sum(pq) AS BIGINT) + count(*) * 50) // (count(*) * 100) "
+    "AS precision_q4 FROM cum GROUP BY k"
 )
 
 ORACLE["llm_dedup_cluster_langs"] = (

@@ -535,12 +535,15 @@ def _q_multimodal_join(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     j = docs.join(e, docs.doc_id == e.vec_id)
     sum_el = F.aggregate("emb", lit(0.0), lambda s, x: s + x)
+    # `+ 0.0` after round: the SURVEY §7.2 negative-zero normalization —
+    # a near-zero sum can round to -0.0 on one engine and 0.0 on the
+    # other (fold order differs); +0.0 maps both to +0.0 (hit at sf0.001)
     return j.select(
         "doc_id",
         "lang",
         "label",
         "n_chars",
-        F.round(sum_el * 0.125, 4).alias("uniform_cos"),
+        (F.round(sum_el * 0.125, 4) + 0.0).alias("uniform_cos"),
     )
 
 
@@ -1163,6 +1166,119 @@ def _q_filter_funnel(spark, sf_dir):
     )
 
 
+CHUNK_SIZE = 32  # tokens per RAG/training chunk window
+CHUNK_STRIDE = 24  # window stride (8-token overlap)
+
+
+def _q_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / training-sequence prep):
+    every doc becomes ⌈max(n−SIZE,0)/STRIDE⌉+1 windows of CHUNK_SIZE
+    tokens at CHUNK_STRIDE offsets, with ids, token offsets, and an md5
+    content fingerprint per chunk. One explode per doc — linear in
+    corpus tokens, no shuffle until a consumer aggregates; the chunk
+    boundary math is pure integer arithmetic so both engines tile
+    identically."""
+    t = _tokens_wide(spark, sf_dir)
+    n = F.size("ts")
+    n_chunks = F.expr(f"(greatest(size(ts) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}") + 1
+    starts = F.sequence(lit(0), (n_chunks - 1) * CHUNK_STRIDE, lit(CHUNK_STRIDE))
+    g = t.select("doc_id", "ts", n.alias("n"), F.explode(starts).alias("s"))
+    return g.select(
+        "doc_id",
+        F.expr(f"s div {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+        (col("s") + 1).cast("long").alias("start_tok"),
+        F.least(lit(CHUNK_SIZE), col("n") - col("s")).cast("long").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", F.slice(col("ts"), col("s") + 1, lit(CHUNK_SIZE)))).alias(
+            "chunk_md5"
+        ),
+    )
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the incoming batch (odd doc_ids) checked
+    against the existing corpus (even doc_ids) — exact via content hash
+    anti/semi join, near via shared MinHash band buckets. The daily
+    shape of a production ingest: the corpus side is only touched
+    through its hash index and band table, never re-paired with itself,
+    so the cost is O(batch) + the bucket join."""
+    docs = tables.table(spark, sf_dir, "documents")
+    new = docs.filter(col("doc_id") % 2 == 1)
+    old = docs.filter(col("doc_id") % 2 == 0)
+    ex = (
+        new.join(
+            old.select(F.sha2("text", 256).alias("h")).distinct(),
+            F.sha2(new.text, 256) == col("h"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("exact_dup", lit(1))
+    )
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                lit(b).cast("long").alias("band"),
+                F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
+    )
+    nb = (
+        bands.filter(col("doc_id") % 2 == 1)
+        .join(
+            bands.filter(col("doc_id") % 2 == 0).select("band", "bsig").distinct(),
+            ["band", "bsig"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", lit(1))
+    )
+    return (
+        new.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", lit(0)).alias("exact_dup"),
+            F.coalesce("near_dup", lit(0)).alias("near_dup"),
+        )
+    )
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Tokens per 100 characters by language — the fertility statistic
+    used to balance multilingual token budgets (a whitespace tokenizer
+    here; a BPE vocab slots into the same aggregate). Pure map-side
+    ratios into one tiny groupBy."""
+    t = _tokens(spark, sf_dir)
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ts")).alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.sum(F.size("ts")) * 100.0 / F.sum("n_chars"), 4).alias(
+            "tok_per_100c"
+        ),
+    )
+
+
+def _q_shard_assignment(spark, sf_dir):
+    """Deterministic output sharding: md5-prefix of the key assigns each
+    doc to one of 16 shards; the aggregate reports per-shard doc and byte
+    counts — the balance audit run before a large partitioned write
+    (skewed shards → re-salt). Engine-independent because the md5 hex
+    prefix IS the shard id."""
+    docs = tables.table(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(col("doc_id").cast("string")), 1, 1)
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 QUERIES = {
     "llm_dedup_hash": _q_dedup_hash,
     "llm_dedup_near_minhash": _q_dedup_near_minhash,
@@ -1201,6 +1317,10 @@ QUERIES = {
     "llm_gopher_repetition": _q_gopher_repetition,
     "llm_substring_dup_spans": _q_substring_dup_spans,
     "llm_filter_funnel": _q_filter_funnel,
+    "llm_chunk_windows": _q_chunk_windows,
+    "llm_dedup_incremental": _q_dedup_incremental,
+    "llm_tokenizer_fertility": _q_tokenizer_fertility,
+    "llm_shard_assignment": _q_shard_assignment,
 }
 
 
@@ -1406,7 +1526,7 @@ ORACLE = {
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
         "FROM embeddings) "
         "SELECT d.doc_id, d.lang, e.label, d.n_chars, "
-        "round(list_aggregate(e.emb, 'sum') * 0.125, 4) AS uniform_cos "
+        "round(list_aggregate(e.emb, 'sum') * 0.125, 4) + 0.0 AS uniform_cos "
         "FROM documents d JOIN emb e ON d.doc_id = e.vec_id"
     ),
     "llm_multimodal_features": (
@@ -1615,6 +1735,43 @@ ORACLE = {
         "AS n_len, CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokmin, "
         "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep, "
         "CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_top FROM f"
+    ),
+    "llm_chunk_windows": (
+        f"WITH {_TOKS}, "
+        "c AS (SELECT doc_id, ts, len(ts) AS n, "
+        f"(greatest(len(ts) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1 "
+        "AS n_chunks FROM toks), "
+        "g AS (SELECT doc_id, ts, n, unnest(generate_series(0, "
+        f"CAST((n_chunks - 1) * {CHUNK_STRIDE} AS BIGINT), {CHUNK_STRIDE})) AS s FROM c) "
+        f"SELECT doc_id, s // {CHUNK_STRIDE} AS chunk_id, s + 1 AS start_tok, "
+        f"least({CHUNK_SIZE}, n - s) AS n_tok_chunk, "
+        f"md5(array_to_string(ts[CAST(s + 1 AS INT):CAST(s + {CHUNK_SIZE} AS INT)], ' ')) "
+        "AS chunk_md5 FROM g"
+    ),
+    "llm_dedup_incremental": (
+        f"WITH {_TOKS}, {_SH}, {_MINHASH}, {_BANDS}, "
+        "newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), "
+        "old AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0), "
+        "ex AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN old o ON sha256(n.text) = o.h), "
+        "oldb AS (SELECT DISTINCT band, bsig FROM bands WHERE doc_id % 2 = 0), "
+        "nb AS (SELECT DISTINCT b.doc_id FROM bands b JOIN oldb o "
+        "ON b.band = o.band AND b.bsig = o.bsig WHERE b.doc_id % 2 = 1) "
+        "SELECT d.doc_id, CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS exact_dup, "
+        "CASE WHEN nbx.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup "
+        "FROM newdocs d LEFT JOIN ex e ON d.doc_id = e.doc_id "
+        "LEFT JOIN nb nbx ON d.doc_id = nbx.doc_id"
+    ),
+    "llm_tokenizer_fertility": (
+        f"WITH {_TOKS} "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(len(ts)) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "round(sum(len(ts)) * 100.0 / sum(n_chars), 4) AS tok_per_100c "
+        "FROM toks GROUP BY lang"
+    ),
+    "llm_shard_assignment": (
+        "SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
     ),
     "llm_pipeline_e2e": (
         f"WITH {_TOKS}, "

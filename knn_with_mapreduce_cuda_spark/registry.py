@@ -76,7 +76,8 @@ _ROTATE_FRONT = [
     "llm_ann_lsh", "llm_dedup_minhash_mllib",
     # new round-2 pipeline operators — first graded run this round.
     "llm_semdedup", "llm_gopher_repetition", "llm_substring_dup_spans",
-    "llm_filter_funnel",
+    "llm_filter_funnel", "llm_chunk_windows", "llm_dedup_incremental",
+    "llm_tokenizer_fertility", "llm_shard_assignment",
 ]
 
 

@@ -2044,14 +2044,15 @@ def test_precision_at_k_consistent_with_ndcg_inputs(spark):
     per = {}
     for r in rows:
         per.setdefault(r.qid, []).append((r.rnk, int(r.tlabel == r.qlabel)))
-    got = {r.k: r.precision_at_k
+    got = {r.k: r.precision_q4
            for r in analytics._q_precision_at_k(spark, SF_SMOKE).collect()}
     for k in range(1, 11):
         ps = []
         for lst in per.values():
             lst.sort()
             ps.append(round(sum(rel for rk, rel in lst[:k]) / k * 1e6) / 1e6)
-        assert got[k] == pytest.approx(np.mean(ps), abs=1e-4), k
+        # precision_q4 is the 4dp integer quantization (×10⁴, half-up)
+        assert got[k] == pytest.approx(np.mean(ps) * 1e4, abs=0.51), k
 
 
 def test_dedup_cluster_langs_same_lang(spark):

@@ -530,3 +530,73 @@ def test_filter_funnel_monotone(spark):
     row = _q_filter_funnel(spark, SF_SMOKE).collect()[0]
     assert row.n_total >= row.n_len >= row.n_tokmin >= row.n_rep >= row.n_top
     assert row.n_top > 0  # thresholds sit inside the fixture distribution
+
+
+def test_chunk_windows_python_oracle(spark):
+    import hashlib
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        _q_chunk_windows,
+    )
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tok_chunk, r.chunk_md5)
+        for r in _q_chunk_windows(spark, SF_SMOKE).collect()
+    }
+    want = {}
+    for r in tables.table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect():
+        ts = r.text.split(" ")
+        n = len(ts)
+        n_chunks = (max(n - CHUNK_SIZE, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        for c in range(n_chunks):
+            s = c * CHUNK_STRIDE
+            chunk = " ".join(ts[s : s + CHUNK_SIZE])
+            want[(r.doc_id, c)] = (
+                s + 1,
+                min(CHUNK_SIZE, n - s),
+                hashlib.md5(chunk.encode()).hexdigest(),
+            )
+    assert got == want
+
+
+def test_dedup_incremental_flags(spark):
+    import hashlib
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_dedup_incremental
+
+    rows = {r.doc_id: (r.exact_dup, r.near_dup) for r in
+            _q_dedup_incremental(spark, SF_SMOKE).collect()}
+    docs = {r.doc_id: r.text for r in
+            tables.table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()}
+    old_hashes = {hashlib.sha256(t.encode()).hexdigest()
+                  for d, t in docs.items() if d % 2 == 0}
+    for d, t in docs.items():
+        if d % 2 == 0:
+            assert d not in rows  # corpus side never re-emitted
+            continue
+        exact = int(hashlib.sha256(t.encode()).hexdigest() in old_hashes)
+        assert rows[d][0] == exact
+        # identical text ⇒ identical signature ⇒ every band collides:
+        if exact and len(t.split(" ")) >= 3:
+            assert rows[d][1] == 1
+
+
+def test_tokenizer_fertility_and_shards(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _q_shard_assignment,
+        _q_tokenizer_fertility,
+    )
+
+    fert = _q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    docs = tables.table(spark, SF_SMOKE, "documents").select("lang", "text", "n_chars").collect()
+    n_docs = len(docs)
+    for row in fert:
+        mine = [d for d in docs if d.lang == row.lang]
+        assert row.n_docs == len(mine)
+        assert row.n_tokens == sum(len(d.text.split(" ")) for d in mine)
+        assert row.sum_chars == sum(d.n_chars for d in mine)
+    shards = _q_shard_assignment(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in shards) == n_docs
+    assert all(r.shard in "0123456789abcdef" for r in shards)
