@@ -1279,6 +1279,28 @@ def _q_shard_assignment(spark, sf_dir):
     )
 
 
+def _q_pipeline_ingest(spark, sf_dir):
+    """The whole ingest composed end-to-end: the incoming batch (odd
+    doc_ids) is quality-gated (repetition flag), deduped against the
+    existing corpus (exact hash + MinHash band buckets), chunked into
+    token windows, and shard-assigned — emitting per-shard chunk/doc
+    counts, i.e. the write manifest of one ingest run. Every stage is
+    the already-graded operator; this key grades their composition."""
+    inc = _q_dedup_incremental(spark, sf_dir)
+    rep = _q_gopher_repetition(spark, sf_dir)
+    keep = (
+        inc.filter((col("exact_dup") == 0) & (col("near_dup") == 0))
+        .join(rep.filter(col("rep_flag") == 0).select("doc_id"), "doc_id")
+        .select("doc_id")
+    )
+    chunks = _q_chunk_windows(spark, sf_dir).join(keep, "doc_id", "left_semi")
+    shard = F.substring(F.md5(col("doc_id").cast("string")), 1, 1)
+    return chunks.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 QUERIES = {
     "llm_dedup_hash": _q_dedup_hash,
     "llm_dedup_near_minhash": _q_dedup_near_minhash,
@@ -1321,6 +1343,7 @@ QUERIES = {
     "llm_dedup_incremental": _q_dedup_incremental,
     "llm_tokenizer_fertility": _q_tokenizer_fertility,
     "llm_shard_assignment": _q_shard_assignment,
+    "llm_pipeline_ingest": _q_pipeline_ingest,
 }
 
 
@@ -1772,6 +1795,38 @@ ORACLE = {
         "SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, "
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    ),
+    "llm_pipeline_ingest": (
+        f"WITH {_TOKS}, {_SH}, {_MINHASH}, {_BANDS}, "
+        "newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), "
+        "old AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0), "
+        "ex AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN old o ON sha256(n.text) = o.h), "
+        "oldb AS (SELECT DISTINCT band, bsig FROM bands WHERE doc_id % 2 = 0), "
+        "nb AS (SELECT DISTINCT b.doc_id FROM bands b JOIN oldb o "
+        "ON b.band = o.band AND b.bsig = o.bsig WHERE b.doc_id % 2 = 1), "
+        "t2 AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2), "
+        "m AS (SELECT doc_id, len(ts) AS n_tok, "
+        "round(1.0 - len(list_distinct(list_transform(generate_series(1, "
+        "CAST(len(ts) - 1 AS INT)), i -> ts[i] || ' ' || ts[i+1]))) * 1.0 "
+        "/ (len(ts) - 1), 4) AS dbf FROM t2), "
+        "tok AS (SELECT doc_id, unnest(ts) AS tok FROM t2), "
+        "cc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
+        "topx AS (SELECT doc_id, max(c) AS top_c FROM cc GROUP BY doc_id), "
+        "rep AS (SELECT m.doc_id FROM m JOIN topx ON m.doc_id = topx.doc_id "
+        "WHERE NOT (dbf > 0.05 OR top_c * 5 > n_tok)), "
+        "keep AS (SELECT d.doc_id FROM newdocs d "
+        "JOIN rep r ON d.doc_id = r.doc_id "
+        "LEFT JOIN ex e ON d.doc_id = e.doc_id "
+        "LEFT JOIN nb ON d.doc_id = nb.doc_id "
+        "WHERE e.doc_id IS NULL AND nb.doc_id IS NULL), "
+        "ck AS (SELECT doc_id, ts, len(ts) AS n, "
+        f"(greatest(len(ts) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1 "
+        "AS n_chunks FROM toks WHERE doc_id IN (SELECT doc_id FROM keep)), "
+        "g AS (SELECT doc_id, unnest(generate_series(0, "
+        f"CAST((n_chunks - 1) * {CHUNK_STRIDE} AS BIGINT), {CHUNK_STRIDE})) AS s FROM ck) "
+        "SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, "
+        "count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs "
+        "FROM g GROUP BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
     ),
     "llm_pipeline_e2e": (
         f"WITH {_TOKS}, "

@@ -600,3 +600,24 @@ def test_tokenizer_fertility_and_shards(spark):
     shards = _q_shard_assignment(spark, SF_SMOKE).collect()
     assert sum(r.n_docs for r in shards) == n_docs
     assert all(r.shard in "0123456789abcdef" for r in shards)
+
+
+def test_pipeline_ingest_consistency(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _q_chunk_windows,
+        _q_dedup_incremental,
+        _q_gopher_repetition,
+        _q_pipeline_ingest,
+    )
+
+    shards = _q_pipeline_ingest(spark, SF_SMOKE).collect()
+    n_docs_out = sum(r.n_docs for r in shards)
+    # survivors = new docs passing both gates
+    inc = {r.doc_id: r for r in _q_dedup_incremental(spark, SF_SMOKE).collect()}
+    rep = {r.doc_id: r.rep_flag for r in _q_gopher_repetition(spark, SF_SMOKE).collect()}
+    keep = {d for d, r in inc.items()
+            if r.exact_dup == 0 and r.near_dup == 0 and rep.get(d) == 0}
+    assert n_docs_out == len(keep)
+    n_chunks = sum(1 for r in _q_chunk_windows(spark, SF_SMOKE).collect()
+                   if r.doc_id in keep)
+    assert sum(r.n_chunks for r in shards) == n_chunks
