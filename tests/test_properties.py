@@ -140,3 +140,37 @@ def test_salted_join_equals_plain_join(spark, keys, small):
     plain = sorted(map(tuple, big.join(sm, "k").select("k", "payload", "v").collect()))
     salted = sorted(map(tuple, salted_join(big, sm, "k").select("k", "payload", "v").collect()))
     assert plain == salted
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=8))
+def test_chunk_window_tiling_covers_every_token_once_per_window(spark, doc_lens):
+    """Property: for any doc lengths, the chunk tiling (SIZE=32,
+    STRIDE=24) starts at 0,24,48,…; the last window starts within SIZE
+    tokens of the end; every token belongs to ≥1 window; window token
+    counts are exact."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        _q_chunk_windows,
+    )
+    from knn_with_mapreduce_cuda_spark.operators import llm as llm_mod
+    from unittest import mock
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en", "src", n)
+            for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with mock.patch.object(llm_mod, "_tokens_wide",
+                           lambda s, d: df.withColumn("ts", F.split("text", " "))):
+        got = _q_chunk_windows(spark, "ignored").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(doc_lens):
+        ws = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        starts = [r.start_tok - 1 for r in ws]
+        assert starts == list(range(0, starts[-1] + 1, CHUNK_STRIDE))
+        assert starts[-1] < max(n, 1)  # last window starts inside the doc
+        assert n - starts[-1] <= CHUNK_SIZE  # and reaches the end
+        for r in ws:
+            assert r.n_tok_chunk == min(CHUNK_SIZE, n - (r.start_tok - 1))
