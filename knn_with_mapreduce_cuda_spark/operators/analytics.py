@@ -5194,12 +5194,61 @@ def _q_exceedance_episodes(spark, sf_dir):
     ).select("start_h", "duration_h", "peak_c")
 
 
+#: Holt's linear recurrence, written ONCE as SQL lambda text shared by
+#: both engines: a left fold evaluates the identical IEEE expression tree
+#: on identical doubles, so the state is bit-identical — quantization
+#: (×10⁴ half-up) happens only on the emitted columns. α=0.5, β=0.25.
+_HOLT_STEP_L = "0.5 * x + 0.5 * (acc.l + acc.b)"
+_HOLT_STEP = (
+    "(acc, x) -> "
+    f"struct({_HOLT_STEP_L} AS l, "
+    f"0.25 * (({_HOLT_STEP_L}) - acc.l) + 0.75 * acc.b AS b)"
+)
+
+
+def _q_holt_linear(spark, sf_dir):
+    """Holt's linear (level+trend) exponential smoothing per event type
+    over the hourly count series — the trend-aware sibling of ts_ewma.
+    The series is collected per key as a sorted array (series length =
+    hours of history, not rows) and folded with a Catalyst `aggregate`
+    lambda; DuckDB folds the same lambda text via list_reduce, so the
+    doubles agree bit-for-bit and only the final ×10⁴ quantization is
+    emitted. Scale: one shuffle to (type, hour), one to type; the fold
+    is map-side over a bounded array."""
+    ev = tables.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").alias("c"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, c))), s -> CAST(s.c AS DOUBLE))"
+        ).alias("xs")
+    )
+    folded = series.select(
+        "event_type",
+        F.size("xs").alias("n_hours"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), "
+            "struct(element_at(xs, 1) AS l, CAST(0.0 AS DOUBLE) AS b), "
+            f"{_HOLT_STEP})"
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.expr("CAST(round(st.l * 10000) AS BIGINT)").alias("level_q4"),
+        F.expr("CAST(round(st.b * 10000) AS BIGINT)").alias("trend_q4"),
+        F.expr("CAST(round((st.l + st.b) * 10000) AS BIGINT)").alias("forecast1_q4"),
+    )
+
+
 QUERIES = {
     "ts_gaps_islands": _q_gaps_islands,
     "str_retention_cohort": _q_retention_cohort,
     "str_rolling_active": _q_rolling_active,
     "ts_autocorr": _q_autocorr,
     "ts_ewma": _q_ewma,
+    "ts_holt_linear": _q_holt_linear,
     "ml_ks_test": _q_ks_test,
     "rel_join_bloom_prefilter": _q_bloom_prefilter,
     "graph_linkpred_jaccard": _q_linkpred,
@@ -5399,6 +5448,29 @@ ORACLE = {
         "j AS (SELECT *, s1 / n AS m FROM lagagg, g) "
         "SELECT k, nk AS n_pairs, "
         "round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4) AS acf FROM j"
+    ),
+    "ts_holt_linear": (
+        # recursive CTE replays the identical fold arithmetic (DuckDB
+        # 1.0's list_reduce evaluates struct fields sequentially — the
+        # b-expression would see the already-updated l — so the fold is
+        # written as standard recursion instead)
+        f"WITH RECURSIVE {_EVD}, "
+        "hourly AS (SELECT event_type, h, count(*) AS c FROM evd GROUP BY event_type, h), "
+        "ordered AS (SELECT event_type, CAST(c AS DOUBLE) AS x, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS i FROM hourly), "
+        "nn AS (SELECT event_type, max(i) AS nmax FROM ordered GROUP BY event_type), "
+        "rec AS ("
+        "SELECT event_type, i, x AS l, CAST(0.0 AS DOUBLE) AS b FROM ordered WHERE i = 1 "
+        "UNION ALL "
+        "SELECT r.event_type, r.i + 1, "
+        "0.5 * o.x + 0.5 * (r.l + r.b) AS l, "
+        "0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b "
+        "FROM rec r JOIN ordered o ON o.event_type = r.event_type AND o.i = r.i + 1) "
+        "SELECT r.event_type, nn.nmax AS n_hours, "
+        "CAST(round(r.l * 10000) AS BIGINT) AS level_q4, "
+        "CAST(round(r.b * 10000) AS BIGINT) AS trend_q4, "
+        "CAST(round((r.l + r.b) * 10000) AS BIGINT) AS forecast1_q4 "
+        "FROM rec r JOIN nn ON r.event_type = nn.event_type WHERE r.i = nn.nmax"
     ),
     "ts_ewma": (
         f"WITH {_EVD}, {_HOURLY_SQL}, "

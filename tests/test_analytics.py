@@ -2170,3 +2170,24 @@ def test_exceedance_episodes_match_numpy(spark):
         for r in analytics._q_exceedance_episodes(spark, SF_SMOKE).collect()
     )
     assert got == exp
+
+
+def test_holt_linear_matches_python_fold(spark):
+    rows = {r.event_type: r for r in analytics._q_holt_linear(spark, SF_SMOKE).collect()}
+    from knn_with_mapreduce_cuda_spark import tables
+
+    ev = tables.table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "ts_us div 3600000000 AS h"
+    ).toPandas()
+    for et, grp in ev.groupby("event_type"):
+        xs = [float(c) for _, c in sorted(grp.groupby("h").size().items())]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (nl - l) + 0.75 * b
+            l = nl
+        r = rows[et]
+        assert r.n_hours == len(xs)
+        assert r.level_q4 == round(l * 10000)
+        assert r.trend_q4 == round(b * 10000)
+        assert r.forecast1_q4 == round((l + b) * 10000)
