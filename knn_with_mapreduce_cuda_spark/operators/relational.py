@@ -537,17 +537,23 @@ def _q_fn_conditional(spark, sf_dir):
 
 def _q_fn_array(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
+    # every rounded double gets the §7.2 `+ 0.0` negative-zero
+    # normalization — a -0.00004 element rounds to -0.0 on one engine
+    # and 0.0 on the other (hit at sf0.1)
     return e.select(
         "vec_id",
         F.size("emb").cast("long").alias("dim"),
-        F.round(F.element_at("emb", 1), 4).alias("first_el"),
-        F.round(F.array_min("emb"), 4).alias("min_el"),
-        F.round(F.array_max("emb"), 4).alias("max_el"),
+        (F.round(F.element_at("emb", 1), 4) + 0.0).alias("first_el"),
+        (F.round(F.array_min("emb"), 4) + 0.0).alias("min_el"),
+        (F.round(F.array_max("emb"), 4) + 0.0).alias("max_el"),
         F.size(F.filter("emb", lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(F.aggregate("emb", lit(0.0), lambda s, x: s + x), 4).alias("sum_el"),
+        (F.round(F.aggregate("emb", lit(0.0), lambda s, x: s + x), 4) + 0.0).alias("sum_el"),
         F.size(F.array_distinct("emb")).cast("long").alias("n_distinct"),
-        F.round(
-            F.aggregate(F.slice(F.sort_array("emb"), 1, 8), lit(0.0), lambda s, x: s + x), 4
+        (
+            F.round(
+                F.aggregate(F.slice(F.sort_array("emb"), 1, 8), lit(0.0), lambda s, x: s + x), 4
+            )
+            + 0.0
         ).alias("bottom8_sum"),
     )
 
@@ -1465,13 +1471,13 @@ ORACLE = {
     ),
     "rel_fn_array": (
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
-        "SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim, round(emb[1], 4) AS first_el, "
-        "round(list_aggregate(emb, 'min'), 4) AS min_el, "
-        "round(list_aggregate(emb, 'max'), 4) AS max_el, "
+        "SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim, round(emb[1], 4) + 0.0 AS first_el, "
+        "round(list_aggregate(emb, 'min'), 4) + 0.0 AS min_el, "
+        "round(list_aggregate(emb, 'max'), 4) + 0.0 AS max_el, "
         "CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos, "
-        "round(list_aggregate(emb, 'sum'), 4) AS sum_el, "
+        "round(list_aggregate(emb, 'sum'), 4) + 0.0 AS sum_el, "
         "CAST(len(list_distinct(emb)) AS BIGINT) AS n_distinct, "
-        "round(list_aggregate(list_slice(list_sort(emb), 1, 8), 'sum'), 4) AS bottom8_sum "
+        "round(list_aggregate(list_slice(list_sort(emb), 1, 8), 'sum'), 4) + 0.0 AS bottom8_sum "
         "FROM emb"
     ),
     "rel_fn_map_struct": (
