@@ -465,7 +465,9 @@ def _q_silhouette(spark, sf_dir):
         "label",
         F.round("a", 4).alias("a"),
         F.round("b", 4).alias("b"),
-        F.round((col("b") - col("a")) / F.greatest("a", "b"), 4).alias("sil"),
+        # +0.0: §7.2 negative-zero normalization (b−a can round to -0.0
+        # on one engine only; hit at sf0.1)
+        (F.round((col("b") - col("a")) / F.greatest("a", "b"), 4) + 0.0).alias("sil"),
     )
 
 
@@ -1127,7 +1129,7 @@ ORACLE = {
         "min(CASE WHEN clabel <> label THEN dist END) AS b "
         "FROM d GROUP BY vec_id, label) "
         "SELECT vec_id, label, round(a, 4) AS a, round(b, 4) AS b, "
-        "round((b - a) / greatest(a, b), 4) AS sil FROM ab"
+        "round((b - a) / greatest(a, b), 4) + 0.0 AS sil FROM ab"
     ),
     "graph_knn_hubness": (
         f"WITH {_EMB}, "
