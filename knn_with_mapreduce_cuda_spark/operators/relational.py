@@ -704,13 +704,16 @@ def _q_fn_math2(spark, sf_dir):
     ev = tables.table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     v = col("value")
+    # + 0.0 on the sign-crossing functions: §7.2 negative-zero
+    # normalization (cos/sin/deg/rad of near-zero inputs round to ±0.0
+    # differently across engines; hit at sf0.1)
     return ev.select(
         "event_id",
-        F.round(F.sin(v), 4).alias("sin_v"),
-        F.round(F.cos(v), 4).alias("cos_v"),
-        F.round(F.atan2(v, lit(2.0)), 4).alias("atan2_v"),
-        F.round(F.degrees(v), 4).alias("deg_v"),
-        F.round(F.radians(v), 4).alias("rad_v"),
+        (F.round(F.sin(v), 4) + 0.0).alias("sin_v"),
+        (F.round(F.cos(v), 4) + 0.0).alias("cos_v"),
+        (F.round(F.atan2(v, lit(2.0)), 4) + 0.0).alias("atan2_v"),
+        (F.round(F.degrees(v), 4) + 0.0).alias("deg_v"),
+        (F.round(F.radians(v), 4) + 0.0).alias("rad_v"),
         F.round(F.cbrt(F.abs(v)), 4).alias("cbrt_v"),
         F.round(F.log2(F.abs(v) + 1.0), 4).alias("log2_v"),
         F.factorial(F.pmod(k, 10).cast("int")).cast("long").alias("fact_k"),
@@ -1557,9 +1560,9 @@ ORACLE = {
     ),
     "rel_fn_math2": (
         f"WITH {_EV} SELECT event_id, "
-        "round(sin(value), 4) AS sin_v, round(cos(value), 4) AS cos_v, "
-        "round(atan2(value, 2.0), 4) AS atan2_v, "
-        "round(degrees(value), 4) AS deg_v, round(radians(value), 4) AS rad_v, "
+        "round(sin(value), 4) + 0.0 AS sin_v, round(cos(value), 4) + 0.0 AS cos_v, "
+        "round(atan2(value, 2.0), 4) + 0.0 AS atan2_v, "
+        "round(degrees(value), 4) + 0.0 AS deg_v, round(radians(value), 4) + 0.0 AS rad_v, "
         "round(cbrt(abs(value)), 4) AS cbrt_v, "
         "round(log2(abs(value) + 1.0), 4) AS log2_v, "
         "CAST(factorial(CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS INT)) "

@@ -174,8 +174,18 @@ def _q_udtf(spark, sf_dir):
     spark.udtf.register("explode_topk", ExplodeTopk)
     e = tables.embeddings(spark, sf_dir)
     t = topk(with_distance(all_pairs(split_test(e), train_all(e))), K_DEFAULT)
-    packed = t.orderBy("qid", "rnk").groupBy("qid").agg(
-        F.concat_ws(",", F.collect_list(col("tid").cast("string"))).alias("csv")
+    # collect_list gives NO ordering guarantee across the aggregation
+    # shuffle (a pre-groupBy orderBy held only by luck at sf0.01 and
+    # broke at sf0.1): collect (rnk, tid) structs and array_sort so the
+    # CSV is rank-ordered deterministically under any partitioning.
+    packed = t.groupBy("qid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+        ).alias("csv")
     )
     packed.createOrReplaceTempView("topk_packed")
     return spark.sql(
@@ -233,7 +243,9 @@ def _q_apply_arrow(spark, sf_dir):
         var = pc.mean(pc.multiply(pc.subtract(v, mu), pc.subtract(v, mu))).as_py()
         sd = var**0.5
         if sd > 0:
-            z = pc.round(pc.divide(pc.subtract(v, mu), sd), 4)
+            # pc.add(…, 0.0): §7.2 negative-zero normalization (the
+            # pandas twin does `+ 0.0` too; hit at sf0.1)
+            z = pc.add(pc.round(pc.divide(pc.subtract(v, mu), sd), 4), 0.0)
         else:
             z = pa.array([0.0] * n, type=pa.float64())
         return pa.table(
