@@ -59,25 +59,32 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Keys in SURVEY_QKEYS whose CORRECTNESS_r01 row came from the judge's
-#: manual oracle run rather than the driver's 50-query gate window
-#: (VERDICT.md round 1, "Next round" #1). Rotated to the front for round 2
-#: so every §2 key accumulates a hard driver-verified green row; the keys
-#: displaced out of the window keep their r01 rows as evidence.
+#: Round-3 rotation window (VERDICT r02 "Next round" #2): every SURVEY §2
+#: key now has a hard driver-green row (r01 ∪ r02 = 77 keys), so this
+#: round fronts the 50 most complex *extras*-tier keys that have never
+#: been inside a driver gate window — the iterative tier, all 17
+#: expressible TPC-H queries, the seven source/sink roundtrips, and the
+#: heaviest LLM-pipeline keys. Displaced keys keep their r01/r02 rows.
 _ROTATE_FRONT = [
-    "llm_text_stats", "llm_multimodal_join", "llm_lang_partition",
-    "str_window_tumbling", "str_window_sliding", "str_window_session",
-    "str_dedup_watermark", "str_late_data", "str_join_stream_static",
-    "str_join_stream_stream", "str_stateful_map", "str_sink",
-    "udf_scalar_py", "udf_pandas_vectorized", "udf_grouped_agg",
-    "udf_map_arrow", "udf_udtf",
-    # newly hash-graded in round 2 (were rows-only; VERDICT #2) — front
-    # them too so their first graded run is a hard driver signal.
-    "llm_ann_lsh", "llm_dedup_minhash_mllib",
-    # new round-2 pipeline operators — first graded run this round.
-    "llm_semdedup", "llm_gopher_repetition", "llm_substring_dup_spans",
-    "llm_filter_funnel", "llm_chunk_windows", "llm_dedup_incremental",
-    "llm_tokenizer_fertility", "llm_shard_assignment",
+    # iterative tier (multi-pass algorithms — hardest to grade)
+    "ml_kmeans_lloyd", "graph_components_dedup", "llm_dedup_apply",
+    "graph_pagerank", "ml_pca_power", "ml_dbscan",
+    "llm_cluster_topics", "llm_topic_coherence",
+    # TPC-H (all fixtures-expressible queries; tpch.py:1 documents the rest)
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    # sources / sinks (the connector tier)
+    "src_parquet_metadata", "src_csv_roundtrip", "src_jsonl_roundtrip",
+    "src_knn_text_roundtrip", "src_orc_roundtrip",
+    "src_partition_prune_read", "src_python_datasource",
+    # heaviest LLM-pipeline + relational extras
+    "llm_simsearch_gemm", "llm_simsearch_ivf", "llm_dedup_simhash",
+    "llm_dedup_jaccard", "llm_dedup_embed", "llm_pipeline_e2e",
+    "llm_pipeline_ingest", "ml_naive_bayes", "llm_search_bm25",
+    "llm_contamination", "llm_pii_redact", "llm_pack_sequences",
+    "llm_lang_id", "llm_quality_score", "llm_token_count",
+    "llm_fingerprint", "rel_cte_recursive", "rel_merge_upsert",
 ]
 
 
