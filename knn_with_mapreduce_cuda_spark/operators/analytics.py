@@ -468,7 +468,7 @@ def _q_vocab_coverage(spark, sf_dir):
     w = Window.orderBy(F.desc("f"), "tok")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = freq.select(
-        F.row_number().over(w).alias("r"), F.sum("f").over(wc).alias("cum")
+        F.row_number().over(w).cast("long").alias("r"), F.sum("f").over(wc).alias("cum")
     )
     tot = freq.agg(F.sum("f").alias("t"))
     thr = freq.sparkSession.range(0, 3).select(
@@ -979,7 +979,7 @@ def _q_feature_gain(spark, sf_dir):
     )
     best = scored.groupBy("dim", "nn").agg(F.max("correct").alias("best_correct"))
     return best.select(
-        "dim",
+        col("dim").cast("long").alias("dim"),
         "best_correct",
         F.expr("round(CAST(best_correct AS DOUBLE) / nn, 4)").alias("accuracy"),
     )
@@ -1817,7 +1817,7 @@ def _q_keywords_per_doc(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("siq"), "term")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "siq")
     )
@@ -2005,7 +2005,7 @@ def _q_gains_table(spark, sf_dir):
     )
     nt = F.ntile(10).over(Window.orderBy(F.desc("score"), "vec_id"))
     per = (
-        pts.withColumn("decile", nt)
+        pts.withColumn("decile", nt.cast("long"))
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
@@ -2852,7 +2852,7 @@ def _q_yoy_growth(spark, sf_dir):
     KPI over the lineitem fact: exact cents per year, lag() for the
     prior year, growth as one rounded ratio of exact integers."""
     li = tables.table(spark, sf_dir, "lineitem")
-    per = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+    per = li.groupBy(F.year("l_shipdate").cast("long").alias("yr")).agg(
         F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
             "rev_cents"
         )
@@ -4822,9 +4822,9 @@ def _q_rfm_segments(spark, sf_dir):
         "recency_days",
         "freq",
         "spend_c",
-        r_nt.alias("r"),
-        f_nt.alias("f"),
-        m_nt.alias("m"),
+        r_nt.cast("long").alias("r"),
+        f_nt.cast("long").alias("f"),
+        m_nt.cast("long").alias("m"),
     )
     return coded.select(
         "user_id",
@@ -4853,7 +4853,7 @@ def _q_precision_at_k(spark, sf_dir):
         Window.unboundedPreceding, 0
     )
     cum = t.withColumn("cum_rel", F.sum("rel").over(w)).select(
-        col("rnk").alias("k"),
+        col("rnk").cast("long").alias("k"),
         F.expr(
             "CAST(round(cum_rel / CAST(rnk AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("pq"),
@@ -5008,7 +5008,7 @@ def _q_recall_at_k(spark, sf_dir):
         Window.unboundedPreceding, 0
     )
     cum = t.withColumn("cum_rel", F.sum("rel").over(w)).join(qrel, "qid").select(
-        col("rnk").alias("k"),
+        col("rnk").cast("long").alias("k"),
         F.expr(
             "CAST(round(cum_rel / CAST(n_rel AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("rq"),
@@ -5226,7 +5226,7 @@ def _q_holt_linear(spark, sf_dir):
     )
     folded = series.select(
         "event_type",
-        F.size("xs").alias("n_hours"),
+        F.size("xs").cast("long").alias("n_hours"),
         F.expr(
             "aggregate(slice(xs, 2, size(xs) - 1), "
             "struct(element_at(xs, 1) AS l, CAST(0.0 AS DOUBLE) AS b), "
@@ -7652,7 +7652,7 @@ ORACLE["str_churn_labels"] = (
 
 ORACLE["ts_persistence_error_curve"] = (
     f"WITH {_EVD}, {_HOURLY_SQL}, "
-    "hs AS (SELECT unnest([1, 6, 12, 24]) AS hz), "
+    "hs AS (SELECT CAST(unnest([1, 6, 12, 24]) AS BIGINT) AS hz), "
     "pairs AS (SELECT hz, a.c AS ct, b.c AS cl FROM s a, hs, s b "
     "WHERE a.h - hz = b.h) "
     "SELECT hz, count(*) AS n, "

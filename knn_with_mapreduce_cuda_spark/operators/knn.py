@@ -731,7 +731,7 @@ def _q_dist_seuclidean(spark, sf_dir):
     d = pairs.withColumn("dist", F.round(F.sqrt(wsum), 4))
     w = Window.partitionBy("qid").orderBy("dist", "tid")
     return (
-        d.withColumn("rnk", F.row_number().over(w))
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= K_JOIN)
         .select("qid", "tid", "rnk", "dist")
     )

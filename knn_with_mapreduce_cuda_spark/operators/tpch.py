@@ -173,7 +173,7 @@ def _q7(spark, sf_dir):
             ((col("supp_nation") == "NATION_1") & (col("cust_nation") == "NATION_2"))
             | ((col("supp_nation") == "NATION_2") & (col("cust_nation") == "NATION_1"))
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
                 "revenue_cents"
@@ -205,7 +205,7 @@ def _q8(spark, sf_dir):
         .join(F.broadcast(region), col("c_rk") == col("r_regionkey"))
         .join(tables.table(spark, sf_dir, "supplier"), col("l_suppkey") == col("s_suppkey"))
         .join(F.broadcast(sn), col("s_nationkey") == col("s_nk"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))).alias(
                 "nation_cents"
@@ -236,7 +236,7 @@ def _q9(spark, sf_dir):
         .join(tables.table(spark, sf_dir, "supplier"), col("l_suppkey") == col("s_suppkey"))
         .join(tables.table(spark, sf_dir, "orders"), col("l_orderkey") == col("o_orderkey"))
         .join(F.broadcast(nation), col("s_nationkey") == col("n_nationkey"))
-        .groupBy(col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(cents(col("l_extendedprice") * (1 - col("l_discount")))).alias(
                 "revenue_cents"

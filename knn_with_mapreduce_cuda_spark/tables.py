@@ -19,6 +19,8 @@ pruning into the scan regardless of data size.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import ensure_runtime_confs
@@ -41,20 +43,60 @@ TABLE_NAMES = [
 ]
 
 
-#: per-session memo of loaded tables — ``spark.read.parquet`` re-lists
-#: files and re-reads footers on every call, which costs more than the
-#: actual work for sub-second queries (measured ~0.5–1.5 s per query at
-#: sf0.1, scripts/scale_proof.py). Fixtures are immutable, so reusing
-#: the analyzed (lazy) DataFrame is exactly what a metastore-backed
-#: catalog does with its schema/file-list cache. Keyed on the session so
-#: a restarted SparkSession never sees stale plans.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+class SessionMemo:
+    """Per-session memo of analyzed lazy DataFrames — ``spark.read.parquet``
+    re-lists files and re-reads footers on every call, which costs more
+    than the actual work for sub-second queries (measured ~0.5–1.5 s per
+    query at sf0.1, scripts/scale_proof.py); reusing the analyzed plan is
+    what a metastore-backed catalog's schema/file-list cache does.
+
+    Entries pair the value with a *weak* session reference (ADVICE r02):
+    a hit is served only while the weakref still resolves to the same
+    live session, so a garbage-collected session (or a reused ``id()``)
+    can never serve a stale plan, and dead entries are purged on every
+    put instead of pinning stopped sessions for process lifetime.
+    ``invalidate(sf_dir)`` drops entries for a directory about to be
+    rewritten in-session (e.g. scripts/scale_proof.py's scratch)."""
+
+    _ALL: list["SessionMemo"] = []
+
+    def __init__(self) -> None:
+        self._m: dict[tuple, tuple[weakref.ref, object]] = {}
+        SessionMemo._ALL.append(self)
+
+    def get(self, spark: SparkSession, key: tuple):
+        hit = self._m.get((id(spark), *key))
+        if hit is not None and hit[0]() is spark:
+            return hit[1]
+        return None
+
+    def put(self, spark: SparkSession, key: tuple, value) -> None:
+        dead = [k for k, (ref, _) in self._m.items() if ref() is None]
+        for k in dead:
+            del self._m[k]
+        self._m[(id(spark), *key)] = (weakref.ref(spark), value)
+
+    def invalidate(self, sf_dir: str) -> None:
+        stem = sf_dir.rstrip("/")
+        gone = [k for k in self._m if len(k) > 1 and k[1] == stem]
+        for k in gone:
+            del self._m[k]
+
+
+def invalidate_caches(sf_dir: str) -> None:
+    """Drop every memoized plan touching ``sf_dir`` (call before
+    rewriting a directory that was already read in this session)."""
+    for memo in SessionMemo._ALL:
+        memo.invalidate(sf_dir)
+
+
+_TABLE_MEMO = SessionMemo()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical casts applied."""
-    key = (id(spark), sf_dir.rstrip("/"), name)
-    memo = _TABLE_MEMO.get(key)
+    key = (sf_dir.rstrip("/"), name)
+    memo = _TABLE_MEMO.get(spark, key)
     if memo is not None:
         return memo
     ensure_runtime_confs(spark)
@@ -84,7 +126,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts_us", us)
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
-    _TABLE_MEMO[key] = df
+    _TABLE_MEMO.put(spark, key, df)
     return df
 
 

@@ -49,6 +49,7 @@ FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 def amplify(spark) -> None:
     """Write FACTOR× copies of the tables the weak queries touch, keys
     shifted so join cardinalities scale linearly (not quadratically)."""
+    tables.invalidate_caches(SCRATCH)  # SCRATCH may have been read in-session
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH)
     rep = spark.range(FACTOR).select(col("id").alias("_r"))
