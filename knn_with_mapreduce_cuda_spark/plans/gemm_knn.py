@@ -90,8 +90,20 @@ def _ensure_parallel(train_df: DataFrame, min_partitions: int | None) -> DataFra
 #: extra candidates fetched per partition in float32 selection mode —
 #: the exact f64 rerank then keeps the true top-k. f32 relative error is
 #: ~1e-7, so a true neighbor would have to sit more than OVERFETCH ranks
-#: past k purely on last-float noise to be missed.
+#: past k purely on last-float noise to be missed. For the cases where
+#: that CAN happen (>OVERFETCH candidates tied or f32-indistinguishable
+#: at the k-th boundary — duplicated/clustered embeddings), the kernel
+#: detects the boundary condition after the f64 rerank and recomputes
+#: the affected query rows fully in f64 (ADVICE r02), so the emitted
+#: top-k is exact for every input, not almost-every input.
 OVERFETCH = 16
+
+#: relative tolerance for the f32 boundary-tie detection: the f32
+#: distance assembly (norms + GEMM dot, dim-length accumulations) has
+#: absolute error ≲ dim·eps32·2·(‖q‖²+‖t‖²) ≈ 1.5e-5·scale at dim=64;
+#: 1e-4 gives ~6× margin. A false positive only costs an exact f64
+#: recompute of that query row.
+F32_TIE_RTOL = 1e-4
 
 
 def knn_topk_gemm(
@@ -102,6 +114,7 @@ def knn_topk_gemm(
     min_partitions: int | None = None,
     backend: str | None = None,
     precision: str = "float32",
+    broadcast_out: list | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors of each query among train, GEMM-accelerated.
 
@@ -111,12 +124,18 @@ def knn_topk_gemm(
     backend: 'cupy' | 'numpy' | None (auto: CuPy when a device exists).
     precision: 'float32' (default) runs the big GEMM in f32 — exactly
     what the CUDA kernels this slot models do — selects k+OVERFETCH
-    candidates per partition, then recomputes their distances exactly in
-    f64 (sum of squared diffs, the expression-path formula) before the
-    global merge, so emitted distances and ranks match the f64 path.
+    candidates per partition, recomputes their distances exactly in f64
+    (sum of squared diffs, the expression-path formula), and falls back
+    to an exact full-f64 scan for any query row whose k-th reranked
+    distance lands within f32 tolerance of the selection boundary
+    (OVERFETCH/F32_TIE_RTOL) — so emitted distances, ranks, AND the
+    tid tie-break contract match the f64 path on every input.
     This container's OpenBLAS runs sgemm ~16× faster than dgemm under
     32-way worker concurrency (measured; see SCALE.md §9).
     'float64' keeps the whole kernel in doubles.
+    broadcast_out: when a list is passed, the query Broadcast handle is
+    appended so a chunked caller can destroy it once the block's result
+    is materialized (bounded residency, VERDICT r02 #3).
     """
     import pyarrow as pa
 
@@ -128,6 +147,8 @@ def knn_topk_gemm(
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
     q_bc = spark.sparkContext.broadcast((qids, qmat))
+    if broadcast_out is not None:
+        broadcast_out.append(q_bc)
 
     def block_knn(batches):
         b_qids, b_qmat = q_bc.value
@@ -192,6 +213,34 @@ def knn_topk_gemm(
                     d2k = (diff * diff).sum(axis=2)
                     if exclude_self:
                         d2k[b_qids[s:e, None] == tids[idx]] = np.inf
+                    if kk < len(tids):
+                        # Boundary-tie guard (ADVICE r02): every excluded
+                        # point has f32 dist² ≥ the selection boundary
+                        # (the kk-th smallest f32 value). If a row's k-th
+                        # reranked f64 dist² reaches within f32 tolerance
+                        # of that boundary, an excluded point could be a
+                        # true neighbor (or a smaller-tid tie) — redo
+                        # those rows with an exact f64 scan + tid-stable
+                        # selection. Rare by construction (needs more
+                        # than OVERFETCH candidates inside f32 noise of
+                        # the k-th distance), so the O(n_t·dim) row cost
+                        # doesn't affect the common path.
+                        rows = np.arange(idx.shape[0])
+                        bound32 = d2[rows, idx[:, kk - 1]].astype(np.float64)
+                        kth64 = np.partition(d2k, min(k, kk) - 1, axis=1)[
+                            :, min(k, kk) - 1
+                        ]
+                        tol = F32_TIE_RTOL * (
+                            float(qnorm[s:e].max()) + float(tnorm.max())
+                        )
+                        for r in np.nonzero(kth64 >= bound32 - tol)[0]:
+                            dr = b_qmat[s + r] - tmat
+                            dd = np.einsum("ij,ij->i", dr, dr)
+                            if exclude_self:
+                                dd[tids == b_qids[s + r]] = np.inf
+                            exact_sel = np.lexsort((tids, dd))[:kk]
+                            idx[r] = exact_sel
+                            d2k[r] = dd[exact_sel]
                 else:
                     d2k = np.take_along_axis(d2, idx, axis=1)
                     # sqrt-of-negative guard for the GEMM decomposition's
@@ -214,6 +263,37 @@ def knn_topk_gemm(
     )
 
 
+def _rows_upper_bound(df: DataFrame) -> int | None:
+    """Row-count upper bound from parquet footer metadata of the
+    relation's input files — driver-side file reads, NO Spark job
+    (VERDICT r02 #3: the previous eager ``count()`` at plan-construction
+    time). Filters/limits only shrink the real count, which only makes
+    blocks smaller than requested — safe. Returns None (caller falls
+    back to one counted job) when the relation has no file scan or its
+    plan contains row-multiplying operators (join/generate/expand/union),
+    where footer rows could *under*-state the block size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(tok in plan for tok in ("Join", "Generate", "Expand", "Union")):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        if not os.path.isfile(path) or not path.endswith((".parquet", ".parq")):
+            return None
+        total += pq.ParquetFile(path).metadata.num_rows
+    return total
+
+
 def knn_topk_gemm_chunked(
     queries_df: DataFrame,
     train_df: DataFrame,
@@ -221,39 +301,73 @@ def knn_topk_gemm_chunked(
     exclude_self: bool = True,
     query_block_rows: int = 100_000,
     min_partitions: int | None = None,
+    backend: str | None = None,
+    precision: str = "float32",
+    n_queries: int | None = None,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Outer loop over bounded query blocks (SCALE.md §5) for probe sets
     too large to broadcast whole.
 
-    Each query's top-k is independent of every other query, so the union
-    of per-block results is the exact global answer — the [P:Maillo17]
-    kNN-IS job layout. Blocks are selected by ``qid % n_blocks``
-    (deterministic, no shuffle: the predicate is pushed into the query
-    scan). Per-block broadcast is bounded by ``query_block_rows × dim``
-    doubles; at true scale each block's result would be flushed to the
-    sink before the next block's broadcast so only one block is resident
-    at a time.
+    Each query's top-k is independent of every other query, so the
+    per-block results together are the exact global answer — the
+    [P:Maillo17] kNN-IS job layout. Blocks are selected by ``qid %
+    n_blocks`` (deterministic, no shuffle: the predicate is pushed into
+    the query scan).
 
-    The train side is projected to (tid, temb, tnorm) — norms folded
-    once by a Catalyst expression — and **persisted**, so the parquet
-    scan and the norm computation happen once regardless of n_blocks;
-    blocks 2..n read the in-memory relation (VERDICT r01 #8; asserted
-    on the plan in tests/test_plans.py).
+    Residency is bounded in code, not just in prose (VERDICT r02 #3):
+
+    - ``n_blocks`` comes from the caller hint ``n_queries`` or from
+      parquet footer metadata (``_rows_upper_bound``, no job); only a
+      relation with no file scan pays one ``count()`` job.
+    - Blocks run **streaming**: each block's result is flushed to
+      ``sink_path`` (parquet, a scratch dir by default) and its query
+      broadcast destroyed before the next block's broadcast is built —
+      exactly one ``query_block_rows × dim`` broadcast is resident at
+      any time (asserted in tests/test_plans.py).
+    - The train side is projected once — plus a ``tnorm`` column only
+      when the selected kernel actually reads it (the f64/CuPy branch;
+      ADVICE r02) — and **persisted**, so the train scan happens once
+      regardless of n_blocks, then unpersisted before returning.
+
+    Returns the sink relation (lazy parquet scan over all blocks).
     """
-    n = queries_df.count()
+    import tempfile
+
+    spark = queries_df.sparkSession
+    n = n_queries if n_queries is not None else _rows_upper_bound(queries_df)
+    if n is None:
+        n = queries_df.count()
     n_blocks = max(1, -(-n // query_block_rows))
     if n_blocks == 1:
-        return knn_topk_gemm(queries_df, train_df, k, exclude_self, min_partitions)
-    train_aug = _ensure_parallel(train_df, min_partitions).withColumn(
-        "tnorm",
-        F.aggregate("temb", F.lit(0.0), lambda acc, x: acc + x * x),
-    ).persist()
-    out = None
-    for b in range(n_blocks):
-        qb = queries_df.filter(F.pmod(col("qid"), n_blocks) == b)
-        r = knn_topk_gemm(qb, train_aug, k, exclude_self, min_partitions=None)
-        out = r if out is None else out.unionByName(r)
-    return out
+        return knn_topk_gemm(
+            queries_df, train_df, k, exclude_self, min_partitions,
+            backend=backend, precision=precision,
+        )
+    use_f32 = precision == "float32" and (backend or gemm_backend()) != "cupy"
+    aug = _ensure_parallel(train_df, min_partitions)
+    if not use_f32:
+        # precomputed norms are only read by the f64/CuPy kernel branch;
+        # the f32 path recomputes them on the cast f32 matrix.
+        aug = aug.withColumn(
+            "tnorm", F.aggregate("temb", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+    train_aug = aug.persist()
+    sink = sink_path or tempfile.mkdtemp(prefix="gemm_chunked_")
+    try:
+        for b in range(n_blocks):
+            qb = queries_df.filter(F.pmod(col("qid"), n_blocks) == b)
+            handles: list = []
+            r = knn_topk_gemm(
+                qb, train_aug, k, exclude_self, min_partitions=None,
+                backend=backend, precision=precision, broadcast_out=handles,
+            )
+            r.write.mode("overwrite" if b == 0 else "append").parquet(sink)
+            for h in handles:  # block result is on disk — free its broadcast
+                h.destroy()
+    finally:
+        train_aug.unpersist()
+    return spark.read.parquet(sink)
 
 
 def cosine_topk_gemm(
@@ -325,6 +439,22 @@ def cosine_topk_gemm(
                     cosk = np.einsum("qd,qkd->qk", b_qmat[s:e], tmat[idx])
                     if exclude_self:
                         cosk[b_qids[s:e, None] == tids[idx]] = -np.inf
+                    if kk < len(tids):
+                        # boundary-tie guard, similarity-descending twin
+                        # of the knn_topk_gemm guard (ADVICE r02): unit
+                        # vectors ⇒ absolute tolerance ~F32_TIE_RTOL.
+                        rows = np.arange(idx.shape[0])
+                        bound32 = cos[rows, idx[:, kk - 1]].astype(np.float64)
+                        kth64 = -np.partition(-cosk, min(k, kk) - 1, axis=1)[
+                            :, min(k, kk) - 1
+                        ]
+                        for r in np.nonzero(kth64 <= bound32 + F32_TIE_RTOL)[0]:
+                            dd = tmat @ b_qmat[s + r]
+                            if exclude_self:
+                                dd[tids == b_qids[s + r]] = -np.inf
+                            exact_sel = np.lexsort((tids, -dd))[:kk]
+                            idx[r] = exact_sel
+                            cosk[r] = dd[exact_sel]
                 else:
                     cosk = np.take_along_axis(cos, idx, axis=1)
                 rows_q = np.repeat(b_qids[s:e], kk)

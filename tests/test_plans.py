@@ -75,25 +75,109 @@ def test_broadcast_hash_join_for_dim_table(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_gemm_chunked_equals_unchunked(spark):
+def test_gemm_chunked_equals_unchunked(spark, tmp_path):
+    """Chunked result must equal unchunked, with the VERDICT r02 #3
+    residency contract observed in code: exactly one query broadcast
+    alive at any time (each destroyed after its block's flush), the
+    train side persisted for every block, and the block count derived
+    from parquet metadata — no eager count() job at construction."""
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
     from knn_with_mapreduce_cuda_spark import tables as T
-    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import (
-        knn_topk_gemm,
-        knn_topk_gemm_chunked,
-    )
 
     e = T.embeddings(spark, SF_SMOKE)
     q = e.selectExpr("vec_id as qid", "emb as qemb")
     t = e.selectExpr("vec_id as tid", "emb as temb")
-    whole = knn_topk_gemm(q, t, 5).collect()
-    chunked_df = knn_topk_gemm_chunked(q, t, 5, query_block_rows=40)
+    whole = G.knn_topk_gemm(q, t, 5).collect()
+
+    events: list = []
+    real = G.knn_topk_gemm
+
+    def tracked(*args, **kwargs):
+        out = kwargs.get("broadcast_out")
+        assert out is not None, "chunked must pass broadcast_out"
+        train = args[1]
+        assert train.storageLevel.useMemory, "train side must be persisted"
+        before = len(out)
+        res = real(*args, **kwargs)
+        for h in out[before:]:
+            events.append(("create", id(h)))
+            orig = h.destroy
+
+            def destroy(_orig=orig, _hid=id(h)):
+                events.append(("destroy", _hid))
+                return _orig()
+
+            h.destroy = destroy
+        return res
+
+    G.knn_topk_gemm = tracked
+    try:
+        chunked_df = G.knn_topk_gemm_chunked(
+            q, t, 5, query_block_rows=40, sink_path=str(tmp_path / "sink")
+        )
+    finally:
+        G.knn_topk_gemm = real
     chunked = chunked_df.collect()
     key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
     assert key(whole) == key(chunked)
-    # one train scan regardless of n_blocks: blocks read the persisted
-    # (tid, temb, tnorm) relation, not the parquet scan (VERDICT r01 #8)
-    plan = _plan(chunked_df)
-    assert "InMemoryTableScan" in plan, plan
+    # one resident broadcast at a time: create/destroy strictly alternate
+    assert len(events) >= 4, events
+    alive = 0
+    for kind, _ in events:
+        alive += 1 if kind == "create" else -1
+        assert 0 <= alive <= 1, events
+    assert alive == 0, events
+
+
+def test_gemm_chunked_rows_upper_bound(spark):
+    """Block sizing reads parquet footers driver-side: exact for a
+    projected scan, None (→ counted fallback) for row-multiplying plans."""
+    from knn_with_mapreduce_cuda_spark import tables as T
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import _rows_upper_bound
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb")
+    assert _rows_upper_bound(q) == e.count()
+    joined = q.join(q.selectExpr("qid as qid2"), F.expr("qid = qid2"))
+    assert _rows_upper_bound(joined) is None
+    assert _rows_upper_bound(spark.range(10)) is None
+
+
+def test_gemm_f32_tie_guard_exact_under_mass_ties(spark):
+    """ADVICE r02 (medium): with more than OVERFETCH candidates exactly
+    tied at the k-th distance, f32 argpartition alone could keep an
+    arbitrary subset of the ties, dropping the smallest-tid ones the
+    contract requires. The boundary guard must detect the tie and fall
+    back to an exact f64 scan with tid-stable selection."""
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import OVERFETCH, knn_topk_gemm
+
+    dim, k = 8, 10
+    base = [float(i) for i in range(dim)]
+    rows = [(t, [x + 1.0 for x in base]) for t in range(3)]
+    rows += [(100 + t, [x + 2.0 for x in base]) for t in range(OVERFETCH * 4)]
+    t_df = spark.createDataFrame(rows, "tid long, temb array<double>").coalesce(1)
+    q_df = spark.createDataFrame([(0, base)], "qid long, qemb array<double>")
+    got = knn_topk_gemm(q_df, t_df, k, exclude_self=False).collect()
+    got_tids = [r.tid for r in sorted(got, key=lambda r: r.rnk)]
+    # exact contract: the 3 near points, then the smallest-tid ties
+    assert got_tids == [0, 1, 2] + [100 + i for i in range(k - 3)], got_tids
+
+
+def test_gemm_f32_cosine_tie_guard(spark):
+    """Similarity-descending twin: mass cosine ties at the k-th rank
+    must resolve to the smallest tids, not an arbitrary f32 subset."""
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import OVERFETCH, cosine_topk_gemm
+
+    dim, k = 8, 5
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal to a
+    mid = [0.8, 0.6] + [0.0] * (dim - 2)
+    rows = [(0, mid)] + [(100 + t, b) for t in range(OVERFETCH * 4)]
+    t_df = spark.createDataFrame(rows, "tid long, temb array<double>").coalesce(1)
+    q_df = spark.createDataFrame([(0, a)], "qid long, qemb array<double>")
+    got = cosine_topk_gemm(q_df, t_df, k, exclude_self=False).collect()
+    got_tids = [r.tid for r in sorted(got, key=lambda r: r.rnk)]
+    assert got_tids == [0] + [100 + i for i in range(k - 1)], got_tids
 
 
 def test_gemm_no_eager_jobs_on_construction(spark):
