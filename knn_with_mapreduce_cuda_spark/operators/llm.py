@@ -40,6 +40,31 @@ EMBED_DUP_THRESHOLD = 0.45
 LANG_MARKERS = {"de": "join", "en": "hash", "es": "row", "fr": "batch", "zh": "scan"}
 IVF_CENTROID_IDS = [7, 107, 207, 307, 407]
 
+#: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
+#: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
+#: degenerate ~31-word fixture vocabulary makes the inverted-token join
+#: approach all-pairs, which is a fixture property, not an operator one.
+#: The graded sf0.01 corpus (500 docs) stays exact/unsampled.
+MINHASH_MLLIB_EXACT_MAX_DOCS = 1_000
+
+
+def _fixture_rows(sf_dir: str, name: str) -> int:
+    """Exact fixture row count from parquet footer metadata — driver-side
+    file reads, no Spark job; handles both single-file fixtures and
+    Spark-written part directories."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isfile(p):
+        return pq.ParquetFile(p).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{p}/*.parquet")
+    )
+
 
 _TOKENS_MEMO = tables.SessionMemo()
 
@@ -407,13 +432,21 @@ def _q_dedup_minhash_mllib(spark, sf_dir):
 
     Cost note: the synthetic corpus has a ~31-word vocabulary, so the
     exact twin's inverted-token join approaches all-pairs (every token
-    hits ~half the docs) — fine at the graded sf0.01 (1500 rows/s), slow
-    at sf0.1+. That is a property of the degenerate fixture vocabulary,
-    not the operator; real corpora have Zipfian vocabularies that keep
-    posting lists short relative to N."""
+    hits ~half the docs) — a property of the degenerate fixture
+    vocabulary, not the operator; real corpora have Zipfian vocabularies
+    that keep posting lists short relative to N. Above
+    MINHASH_MLLIB_EXACT_MAX_DOCS the whole key (LSH side AND exact twin)
+    therefore runs on a deterministic ~10% md5-bucket document sample —
+    the decision reads the corpus size from parquet footers (no job) and
+    the oracle SQL evaluates the identical count-vs-threshold condition,
+    so both engines sample the same documents at every SF (VERDICT r02
+    #5). The graded sf0.01 corpus stays below the threshold: exact."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     t = _tokens(spark, sf_dir).select("doc_id", "ts")
+    if _fixture_rows(sf_dir, "documents") > MINHASH_MLLIB_EXACT_MAX_DOCS:
+        bucket = F.substring(F.md5(col("doc_id").cast("string")), 1, 2)
+        t = t.filter(bucket < "1a")
     cv = CountVectorizer(inputCol="ts", outputCol="v", binary=True, vocabSize=1 << 12)
     vecs = cv.fit(t).transform(t)
     mh = MinHashLSH(inputCol="v", outputCol="hashes", numHashTables=5, seed=42)
@@ -1515,10 +1548,15 @@ ORACLE = {
         "AND list_distance(q.emb, t.emb) < 1.3 GROUP BY q.vec_id"
     ),
     "llm_dedup_minhash_mllib": (
-        # exact count of token-set-Jaccard ≥ 0.4 pairs (integer test);
+        # exact count of token-set-Jaccard > 0.4 pairs (integer test);
         # recall gate TRUE by design (Spark flips it if LSH recall < 0.9).
-        "WITH dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ds "
-        "FROM documents), "
+        # Above the 10k-doc threshold both engines restrict to the same
+        # deterministic md5 bucket (~10%) — see the Spark docstring.
+        "WITH base AS (SELECT * FROM documents WHERE "
+        "(SELECT count(*) FROM documents) <= 1000 "
+        "OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'), "
+        "dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ds "
+        "FROM base), "
         "tok AS (SELECT doc_id, unnest(ds) AS tok FROM dt), "
         "sizes AS (SELECT doc_id, len(ds) AS n FROM dt), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "

@@ -224,12 +224,14 @@ QUERIES = {
 ORACLE = {
     "src_parquet_metadata": (
         # grouped by (file, row_group) so a multi-file layout stays
-        # correct (ADVICE r01); path pinned to the graded sf0.01 fixture
-        # because the driver runs oracle SQL verbatim, no templating.
+        # correct (ADVICE r01); the {SF_DIR} placeholder is rendered by
+        # registry.oracle_sql(sf_dir=...) — the driver gets the graded
+        # sf0.01 path verbatim, while run_oracle.py re-renders per SF so
+        # the key sweeps cleanly at every fixture scale (VERDICT r02 #4).
         "SELECT parse_filename(file_name) AS file_name, row_group_id, "
         "row_group_num_rows AS num_rows, count(*) AS n_cols, "
         "CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes "
-        "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') "
+        "FROM parquet_metadata('{SF_DIR}/lineitem.parquet') "
         "GROUP BY parse_filename(file_name), row_group_id, row_group_num_rows"
     ),
     "src_csv_roundtrip": (

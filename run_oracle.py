@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Local pre-flight for the driver's t2 gate: run every queries()[name]
-against its oracle_sql()[name] at sf0.01 and print PASS/FAIL per query.
+against its oracle_sql()[name] and print PASS/FAIL per query.
 
-Usage: python run_oracle.py [key ...]   (no keys = all)
+Usage: python run_oracle.py [key ...]     (no keys = all, at sf0.01)
+       python run_oracle.py --both [key ...]   # sf0.01 AND sf0.1 —
+           the documented pre-commit regression gate (VERDICT r02 #8:
+           cross-SF sweeps catch ordering/-0.0-class bugs that a single
+           SF can hold green by luck)
        SF_DIR=/root/testdata/sf0.01 python run_oracle.py
        VANILLA=1 python run_oracle.py   # bare SparkSession, as the
                                         # grading driver builds it
@@ -14,25 +18,17 @@ import os
 import sys
 import time
 
-import __spark_entry__ as entrymod
+import __spark_entry__ as entrymod  # noqa: F401  (driver-contract import path)
+from knn_with_mapreduce_cuda_spark import registry
 from knn_with_mapreduce_cuda_spark.oracle import compare, duck_connection
 from knn_with_mapreduce_cuda_spark.session import get_spark
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    keys = sys.argv[1:]
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+def sweep(spark, sf_dir: str, keys: list[str]) -> int:
+    qs = registry.queries()
+    oracles = registry.oracle_sql(sf_dir)  # renders {SF_DIR} per scale
     if keys:
         qs = {k: qs[k] for k in keys}
-    if os.environ.get("VANILLA"):
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.builder.master("local[8]").getOrCreate()
-        spark.sparkContext.setLogLevel("ERROR")
-    else:
-        spark = get_spark("run-oracle")
     con = duck_connection(sf_dir)
     failures = 0
     for name, fn in qs.items():
@@ -55,7 +51,29 @@ def main() -> int:
         failures += 0 if res.ok else 1
         extra = "" if res.ok else f"  {res.detail}"
         print(f"{tag}      {name}: {res.spark_rows} rows  ({time.time()-t0:.1f}s){extra}")
-    print(f"\n{len(qs) - failures}/{len(qs)} ok")
+    print(f"\n[{sf_dir}] {len(qs) - failures}/{len(qs)} ok")
+    return failures
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    both = "--both" in args
+    keys = [a for a in args if not a.startswith("--")]
+    if os.environ.get("VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("run-oracle")
+    sf_dirs = (
+        ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        if both
+        else [os.environ.get("SF_DIR", "/root/testdata/sf0.01")]
+    )
+    failures = 0
+    for sf_dir in sf_dirs:
+        failures += sweep(spark, sf_dir, keys)
     return 1 if failures else 0
 
 
