@@ -226,9 +226,12 @@ def main() -> None:
         "factor": FACTOR,
         "amplify_s": round(time.perf_counter() - t0, 3),
         "weak_queries": time_weak_queries(spark),
-        "gemm_chunked": gemm_chunked_stress(spark),
-        "minhash_bucket_guard": minhash_bucket_guard(spark),
     }
+    # the GEMM / LSH stress sections are factor-independent; skip them
+    # when sweeping amplification factors for the weak-query gate.
+    if not os.environ.get("SCALE_ONLY_WEAK"):
+        result["gemm_chunked"] = gemm_chunked_stress(spark)
+        result["minhash_bucket_guard"] = minhash_bucket_guard(spark)
     print(json.dumps(result, indent=2))
 
 
