@@ -34,20 +34,27 @@ def q3_shape(spark, sf_dir):
     """Q3 star join, reduce-first: the BUILDING filter keeps ~1/5 of
     customers, so orders⋈customer shrinks to a key set small enough to
     broadcast — then lineitem (the 100 TB side) joins with ZERO shuffle.
-    Measured at 10×-sf0.1 this is 2.1× faster than the sort-merge form
-    and lands within 2× of the DuckDB twin (scripts/scale_proof.py).
-    When the reduced side outgrows the broadcast ceiling, Catalyst falls
-    back to the SMJ plan the engine grades as rel_join_shuffle."""
+    Both reduction joins are LEFT SEMI (keys are unique on the build
+    side, so inner ≡ semi): the broadcast hashed relation carries keys
+    only and the probe passes rows through without concatenation, which
+    trims both broadcast-build jobs and the 18M-row probe at 30×
+    amplification (scripts/scale_proof.py; SCALE.md §9). The group key
+    is l_orderkey ( = o_orderkey after the semi filter). When the
+    reduced side outgrows the broadcast ceiling, Catalyst falls back to
+    the SMJ plan the engine grades as rel_join_shuffle."""
     cust = tables.table(spark, sf_dir, "customer")
     orders = tables.table(spark, sf_dir, "orders")
     li = tables.table(spark, sf_dir, "lineitem")
     bo = orders.join(
-        F.broadcast(cust.filter(col("c_mktsegment") == "BUILDING")),
+        F.broadcast(
+            cust.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+        ),
         col("o_custkey") == col("c_custkey"),
+        "left_semi",
     ).select("o_orderkey")
     return (
-        li.join(F.broadcast(bo), col("l_orderkey") == col("o_orderkey"))
-        .groupBy("o_orderkey")
+        li.join(F.broadcast(bo), col("l_orderkey") == col("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)

@@ -142,12 +142,14 @@ def main() -> None:
 
     add(
         "Reduce-first Q3: the fact side never shuffles (bench q3_shape)",
-        "orders⋈broadcast(filtered customers) shrinks to a key set that "
-        "broadcasts in turn, so lineitem — the 100 TB side — is probed by "
-        "two BroadcastHashJoins with zero Exchange before aggregation "
-        "(round 2; 2.1× faster than the sort-merge form at 10× sf0.1):",
+        "orders LEFT-SEMI broadcast(filtered customer keys) shrinks to a "
+        "key set that broadcasts in turn, so lineitem — the 100 TB side — "
+        "is probed by two key-only LeftSemi BroadcastHashJoins with zero "
+        "Exchange before aggregation (round 3; the co-located bucketed "
+        "layout in SCALE.md §9c removes even the second broadcast at "
+        "scale):",
         bench.q3_shape(spark, SF),
-        ["BroadcastHashJoin", "BroadcastExchange", "Exchange hash"],
+        ["BroadcastHashJoin", "LeftSemi", "BroadcastExchange", "Exchange hash"],
     )
     add(
         "MinHash band self-join shares one exchange (llm_dedup_near_minhash)",

@@ -46,6 +46,30 @@ SCRATCH = os.environ.get("SCALE_SCRATCH", "/tmp/spark_graft_scale10x")
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 
 
+#: part files per amplified table. The round-2 amplification wrote ONE
+#: ~90 MB part per table (the fixture arrives in one partition), which
+#: Spark reads as ONE scan task — the 30× q3 probe+agg ran on a single
+#: core while the DuckDB twin parallelized over row groups on 4 threads.
+#: A real lake table at this size arrives in many splits; 32 parts makes
+#: the scratch layout representative of that (and of what
+#: maxPartitionBytes would do to a larger file). Writes are
+#: range-partitioned + sorted on each table's natural key so the
+#: amplified layout keeps the clustering the source fixture has (TPC-H
+#: facts arrive ordered by orderkey; event logs by time) — round-robin
+#: splitting would destroy the map-side aggregation collapse both
+#: engines legitimately get from real lake layouts.
+PARTS = int(os.environ.get("SCALE_PARTS", "32"))
+
+
+def _write(df, key: str, path: str) -> None:
+    (
+        df.repartitionByRange(PARTS, col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def amplify(spark) -> None:
     """Write FACTOR× copies of the tables the weak queries touch, keys
     shifted so join cardinalities scale linearly (not quadratically)."""
@@ -56,7 +80,7 @@ def amplify(spark) -> None:
 
     li = tables.table(spark, SF_DIR, "lineitem").crossJoin(rep)
     li = li.withColumn("l_orderkey", col("l_orderkey") * FACTOR + col("_r")).drop("_r")
-    li.write.mode("overwrite").parquet(f"{SCRATCH}/lineitem.parquet")
+    _write(li, "l_orderkey", f"{SCRATCH}/lineitem.parquet")
 
     o = tables.table(spark, SF_DIR, "orders").crossJoin(rep)
     o = (
@@ -64,11 +88,11 @@ def amplify(spark) -> None:
         .withColumn("o_custkey", col("o_custkey") * FACTOR + col("_r"))
         .drop("_r")
     )
-    o.write.mode("overwrite").parquet(f"{SCRATCH}/orders.parquet")
+    _write(o, "o_orderkey", f"{SCRATCH}/orders.parquet")
 
     c = tables.table(spark, SF_DIR, "customer").crossJoin(rep)
     c = c.withColumn("c_custkey", col("c_custkey") * FACTOR + col("_r")).drop("_r")
-    c.write.mode("overwrite").parquet(f"{SCRATCH}/customer.parquet")
+    _write(c, "c_custkey", f"{SCRATCH}/customer.parquet")
 
     # events: amplify users (per-user session shape preserved, 10× users);
     # ts written as bigint nanos so tables.table takes its bigint path.
@@ -78,11 +102,62 @@ def amplify(spark) -> None:
         .withColumn("user_id", col("user_id") * FACTOR + col("_r"))
         .select("event_id", col("ts_ns").alias("ts"), "user_id", "event_type", "value")
     )
-    ev.write.mode("overwrite").parquet(f"{SCRATCH}/events.parquet")
+    _write(ev, "ts", f"{SCRATCH}/events.parquet")
 
     d = tables.table(spark, SF_DIR, "documents").crossJoin(rep)
     d = d.withColumn("doc_id", col("doc_id") * FACTOR + col("_r")).drop("_r")
-    d.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
+    _write(d, "doc_id", f"{SCRATCH}/documents.parquet")
+
+
+def amplify_bucketed(spark) -> None:
+    """Additionally write lineitem/orders as BUCKETED tables (32 buckets
+    on the orderkey, sorted, one file per bucket) — the co-located
+    layout a production lake keeps for repeated fact⋈fact joins, and the
+    engine's documented 100 TB answer for Q3-class queries (SCALE.md
+    §2): the orderkey join becomes a zero-shuffle sort-merge and the
+    orderkey aggregation inherits the partitioning, so the whole query
+    holds ONE exchange (the broadcast of filtered customer keys).
+    Measured 1.74× faster than the reduce-first broadcast form at 30×."""
+    li = tables.table(spark, SCRATCH, "lineitem")
+    o = tables.table(spark, SCRATCH, "orders")
+    spark.sql(f"DROP TABLE IF EXISTS scale_li_b{FACTOR}")
+    spark.sql(f"DROP TABLE IF EXISTS scale_ord_b{FACTOR}")
+    (
+        li.repartition(PARTS, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(PARTS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{SCRATCH}/lineitem_bucketed")
+        .saveAsTable(f"scale_li_b{FACTOR}")
+    )
+    (
+        o.repartition(PARTS, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(PARTS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{SCRATCH}/orders_bucketed")
+        .saveAsTable(f"scale_ord_b{FACTOR}")
+    )
+
+
+def q3_bucketed(spark, sf_dir) -> "F.DataFrame":
+    """Q3 over the bucketed layout: broadcast only the filtered customer
+    keys; orders⋈lineitem merge-joins bucket-to-bucket with no exchange
+    and the per-orderkey aggregation runs in the same pipeline."""
+    lib = spark.table(f"scale_li_b{FACTOR}")
+    ob = spark.table(f"scale_ord_b{FACTOR}")
+    cust = tables.table(spark, sf_dir, "customer")
+    ckeys = cust.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bo = ob.join(
+        F.broadcast(ckeys), col("o_custkey") == col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    return (
+        lib.join(bo, col("l_orderkey") == col("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
 
 
 SPARK_QUERIES = {
@@ -148,7 +223,8 @@ def best_of(n, fn):
 
 def time_weak_queries(spark) -> dict:
     out = {}
-    for scale, sf_dir, bigint_ts in (("1x", SF_DIR, False), ("10x", SCRATCH, True)):
+    scales = (("1x", SF_DIR, False), (f"{FACTOR}x", SCRATCH, True))
+    for scale, sf_dir, bigint_ts in scales:
         con = duckdb.connect()
         con.execute("SET threads=4")
         for t in ("lineitem", "orders", "customer", "events"):
@@ -160,6 +236,22 @@ def time_weak_queries(spark) -> dict:
             s = best_of(3, lambda: fn(spark, sf_dir).count())
             d = best_of(3, lambda: con.execute(duck_sql(key, bigint_ts)).fetchall())
             out[f"{key}@{scale}"] = {
+                "spark_s": s,
+                "duckdb_s": d,
+                "ratio": round(s / d, 2) if d > 0 else None,
+            }
+        if sf_dir == SCRATCH:
+            # co-located bucketed layout — the engine's documented lake
+            # layout for repeated orderkey joins; DuckDB twin unchanged
+            # (same rows, its preferred range-sorted files).
+            s = best_of(3, lambda: q3_bucketed(spark, sf_dir).count())
+            d = best_of(
+                3,
+                lambda: con.execute(
+                    duck_sql("rel_join_broadcast_q3", bigint_ts)
+                ).fetchall(),
+            )
+            out[f"rel_join_broadcast_q3_bucketed@{scale}"] = {
                 "spark_s": s,
                 "duckdb_s": d,
                 "ratio": round(s / d, 2) if d > 0 else None,
@@ -222,6 +314,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     amplify(spark)
+    amplify_bucketed(spark)
     result = {
         "factor": FACTOR,
         "amplify_s": round(time.perf_counter() - t0, 3),
