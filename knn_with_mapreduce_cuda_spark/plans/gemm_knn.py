@@ -242,6 +242,22 @@ def knn_topk_gemm(
                             idx[r] = exact_sel
                             d2k[r] = dd[exact_sel]
                 else:
+                    if kk < len(tids):
+                        # f64 boundary-tie guard: argpartition splits
+                        # EXACT ties at the k-th boundary arbitrarily,
+                        # which can drop the smaller-tid tie the contract
+                        # requires (same flaw ADVICE r02 flagged for the
+                        # f32 path, present whenever min(excluded) ==
+                        # max(selected)). Both pivots come from one
+                        # argpartition; affected rows redo a tid-stable
+                        # lexsort over the already-computed row.
+                        part = np.argpartition(d2, (kk - 1, kk), axis=1)
+                        idx = part[:, :kk]
+                        rows = np.arange(idx.shape[0])
+                        bound = d2[rows, part[:, kk - 1]]
+                        min_excl = d2[rows, part[:, kk]]
+                        for r in np.nonzero(min_excl <= bound)[0]:
+                            idx[r] = np.lexsort((tids, d2[r]))[:kk]
                     d2k = np.take_along_axis(d2, idx, axis=1)
                     # sqrt-of-negative guard for the GEMM decomposition's
                     # catastrophic cancellation on near-zero distances
@@ -456,6 +472,18 @@ def cosine_topk_gemm(
                             idx[r] = exact_sel
                             cosk[r] = dd[exact_sel]
                 else:
+                    if kk < len(tids):
+                        # f64 boundary-tie guard (descending twin) — see
+                        # knn_topk_gemm: exact ties at the k-th rank must
+                        # resolve to the smaller tid, not argpartition's
+                        # arbitrary split.
+                        part = np.argpartition(-cos, (kk - 1, kk), axis=1)
+                        idx = part[:, :kk]
+                        rows = np.arange(idx.shape[0])
+                        bound = cos[rows, part[:, kk - 1]]
+                        max_excl = cos[rows, part[:, kk]]
+                        for r in np.nonzero(max_excl >= bound)[0]:
+                            idx[r] = np.lexsort((tids, -cos[r]))[:kk]
                     cosk = np.take_along_axis(cos, idx, axis=1)
                 rows_q = np.repeat(b_qids[s:e], kk)
                 rows_t = tids[idx.ravel()]

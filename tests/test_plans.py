@@ -143,12 +143,16 @@ def test_gemm_chunked_rows_upper_bound(spark):
     assert _rows_upper_bound(spark.range(10)) is None
 
 
-def test_gemm_f32_tie_guard_exact_under_mass_ties(spark):
+import pytest
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_gemm_tie_guard_exact_under_mass_ties(spark, precision):
     """ADVICE r02 (medium): with more than OVERFETCH candidates exactly
-    tied at the k-th distance, f32 argpartition alone could keep an
-    arbitrary subset of the ties, dropping the smallest-tid ones the
-    contract requires. The boundary guard must detect the tie and fall
-    back to an exact f64 scan with tid-stable selection."""
+    tied at the k-th distance, argpartition alone keeps an arbitrary
+    subset of the ties, dropping the smallest-tid ones the contract
+    requires — in BOTH precisions (f32: within-noise ties; f64: exact
+    ties). The boundary guards must fall back to tid-stable selection."""
     from knn_with_mapreduce_cuda_spark.plans.gemm_knn import OVERFETCH, knn_topk_gemm
 
     dim, k = 8, 10
@@ -157,15 +161,16 @@ def test_gemm_f32_tie_guard_exact_under_mass_ties(spark):
     rows += [(100 + t, [x + 2.0 for x in base]) for t in range(OVERFETCH * 4)]
     t_df = spark.createDataFrame(rows, "tid long, temb array<double>").coalesce(1)
     q_df = spark.createDataFrame([(0, base)], "qid long, qemb array<double>")
-    got = knn_topk_gemm(q_df, t_df, k, exclude_self=False).collect()
+    got = knn_topk_gemm(q_df, t_df, k, exclude_self=False, precision=precision).collect()
     got_tids = [r.tid for r in sorted(got, key=lambda r: r.rnk)]
     # exact contract: the 3 near points, then the smallest-tid ties
     assert got_tids == [0, 1, 2] + [100 + i for i in range(k - 3)], got_tids
 
 
-def test_gemm_f32_cosine_tie_guard(spark):
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_gemm_cosine_tie_guard(spark, precision):
     """Similarity-descending twin: mass cosine ties at the k-th rank
-    must resolve to the smallest tids, not an arbitrary f32 subset."""
+    must resolve to the smallest tids in both precisions."""
     from knn_with_mapreduce_cuda_spark.plans.gemm_knn import OVERFETCH, cosine_topk_gemm
 
     dim, k = 8, 5
@@ -175,7 +180,7 @@ def test_gemm_f32_cosine_tie_guard(spark):
     rows = [(0, mid)] + [(100 + t, b) for t in range(OVERFETCH * 4)]
     t_df = spark.createDataFrame(rows, "tid long, temb array<double>").coalesce(1)
     q_df = spark.createDataFrame([(0, a)], "qid long, qemb array<double>")
-    got = cosine_topk_gemm(q_df, t_df, k, exclude_self=False).collect()
+    got = cosine_topk_gemm(q_df, t_df, k, exclude_self=False, precision=precision).collect()
     got_tids = [r.tid for r in sorted(got, key=lambda r: r.rnk)]
     assert got_tids == [0] + [100 + i for i in range(k - 1)], got_tids
 
