@@ -83,6 +83,8 @@ def _arrives_narrow(spark, df) -> bool:
         files = df.inputFiles()
     except Exception:  # non-file relation — trust its layout
         return False
+    if not files:  # no file scan (range/local relation) — trust it
+        return False
     par = spark.sparkContext.defaultParallelism
     if len(files) >= max(2, par // 2):
         return False

@@ -1,0 +1,67 @@
+"""Round-3 infrastructure units: SessionMemo lifecycle (ADVICE r02),
+the RDD-free narrow-scan probe, and parquet-footer row counting."""
+
+from __future__ import annotations
+
+from knn_with_mapreduce_cuda_spark import tables
+from tests.conftest import SF_SMOKE
+
+
+class _Owner:  # weakref-able stand-in for a SparkSession
+    pass
+
+
+def test_session_memo_weak_lifecycle():
+    memo = tables.SessionMemo()
+    a = _Owner()
+    memo.put(a, ("/d", "t"), "plan-a")
+    assert memo.get(a, ("/d", "t")) == "plan-a"
+    # a different owner with the same key shape gets no hit
+    b = _Owner()
+    assert memo.get(b, ("/d", "t")) is None
+    # entries of a collected owner are purged on the next put and can
+    # never be served to an owner that reuses the same id()
+    a_id_entries = len(memo._m)
+    del a
+    memo.put(b, ("/d2", "t"), "plan-b")
+    assert all(ref() is not None for ref, _ in memo._m.values())
+    assert len(memo._m) <= a_id_entries + 1
+
+
+def test_session_memo_invalidate():
+    memo = tables.SessionMemo()
+    o = _Owner()
+    memo.put(o, ("/scratch", "lineitem"), "x")
+    memo.put(o, ("/other", "orders"), "y")
+    memo.invalidate("/scratch/")
+    assert memo.get(o, ("/scratch", "lineitem")) is None
+    assert memo.get(o, ("/other", "orders")) == "y"
+
+
+def test_invalidate_caches_clears_table_memo(spark):
+    df1 = tables.table(spark, SF_SMOKE, "region")
+    assert tables.table(spark, SF_SMOKE, "region") is df1  # memo hit
+    tables.invalidate_caches(SF_SMOKE)
+    df2 = tables.table(spark, SF_SMOKE, "region")
+    assert df2 is not df1  # fresh plan after invalidation
+
+
+def test_fixture_rows_matches_count(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _fixture_rows
+
+    n = _fixture_rows(SF_SMOKE, "documents")
+    assert n == tables.table(spark, SF_SMOKE, "documents").count()
+
+
+def test_arrives_narrow_probe(spark, tmp_path):
+    from knn_with_mapreduce_cuda_spark.operators.llm import _arrives_narrow
+
+    docs = tables.table(spark, SF_SMOKE, "documents")
+    # single small fixture file → narrow (needs the fan-out)
+    assert _arrives_narrow(spark, docs) is True
+    # many-file layout → trusted as already parallel
+    wide_dir = str(tmp_path / "wide")
+    docs.repartition(32).write.parquet(wide_dir)
+    assert _arrives_narrow(spark, spark.read.parquet(wide_dir)) is False
+    # non-file relation → trusted
+    assert _arrives_narrow(spark, spark.range(10)) is False
