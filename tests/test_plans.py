@@ -185,6 +185,40 @@ def test_gemm_cosine_tie_guard(spark, precision):
     assert got_tids == [0] + [100 + i for i in range(k - 1)], got_tids
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_gemm_topk_matches_numpy_reference_on_tie_dense_data(spark, seed, precision):
+    """Adversarial property check: on coordinates quantized to a 3-value
+    grid (exact ties everywhere), both precision paths must reproduce a
+    pure-NumPy ground truth with the (dist, tid) tie-break — across
+    partitions, tiles, and the boundary guards."""
+    import numpy as np
+
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+
+    rng = np.random.RandomState(seed)
+    n_t, n_q, dim, k = 300, 20, 4, 7
+    tmat = rng.randint(0, 3, size=(n_t, dim)).astype(np.float64) / 2.0
+    qmat = rng.randint(0, 3, size=(n_q, dim)).astype(np.float64) / 2.0
+    t_rows = [(int(i), [float(x) for x in tmat[i]]) for i in range(n_t)]
+    q_rows = [(int(i), [float(x) for x in qmat[i]]) for i in range(n_q)]
+    t_df = spark.createDataFrame(t_rows, "tid long, temb array<double>").coalesce(2)
+    q_df = spark.createDataFrame(q_rows, "qid long, qemb array<double>")
+    got = knn_topk_gemm(
+        q_df, t_df, k, exclude_self=False, precision=precision
+    ).collect()
+    got_k = sorted((r.qid, r.rnk, r.tid) for r in got)
+
+    # ground truth: exact f64 distances, (dist², tid) lexsorted per query
+    d2 = ((qmat[:, None, :] - tmat[None, :, :]) ** 2).sum(axis=2)
+    tids = np.arange(n_t)
+    want = []
+    for q in range(n_q):
+        order = np.lexsort((tids, d2[q]))[:k]
+        want += [(q, r + 1, int(t)) for r, t in enumerate(order)]
+    assert got_k == sorted(want)
+
+
 def test_gemm_no_eager_jobs_on_construction(spark):
     """Building the unchunked GEMM plan must not launch Spark jobs (the
     r01 `_ensure_parallel` probe ran .rdd + count() per call)."""
