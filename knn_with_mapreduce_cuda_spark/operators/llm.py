@@ -50,51 +50,57 @@ MINHASH_MLLIB_EXACT_MAX_DOCS = 1_000
 
 def _fixture_rows(sf_dir: str, name: str) -> int:
     """Exact fixture row count from parquet footer metadata — driver-side
-    file reads, no Spark job; handles both single-file fixtures and
-    Spark-written part directories."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    p = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if os.path.isfile(p):
-        return pq.ParquetFile(p).metadata.num_rows
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(f"{p}/*.parquet")
-    )
+    file reads, no Spark job (tables.parquet_rows handles both
+    single-file fixtures and Spark-written part directories)."""
+    return tables.parquet_rows(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
 _TOKENS_MEMO = tables.SessionMemo()
+
+
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark size conf ('134217728b', '128m', '1g') to bytes."""
+    v = conf_value.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v = v[: -len(suffix)]
+            mult = m
+            break
+    return int(v) * mult
 
 
 def _arrives_narrow(spark, df) -> bool:
     """True when a scan will arrive on too few cores to feed a map-heavy
     stage. Driver-side *file metadata* only — ``df.inputFiles()`` plus
     local file sizes — no job and no DataFrame→RDD plan conversion
-    (VERDICT r02 flagged the ``.rdd.getNumPartitions()`` probe): a scan's
-    task count is at least its file count, and a file larger than
-    ``maxPartitionBytes`` splits on its own, so only a small scan arriving
-    in fewer files than half the cores needs an explicit fan-out."""
-    import os
-
+    (VERDICT r02 flagged the ``.rdd.getNumPartitions()`` probe). The
+    task estimate is ``sum(ceil(size / maxPartitionBytes))`` per file —
+    the exact split rule FileSourceScanExec applies — compared against
+    half the cores, so a single file under the split threshold is
+    correctly seen as ONE task regardless of its byte size (the 64 MB
+    heuristic this replaces trusted a 90 MB single file as parallel)."""
     try:
         files = df.inputFiles()
     except Exception:  # non-file relation — trust its layout
         return False
     if not files:  # no file scan (range/local relation) — trust it
         return False
-    par = spark.sparkContext.defaultParallelism
-    if len(files) >= max(2, par // 2):
-        return False
-    total = 0
+    try:
+        mpb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    import os
+
+    est_tasks = 0
     for uri in files:
-        path = uri[5:] if uri.startswith("file:") else uri
-        if not os.path.isfile(path):
+        path = tables.local_file(uri)
+        if path is None:
             return False  # remote source: splits by maxPartitionBytes
-        total += os.path.getsize(path)
-    return total < 64 * 1024 * 1024
+        est_tasks += -(-os.path.getsize(path) // mpb)
+    return est_tasks < max(2, spark.sparkContext.defaultParallelism // 2)
 
 
 def _tokens(spark, sf_dir):
@@ -1552,7 +1558,7 @@ ORACLE = {
     "llm_dedup_minhash_mllib": (
         # exact count of token-set-Jaccard > 0.4 pairs (integer test);
         # recall gate TRUE by design (Spark flips it if LSH recall < 0.9).
-        # Above the 10k-doc threshold both engines restrict to the same
+        # Above the 1k-doc threshold both engines restrict to the same
         # deterministic md5 bucket (~10%) — see the Spark docstring.
         "WITH base AS (SELECT * FROM documents WHERE "
         "(SELECT count(*) FROM documents) <= 1000 "

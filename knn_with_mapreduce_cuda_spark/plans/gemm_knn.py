@@ -144,6 +144,12 @@ def knn_topk_gemm(
     use_f32 = precision == "float32" and not use_cupy
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
+    if len(qpdf) == 0:
+        # an empty probe set (e.g. a chunked block whose metadata-derived
+        # count over-stated a filtered relation) must not reach np.stack
+        return spark.createDataFrame(
+            [], "qid long, tid long, rnk long, dist double"
+        )
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
     q_bc = spark.sparkContext.broadcast((qids, qmat))
@@ -205,8 +211,8 @@ def knn_topk_gemm(
                     for r, j in self_pairs:
                         if s <= r < e:
                             d2[r - s, j] = np.inf
-                idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 if use_f32:
+                    idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                     # exact f64 rerank of the selected candidates only:
                     # O(tile·kk·dim) vs the O(tile·n_t·dim) GEMM
                     diff = b_qmat[s:e, None, :] - tmat[idx]
@@ -248,9 +254,9 @@ def knn_topk_gemm(
                         # which can drop the smaller-tid tie the contract
                         # requires (same flaw ADVICE r02 flagged for the
                         # f32 path, present whenever min(excluded) ==
-                        # max(selected)). Both pivots come from one
-                        # argpartition; affected rows redo a tid-stable
-                        # lexsort over the already-computed row.
+                        # max(selected)). Both pivots come from the ONE
+                        # argpartition this branch runs; affected rows
+                        # redo a tid-stable lexsort over the computed row.
                         part = np.argpartition(d2, (kk - 1, kk), axis=1)
                         idx = part[:, :kk]
                         rows = np.arange(idx.shape[0])
@@ -258,6 +264,8 @@ def knn_topk_gemm(
                         min_excl = d2[rows, part[:, kk]]
                         for r in np.nonzero(min_excl <= bound)[0]:
                             idx[r] = np.lexsort((tids, d2[r]))[:kk]
+                    else:
+                        idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                     d2k = np.take_along_axis(d2, idx, axis=1)
                     # sqrt-of-negative guard for the GEMM decomposition's
                     # catastrophic cancellation on near-zero distances
@@ -288,9 +296,7 @@ def _rows_upper_bound(df: DataFrame) -> int | None:
     back to one counted job) when the relation has no file scan or its
     plan contains row-multiplying operators (join/generate/expand/union),
     where footer rows could *under*-state the block size."""
-    import os
-
-    import pyarrow.parquet as pq
+    from .. import tables
 
     plan = df._jdf.queryExecution().analyzed().toString()
     if any(tok in plan for tok in ("Join", "Generate", "Expand", "Union")):
@@ -303,10 +309,10 @@ def _rows_upper_bound(df: DataFrame) -> int | None:
         return None
     total = 0
     for uri in files:
-        path = uri[5:] if uri.startswith("file:") else uri
-        if not os.path.isfile(path) or not path.endswith((".parquet", ".parq")):
+        path = tables.local_file(uri)
+        if path is None or not path.endswith((".parquet", ".parq")):
             return None
-        total += pq.ParquetFile(path).metadata.num_rows
+        total += tables.parquet_rows(path)
     return total
 
 
@@ -327,9 +333,12 @@ def knn_topk_gemm_chunked(
 
     Each query's top-k is independent of every other query, so the
     per-block results together are the exact global answer — the
-    [P:Maillo17] kNN-IS job layout. Blocks are selected by ``qid %
-    n_blocks`` (deterministic, no shuffle: the predicate is pushed into
-    the query scan).
+    [P:Maillo17] kNN-IS job layout. Blocks are selected by
+    ``xxhash64(qid) mod n_blocks`` (deterministic, no shuffle: the
+    predicate is pushed into the query scan; the hash decorrelates block
+    membership from arithmetic qid patterns — a probe set filtered to
+    ``qid % 50 == 0`` would land entirely in one ``qid % n`` block,
+    breaking the residency bound).
 
     Residency is bounded in code, not just in prose (VERDICT r02 #3):
 
@@ -372,7 +381,7 @@ def knn_topk_gemm_chunked(
     sink = sink_path or tempfile.mkdtemp(prefix="gemm_chunked_")
     try:
         for b in range(n_blocks):
-            qb = queries_df.filter(F.pmod(col("qid"), n_blocks) == b)
+            qb = queries_df.filter(F.pmod(F.xxhash64(col("qid")), n_blocks) == b)
             handles: list = []
             r = knn_topk_gemm(
                 qb, train_aug, k, exclude_self, min_partitions=None,
@@ -408,6 +417,10 @@ def cosine_topk_gemm(
     use_f32 = precision == "float32" and not use_cupy
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
+    if len(qpdf) == 0:  # see knn_topk_gemm — empty probe set
+        return spark.createDataFrame(
+            [], "qid long, tid long, rnk long, cos double"
+        )
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -448,8 +461,8 @@ def cosine_topk_gemm(
                     for r, j in self_pairs:
                         if s <= r < e:
                             cos[r - s, j] = -np.inf
-                idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
                 if use_f32:
+                    idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
                     # exact f64 cosine for the candidates only (unit-norm
                     # f64 rows → plain dot), self-pairs re-masked
                     cosk = np.einsum("qd,qkd->qk", b_qmat[s:e], tmat[idx])
@@ -476,7 +489,7 @@ def cosine_topk_gemm(
                         # f64 boundary-tie guard (descending twin) — see
                         # knn_topk_gemm: exact ties at the k-th rank must
                         # resolve to the smaller tid, not argpartition's
-                        # arbitrary split.
+                        # arbitrary split. One argpartition, two pivots.
                         part = np.argpartition(-cos, (kk - 1, kk), axis=1)
                         idx = part[:, :kk]
                         rows = np.arange(idx.shape[0])
@@ -484,6 +497,8 @@ def cosine_topk_gemm(
                         max_excl = cos[rows, part[:, kk]]
                         for r in np.nonzero(max_excl >= bound)[0]:
                             idx[r] = np.lexsort((tids, -cos[r]))[:kk]
+                    else:
+                        idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
                     cosk = np.take_along_axis(cos, idx, axis=1)
                 rows_q = np.repeat(b_qids[s:e], kk)
                 rows_t = tids[idx.ravel()]

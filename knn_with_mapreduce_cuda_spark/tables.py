@@ -52,11 +52,15 @@ class SessionMemo:
 
     Entries pair the value with a *weak* session reference (ADVICE r02):
     a hit is served only while the weakref still resolves to the same
-    live session, so a garbage-collected session (or a reused ``id()``)
-    can never serve a stale plan, and dead entries are purged on every
-    put instead of pinning stopped sessions for process lifetime.
-    ``invalidate(sf_dir)`` drops entries for a directory about to be
-    rewritten in-session (e.g. scripts/scale_proof.py's scratch)."""
+    live, *running* session, so a garbage-collected session (or a
+    reused ``id()``) can never serve a stale plan. Because a memoized
+    DataFrame itself holds a strong reference to its session, the
+    weakref alone would never die while the entry exists — so the purge
+    in ``put`` additionally evicts entries whose session has been
+    **stopped** (``_stopped``), which is what actually releases stopped
+    sessions in a long-lived process. ``invalidate(sf_dir)`` drops
+    entries for a directory about to be rewritten in-session (e.g.
+    scripts/scale_proof.py's scratch)."""
 
     _ALL: list["SessionMemo"] = []
 
@@ -64,14 +68,28 @@ class SessionMemo:
         self._m: dict[tuple, tuple[weakref.ref, object]] = {}
         SessionMemo._ALL.append(self)
 
+    @staticmethod
+    def _stopped(spark) -> bool:
+        sc = getattr(spark, "sparkContext", None)
+        if sc is None:  # owner without a context — nothing to probe
+            return False
+        try:
+            return sc._jsc.sc().isStopped()
+        except Exception:  # torn-down context — treat as stopped
+            return True
+
     def get(self, spark: SparkSession, key: tuple):
         hit = self._m.get((id(spark), *key))
-        if hit is not None and hit[0]() is spark:
+        if hit is not None and hit[0]() is spark and not self._stopped(spark):
             return hit[1]
         return None
 
     def put(self, spark: SparkSession, key: tuple, value) -> None:
-        dead = [k for k, (ref, _) in self._m.items() if ref() is None]
+        dead = [
+            k
+            for k, (ref, _) in self._m.items()
+            if ref() is None or self._stopped(ref())
+        ]
         for k in dead:
             del self._m[k]
         self._m[(id(spark), *key)] = (weakref.ref(spark), value)
@@ -88,6 +106,33 @@ def invalidate_caches(sf_dir: str) -> None:
     rewriting a directory that was already read in this session)."""
     for memo in SessionMemo._ALL:
         memo.invalidate(sf_dir)
+
+
+def local_file(uri: str) -> str | None:
+    """``file:``-URI → local filesystem path, or None when the URI does
+    not resolve to a local file (remote store, directory, missing)."""
+    import os
+
+    path = uri[5:] if uri.startswith("file:") else uri
+    return path if os.path.isfile(path) else None
+
+
+def parquet_rows(path: str) -> int:
+    """Exact row count from parquet footer metadata of a single file or
+    a Spark-written part directory — driver-side file reads, no Spark
+    job. The shared primitive behind llm._fixture_rows and
+    plans.gemm_knn._rows_upper_bound."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{path.rstrip('/')}/*.parquet")
+    )
 
 
 _TABLE_MEMO = SessionMemo()

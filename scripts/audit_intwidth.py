@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod
+from knn_with_mapreduce_cuda_spark import registry
 from knn_with_mapreduce_cuda_spark.oracle import duck_connection
 from knn_with_mapreduce_cuda_spark.session import get_spark
 
@@ -26,8 +26,8 @@ _INTS = {"int8", "int16", "int32", "int64"}
 
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = registry.queries()
+    oracles = registry.oracle_sql(sf_dir)  # renders {SF_DIR} per scale
     keys = sys.argv[1:] or [k for k in qs if k in oracles]
     spark = get_spark("audit-intwidth")
     spark.sparkContext.setLogLevel("ERROR")

@@ -30,7 +30,7 @@ def test_doc_counts_match_registry():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in ("README.md", "COVERAGE.md"):
         text = open(os.path.join(root, path)).read()
-        for m in re.findall(r"(\d{3}) queries", text):
+        for m in re.findall(r"(\d{3,}) queries", text):
             assert int(m) == n, f"{path} says '{m} queries', registry has {n}"
 
 

@@ -28,6 +28,34 @@ def test_session_memo_weak_lifecycle():
     assert len(memo._m) <= a_id_entries + 1
 
 
+def test_session_memo_evicts_stopped_sessions():
+    """A memoized DataFrame strongly references its session, so the
+    weakref alone never dies — eviction must key on the session being
+    STOPPED (the actual ADVICE r02 leak)."""
+    from types import SimpleNamespace
+
+    class _Session:  # weakref-able, unlike SimpleNamespace
+        def __init__(self, stopped):
+            self.sparkContext = SimpleNamespace(
+                _jsc=SimpleNamespace(
+                    sc=lambda: SimpleNamespace(isStopped=lambda: stopped)
+                )
+            )
+
+    owner = _Session
+
+    memo = tables.SessionMemo()
+    live, dead = owner(False), owner(True)
+    memo.put(live, ("/d", "t"), "live-plan")
+    memo.put(dead, ("/d", "t"), "dead-plan")
+    # a stopped session is never served, even while strongly referenced
+    assert memo.get(dead, ("/d", "t")) is None
+    assert memo.get(live, ("/d", "t")) == "live-plan"
+    # ... and its entries are purged on the next put
+    memo.put(live, ("/d2", "t"), "x")
+    assert len(memo._m) == 2
+
+
 def test_session_memo_invalidate():
     memo = tables.SessionMemo()
     o = _Owner()

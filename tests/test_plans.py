@@ -129,6 +129,26 @@ def test_gemm_chunked_equals_unchunked(spark, tmp_path):
     assert alive == 0, events
 
 
+def test_gemm_chunked_filtered_sparse_queries(spark, tmp_path):
+    """Review regression: parquet-footer counts over-state a FILTERED
+    query relation, so chunking can produce empty blocks (must not hit
+    np.stack) and arithmetic qid patterns must not pile into one block
+    (xxhash64 spread). Result must equal the unchunked kernel."""
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
+    from knn_with_mapreduce_cuda_spark import tables as T
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb").filter("qid % 50 = 0")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    whole = G.knn_topk_gemm(q, t, 5).collect()
+    ch = G.knn_topk_gemm_chunked(
+        q, t, 5, query_block_rows=40, sink_path=str(tmp_path / "sink")
+    ).collect()
+    key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
+    assert key(whole) == key(ch)
+    assert len(ch) > 0
+
+
 def test_gemm_chunked_rows_upper_bound(spark):
     """Block sizing reads parquet footers driver-side: exact for a
     projected scan, None (→ counted fallback) for row-multiplying plans."""
