@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
 from .. import tables
-from ..functions.vector import cosine, euclidean
+from ..functions.vector import cosine, euclidean, sq_euclidean
 
 N_MINHASH = 8
 N_BANDS = 4  # band size 2
@@ -39,6 +39,29 @@ JACCARD_THRESHOLD = 0.15
 EMBED_DUP_THRESHOLD = 0.45
 LANG_MARKERS = {"de": "join", "en": "hash", "es": "row", "fr": "batch", "zh": "scan"}
 IVF_CENTROID_IDS = [7, 107, 207, 307, 407]
+
+#: Product-quantization layout for the 64-dim embedding fixture: 8
+#: subspaces x 8 dims, 16-entry codebooks. Codebook rows are fixed
+#: vec_ids (present at every SF: max id 423 < 500) so the quantizer is
+#: deterministic and SQL-expressible — same design as IVF_CENTROID_IDS.
+PQ_NSUB = 8
+PQ_SUBDIM = 8
+PQ_CODE_IDS = [3, 31, 59, 87, 115, 143, 171, 199, 227, 255, 283, 311, 339, 367, 395, 423]
+PQ_TOPK = 3
+#: sub-distance quantum: squared L2 in micro-units, summed as exact
+#: int64 so the 8-term ADC accumulation is order-invariant cross-engine.
+PQ_QUANT = 1_000_000
+
+#: Hamming search: sign-bit binarization (64 dims -> one bit each,
+#: packed into two int32-range words), candidate pool per query before
+#: the exact rerank.
+HAM_CAND = 20
+HAM_TOPK = 3
+
+#: Token-budget mixing: spend this fraction of the corpus token count,
+#: allow at most this many passes (epochs) over any one source.
+MIX_BUDGET_FRAC = 0.8
+MIX_MAX_EPOCHS = 2
 
 #: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
 #: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
@@ -1376,6 +1399,169 @@ def _q_pipeline_ingest(spark, sf_dir):
     )
 
 
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, s, sub): every vector split into PQ_NSUB contiguous
+    sub-vectors — a map-side posexplode, no shuffle."""
+    subs = F.array(
+        *[F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_NSUB)]
+    )
+    return e.select("vec_id", F.posexplode(subs).alias("s", "sub"))
+
+
+def _q_simsearch_pq(spark, sf_dir):
+    """Product-quantization search (PQ with asymmetric distance, the
+    FAISS ADC layout): vectors compress to PQ_NSUB one-byte codes —
+    argmin over a fixed 16-entry per-subspace codebook — and the scan
+    ranks candidates by summing per-subspace lookup-table entries
+    instead of touching the raw floats.
+
+    Scale design: at 100 TB the corpus is stored as the code table
+    (8 bytes/vector vs 256 — a 32x scan-bandwidth cut), the per-query
+    LUT is nq x 8 x 16 rows broadcast to every executor, and the ADC
+    join + sum is one shuffle keyed on (qid, tid). Composes with the
+    IVF coarse quantizer (plans/ivf.py) for the classic IVF-PQ index.
+    Determinism: sub-distances quantize to int64 micro-units before the
+    8-term sum, so accumulation order can't flip a rank cross-engine;
+    ties break on the smaller code / tid."""
+    e = tables.embeddings(spark, sf_dir)
+    sub = _pq_subvectors(e)
+    id_arr = F.array(*[lit(i) for i in PQ_CODE_IDS])
+    cb = sub.filter(col("vec_id").isin(PQ_CODE_IDS)).select(
+        (F.array_position(id_arr, col("vec_id")) - 1).alias("j"),
+        "s",
+        col("sub").alias("csub"),
+    )
+    # one scored relation serves both sides: encode (argmin per vector x
+    # subspace) and the query lookup tables (rows restricted to qids).
+    scored = sub.join(F.broadcast(cb), "s").withColumn(
+        "dq", F.round(sq_euclidean("sub", "csub") * PQ_QUANT).cast("long")
+    )
+    wenc = Window.partitionBy("vec_id", "s").orderBy("dq", "j")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(wenc))
+        .filter(col("rn") == 1)
+        .select(col("vec_id").alias("tid"), "s", col("j").alias("code"))
+    )
+    lut = scored.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), "s", col("j").alias("code"), "dq"
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .filter(col("qid") != col("tid"))
+        .groupBy("qid", "tid")
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= PQ_TOPK)
+        .select("qid", "tid", "rnk", "adc_q")
+    )
+
+
+def _q_simsearch_hamming(spark, sf_dir):
+    """Binary-quantized search: sign-bit binarization packs each 64-dim
+    vector into two integer words; candidates rank by Hamming distance
+    (two XOR+popcount ops per comparison) and only the HAM_CAND best
+    get the exact float rerank.
+
+    Scale design: the binary sketch is 8 bytes/vector — the whole
+    100 TB corpus's sketch fits in executor memory at ~0.03% of the
+    raw size, and the Hamming scan is pure integer whole-stage codegen.
+    The rerank touches HAM_CAND vectors per query instead of the
+    corpus. Every stage is integer or tid-tie-broken, so the key is
+    hash-graded, not recall-gated."""
+    e = tables.embeddings(spark, sf_dir)
+
+    def pack(lo: int) -> F.Column:
+        pairs = F.zip_with(
+            F.slice("emb", lo + 1, 32),
+            F.sequence(lit(0), lit(31)),
+            lambda v, i: F.when(v > 0, F.pow(lit(2.0), i.cast("double"))).otherwise(
+                lit(0.0)
+            ),
+        )
+        return F.aggregate(pairs, lit(0.0), lambda s, x: s + x).cast("long")
+
+    # the sketch is what gets broadcast — 8 bytes/vector, never the floats
+    sketch = e.select(
+        col("vec_id").alias("tid"), pack(0).alias("h1"), pack(32).alias("h2")
+    )
+    q = e.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"),
+        col("emb").alias("qemb"),
+        pack(0).alias("qh1"),
+        pack(32).alias("qh2"),
+    )
+    scan = q.join(F.broadcast(sketch), col("qid") != col("tid")).withColumn(
+        "ham",
+        (
+            F.bit_count(col("h1").bitwiseXOR(col("qh1")))
+            + F.bit_count(col("h2").bitwiseXOR(col("qh2")))
+        ).cast("long"),
+    )
+    wc = Window.partitionBy("qid").orderBy("ham", "tid")
+    cand = scan.withColumn("crn", F.row_number().over(wc)).filter(
+        col("crn") <= HAM_CAND
+    )
+    # rerank joins the HAM_CAND ids/query back to the raw vectors
+    rer = cand.select("qid", "qemb", "tid", "ham").join(
+        e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid"
+    ).withColumn("dist", euclidean("qemb", "temb"))
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= HAM_TOPK)
+        .select("qid", "tid", "rnk", "ham", F.round("dist", 4).alias("dist"))
+    )
+
+
+def _q_mix_budget(spark, sf_dir):
+    """Token-budget domain mixing (the data-recipe allocator): each
+    source gets a target share proportional to its weight, the global
+    budget is MIX_BUDGET_FRAC of the corpus token count, and no source
+    may be repeated past MIX_MAX_EPOCHS passes — the allocation rule
+    behind published LLM data recipes (weighted sampling with epoch
+    caps). Emits the per-source manifest: available vs allocated vs
+    actually-sampled tokens and the implied epoch count.
+
+    Scale design: one groupBy over the corpus for the per-source token
+    counts; everything after is arithmetic on |sources| rows. Integer
+    token counts + floor'd allocations keep it exact cross-engine."""
+    t = _tokens(spark, sf_dir)
+    per_src = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("ts")).alias("avail_tok")
+    )
+    weighted = per_src.withColumn(
+        "weight", (F.substring("source", 4, 10).cast("long") % 3 + 1)
+    )
+    tot = weighted.agg(
+        F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("sum_w")
+    )
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tok",
+        "weight",
+        F.floor(
+            F.floor(col("tot_tok") * MIX_BUDGET_FRAC) * col("weight") / col("sum_w")
+        ).alias("alloc_tok"),
+    )
+    sampled = alloc.withColumn(
+        "sampled_tok",
+        F.least(col("alloc_tok"), col("avail_tok") * MIX_MAX_EPOCHS),
+    )
+    return sampled.select(
+        "source",
+        "n_docs",
+        "avail_tok",
+        "weight",
+        "alloc_tok",
+        "sampled_tok",
+        F.round(col("sampled_tok") / col("avail_tok"), 4).alias("epochs"),
+    )
+
+
 QUERIES = {
     "llm_dedup_hash": _q_dedup_hash,
     "llm_dedup_near_minhash": _q_dedup_near_minhash,
@@ -1385,6 +1571,9 @@ QUERIES = {
     "llm_simsearch_topk": _q_simsearch_topk,
     "llm_simsearch_gemm": _q_simsearch_gemm,
     "llm_simsearch_ivf": _q_simsearch_ivf,
+    "llm_simsearch_pq": _q_simsearch_pq,
+    "llm_simsearch_hamming": _q_simsearch_hamming,
+    "llm_mix_budget": _q_mix_budget,
     "llm_ann_lsh": _q_ann_lsh,
     "llm_dedup_minhash_mllib": _q_dedup_minhash_mllib,
     "llm_text_tokenize": _q_text_tokenize,
@@ -1546,6 +1735,66 @@ ORACLE = {
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) "
         "AS rnk FROM cand) "
         "SELECT qid, tid, cid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 3"
+    ),
+    "llm_simsearch_pq": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "sub AS (SELECT vec_id, j AS s, list_slice(emb, CAST(j * 8 + 1 AS INTEGER), "
+        "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM emb, range(8) t(j)), "
+        "cb AS (SELECT CAST(list_position(["
+        + ", ".join(str(i) for i in PQ_CODE_IDS)
+        + "], CAST(vec_id AS INTEGER)) - 1 AS BIGINT) AS j, s, sub AS csub "
+        "FROM sub WHERE vec_id IN ("
+        + ", ".join(str(i) for i in PQ_CODE_IDS)
+        + ")), "
+        "scored AS (SELECT t.vec_id, t.s, c.j, CAST(round(list_aggregate("
+        "list_transform(list_zip(t.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2])), "
+        f"'sum') * {PQ_QUANT}) AS BIGINT) AS dq FROM sub t JOIN cb c ON t.s = c.s), "
+        "enc AS (SELECT vec_id AS tid, s, j AS code FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn FROM scored) WHERE rn = 1), "
+        "lut AS (SELECT vec_id AS qid, s, j AS code, dq FROM scored "
+        "WHERE vec_id % 50 = 0), "
+        "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
+        "FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code "
+        "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid) "
+        "SELECT qid, tid, rnk, adc_q FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY qid ORDER BY adc_q, tid) AS rnk FROM adc) "
+        f"WHERE rnk <= {PQ_TOPK}"
+    ),
+    "llm_simsearch_hamming": (
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "pk AS (SELECT vec_id, emb, "
+        "CAST(list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN "
+        "emb[CAST(i AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS h1, "
+        "CAST(list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN "
+        "emb[CAST(i + 32 AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS h2 "
+        "FROM emb), "
+        "scan AS (SELECT q.vec_id AS qid, q.emb AS qemb, t.vec_id AS tid, "
+        "CAST(bit_count(xor(q.h1, t.h1)) + bit_count(xor(q.h2, t.h2)) AS BIGINT) AS ham "
+        "FROM pk q JOIN pk t ON q.vec_id % 50 = 0 AND q.vec_id <> t.vec_id), "
+        "cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ham, tid) "
+        "AS crn FROM scan), "
+        "rer AS (SELECT c.qid, c.tid, c.ham, list_distance(c.qemb, e.emb) AS dist "
+        f"FROM cand c JOIN emb e ON c.tid = e.vec_id WHERE c.crn <= {HAM_CAND}) "
+        "SELECT qid, tid, rnk, ham, round(dist, 4) AS dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
+        f"WHERE rnk <= {HAM_TOPK}"
+    ),
+    "llm_mix_budget": (
+        "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts "
+        "FROM documents), "
+        "per AS (SELECT source, count(*) AS n_docs, CAST(sum(len(ts)) AS BIGINT) "
+        "AS avail_tok FROM toks GROUP BY source), "
+        "wt AS (SELECT *, CAST(substring(source, 4, 10) AS BIGINT) % 3 + 1 AS weight "
+        "FROM per), "
+        "tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot_tok, "
+        "CAST(sum(weight) AS BIGINT) AS sum_w FROM wt), "
+        "al AS (SELECT source, n_docs, avail_tok, weight, "
+        f"CAST(floor(floor(tot_tok * {MIX_BUDGET_FRAC}) * weight / sum_w) AS BIGINT) "
+        "AS alloc_tok FROM wt, tot) "
+        "SELECT source, n_docs, avail_tok, weight, alloc_tok, "
+        f"least(alloc_tok, avail_tok * {MIX_MAX_EPOCHS}) AS sampled_tok, "
+        f"round(least(alloc_tok, avail_tok * {MIX_MAX_EPOCHS}) * 1.0 / avail_tok, 4) "
+        "AS epochs FROM al"
     ),
     "llm_ann_lsh": (
         # exact radius-neighbor counts; the recall gate is TRUE by design

@@ -621,3 +621,96 @@ def test_pipeline_ingest_consistency(spark):
     n_chunks = sum(1 for r in _q_chunk_windows(spark, SF_SMOKE).collect()
                    if r.doc_id in keep)
     assert sum(r.n_chunks for r in shards) == n_chunks
+
+
+def test_pq_adc_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        PQ_CODE_IDS,
+        PQ_NSUB,
+        PQ_QUANT,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        _q_simsearch_pq,
+    )
+
+    ids, X, _ = _emb_matrix(spark)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    # codebooks: sub-vectors of the fixed code rows, in PQ_CODE_IDS order
+    C = np.stack([X[pos[c]] for c in PQ_CODE_IDS])  # (16, 64)
+    want = {}
+    for qi in np.where(ids % 50 == 0)[0]:
+        adc = {}
+        for ti in range(len(ids)):
+            if ti == qi:
+                continue
+            total = 0
+            for s in range(PQ_NSUB):
+                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+                dq = np.round(
+                    ((C[:, lo:hi] - X[ti, lo:hi]) ** 2).sum(axis=1) * PQ_QUANT
+                ).astype(np.int64)
+                code = int(np.argmin(dq))  # np.argmin takes first == smallest j
+                qd = int(
+                    np.round(((X[qi, lo:hi] - C[code, lo:hi]) ** 2).sum() * PQ_QUANT)
+                )
+                total += qd
+            adc[int(ids[ti])] = total
+        top = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:PQ_TOPK]
+        for rnk, (tid, aq) in enumerate(top, 1):
+            want[(int(ids[qi]), tid)] = (rnk, aq)
+    got = {
+        (r.qid, r.tid): (r.rnk, r.adc_q)
+        for r in _q_simsearch_pq(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_hamming_search_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        HAM_CAND,
+        HAM_TOPK,
+        _q_simsearch_hamming,
+    )
+
+    ids, X, _ = _emb_matrix(spark)
+    bits = (X > 0).astype(np.int64)  # (n, 64) sign-bit sketch
+    want = {}
+    for qi in np.where(ids % 50 == 0)[0]:
+        ham = (bits != bits[qi]).sum(axis=1)
+        order = sorted(
+            (int(h), int(t)) for h, t in zip(ham, ids) if t != ids[qi]
+        )[:HAM_CAND]
+        cand = [t for _, t in order]
+        rer = sorted(
+            (float(np.sqrt(((X[pos] - X[qi]) ** 2).sum())), int(tid))
+            for tid in cand
+            for pos in [int(np.where(ids == tid)[0][0])]
+        )[:HAM_TOPK]
+        for rnk, (d, tid) in enumerate(rer, 1):
+            want[(int(ids[qi]), tid)] = rnk
+    got = {
+        (r.qid, r.tid): r.rnk
+        for r in _q_simsearch_hamming(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_mix_budget_invariants(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        MIX_BUDGET_FRAC,
+        MIX_MAX_EPOCHS,
+        _q_mix_budget,
+    )
+
+    rows = _q_mix_budget(spark, SF_SMOKE).collect()
+    tot = sum(r.avail_tok for r in rows)
+    budget = int(tot * MIX_BUDGET_FRAC)
+    for r in rows:
+        assert r.weight in (1, 2, 3)
+        assert r.sampled_tok <= r.alloc_tok
+        assert r.sampled_tok <= r.avail_tok * MIX_MAX_EPOCHS
+        assert abs(r.epochs - round(r.sampled_tok / r.avail_tok, 4)) < 1e-9
+    # floors only ever shave: total allocation never exceeds the budget
+    assert sum(r.alloc_tok for r in rows) <= budget
+    # and it is close: floors drop < 1 token per source
+    assert sum(r.alloc_tok for r in rows) > budget - len(rows)
