@@ -1465,12 +1465,15 @@ def _q_simsearch_hamming(spark, sf_dir):
     (two XOR+popcount ops per comparison) and only the HAM_CAND best
     get the exact float rerank.
 
-    Scale design: the binary sketch is 8 bytes/vector — the whole
-    100 TB corpus's sketch fits in executor memory at ~0.03% of the
-    raw size, and the Hamming scan is pure integer whole-stage codegen.
-    The rerank touches HAM_CAND vectors per query instead of the
-    corpus. Every stage is integer or tid-tie-broken, so the key is
-    hash-graded, not recall-gated."""
+    Scale design: the binary sketch is 8 bytes/vector — a 32x scan
+    cut vs the raw floats — and the scan side stays the big side: the
+    (always small) query set broadcasts into a map-side pass over the
+    sketch table, the Hamming ranking runs as pure integer whole-stage
+    codegen, and the per-query candidate cut happens partition-local
+    (WindowGroupLimit) before the single |Q|-keyed exchange, so the
+    shuffle carries ~|Q| x HAM_CAND rows, never the corpus. The rerank
+    then touches HAM_CAND raw vectors per query. Every stage is integer
+    or tid-tie-broken, so the key is hash-graded, not recall-gated."""
     e = tables.embeddings(spark, sf_dir)
 
     def pack(lo: int) -> F.Column:
@@ -1483,17 +1486,17 @@ def _q_simsearch_hamming(spark, sf_dir):
         )
         return F.aggregate(pairs, lit(0.0), lambda s, x: s + x).cast("long")
 
-    # the sketch is what gets broadcast — 8 bytes/vector, never the floats
+    # corpus sketch is the scanned big side; the query sketches (small
+    # by construction) broadcast into it — the 100 TB orientation
     sketch = e.select(
         col("vec_id").alias("tid"), pack(0).alias("h1"), pack(32).alias("h2")
     )
     q = e.filter(col("vec_id") % 50 == 0).select(
         col("vec_id").alias("qid"),
-        col("emb").alias("qemb"),
         pack(0).alias("qh1"),
         pack(32).alias("qh2"),
     )
-    scan = q.join(F.broadcast(sketch), col("qid") != col("tid")).withColumn(
+    scan = sketch.join(F.broadcast(q), col("qid") != col("tid")).withColumn(
         "ham",
         (
             F.bit_count(col("h1").bitwiseXOR(col("qh1")))
@@ -1504,10 +1507,17 @@ def _q_simsearch_hamming(spark, sf_dir):
     cand = scan.withColumn("crn", F.row_number().over(wc)).filter(
         col("crn") <= HAM_CAND
     )
-    # rerank joins the HAM_CAND ids/query back to the raw vectors
-    rer = cand.select("qid", "qemb", "tid", "ham").join(
-        e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid"
-    ).withColumn("dist", euclidean("qemb", "temb"))
+    # rerank joins the HAM_CAND ids back to the raw vectors; the query
+    # floats re-enter as a |Q|-row broadcast, never rode the scan
+    qv = e.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    rer = (
+        cand.select("qid", "tid", "ham")
+        .join(e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dist", euclidean("qemb", "temb"))
+    )
     w = Window.partitionBy("qid").orderBy("dist", "tid")
     return (
         rer.withColumn("rnk", F.row_number().over(w).cast("long"))
