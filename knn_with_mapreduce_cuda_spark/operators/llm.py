@@ -52,6 +52,12 @@ PQ_TOPK = 3
 #: int64 so the 8-term ADC accumulation is order-invariant cross-engine.
 PQ_QUANT = 1_000_000
 
+#: IVF-PQ: coarse-cell probe count, ADC shortlist size before the
+#: exact rerank, final k.
+IVFPQ_NPROBE = 2
+IVFPQ_CAND = 10
+IVFPQ_TOPK = 3
+
 #: Hamming search: sign-bit binarization (64 dims -> one bit each,
 #: packed into two int32-range words), candidate pool per query before
 #: the exact rerank.
@@ -1408,6 +1414,35 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     return e.select("vec_id", F.posexplode(subs).alias("s", "sub"))
 
 
+def _pq_enc_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ encode + query lookup tables from one scored relation.
+
+    Returns (enc(tid, s, code), lut(qid, s, code, dq)): enc is the
+    argmin code per vector x subspace (ties to the smaller code id);
+    lut holds every query's int64 micro-unit sub-distance to every
+    codebook entry — nq x PQ_NSUB x 16 rows, the thing PQ broadcasts."""
+    sub = _pq_subvectors(e)
+    id_arr = F.array(*[lit(i) for i in PQ_CODE_IDS])
+    cb = sub.filter(col("vec_id").isin(PQ_CODE_IDS)).select(
+        (F.array_position(id_arr, col("vec_id")) - 1).alias("j"),
+        "s",
+        col("sub").alias("csub"),
+    )
+    scored = sub.join(F.broadcast(cb), "s").withColumn(
+        "dq", F.round(sq_euclidean("sub", "csub") * PQ_QUANT).cast("long")
+    )
+    wenc = Window.partitionBy("vec_id", "s").orderBy("dq", "j")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(wenc))
+        .filter(col("rn") == 1)
+        .select(col("vec_id").alias("tid"), "s", col("j").alias("code"))
+    )
+    lut = scored.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), "s", col("j").alias("code"), "dq"
+    )
+    return enc, lut
+
+
 def _q_simsearch_pq(spark, sf_dir):
     """Product-quantization search (PQ with asymmetric distance, the
     FAISS ADC layout): vectors compress to PQ_NSUB one-byte codes —
@@ -1423,28 +1458,7 @@ def _q_simsearch_pq(spark, sf_dir):
     Determinism: sub-distances quantize to int64 micro-units before the
     8-term sum, so accumulation order can't flip a rank cross-engine;
     ties break on the smaller code / tid."""
-    e = tables.embeddings(spark, sf_dir)
-    sub = _pq_subvectors(e)
-    id_arr = F.array(*[lit(i) for i in PQ_CODE_IDS])
-    cb = sub.filter(col("vec_id").isin(PQ_CODE_IDS)).select(
-        (F.array_position(id_arr, col("vec_id")) - 1).alias("j"),
-        "s",
-        col("sub").alias("csub"),
-    )
-    # one scored relation serves both sides: encode (argmin per vector x
-    # subspace) and the query lookup tables (rows restricted to qids).
-    scored = sub.join(F.broadcast(cb), "s").withColumn(
-        "dq", F.round(sq_euclidean("sub", "csub") * PQ_QUANT).cast("long")
-    )
-    wenc = Window.partitionBy("vec_id", "s").orderBy("dq", "j")
-    enc = (
-        scored.withColumn("rn", F.row_number().over(wenc))
-        .filter(col("rn") == 1)
-        .select(col("vec_id").alias("tid"), "s", col("j").alias("code"))
-    )
-    lut = scored.filter(col("vec_id") % 50 == 0).select(
-        col("vec_id").alias("qid"), "s", col("j").alias("code"), "dq"
-    )
+    enc, lut = _pq_enc_lut(tables.embeddings(spark, sf_dir))
     adc = (
         enc.join(F.broadcast(lut), ["s", "code"])
         .filter(col("qid") != col("tid"))
@@ -1456,6 +1470,66 @@ def _q_simsearch_pq(spark, sf_dir):
         adc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= PQ_TOPK)
         .select("qid", "tid", "rnk", "adc_q")
+    )
+
+
+def _q_simsearch_ivfpq(spark, sf_dir):
+    """IVF-PQ — the billion-scale ANN index layout: the IVF coarse
+    quantizer (same fixed-id centroids as llm_simsearch_ivf) prunes the
+    candidate set to each query's IVFPQ_NPROBE best cells, PQ/ADC ranks
+    the survivors from 8-byte codes (same codebooks as
+    llm_simsearch_pq), and only the IVFPQ_CAND-deep ADC shortlist gets
+    the exact float rerank.
+
+    Scale design: this is the composition the docstrings of ivf.py and
+    _q_simsearch_pq promise — at 100 TB the code table is stored
+    partitioned BY cell, a probe reads n_probe/k_cells of the files
+    (partition pruning), the ADC pass touches codes only, and raw
+    floats are read for |Q| x IVFPQ_CAND rows. Every stage is integer-
+    quantized or tid-tie-broken, so the composed key is hash-graded."""
+    e = tables.embeddings(spark, sf_dir)
+    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        col("vec_id").alias("cid"), col("emb").alias("cemb")
+    )
+    ac = (
+        e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
+        .join(F.broadcast(cents))
+        .withColumn("cdist", euclidean("vemb", "cemb"))
+    )
+    wa = Window.partitionBy("vid").orderBy("cdist", "cid")
+    ranked = ac.withColumn("rn", F.row_number().over(wa))
+    assign = ranked.filter(col("rn") == 1).select(col("vid").alias("tid"), "cid")
+    probes = (
+        ranked.filter((col("vid") % 50 == 0) & (col("rn") <= IVFPQ_NPROBE))
+        .select(col("vid").alias("qid"), "cid")
+    )
+    enc, lut = _pq_enc_lut(e)
+    adc = (
+        enc.join(assign, "tid")
+        .join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .filter(col("qid") != col("tid"))
+        .groupBy("qid", "tid")
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    wadc = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    short = adc.withColumn("crn", F.row_number().over(wadc)).filter(
+        col("crn") <= IVFPQ_CAND
+    )
+    qv = e.filter(col("vec_id") % 50 == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    rer = (
+        short.select("qid", "tid", "adc_q")
+        .join(e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dist", euclidean("qemb", "temb"))
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= IVFPQ_TOPK)
+        .select("qid", "tid", "rnk", "adc_q", F.round("dist", 4).alias("dist"))
     )
 
 
@@ -1582,6 +1656,7 @@ QUERIES = {
     "llm_simsearch_gemm": _q_simsearch_gemm,
     "llm_simsearch_ivf": _q_simsearch_ivf,
     "llm_simsearch_pq": _q_simsearch_pq,
+    "llm_simsearch_ivfpq": _q_simsearch_ivfpq,
     "llm_simsearch_hamming": _q_simsearch_hamming,
     "llm_mix_budget": _q_mix_budget,
     "llm_ann_lsh": _q_ann_lsh,
@@ -1624,6 +1699,25 @@ QUERIES = {
 # ------------------------------------------------------------------- oracle
 
 _TOKS = "toks AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS ts FROM documents)"
+
+#: shared PQ oracle CTEs (llm_simsearch_pq / llm_simsearch_ivfpq):
+#: sub-vector split, fixed-id codebooks, int64 micro-unit sub-distances,
+#: argmin encode, per-query lookup tables.
+_PQ_EMB = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+_PQ_IDS = ", ".join(str(i) for i in PQ_CODE_IDS)
+_PQ_CTES = (
+    "sub AS (SELECT vec_id, j AS s, list_slice(emb, CAST(j * 8 + 1 AS INTEGER), "
+    "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM emb, range(8) t(j)), "
+    f"cb AS (SELECT CAST(list_position([{_PQ_IDS}], CAST(vec_id AS INTEGER)) - 1 "
+    f"AS BIGINT) AS j, s, sub AS csub FROM sub WHERE vec_id IN ({_PQ_IDS})), "
+    "scored AS (SELECT t.vec_id, t.s, c.j, CAST(round(list_aggregate("
+    "list_transform(list_zip(t.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2])), "
+    f"'sum') * {PQ_QUANT}) AS BIGINT) AS dq FROM sub t JOIN cb c ON t.s = c.s), "
+    "enc AS (SELECT vec_id AS tid, s, j AS code FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn FROM scored) WHERE rn = 1), "
+    "lut AS (SELECT vec_id AS qid, s, j AS code, dq FROM scored "
+    "WHERE vec_id % 50 = 0)"
+)
 
 # Constant-bound lateral range (DuckDB range() can't take column args in a
 # lateral join); 300 covers any fixture doc length with margin.
@@ -1747,28 +1841,38 @@ ORACLE = {
         "SELECT qid, tid, cid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 3"
     ),
     "llm_simsearch_pq": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
-        "sub AS (SELECT vec_id, j AS s, list_slice(emb, CAST(j * 8 + 1 AS INTEGER), "
-        "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM emb, range(8) t(j)), "
-        "cb AS (SELECT CAST(list_position(["
-        + ", ".join(str(i) for i in PQ_CODE_IDS)
-        + "], CAST(vec_id AS INTEGER)) - 1 AS BIGINT) AS j, s, sub AS csub "
-        "FROM sub WHERE vec_id IN ("
-        + ", ".join(str(i) for i in PQ_CODE_IDS)
-        + ")), "
-        "scored AS (SELECT t.vec_id, t.s, c.j, CAST(round(list_aggregate("
-        "list_transform(list_zip(t.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2])), "
-        f"'sum') * {PQ_QUANT}) AS BIGINT) AS dq FROM sub t JOIN cb c ON t.s = c.s), "
-        "enc AS (SELECT vec_id AS tid, s, j AS code FROM (SELECT *, row_number() "
-        "OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn FROM scored) WHERE rn = 1), "
-        "lut AS (SELECT vec_id AS qid, s, j AS code, dq FROM scored "
-        "WHERE vec_id % 50 = 0), "
+        f"WITH {_PQ_EMB}, {_PQ_CTES}, "
         "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
         "FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code "
         "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid) "
         "SELECT qid, tid, rnk, adc_q FROM (SELECT *, row_number() OVER "
         "(PARTITION BY qid ORDER BY adc_q, tid) AS rnk FROM adc) "
         f"WHERE rnk <= {PQ_TOPK}"
+    ),
+    "llm_simsearch_ivfpq": (
+        f"WITH {_PQ_EMB}, {_PQ_CTES}, "
+        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
+        + ", ".join(str(i) for i in IVF_CENTROID_IDS)
+        + ")), "
+        "ac AS (SELECT v.vec_id AS vid, c.cid, "
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY "
+        "list_distance(v.emb, c.cemb), c.cid) AS rn FROM emb v, cents c), "
+        "assign AS (SELECT vid AS tid, cid FROM ac WHERE rn = 1), "
+        f"probes AS (SELECT vid AS qid, cid FROM ac WHERE vid % 50 = 0 "
+        f"AND rn <= {IVFPQ_NPROBE}), "
+        "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
+        "FROM enc e JOIN assign a ON e.tid = a.tid "
+        "JOIN probes p ON a.cid = p.cid "
+        "JOIN lut l ON l.qid = p.qid AND l.s = e.s AND l.code = e.code "
+        "WHERE p.qid <> e.tid GROUP BY l.qid, e.tid), "
+        "short AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_q, tid) AS crn FROM adc), "
+        "rer AS (SELECT s.qid, s.tid, s.adc_q, list_distance(q.emb, t.emb) AS dist "
+        "FROM short s JOIN emb q ON s.qid = q.vec_id "
+        f"JOIN emb t ON s.tid = t.vec_id WHERE s.crn <= {IVFPQ_CAND}) "
+        "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
+        f"WHERE rnk <= {IVFPQ_TOPK}"
     ),
     "llm_simsearch_hamming": (
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "

@@ -714,3 +714,64 @@ def test_mix_budget_invariants(spark):
     assert sum(r.alloc_tok for r in rows) <= budget
     # and it is close: floors drop < 1 token per source
     assert sum(r.alloc_tok for r in rows) > budget - len(rows)
+
+
+def test_ivfpq_matches_numpy(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        IVF_CENTROID_IDS,
+        IVFPQ_CAND,
+        IVFPQ_NPROBE,
+        IVFPQ_TOPK,
+        PQ_CODE_IDS,
+        PQ_NSUB,
+        PQ_QUANT,
+        PQ_SUBDIM,
+        _q_simsearch_ivfpq,
+    )
+
+    ids, X, _ = _emb_matrix(spark)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    C = np.stack([X[pos[c]] for c in PQ_CODE_IDS])
+    cents = np.stack([X[pos[c]] for c in IVF_CENTROID_IDS])
+
+    def cell_rank(v):  # centroid ranks with cid tie-break
+        d = np.sqrt(((cents - v) ** 2).sum(axis=1))
+        return sorted(range(len(cents)), key=lambda c: (d[c], IVF_CENTROID_IDS[c]))
+
+    # PQ codes for every vector
+    codes = np.empty((len(ids), PQ_NSUB), dtype=np.int64)
+    for s in range(PQ_NSUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        dq = np.round(
+            ((X[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2) * PQ_QUANT
+        ).astype(np.int64)
+        codes[:, s] = dq.argmin(axis=1)  # first min == smallest j
+    assign = np.array([cell_rank(X[i])[0] for i in range(len(ids))])
+
+    want = {}
+    for qi in np.where(ids % 50 == 0)[0]:
+        probed = set(cell_rank(X[qi])[:IVFPQ_NPROBE])
+        adc = {}
+        for ti in range(len(ids)):
+            if ti == qi or assign[ti] not in probed:
+                continue
+            total = 0
+            for s in range(PQ_NSUB):
+                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+                total += int(
+                    np.round(
+                        ((X[qi, lo:hi] - C[codes[ti, s], lo:hi]) ** 2).sum() * PQ_QUANT
+                    )
+                )
+            adc[int(ids[ti])] = total
+        short = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:IVFPQ_CAND]
+        rer = sorted(
+            (float(np.sqrt(((X[pos[t]] - X[qi]) ** 2).sum())), t) for t, _ in short
+        )[:IVFPQ_TOPK]
+        for rnk, (d, tid) in enumerate(rer, 1):
+            want[(int(ids[qi]), tid)] = rnk
+    got = {
+        (r.qid, r.tid): r.rnk
+        for r in _q_simsearch_ivfpq(spark, SF_SMOKE).collect()
+    }
+    assert got == want
