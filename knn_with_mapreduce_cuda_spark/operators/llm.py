@@ -1414,7 +1414,7 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     return e.select("vec_id", F.posexplode(subs).alias("s", "sub"))
 
 
-def _pq_enc_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_enc_lut(e: DataFrame, qmod: int = 50) -> tuple[DataFrame, DataFrame]:
     """PQ encode + query lookup tables from one scored relation.
 
     Returns (enc(tid, s, code), lut(qid, s, code, dq)): enc is the
@@ -1437,13 +1437,13 @@ def _pq_enc_lut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(col("rn") == 1)
         .select(col("vec_id").alias("tid"), "s", col("j").alias("code"))
     )
-    lut = scored.filter(col("vec_id") % 50 == 0).select(
+    lut = scored.filter(col("vec_id") % qmod == 0).select(
         col("vec_id").alias("qid"), "s", col("j").alias("code"), "dq"
     )
     return enc, lut
 
 
-def _q_simsearch_pq(spark, sf_dir):
+def _q_simsearch_pq(spark, sf_dir, qmod: int = 50):
     """Product-quantization search (PQ with asymmetric distance, the
     FAISS ADC layout): vectors compress to PQ_NSUB one-byte codes —
     argmin over a fixed 16-entry per-subspace codebook — and the scan
@@ -1458,7 +1458,7 @@ def _q_simsearch_pq(spark, sf_dir):
     Determinism: sub-distances quantize to int64 micro-units before the
     8-term sum, so accumulation order can't flip a rank cross-engine;
     ties break on the smaller code / tid."""
-    enc, lut = _pq_enc_lut(tables.embeddings(spark, sf_dir))
+    enc, lut = _pq_enc_lut(tables.embeddings(spark, sf_dir), qmod)
     adc = (
         enc.join(F.broadcast(lut), ["s", "code"])
         .filter(col("qid") != col("tid"))
@@ -1473,7 +1473,7 @@ def _q_simsearch_pq(spark, sf_dir):
     )
 
 
-def _q_simsearch_ivfpq(spark, sf_dir):
+def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
     """IVF-PQ — the billion-scale ANN index layout: the IVF coarse
     quantizer (same fixed-id centroids as llm_simsearch_ivf) prunes the
     candidate set to each query's IVFPQ_NPROBE best cells, PQ/ADC ranks
@@ -1500,10 +1500,10 @@ def _q_simsearch_ivfpq(spark, sf_dir):
     ranked = ac.withColumn("rn", F.row_number().over(wa))
     assign = ranked.filter(col("rn") == 1).select(col("vid").alias("tid"), "cid")
     probes = (
-        ranked.filter((col("vid") % 50 == 0) & (col("rn") <= IVFPQ_NPROBE))
+        ranked.filter((col("vid") % qmod == 0) & (col("rn") <= IVFPQ_NPROBE))
         .select(col("vid").alias("qid"), "cid")
     )
-    enc, lut = _pq_enc_lut(e)
+    enc, lut = _pq_enc_lut(e, qmod)
     adc = (
         enc.join(assign, "tid")
         .join(F.broadcast(probes), "cid")
@@ -1516,7 +1516,7 @@ def _q_simsearch_ivfpq(spark, sf_dir):
     short = adc.withColumn("crn", F.row_number().over(wadc)).filter(
         col("crn") <= IVFPQ_CAND
     )
-    qv = e.filter(col("vec_id") % 50 == 0).select(
+    qv = e.filter(col("vec_id") % qmod == 0).select(
         col("vec_id").alias("qid"), col("emb").alias("qemb")
     )
     rer = (
@@ -1533,7 +1533,7 @@ def _q_simsearch_ivfpq(spark, sf_dir):
     )
 
 
-def _q_simsearch_hamming(spark, sf_dir):
+def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
     """Binary-quantized search: sign-bit binarization packs each 64-dim
     vector into two integer words; candidates rank by Hamming distance
     (two XOR+popcount ops per comparison) and only the HAM_CAND best
@@ -1565,7 +1565,7 @@ def _q_simsearch_hamming(spark, sf_dir):
     sketch = e.select(
         col("vec_id").alias("tid"), pack(0).alias("h1"), pack(32).alias("h2")
     )
-    q = e.filter(col("vec_id") % 50 == 0).select(
+    q = e.filter(col("vec_id") % qmod == 0).select(
         col("vec_id").alias("qid"),
         pack(0).alias("qh1"),
         pack(32).alias("qh2"),
@@ -1583,7 +1583,7 @@ def _q_simsearch_hamming(spark, sf_dir):
     )
     # rerank joins the HAM_CAND ids back to the raw vectors; the query
     # floats re-enter as a |Q|-row broadcast, never rode the scan
-    qv = e.filter(col("vec_id") % 50 == 0).select(
+    qv = e.filter(col("vec_id") % qmod == 0).select(
         col("vec_id").alias("qid"), col("emb").alias("qemb")
     )
     rer = (

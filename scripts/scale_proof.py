@@ -306,12 +306,88 @@ def minhash_bucket_guard(spark) -> dict:
     return out
 
 
+#: ANN stress scratch: sf0.1 embeddings (2000 x 64-dim) amplified
+#: EMB_FACTOR x with id offsets and a deterministic full-dimension
+#: perturbation per (vector, replica, dim) — an integer LCG-style mix,
+#: no RNG. First-dim-only nudges were tried and rejected: they produce
+#: 100-way near-clone ties, the pathological worst case for any sketch
+#: (all sign bits equal, sub-quantization-error separations), which
+#: measures the fixture, not the methods.
+SCRATCH_ANN = os.environ.get("SCALE_SCRATCH_ANN", "/tmp/spark_graft_scale_ann")
+EMB_FACTOR = int(os.environ.get("EMB_FACTOR", "100"))
+ANN_QMOD = int(os.environ.get("ANN_QMOD", "5000"))
+
+
+def amplify_embeddings(spark) -> int:
+    tables.invalidate_caches(SCRATCH_ANN)
+    shutil.rmtree(SCRATCH_ANN, ignore_errors=True)
+    os.makedirs(SCRATCH_ANN)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = e.count()
+    rep = spark.range(EMB_FACTOR).select(col("id").alias("_r"))
+    def perturb(x, i):
+        mix = F.pmod(
+            col("vec_id") * lit(2654435761)
+            + col("_r") * lit(40503)
+            + i.cast("long") * lit(69427),
+            lit(1000),
+        )
+        return (x + (mix / lit(1000.0) - lit(0.5)) * lit(0.6)).cast("float")
+
+    amp = e.crossJoin(rep).select(
+        (col("vec_id") + col("_r") * n).alias("vec_id"),
+        F.transform("embedding", perturb).alias("embedding"),
+        "label",
+    )
+    _write(amp, "vec_id", f"{SCRATCH_ANN}/embeddings.parquet")
+    return n * EMB_FACTOR
+
+
+def ann_stress(spark) -> dict:
+    """Time the ANN tier against the exact GEMM baseline on the
+    amplified corpus; report wall + recall@3 for each method. The point
+    at 100 TB: Hamming/PQ scan 8-byte sketches, IVF-PQ additionally
+    prunes to n_probe cells — recall is the price, measured here."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+
+    n_total = amplify_embeddings(spark)
+    e = tables.embeddings(spark, SCRATCH_ANN)
+    q = e.filter(col("vec_id") % ANN_QMOD == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    out = {"n_vectors": n_total, "n_queries": q.count(), "qmod": ANN_QMOD}
+    t0 = time.perf_counter()
+    exact = {(r.qid, r.tid) for r in knn_topk_gemm(q, t, k=3).collect()}
+    out["exact_gemm"] = {
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "rows": len(exact),
+    }
+    for name, fn in [
+        ("hamming", llm._q_simsearch_hamming),
+        ("pq", llm._q_simsearch_pq),
+        ("ivfpq", llm._q_simsearch_ivfpq),
+    ]:
+        t0 = time.perf_counter()
+        got = {(r.qid, r.tid) for r in fn(spark, SCRATCH_ANN, qmod=ANN_QMOD).collect()}
+        out[name] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "rows": len(got),
+            "recall_at_3": round(len(got & exact) / max(len(exact), 1), 4),
+        }
+    return out
+
+
 def main() -> None:
     from bench import q3_shape  # the graded bench shape, reduce-first
 
     SPARK_QUERIES["rel_join_broadcast_q3"] = q3_shape
     spark = get_spark("scale-proof")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SCALE_ANN"):
+        print(json.dumps({"ann_stress": ann_stress(spark)}, indent=2))
+        return
     t0 = time.perf_counter()
     amplify(spark)
     amplify_bucketed(spark)

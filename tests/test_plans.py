@@ -412,3 +412,31 @@ def test_skyline_anti_join_and_attribution_conservation_plan(spark):
     # dominance test is non-equi -> BNLJ is expected BUT the build side
     # must be the broadcast (small dim), not a shuffle of both sides
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hamming_search_plan_shape(spark):
+    """The sketch scan is the big side: query sketches broadcast, the
+    candidate cut is partition-local (WindowGroupLimit), and no shuffle
+    carries the corpus-sized scan."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_simsearch_hamming
+
+    plan = _plan(_q_simsearch_hamming(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_plan_no_cartesian(spark):
+    """ADC is lookup-table joins + one keyed aggregation — never a
+    cross product of queries x corpus floats."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _q_simsearch_ivfpq,
+        _q_simsearch_pq,
+    )
+
+    for fn in (_q_simsearch_pq, _q_simsearch_ivfpq):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        # partial + final aggregate around the ADC sum
+        assert plan.count("HashAggregate") >= 2, plan
