@@ -69,6 +69,11 @@ HAM_TOPK = 3
 MIX_BUDGET_FRAC = 0.8
 MIX_MAX_EPOCHS = 2
 
+#: Count-min sketch: depth (independent md5-salted hash rows) x width
+#: (2-hex-digit buckets = 256); heavy-hitter report size.
+CMS_DEPTH = 4
+CMS_TOP = 20
+
 #: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
 #: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
 #: degenerate ~31-word fixture vocabulary makes the inverted-token join
@@ -1600,6 +1605,43 @@ def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
     )
 
 
+def _q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min sketch heavy hitters: a CMS_DEPTH x 256 integer sketch
+    (md5-salted hex-prefix buckets — engine-independent hashing) built
+    in one aggregation, then the global top-CMS_TOP tokens reported
+    with exact vs sketch-estimated counts. The CMS guarantee est >=
+    exact holds by construction (collisions only ever add).
+
+    Scale design: the sketch is the 100 TB frequency path — a
+    constant-size (depth x width) integer grid that partial-aggregates
+    map-side and merges by cell-wise sum, so the shuffle carries
+    depth x width rows regardless of corpus or vocabulary size; the
+    estimate lookup is a broadcast join against that tiny grid. The
+    exact counts computed here alongside are the small-data oracle that
+    measures the sketch's overcount."""
+    toks = _tokens(spark, sf_dir).select(F.explode("ts").alias("tok"))
+    tokc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    depth = spark.range(CMS_DEPTH).select(col("id").alias("d"))
+    hashed = tokc.crossJoin(F.broadcast(depth)).withColumn(
+        "b",
+        F.substring(
+            F.md5(F.concat(col("d").cast("string"), lit("|"), col("tok"))), 1, 2
+        ),
+    )
+    cells = hashed.groupBy("d", "b").agg(F.sum("c").alias("cell_c"))
+    est = (
+        hashed.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("tok")
+        .agg(F.max("c").alias("exact_c"), F.min("cell_c").alias("est_c"))
+    )
+    w = Window.orderBy(col("exact_c").desc(), "tok")
+    return (
+        est.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= CMS_TOP)
+        .select("rnk", "tok", "exact_c", "est_c")
+    )
+
+
 def _q_mix_budget(spark, sf_dir):
     """Token-budget domain mixing (the data-recipe allocator): each
     source gets a target share proportional to its weight, the global
@@ -1659,6 +1701,7 @@ QUERIES = {
     "llm_simsearch_ivfpq": _q_simsearch_ivfpq,
     "llm_simsearch_hamming": _q_simsearch_hamming,
     "llm_mix_budget": _q_mix_budget,
+    "llm_heavy_hitters_cms": _q_heavy_hitters_cms,
     "llm_ann_lsh": _q_ann_lsh,
     "llm_dedup_minhash_mllib": _q_dedup_minhash_mllib,
     "llm_text_tokenize": _q_text_tokenize,
@@ -1892,6 +1935,22 @@ ORACLE = {
         "SELECT qid, tid, rnk, ham, round(dist, 4) AS dist FROM (SELECT *, "
         "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
         f"WHERE rnk <= {HAM_TOPK}"
+    ),
+    "llm_heavy_hitters_cms": (
+        f"WITH {_TOKS}, "
+        "tok AS (SELECT unnest(ts) AS tok FROM toks), "
+        "tokc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
+        "hashed AS (SELECT tok, c, d, "
+        "substring(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 2) AS b "
+        f"FROM tokc, range({CMS_DEPTH}) t(d)), "
+        "cells AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS cell_c "
+        "FROM hashed GROUP BY d, b), "
+        "est AS (SELECT h.tok, CAST(max(h.c) AS BIGINT) AS exact_c, "
+        "CAST(min(cl.cell_c) AS BIGINT) AS est_c FROM hashed h "
+        "JOIN cells cl ON h.d = cl.d AND h.b = cl.b GROUP BY h.tok) "
+        "SELECT rnk, tok, exact_c, est_c FROM (SELECT *, row_number() OVER "
+        "(ORDER BY exact_c DESC, tok) AS rnk FROM est) "
+        f"WHERE rnk <= {CMS_TOP}"
     ),
     "llm_mix_budget": (
         "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts "

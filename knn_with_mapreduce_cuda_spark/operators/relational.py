@@ -1011,6 +1011,41 @@ def _q_linreg_normal(spark, sf_dir):
     )
 
 
+WSAMPLE_N = 100
+
+
+def _q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-ES:
+    every row draws a deterministic uniform u from md5 of its key and
+    ranks by ln(u)/w — the top-N by that score IS a weight-proportional
+    sample without replacement. Weights here are the order value in
+    exact cents.
+
+    Scale design: A-ES is the distributed weighted-sampling algorithm —
+    the score is map-side per row and top-N selection runs
+    partition-local (WindowGroupLimit) before one N-row merge, so the
+    shuffle carries ~N rows per partition regardless of table size.
+    Determinism: u is integer-derived (first 8 md5 hex digits), both
+    engines evaluate the identical double expression, and the score is
+    quantized to int64 pico-units for ordering and output."""
+    o = tables.table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(col("o_totalprice")).alias("w_cents")
+    )
+    h = F.conv(
+        F.substring(F.md5(col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + lit(1)) / lit(4294967297.0)
+    scored = o.withColumn(
+        "score_q", F.round(F.log(u) / col("w_cents") * lit(1e12)).cast("long")
+    )
+    w = Window.orderBy(col("score_q").desc(), "o_orderkey")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= WSAMPLE_N)
+        .select("rnk", "o_orderkey", "w_cents", "score_q")
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Stratified deterministic sampling: per-stratum rates via md5
     buckets (en ≈ 25%, others ≈ 6%) — the corpus-rebalancing primitive of
@@ -1221,6 +1256,7 @@ QUERIES = {
     "rel_histogram_fixed": _q_histogram_fixed,
     "ml_linreg_normal": _q_linreg_normal,
     "rel_sample_stratified": _q_sample_stratified,
+    "rel_sample_weighted": _q_sample_weighted,
     "rel_agg_bool": _q_agg_bool,
     "rel_join_existence_flag": _q_join_existence_flag,
     "rel_window_hourly_top_type": _q_window_hourly_top_type,
@@ -1695,6 +1731,16 @@ ORACLE = {
         "round((sy - (m1y * m22 - m2y * m12) / (m11 * m22 - m12 * m12) * s1 "
         "- (m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12) * s2) / n, 4) "
         "AS intercept FROM c"
+    ),
+    "rel_sample_weighted": (
+        "WITH o AS (SELECT o_orderkey, "
+        f"{_CENTS.format(x='o_totalprice')} AS w_cents FROM orders), "
+        "s AS (SELECT o_orderkey, w_cents, CAST(round(ln((CAST(('0x' || "
+        "substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1) "
+        "/ 4294967297.0) / w_cents * 1e12) AS BIGINT) AS score_q FROM o) "
+        "SELECT rnk, o_orderkey, w_cents, score_q FROM (SELECT *, row_number() "
+        "OVER (ORDER BY score_q DESC, o_orderkey) AS rnk FROM s) "
+        f"WHERE rnk <= {WSAMPLE_N}"
     ),
     "rel_sample_stratified": (
         "SELECT doc_id, lang, source FROM documents "

@@ -775,3 +775,59 @@ def test_ivfpq_matches_numpy(spark):
         for r in _q_simsearch_ivfpq(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_cms_estimate_dominates_exact(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        CMS_DEPTH,
+        _q_heavy_hitters_cms,
+        _tokens,
+    )
+    import hashlib
+    from collections import Counter
+
+    rows = _q_heavy_hitters_cms(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.est_c >= r.exact_c  # CMS guarantee: collisions only add
+    # pure-Python CMS reference
+    docs = _tokens(spark, SF_SMOKE).select("ts").collect()
+    cnt = Counter(t for d in docs for t in d.ts)
+    cells = Counter()
+    for tok, c in cnt.items():
+        for d in range(CMS_DEPTH):
+            b = hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:2]
+            cells[(d, b)] += c
+
+    def est(tok):
+        return min(
+            cells[(d, hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:2])]
+            for d in range(CMS_DEPTH)
+        )
+
+    for r in rows:
+        assert r.exact_c == cnt[r.tok]
+        assert r.est_c == est(r.tok)
+
+
+def test_sample_weighted_matches_python_aes(spark):
+    from knn_with_mapreduce_cuda_spark.operators.relational import (
+        WSAMPLE_N,
+        _q_sample_weighted,
+    )
+    import hashlib
+    import math
+
+    orders = tables.table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    scored = []
+    for r in orders:
+        w = round(r.o_totalprice * 100)
+        h = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        sq = int(round(math.log(u) / w * 1e12))
+        scored.append((sq, r.o_orderkey, w))
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[:WSAMPLE_N]
+    got = _q_sample_weighted(spark, SF_SMOKE).collect()
+    assert [(r.score_q, r.o_orderkey, r.w_cents) for r in sorted(got, key=lambda r: r.rnk)] == want
