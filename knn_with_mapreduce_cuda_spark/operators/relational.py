@@ -1022,9 +1022,10 @@ def _q_sample_weighted(spark, sf_dir):
     exact cents.
 
     Scale design: A-ES is the distributed weighted-sampling algorithm —
-    the score is map-side per row and top-N selection runs
-    partition-local (WindowGroupLimit) before one N-row merge, so the
-    shuffle carries ~N rows per partition regardless of table size.
+    the score is map-side per row and Catalyst rewrites the rank-limit
+    into TakeOrderedAndProject (per-partition bounded heaps, one N-row
+    merge; PLANS.md), so the wire carries ~N rows per partition
+    regardless of table size.
     Determinism: u is integer-derived (first 8 md5 hex digits), both
     engines evaluate the identical double expression, and the score is
     quantized to int64 pico-units for ordering and output."""

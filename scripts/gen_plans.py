@@ -163,6 +163,41 @@ def main() -> None:
         ["Exchange", "SortMergeJoin", "Generate", "Scan parquet"],
     )
 
+    add(
+        "Hamming search: query-broadcast sketch scan (llm_simsearch_hamming)",
+        "The corpus sketch is the scanned big side, the query sketches "
+        "broadcast into it, and the per-query candidate cut runs "
+        "partition-local (WindowGroupLimit) before the single exchange — "
+        "the shuffle carries ~|Q| x HAM_CAND rows, never the corpus:",
+        llm._q_simsearch_hamming(spark, SF),
+        ["WindowGroupLimit", "BroadcastExchange", "Exchange hash", "Window"],
+    )
+    add(
+        "PQ/ADC: lookup-table joins, no cross product (llm_simsearch_pq)",
+        "The ADC ranking is a broadcast join of the nq x 8 x 16 lookup "
+        "table against the code relation plus one keyed partial/final "
+        "aggregation — queries never cross-join the raw floats:",
+        llm._q_simsearch_pq(spark, SF),
+        ["BroadcastHashJoin", "HashAggregate", "Exchange hash"],
+    )
+    add(
+        "Count-min sketch: constant-size grid shuffle (llm_heavy_hitters_cms)",
+        "The sketch aggregation partial-aggregates map-side and shuffles "
+        "depth x width cells, and the estimate lookup broadcasts that tiny "
+        "grid back — the wire cost is the sketch, not the vocabulary:",
+        llm._q_heavy_hitters_cms(spark, SF),
+        ["HashAggregate", "BroadcastExchange", "Exchange hash"],
+    )
+    add(
+        "A-ES weighted sample: partition-local top-N (rel_sample_weighted)",
+        "The ln(u)/w score is map-side and Catalyst rewrites the global "
+        "rank-limit into TakeOrderedAndProject — per-partition bounded "
+        "heaps merged once, the textbook distributed top-N; the Window "
+        "only re-derives rnk over the N survivors:",
+        relational._q_sample_weighted(spark, SF),
+        ["TakeOrderedAndProject", "Window", "Scan parquet"],
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER + "\n" + "\n".join(sections))
     print(f"PLANS.md written: {len(sections)} sections")

@@ -440,3 +440,13 @@ def test_pq_adc_plan_no_cartesian(spark):
         assert "BroadcastExchange" in plan, plan
         # partial + final aggregate around the ADC sum
         assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    """Global rank-limit rewrites to TakeOrderedAndProject — bounded
+    per-partition heaps + one merge, never a full sort."""
+    from knn_with_mapreduce_cuda_spark.operators.relational import _q_sample_weighted
+
+    plan = _plan(_q_sample_weighted(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
