@@ -74,6 +74,10 @@ MIX_MAX_EPOCHS = 2
 CMS_DEPTH = 4
 CMS_TOP = 20
 
+#: Bloom filter: k salted hashes into 3-hex-digit buckets (m = 4096
+#: bits per hash row — a partitioned/blocked bloom).
+BLOOM_K = 3
+
 #: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
 #: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
 #: degenerate ~31-word fixture vocabulary makes the inverted-token join
@@ -1605,6 +1609,55 @@ def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
     )
 
 
+def _q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter membership for incremental dedup: the existing
+    corpus (even doc_ids) builds a BLOOM_K x 4096 bloom over content
+    hashes; every incoming doc (odd doc_ids) is probed against it and
+    also exactly checked, so the emitted per-doc verdicts expose the
+    bloom's false positives (exact_dup=1 ⟹ bloom_hit=1 — no false
+    negatives, by construction; tested).
+
+    Scale design: the bloom is the constant-memory membership primitive
+    at 100 TB — the distinct (hash-row, bucket) cell relation saturates
+    at BLOOM_K x 4096 rows no matter how large the corpus, broadcasts
+    everywhere, and turns the incremental-dedup probe into a map-side
+    semi-join (Spark's runtime bloom-filter joins are this exact shape;
+    llm_dedup_incremental is the exact-join twin)."""
+    docs = tables.table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    corpus = docs.filter(col("doc_id") % 2 == 0)
+    batch = docs.filter(col("doc_id") % 2 == 1)
+    ks = spark.range(BLOOM_K).select(col("id").alias("j"))
+
+    def cells(d: DataFrame) -> DataFrame:
+        return d.crossJoin(F.broadcast(ks)).select(
+            "doc_id",
+            "j",
+            F.substring(
+                F.md5(F.concat(col("j").cast("string"), lit("|"), col("h"))), 1, 3
+            ).alias("b"),
+        )
+
+    bloom = cells(corpus).select("j", "b").distinct()
+    hits = (
+        cells(batch)
+        .join(F.broadcast(bloom), ["j", "b"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nj"))
+    )
+    exact = corpus.select("h").distinct()
+    return (
+        batch.join(F.broadcast(hits), "doc_id", "left")
+        .join(F.broadcast(exact.withColumn("ex", lit(1))), "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ex", lit(0)).cast("int").alias("exact_dup"),
+            (F.coalesce("nj", lit(0)) == BLOOM_K).cast("int").alias("bloom_hit"),
+        )
+    )
+
+
 def _q_heavy_hitters_cms(spark, sf_dir):
     """Count-min sketch heavy hitters: a CMS_DEPTH x 256 integer sketch
     (md5-salted hex-prefix buckets — engine-independent hashing) built
@@ -1702,6 +1755,7 @@ QUERIES = {
     "llm_simsearch_hamming": _q_simsearch_hamming,
     "llm_mix_budget": _q_mix_budget,
     "llm_heavy_hitters_cms": _q_heavy_hitters_cms,
+    "llm_dedup_bloom": _q_dedup_bloom,
     "llm_ann_lsh": _q_ann_lsh,
     "llm_dedup_minhash_mllib": _q_dedup_minhash_mllib,
     "llm_text_tokenize": _q_text_tokenize,
@@ -1935,6 +1989,25 @@ ORACLE = {
         "SELECT qid, tid, rnk, ham, round(dist, 4) AS dist FROM (SELECT *, "
         "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
         f"WHERE rnk <= {HAM_TOPK}"
+    ),
+    "llm_dedup_bloom": (
+        "WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents), "
+        "corpus AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 0), "
+        "batch AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1), "
+        f"ks AS (SELECT j FROM range({BLOOM_K}) t(j)), "
+        "bloom AS (SELECT DISTINCT j, substring(md5(CAST(j AS VARCHAR) || '|' || h), "
+        "1, 3) AS b FROM corpus, ks), "
+        "bc AS (SELECT doc_id, j, substring(md5(CAST(j AS VARCHAR) || '|' || h), "
+        "1, 3) AS b FROM batch, ks), "
+        "hits AS (SELECT doc_id, count(*) AS nj FROM bc "
+        "WHERE EXISTS (SELECT 1 FROM bloom WHERE bloom.j = bc.j AND bloom.b = bc.b) "
+        "GROUP BY doc_id), "
+        "ex AS (SELECT DISTINCT h FROM corpus) "
+        "SELECT b.doc_id, CAST(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
+        "AS exact_dup, "
+        f"CAST(CASE WHEN coalesce(hits.nj, 0) = {BLOOM_K} THEN 1 ELSE 0 END AS INTEGER) "
+        "AS bloom_hit FROM batch b LEFT JOIN hits ON b.doc_id = hits.doc_id "
+        "LEFT JOIN ex e ON b.h = e.h"
     ),
     "llm_heavy_hitters_cms": (
         f"WITH {_TOKS}, "

@@ -831,3 +831,29 @@ def test_sample_weighted_matches_python_aes(spark):
     want = sorted(scored, key=lambda t: (-t[0], t[1]))[:WSAMPLE_N]
     got = _q_sample_weighted(spark, SF_SMOKE).collect()
     assert [(r.score_q, r.o_orderkey, r.w_cents) for r in sorted(got, key=lambda r: r.rnk)] == want
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import BLOOM_K, _q_dedup_bloom
+    import hashlib
+
+    rows = _q_dedup_bloom(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.exact_dup == 1:
+            assert r.bloom_hit == 1  # bloom never misses a true member
+    # python reference bloom
+    docs = tables.table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    h = {r.doc_id: hashlib.sha256(r.text.encode()).hexdigest() for r in docs}
+    bloom = {
+        (j, hashlib.md5(f"{j}|{h[d]}".encode()).hexdigest()[:3])
+        for d in h if d % 2 == 0 for j in range(BLOOM_K)
+    }
+    corpus_h = {h[d] for d in h if d % 2 == 0}
+    for r in rows:
+        want_hit = all(
+            (j, hashlib.md5(f"{j}|{h[r.doc_id]}".encode()).hexdigest()[:3]) in bloom
+            for j in range(BLOOM_K)
+        )
+        assert r.bloom_hit == int(want_hit)
+        assert r.exact_dup == int(h[r.doc_id] in corpus_h)
