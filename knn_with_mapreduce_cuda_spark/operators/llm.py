@@ -1646,10 +1646,14 @@ def _q_dedup_bloom(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("nj"))
     )
+    # only the bloom is constant-size; hits is batch-sized and the exact
+    # corpus hash set is corpus-sized — neither may be forced broadcast
+    # (the exact check is the shuffled semi-join llm_dedup_incremental
+    # documents; the bloom's job is to prune what reaches it)
     exact = corpus.select("h").distinct()
     return (
-        batch.join(F.broadcast(hits), "doc_id", "left")
-        .join(F.broadcast(exact.withColumn("ex", lit(1))), "h", "left")
+        batch.join(hits, "doc_id", "left")
+        .join(exact.withColumn("ex", lit(1)), "h", "left")
         .select(
             "doc_id",
             F.coalesce("ex", lit(0)).cast("int").alias("exact_dup"),
