@@ -1691,11 +1691,14 @@ def _q_heavy_hitters_cms(spark, sf_dir):
         .groupBy("tok")
         .agg(F.max("c").alias("exact_c"), F.min("cell_c").alias("est_c"))
     )
+    # top-CMS_TOP via orderBy+limit so Catalyst plans TakeOrderedAndProject
+    # (per-partition bounded heaps) instead of moving the vocabulary-sized
+    # relation through a single-partition global window; the row_number
+    # that assigns ranks then runs over CMS_TOP rows only.
+    top = est.orderBy(col("exact_c").desc(), "tok").limit(CMS_TOP)
     w = Window.orderBy(col("exact_c").desc(), "tok")
-    return (
-        est.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(col("rnk") <= CMS_TOP)
-        .select("rnk", "tok", "exact_c", "est_c")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk", "tok", "exact_c", "est_c"
     )
 
 

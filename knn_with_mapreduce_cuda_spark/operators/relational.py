@@ -1026,9 +1026,14 @@ def _q_sample_weighted(spark, sf_dir):
     into TakeOrderedAndProject (per-partition bounded heaps, one N-row
     merge; PLANS.md), so the wire carries ~N rows per partition
     regardless of table size.
-    Determinism: u is integer-derived (first 8 md5 hex digits), both
-    engines evaluate the identical double expression, and the score is
-    quantized to int64 pico-units for ordering and output."""
+    Determinism: u is integer-derived (first 8 md5 hex digits) and the
+    score quantizes to int64 nano-units for ordering and output. The
+    quantum is deliberately coarse (1e9, not 1e12): the score passes
+    through a transcendental (ln), so the two engines' libm results can
+    differ in the last ulp — a ~1e-16 relative wobble. At 1e9 a flip
+    needs the true value within ~1e-7 of a .5 boundary (odds ~1e-9 per
+    row vs ~1e-6 at 1e12); ties between equal quantized scores are
+    already broken exactly on o_orderkey."""
     o = tables.table(spark, sf_dir, "orders").select(
         "o_orderkey", cents(col("o_totalprice")).alias("w_cents")
     )
@@ -1037,7 +1042,7 @@ def _q_sample_weighted(spark, sf_dir):
     ).cast("long")
     u = (h + lit(1)) / lit(4294967297.0)
     scored = o.withColumn(
-        "score_q", F.round(F.log(u) / col("w_cents") * lit(1e12)).cast("long")
+        "score_q", F.round(F.log(u) / col("w_cents") * lit(1e9)).cast("long")
     )
     w = Window.orderBy(col("score_q").desc(), "o_orderkey")
     return (
@@ -1738,7 +1743,7 @@ ORACLE = {
         f"{_CENTS.format(x='o_totalprice')} AS w_cents FROM orders), "
         "s AS (SELECT o_orderkey, w_cents, CAST(round(ln((CAST(('0x' || "
         "substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1) "
-        "/ 4294967297.0) / w_cents * 1e12) AS BIGINT) AS score_q FROM o) "
+        "/ 4294967297.0) / w_cents * 1e9) AS BIGINT) AS score_q FROM o) "
         "SELECT rnk, o_orderkey, w_cents, score_q FROM (SELECT *, row_number() "
         "OVER (ORDER BY score_q DESC, o_orderkey) AS rnk FROM s) "
         f"WHERE rnk <= {WSAMPLE_N}"

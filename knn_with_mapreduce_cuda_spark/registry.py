@@ -59,32 +59,41 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-3 rotation window (VERDICT r02 "Next round" #2): every SURVEY §2
-#: key now has a hard driver-green row (r01 ∪ r02 = 77 keys), so this
-#: round fronts the 50 most complex *extras*-tier keys that have never
-#: been inside a driver gate window — the iterative tier, all 17
-#: expressible TPC-H queries, the seven source/sink roundtrips, and the
-#: heaviest LLM-pipeline keys. Displaced keys keep their r01/r02 rows.
+#: Round-4 rotation window (VERDICT r03 "Next round" #3): the union of
+#: driver-green keys after r03 is 127/366; this round fronts (a) the
+#: seven keys REWRITTEN or touched this round — the trained-codebook PQ
+#: tier and the sketch/sampling keys whose widths/quanta changed — so
+#: the driver grades the new code, then (b) 43 of the heaviest
+#: never-graded analytics keys (the iterative/graph/ts/ml tier the
+#: judge called out, e.g. graph-peel and STL-decompose class queries).
+#: Displaced keys keep their r01–r03 rows.
 _ROTATE_FRONT = [
-    # iterative tier (multi-pass algorithms — hardest to grade)
-    "ml_kmeans_lloyd", "graph_components_dedup", "llm_dedup_apply",
-    "graph_pagerank", "ml_pca_power", "ml_dbscan",
-    "llm_cluster_topics", "llm_topic_coherence",
-    # TPC-H (all fixtures-expressible queries; tpch.py:1 documents the rest)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    # sources / sinks (the connector tier)
-    "src_parquet_metadata", "src_csv_roundtrip", "src_jsonl_roundtrip",
-    "src_knn_text_roundtrip", "src_orc_roundtrip",
-    "src_partition_prune_read", "src_python_datasource",
-    # heaviest LLM-pipeline + relational extras
-    "llm_simsearch_gemm", "llm_simsearch_ivf", "llm_dedup_simhash",
-    "llm_dedup_jaccard", "llm_dedup_embed", "llm_pipeline_e2e",
-    "llm_pipeline_ingest", "ml_naive_bayes", "llm_search_bm25",
-    "llm_contamination", "llm_pii_redact", "llm_pack_sequences",
-    "llm_lang_id", "llm_quality_score", "llm_token_count",
-    "llm_fingerprint", "rel_cte_recursive", "rel_merge_upsert",
+    # touched this round — must re-earn a driver row on the new code
+    "llm_simsearch_pq", "llm_simsearch_ivfpq", "llm_simsearch_hamming",
+    "llm_dedup_bloom", "llm_heavy_hitters_cms", "llm_mix_budget",
+    "rel_sample_weighted",
+    # kNN-adjacent ML (multi-stage, window-heavy)
+    "ml_lof", "ml_silhouette", "ml_conformal_knn", "knn_crossval",
+    "graph_knn_hubness", "ml_calibration_knn",
+    # graph tier (iterative / join-chained)
+    "graph_triangles", "graph_label_prop", "graph_kcore_peel",
+    "graph_hits", "graph_bfs_dist", "graph_khop_reach",
+    "graph_clustering_coeff", "graph_modularity",
+    # model-fit / statistics tier
+    "ml_logreg_irls1", "ml_linreg_normal", "ml_decision_stump",
+    "ml_auc_ovr", "ml_roc_curve", "ml_pr_curve", "ml_ks_test",
+    "ml_assoc_rules", "ml_mi_lang_source",
+    # time-series tier (stateful windows, regressions, spectra)
+    "ts_decompose_stl", "ts_periodogram", "ts_holt_linear",
+    "ts_autocorr", "ts_changepoint", "ts_cusum", "ts_hurst_rs",
+    "ts_ljung_box", "ts_mann_kendall", "ts_trend_theil_sen",
+    "ts_resample_locf",
+    # LLM-analytics heavies
+    "llm_tfidf_cosine_pairs", "llm_edit_distance_pairs",
+    "llm_perplexity_unigram", "llm_bigram_crossentropy",
+    "llm_minhash_est_vs_exact", "llm_dedup_threshold_sweep",
+    # relational / behavioral extras
+    "rel_skyline_pareto", "str_retention_cohort", "str_attribution_linear",
 ]
 
 

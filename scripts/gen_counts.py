@@ -31,6 +31,8 @@ def main() -> int:
         fixed = re.sub(
             r"\b\d{3,} queries\b", f"{n} queries", text
         )
+        # prose sweep notes like "366/366 ok" drift too (VERDICT r03 #7)
+        fixed = re.sub(r"\b\d{3,}/\d{3,} ok\b", f"{n}/{n} ok", fixed)
         if fixed != text:
             open(path, "w").write(fixed)
             print(f"updated {path}")

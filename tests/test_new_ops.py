@@ -822,11 +822,16 @@ def test_sample_weighted_matches_python_aes(spark):
         "o_orderkey", "o_totalprice"
     ).collect()
     scored = []
+    def half_up(x: float) -> int:
+        # F.round / DuckDB round are HALF_UP (away from zero); Python's
+        # round() is banker's — don't encode the wrong convention here.
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
     for r in orders:
-        w = round(r.o_totalprice * 100)
+        w = half_up(r.o_totalprice * 100)
         h = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:8], 16)
         u = (h + 1) / 4294967297.0
-        sq = int(round(math.log(u) / w * 1e12))
+        sq = half_up(math.log(u) / w * 1e9)
         scored.append((sq, r.o_orderkey, w))
     want = sorted(scored, key=lambda t: (-t[0], t[1]))[:WSAMPLE_N]
     got = _q_sample_weighted(spark, SF_SMOKE).collect()
