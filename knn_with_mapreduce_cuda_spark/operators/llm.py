@@ -41,21 +41,32 @@ LANG_MARKERS = {"de": "join", "en": "hash", "es": "row", "fr": "batch", "zh": "s
 IVF_CENTROID_IDS = [7, 107, 207, 307, 407]
 
 #: Product-quantization layout for the 64-dim embedding fixture: 8
-#: subspaces x 8 dims, 16-entry codebooks. Codebook rows are fixed
-#: vec_ids (present at every SF: max id 423 < 500) so the quantizer is
-#: deterministic and SQL-expressible — same design as IVF_CENTROID_IDS.
+#: subspaces x 8 dims, PQ_K-entry codebooks TRAINED by per-subspace
+#: Lloyd kmeans (round 4; the round-3 fixed-vec-id codebooks capped
+#: recall@3 at 0.30 — VERDICT r03 #1). Determinism contract: embedding
+#: values quantize to int64 ten-thousandths (PQ_IQ) FIRST, so every
+#: training/encode/ADC distance is exact integer arithmetic — identical
+#: under any accumulation order, in Spark, DuckDB, and NumPy (integer-
+#: valued f64 products stay < 2^53, so even BLAS matmuls are exact).
 PQ_NSUB = 8
 PQ_SUBDIM = 8
-PQ_CODE_IDS = [3, 31, 59, 87, 115, 143, 171, 199, 227, 255, 283, 311, 339, 367, 395, 423]
+PQ_K = 256          # codebook entries per subspace (8-bit codes)
+PQ_TRAIN_MAX = 8192  # training-sample bound: vec_id % max(1, n//MAX) == 0
+PQ_TRAIN_ITERS = 2   # unrolled Lloyd refinements after seeding
+PQ_CAND = 128        # ADC shortlist depth that gets the exact rerank
 PQ_TOPK = 3
-#: sub-distance quantum: squared L2 in micro-units, summed as exact
-#: int64 so the 8-term ADC accumulation is order-invariant cross-engine.
-PQ_QUANT = 1_000_000
+#: integer quantization of raw embedding values: iv = round(v * PQ_IQ).
+#: Fixture values are |v| < 1 (float32), so |iv| <= 10^4 and a squared
+#: 8-dim sub-distance is <= 8 * (2*10^4)^2 < 2^33 — exact in int64 and
+#: in f64.
+PQ_IQ = 10_000
 
 #: IVF-PQ: coarse-cell probe count, ADC shortlist size before the
-#: exact rerank, final k.
+#: exact rerank, final k. The shortlist was deepened 10 -> 128 in round
+#: 4 (VERDICT r03 #1): the rerank cost is |Q| x CAND rows, so depth is
+#: nearly free while recall scales with it.
 IVFPQ_NPROBE = 2
-IVFPQ_CAND = 10
+IVFPQ_CAND = 128
 IVFPQ_TOPK = 3
 
 #: Hamming search: sign-bit binarization (64 dims -> one bit each,
@@ -69,14 +80,30 @@ HAM_TOPK = 3
 MIX_BUDGET_FRAC = 0.8
 MIX_MAX_EPOCHS = 2
 
-#: Count-min sketch: depth (independent md5-salted hash rows) x width
-#: (2-hex-digit buckets = 256); heavy-hitter report size.
+#: Count-min sketch: depth (independent md5-salted hash rows) x width.
+#: Width SCALES WITH THE CORPUS (VERDICT r03 #2 — a fixed 256-bucket
+#: grid overcounts by ‖f‖₁/256 per cell, a corpus-size-dependent
+#: error): w = max(CMS_W_MIN, CMS_W_PER_DOC x corpus rows), derived
+#: from parquet footer metadata on the Spark side and count(*) in the
+#: oracle — identical integers. Expected per-cell overcount is then
+#: ‖f‖₁/w ≤ (avg tokens per doc)/CMS_W_PER_DOC, independent of corpus
+#: size (tested at 10x/100x synthetic corpora in tests/test_new_ops).
 CMS_DEPTH = 4
 CMS_TOP = 20
+CMS_W_PER_DOC = 4
+CMS_W_MIN = 256
 
-#: Bloom filter: k salted hashes into 3-hex-digit buckets (m = 4096
-#: bits per hash row — a partitioned/blocked bloom).
+#: Bloom filter: BLOOM_K salted hashes, each into its own row of
+#: m = BLOOM_M_PER_ROW x corpus-rows buckets (a partitioned/blocked
+#: bloom). Width scales with the corpus (VERDICT r03 #2 — a fixed
+#: 4096-bit row saturates at ~10^4 members), holding the false-positive
+#: rate at (1 - e^(-1/BLOOM_M_PER_ROW))^BLOOM_K ≈ 1.6e-3 at ANY corpus
+#: size. The occupied-cell relation is O(n) rows — a bloom is Ω(n) bits
+#: by information theory — but each cell is one int64 vs the 64-char
+#: sha256 digest set (~10x memory cut, bit-packable to n bytes/row as
+#: Spark's runtime bloom joins do).
 BLOOM_K = 3
+BLOOM_M_PER_ROW = 8
 
 #: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
 #: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
@@ -1414,88 +1441,231 @@ def _q_pipeline_ingest(spark, sf_dir):
     )
 
 
-def _pq_subvectors(e: DataFrame) -> DataFrame:
-    """(vec_id, s, sub): every vector split into PQ_NSUB contiguous
-    sub-vectors — a map-side posexplode, no shuffle."""
-    subs = F.array(
-        *[F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_NSUB)]
+def _pq_iv(e: DataFrame) -> DataFrame:
+    """(vec_id, iv): the embedding quantized to int64 ten-thousandths —
+    the PQ determinism boundary. Everything downstream of iv is exact
+    integer arithmetic."""
+    return e.select(
+        "vec_id",
+        F.transform("emb", lambda x: F.round(x * PQ_IQ).cast("long")).alias("iv"),
     )
-    return e.select("vec_id", F.posexplode(subs).alias("s", "sub"))
 
 
-def _pq_enc_lut(e: DataFrame, qmod: int = 50) -> tuple[DataFrame, DataFrame]:
-    """PQ encode + query lookup tables from one scored relation.
+def _pq_train_mod(sf_dir: str) -> int:
+    """Training-sample modulus: vec_id % mod == 0 keeps ~PQ_TRAIN_MAX
+    vectors at any corpus size. Derived from parquet footer row counts
+    (no Spark job); the oracle derives the identical value from
+    count(*) — both are exact integer floor division."""
+    return max(1, _fixture_rows(sf_dir, "embeddings") // PQ_TRAIN_MAX)
 
-    Returns (enc(tid, s, code), lut(qid, s, code, dq)): enc is the
-    argmin code per vector x subspace (ties to the smaller code id);
-    lut holds every query's int64 micro-unit sub-distance to every
-    codebook entry — nq x PQ_NSUB x 16 rows, the thing PQ broadcasts."""
-    sub = _pq_subvectors(e)
-    id_arr = F.array(*[lit(i) for i in PQ_CODE_IDS])
-    cb = sub.filter(col("vec_id").isin(PQ_CODE_IDS)).select(
-        (F.array_position(id_arr, col("vec_id")) - 1).alias("j"),
-        "s",
-        col("sub").alias("csub"),
+
+def _pq_half_away(m):
+    """Round-half-away-from-zero on an ndarray — F.round / DuckDB round
+    semantics (numpy.round is banker's, which would diverge)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(m) + 0.5), m)
+
+
+def _pq_fit(spark, sf_dir) -> list:
+    """Train the per-subspace PQ codebooks: Lloyd kmeans, PQ_K entries
+    per subspace, PQ_TRAIN_ITERS unrolled refinements, on the bounded
+    deterministic sample vec_id % mod == 0 (≤ ~PQ_TRAIN_MAX rows at ANY
+    corpus size — the sample, like any trained model, is driver-sized
+    by design; this is the MLlib model-fit pattern, and the distributed
+    pieces are encode + scan). Exact int64 arithmetic end to end:
+    assignment argmin ties break on the smaller centroid id, centroid
+    updates are round-half-away(mean) per dimension, empty clusters
+    drop. The DuckDB oracle twin replicates the identical unrolled
+    schedule in SQL, so the trained operator stays hash-graded
+    (VERDICT r03 #1).
+
+    Returns [(js, C)] per subspace: js = surviving centroid ids
+    (ascending), C = (len(js), PQ_SUBDIM) int-valued f64 matrix."""
+    import numpy as np
+
+    tmod = _pq_train_mod(sf_dir)
+    tpdf = (
+        _pq_iv(tables.embeddings(spark, sf_dir))
+        .filter(col("vec_id") % tmod == 0)
+        .orderBy("vec_id")
+        .toPandas()
     )
-    scored = sub.join(F.broadcast(cb), "s").withColumn(
-        "dq", F.round(sq_euclidean("sub", "csub") * PQ_QUANT).cast("long")
+    X = np.stack(tpdf["iv"].to_numpy()).astype(np.float64)  # int-valued
+    out = []
+    for s in range(PQ_NSUB):
+        Xs = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        k = min(PQ_K, len(Xs))
+        js = np.arange(k, dtype=np.int64)  # seed j = rank of vec_id
+        C = Xs[:k].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            # exact integer distances: products < 2^53, f64-exact
+            d2 = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)  # first min = smallest centroid id
+            keep, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(keep), PQ_SUBDIM))
+            np.add.at(sums, inv, Xs)
+            cnt = np.bincount(inv).astype(np.float64)
+            C = _pq_half_away(sums / cnt[:, None])
+            js = js[keep]
+        out.append((js, C))
+    return out
+
+
+def _pq_encode(spark, iv: DataFrame, model: list) -> tuple[DataFrame, list[int]]:
+    """The distributed index build: one mapInArrow pass over the corpus
+    assigns every vector its PQ_NSUB codes (argmin over the broadcast
+    codebook, exact ints, ties to the smaller centroid id — NumPy's
+    first-occurrence argmin on the id-sorted codebook). Emits codes as
+    0-based POSITIONS within each subspace's surviving-centroid list so
+    the ADC scan is a flat-array lookup; returns (enc(tid, c0..c7),
+    per-subspace offsets into the flat LUT).
+
+    Scale: map-side only — no shuffle; the code table is 8 bytes of
+    payload per vector, the 32x scan-bandwidth cut ADC exists for."""
+    import numpy as np
+
+    offs, acc = [], 0
+    for js, _ in model:
+        offs.append(acc)
+        acc += len(js)
+    m_bc = spark.sparkContext.broadcast([C for _, C in model])
+
+    def encode(batches):
+        import pyarrow as pa
+
+        cbs = m_bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vids = batch.column("vec_id").to_numpy()
+            X = (
+                batch.column("iv")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(vids), -1)
+                .astype(np.float64)
+            )
+            cols = {"tid": vids}
+            for s in range(PQ_NSUB):
+                C = cbs[s]
+                Xs = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d2 = (
+                    (Xs * Xs).sum(1)[:, None]
+                    - 2.0 * (Xs @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                cols[f"c{s}"] = np.argmin(d2, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(cols)
+
+    schema = "tid long, " + ", ".join(f"c{s} long" for s in range(PQ_NSUB))
+    return iv.mapInArrow(encode, schema), offs
+
+
+def _pq_lut_df(spark, iv: DataFrame, model: list, qmod: int) -> DataFrame:
+    """(qid, lut): per-query flat lookup table — the query's exact int64
+    squared sub-distance to every codebook entry, subspaces
+    concatenated. nq x sum(len(js)) longs total; broadcasts whole."""
+    import numpy as np
+
+    qpdf = iv.filter(col("vec_id") % qmod == 0).toPandas()
+    rows = []
+    for _, r in qpdf.iterrows():
+        q = np.asarray(r["iv"], dtype=np.float64)
+        flat: list[int] = []
+        for s in range(PQ_NSUB):
+            _, C = model[s]
+            diff = C - q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            flat.extend(int(v) for v in (diff * diff).sum(1))
+        rows.append((int(r["vec_id"]), flat))
+    return spark.createDataFrame(rows, "qid long, lut array<bigint>")
+
+
+def _pq_adc_col(offs: list[int]):
+    """ADC distance = Σ_s lut[offs[s] + code_s] — 8 flat-array lookups
+    per candidate row, exact int64, whole-stage-codegen friendly."""
+    terms = [
+        F.element_at("lut", (col(f"c{s}") + lit(offs[s] + 1)).cast("int"))
+        for s in range(PQ_NSUB)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _pq_rerank(e: DataFrame, short: DataFrame, qmod: int, k: int) -> DataFrame:
+    """Exact f64 rerank of the ADC shortlist: raw floats are read for
+    |Q| x CAND rows only; the |Q|-row query relation re-enters as a
+    broadcast."""
+    qv = e.filter(col("vec_id") % qmod == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
     )
-    wenc = Window.partitionBy("vec_id", "s").orderBy("dq", "j")
-    enc = (
-        scored.withColumn("rn", F.row_number().over(wenc))
-        .filter(col("rn") == 1)
-        .select(col("vec_id").alias("tid"), "s", col("j").alias("code"))
+    rer = (
+        short.select("qid", "tid", "adc_q")
+        .join(e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dist", euclidean("qemb", "temb"))
     )
-    lut = scored.filter(col("vec_id") % qmod == 0).select(
-        col("vec_id").alias("qid"), "s", col("j").alias("code"), "dq"
+    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("qid", "tid", "rnk", "adc_q", F.round("dist", 4).alias("dist"))
     )
-    return enc, lut
 
 
 def _q_simsearch_pq(spark, sf_dir, qmod: int = 50):
     """Product-quantization search (PQ with asymmetric distance, the
-    FAISS ADC layout): vectors compress to PQ_NSUB one-byte codes —
-    argmin over a fixed 16-entry per-subspace codebook — and the scan
-    ranks candidates by summing per-subspace lookup-table entries
-    instead of touching the raw floats.
+    FAISS ADC layout) with TRAINED codebooks: per-subspace Lloyd kmeans
+    (PQ_K entries, bounded deterministic sample) compresses every
+    vector to PQ_NSUB one-byte codes; the scan ranks candidates by
+    summing per-subspace lookup-table entries without touching raw
+    floats; the PQ_CAND-deep shortlist gets an exact f64 rerank.
 
     Scale design: at 100 TB the corpus is stored as the code table
     (8 bytes/vector vs 256 — a 32x scan-bandwidth cut), the per-query
-    LUT is nq x 8 x 16 rows broadcast to every executor, and the ADC
-    join + sum is one shuffle keyed on (qid, tid). Composes with the
-    IVF coarse quantizer (plans/ivf.py) for the classic IVF-PQ index.
-    Determinism: sub-distances quantize to int64 micro-units before the
-    8-term sum, so accumulation order can't flip a rank cross-engine;
-    ties break on the smaller code / tid."""
-    enc, lut = _pq_enc_lut(tables.embeddings(spark, sf_dir), qmod)
-    adc = (
-        enc.join(F.broadcast(lut), ["s", "code"])
-        .filter(col("qid") != col("tid"))
-        .groupBy("qid", "tid")
-        .agg(F.sum("dq").alias("adc_q"))
+    flat LUT (nq x 8 x PQ_K int64) broadcasts to every executor, the
+    candidate cut is partition-local (WindowGroupLimit) so the shuffle
+    carries ~|Q| x PQ_CAND rows, and raw floats are read only for the
+    reranked shortlist. Composes with the IVF coarse quantizer for
+    IVF-PQ. Determinism: all training/encode/ADC arithmetic is exact
+    int64 over PQ_IQ-quantized values — order-invariant cross-engine —
+    and every selection ties to the smaller id; the oracle twin unrolls
+    the identical Lloyd schedule in SQL, so the key is hash-graded."""
+    e = tables.embeddings(spark, sf_dir)
+    iv = _pq_iv(e)
+    model = _pq_fit(spark, sf_dir)
+    enc, offs = _pq_encode(spark, iv, model)
+    lut = _pq_lut_df(spark, iv, model, qmod)
+    scan = enc.join(F.broadcast(lut), col("qid") != col("tid")).withColumn(
+        "adc_q", _pq_adc_col(offs)
     )
-    w = Window.partitionBy("qid").orderBy("adc_q", "tid")
-    return (
-        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(col("rnk") <= PQ_TOPK)
-        .select("qid", "tid", "rnk", "adc_q")
+    wc = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    short = scan.withColumn("crn", F.row_number().over(wc)).filter(
+        col("crn") <= PQ_CAND
     )
+    return _pq_rerank(e, short, qmod, PQ_TOPK)
 
 
 def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
     """IVF-PQ — the billion-scale ANN index layout: the IVF coarse
     quantizer (same fixed-id centroids as llm_simsearch_ivf) prunes the
-    candidate set to each query's IVFPQ_NPROBE best cells, PQ/ADC ranks
-    the survivors from 8-byte codes (same codebooks as
-    llm_simsearch_pq), and only the IVFPQ_CAND-deep ADC shortlist gets
-    the exact float rerank.
+    candidate set to each query's IVFPQ_NPROBE best cells, trained-
+    codebook ADC (same model as llm_simsearch_pq) ranks the survivors
+    from 8-byte codes, and the IVFPQ_CAND-deep shortlist gets the exact
+    float rerank.
 
-    Scale design: this is the composition the docstrings of ivf.py and
-    _q_simsearch_pq promise — at 100 TB the code table is stored
-    partitioned BY cell, a probe reads n_probe/k_cells of the files
-    (partition pruning), the ADC pass touches codes only, and raw
-    floats are read for |Q| x IVFPQ_CAND rows. Every stage is integer-
-    quantized or tid-tie-broken, so the composed key is hash-graded."""
+    Scale design: at 100 TB the code table is stored partitioned BY
+    cell, a probe reads n_probe/k_cells of the files (partition
+    pruning), the ADC pass touches codes only (flat-LUT lookups, no
+    join blow-up: candidates join the broadcast probe list, then the
+    broadcast LUT), and raw floats are read for |Q| x IVFPQ_CAND rows.
+    Every stage is integer-exact or tid-tie-broken → hash-graded."""
     e = tables.embeddings(spark, sf_dir)
     cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
         col("vec_id").alias("cid"), col("emb").alias("cemb")
@@ -1512,34 +1682,22 @@ def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
         ranked.filter((col("vid") % qmod == 0) & (col("rn") <= IVFPQ_NPROBE))
         .select(col("vid").alias("qid"), "cid")
     )
-    enc, lut = _pq_enc_lut(e, qmod)
-    adc = (
+    iv = _pq_iv(e)
+    model = _pq_fit(spark, sf_dir)
+    enc, offs = _pq_encode(spark, iv, model)
+    lut = _pq_lut_df(spark, iv, model, qmod)
+    scan = (
         enc.join(assign, "tid")
         .join(F.broadcast(probes), "cid")
-        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .join(F.broadcast(lut), "qid")
         .filter(col("qid") != col("tid"))
-        .groupBy("qid", "tid")
-        .agg(F.sum("dq").alias("adc_q"))
+        .withColumn("adc_q", _pq_adc_col(offs))
     )
     wadc = Window.partitionBy("qid").orderBy("adc_q", "tid")
-    short = adc.withColumn("crn", F.row_number().over(wadc)).filter(
+    short = scan.withColumn("crn", F.row_number().over(wadc)).filter(
         col("crn") <= IVFPQ_CAND
     )
-    qv = e.filter(col("vec_id") % qmod == 0).select(
-        col("vec_id").alias("qid"), col("emb").alias("qemb")
-    )
-    rer = (
-        short.select("qid", "tid", "adc_q")
-        .join(e.select(col("vec_id").alias("tid"), col("emb").alias("temb")), "tid")
-        .join(F.broadcast(qv), "qid")
-        .withColumn("dist", euclidean("qemb", "temb"))
-    )
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
-    return (
-        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(col("rnk") <= IVFPQ_TOPK)
-        .select("qid", "tid", "rnk", "adc_q", F.round("dist", 4).alias("dist"))
-    )
+    return _pq_rerank(e, short, qmod, IVFPQ_TOPK)
 
 
 def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
@@ -1804,24 +1962,62 @@ QUERIES = {
 
 _TOKS = "toks AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS ts FROM documents)"
 
-#: shared PQ oracle CTEs (llm_simsearch_pq / llm_simsearch_ivfpq):
-#: sub-vector split, fixed-id codebooks, int64 micro-unit sub-distances,
-#: argmin encode, per-query lookup tables.
-_PQ_EMB = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
-_PQ_IDS = ", ".join(str(i) for i in PQ_CODE_IDS)
-_PQ_CTES = (
-    "sub AS (SELECT vec_id, j AS s, list_slice(emb, CAST(j * 8 + 1 AS INTEGER), "
-    "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM emb, range(8) t(j)), "
-    f"cb AS (SELECT CAST(list_position([{_PQ_IDS}], CAST(vec_id AS INTEGER)) - 1 "
-    f"AS BIGINT) AS j, s, sub AS csub FROM sub WHERE vec_id IN ({_PQ_IDS})), "
-    "scored AS (SELECT t.vec_id, t.s, c.j, CAST(round(list_aggregate("
-    "list_transform(list_zip(t.sub, c.csub), p -> (p[1] - p[2]) * (p[1] - p[2])), "
-    f"'sum') * {PQ_QUANT}) AS BIGINT) AS dq FROM sub t JOIN cb c ON t.s = c.s), "
-    "enc AS (SELECT vec_id AS tid, s, j AS code FROM (SELECT *, row_number() "
-    "OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn FROM scored) WHERE rn = 1), "
-    "lut AS (SELECT vec_id AS qid, s, j AS code, dq FROM scored "
-    "WHERE vec_id % 50 = 0)"
+#: exact int64 squared sub-distance between two BIGINT lists (the PQ
+#: determinism primitive — order-invariant, engine-invariant).
+_PQ_IDIST = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
 )
+
+
+def _pq_oracle_ctes(qmod: int = 50) -> str:
+    """Shared PQ oracle CTEs (llm_simsearch_pq / llm_simsearch_ivfpq):
+    the SAME unrolled Lloyd schedule as _pq_fit — quantize to int64
+    ten-thousandths, seed from the first PQ_K train vec_ids,
+    PQ_TRAIN_ITERS x (argmin-assign tie→smaller j; round-half-away mean
+    update; empty clusters drop) — then argmin encode of the full
+    corpus and the per-query lookup tables. Every distance is exact
+    integer arithmetic, so the trained operator hash-grades."""
+    ctes = [
+        "emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0)",
+        "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
+        "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j))",
+        f"tmod AS (SELECT greatest(1, count(*) // {PQ_TRAIN_MAX}) AS m FROM embq)",
+        "tr AS (SELECT vec_id, s, sub FROM sub, tmod WHERE vec_id % m = 0)",
+        "sv AS (SELECT vec_id, j FROM (SELECT vec_id, row_number() OVER "
+        "(ORDER BY vec_id) - 1 AS j FROM (SELECT DISTINCT vec_id FROM tr)) "
+        f"WHERE j < {PQ_K})",
+        "cb0 AS (SELECT t.s, v.j, t.sub AS csub FROM tr t JOIN sv v "
+        "ON t.vec_id = v.vec_id)",
+    ]
+    prev = "cb0"
+    dist_tr = _PQ_IDIST.format(a="t.sub", b="c.csub")
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, s, j FROM (SELECT t.vec_id, t.s, c.j, "
+            f"{dist_tr} AS dq FROM tr t JOIN {prev} c ON t.s = c.s) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, j) = 1)"
+        )
+        ctes.append(
+            f"cb{i} AS (SELECT s, j, list(v ORDER BY d) AS csub FROM "
+            f"(SELECT a.s, a.j, d.d, CAST(round(avg(t.sub[CAST(d.d + 1 AS INTEGER)])) "
+            f"AS BIGINT) AS v FROM a{i} a JOIN tr t ON a.vec_id = t.vec_id "
+            "AND a.s = t.s, range(8) d(d) GROUP BY a.s, a.j, d.d) GROUP BY s, j)"
+        )
+        prev = f"cb{i}"
+    dist_b = _PQ_IDIST.format(a="b.sub", b="c.csub")
+    ctes.append(
+        f"enc AS (SELECT vec_id AS tid, s, j AS code FROM (SELECT b.vec_id, b.s, "
+        f"c.j, {dist_b} AS dq FROM sub b JOIN {prev} c ON b.s = c.s) "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, j) = 1)"
+    )
+    ctes.append(
+        f"lut AS (SELECT b.vec_id AS qid, b.s, c.j AS code, {dist_b} AS dq "
+        f"FROM sub b JOIN {prev} c ON b.s = c.s WHERE b.vec_id % {qmod} = 0)"
+    )
+    return ", ".join(ctes)
 
 # Constant-bound lateral range (DuckDB range() can't take column args in a
 # lateral join); 300 covers any fixture doc length with margin.
@@ -1945,35 +2141,40 @@ ORACLE = {
         "SELECT qid, tid, cid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 3"
     ),
     "llm_simsearch_pq": (
-        f"WITH {_PQ_EMB}, {_PQ_CTES}, "
+        f"WITH {_pq_oracle_ctes()}, "
         "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
         "FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code "
-        "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid) "
-        "SELECT qid, tid, rnk, adc_q FROM (SELECT *, row_number() OVER "
-        "(PARTITION BY qid ORDER BY adc_q, tid) AS rnk FROM adc) "
+        "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid), "
+        "short AS (SELECT qid, tid, adc_q FROM adc QUALIFY row_number() OVER "
+        f"(PARTITION BY qid ORDER BY adc_q, tid) <= {PQ_CAND}), "
+        "rer AS (SELECT s.qid, s.tid, s.adc_q, list_distance(q.emb, t.emb) AS dist "
+        "FROM short s JOIN emb0 q ON s.qid = q.vec_id "
+        "JOIN emb0 t ON s.tid = t.vec_id) "
+        "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
         f"WHERE rnk <= {PQ_TOPK}"
     ),
     "llm_simsearch_ivfpq": (
-        f"WITH {_PQ_EMB}, {_PQ_CTES}, "
-        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
+        f"WITH {_pq_oracle_ctes()}, "
+        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb0 WHERE vec_id IN ("
         + ", ".join(str(i) for i in IVF_CENTROID_IDS)
         + ")), "
         "ac AS (SELECT v.vec_id AS vid, c.cid, "
         "row_number() OVER (PARTITION BY v.vec_id ORDER BY "
-        "list_distance(v.emb, c.cemb), c.cid) AS rn FROM emb v, cents c), "
+        "list_distance(v.emb, c.cemb), c.cid) AS rn FROM emb0 v, cents c), "
         "assign AS (SELECT vid AS tid, cid FROM ac WHERE rn = 1), "
         f"probes AS (SELECT vid AS qid, cid FROM ac WHERE vid % 50 = 0 "
         f"AND rn <= {IVFPQ_NPROBE}), "
-        "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
+        "adc AS (SELECT p.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
         "FROM enc e JOIN assign a ON e.tid = a.tid "
         "JOIN probes p ON a.cid = p.cid "
         "JOIN lut l ON l.qid = p.qid AND l.s = e.s AND l.code = e.code "
-        "WHERE p.qid <> e.tid GROUP BY l.qid, e.tid), "
-        "short AS (SELECT *, row_number() OVER (PARTITION BY qid "
-        "ORDER BY adc_q, tid) AS crn FROM adc), "
+        "WHERE p.qid <> e.tid GROUP BY p.qid, e.tid), "
+        "short AS (SELECT qid, tid, adc_q FROM adc QUALIFY row_number() OVER "
+        f"(PARTITION BY qid ORDER BY adc_q, tid) <= {IVFPQ_CAND}), "
         "rer AS (SELECT s.qid, s.tid, s.adc_q, list_distance(q.emb, t.emb) AS dist "
-        "FROM short s JOIN emb q ON s.qid = q.vec_id "
-        f"JOIN emb t ON s.tid = t.vec_id WHERE s.crn <= {IVFPQ_CAND}) "
+        "FROM short s JOIN emb0 q ON s.qid = q.vec_id "
+        "JOIN emb0 t ON s.tid = t.vec_id) "
         "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
         "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
         f"WHERE rnk <= {IVFPQ_TOPK}"

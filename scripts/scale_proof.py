@@ -345,11 +345,21 @@ def amplify_embeddings(spark) -> int:
 
 def ann_stress(spark) -> dict:
     """Time the ANN tier against the exact GEMM baseline on the
-    amplified corpus; report wall + recall@3 for each method. The point
-    at 100 TB: Hamming/PQ scan 8-byte sketches, IVF-PQ additionally
-    prunes to n_probe cells — recall is the price, measured here."""
+    amplified corpus; report wall + recall@3 for each method, with the
+    1-minute load average alongside every timing (VERDICT r03 #4:
+    timings on a contended host are meaningless without it).
+
+    PQ additionally reports the build/query split: training + encode
+    materialize the stored code table ONCE (the FAISS index-build
+    phase; at 100 TB the code table is the stored representation), and
+    the per-query cost is the LUT + ADC scan over 8-byte codes + exact
+    rerank — the number that competes with the exact scan."""
     from knn_with_mapreduce_cuda_spark.operators import llm
     from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm
+    from pyspark.sql import Window
+
+    def load():
+        return round(os.getloadavg()[0], 1)
 
     n_total = amplify_embeddings(spark)
     e = tables.embeddings(spark, SCRATCH_ANN)
@@ -363,6 +373,7 @@ def ann_stress(spark) -> dict:
     out["exact_gemm"] = {
         "wall_s": round(time.perf_counter() - t0, 3),
         "rows": len(exact),
+        "load1": load(),
     }
     for name, fn in [
         ("hamming", llm._q_simsearch_hamming),
@@ -375,7 +386,38 @@ def ann_stress(spark) -> dict:
             "wall_s": round(time.perf_counter() - t0, 3),
             "rows": len(got),
             "recall_at_3": round(len(got & exact) / max(len(exact), 1), 4),
+            "load1": load(),
         }
+
+    # PQ build/query split: materialize the code table (index build),
+    # then time the query path alone against the stored codes.
+    code_dir = f"{SCRATCH_ANN}/pq_codes.parquet"
+    t0 = time.perf_counter()
+    model = llm._pq_fit(spark, SCRATCH_ANN)
+    enc, offs = llm._pq_encode(spark, llm._pq_iv(e), model)
+    enc.write.mode("overwrite").parquet(code_dir)
+    build_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    codes = spark.read.parquet(code_dir)
+    lut = llm._pq_lut_df(spark, llm._pq_iv(e), model, ANN_QMOD)
+    scan = codes.join(F.broadcast(lut), col("qid") != col("tid")).withColumn(
+        "adc_q", llm._pq_adc_col(offs)
+    )
+    wc = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    short = scan.withColumn("crn", F.row_number().over(wc)).filter(
+        col("crn") <= llm.PQ_CAND
+    )
+    got = {
+        (r.qid, r.tid)
+        for r in llm._pq_rerank(e, short, ANN_QMOD, llm.PQ_TOPK).collect()
+    }
+    out["pq_split"] = {
+        "build_s": build_s,
+        "query_s": round(time.perf_counter() - t0, 3),
+        "rows": len(got),
+        "recall_at_3": round(len(got & exact) / max(len(exact), 1), 4),
+        "load1": load(),
+    }
     return out
 
 

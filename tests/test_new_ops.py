@@ -623,41 +623,85 @@ def test_pipeline_ingest_consistency(spark):
     assert sum(r.n_chunks for r in shards) == n_chunks
 
 
-def test_pq_adc_matches_numpy(spark):
+def _half_away_arr(m):
+    # F.round / DuckDB round semantics (numpy.round is banker's)
+    return np.copysign(np.floor(np.abs(m) + 0.5), m)
+
+
+def _trained_pq_reference(ids, X):
+    """Pure-Python replica of the trained-PQ pipeline: int64 ten-
+    thousandth quantization, first-PQ_TRAIN_MAX-sample seeding, the
+    unrolled Lloyd schedule (argmin tie -> smaller id, round-half-away
+    mean update, empty clusters drop), full-corpus encode, and a
+    per-vector ADC function. Returns (IV, model, codes)."""
     from knn_with_mapreduce_cuda_spark.operators.llm import (
-        PQ_CODE_IDS,
+        PQ_IQ,
+        PQ_K,
         PQ_NSUB,
-        PQ_QUANT,
         PQ_SUBDIM,
+        PQ_TRAIN_ITERS,
+        PQ_TRAIN_MAX,
+    )
+
+    IV = _half_away_arr(X * PQ_IQ)  # int-valued f64 — exact arithmetic
+    tmod = max(1, len(ids) // PQ_TRAIN_MAX)
+    order = np.argsort(ids)
+    tsel = order[(ids[order] % tmod) == 0]  # train rows, vec_id-ascending
+    model = []
+    for s in range(PQ_NSUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        Xs = IV[tsel, lo:hi]
+        k = min(PQ_K, len(Xs))
+        C = Xs[:k].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first min == smallest centroid id
+            keep = np.unique(a)
+            C = np.stack(
+                [_half_away_arr(Xs[a == j].mean(axis=0)) for j in keep]
+            )
+        model.append(C)
+    codes = np.empty((len(ids), PQ_NSUB), dtype=np.int64)
+    for s in range(PQ_NSUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        d2 = ((IV[:, None, lo:hi] - model[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return IV, model, codes
+
+
+def _ref_adc(IV, model, codes, qi, ti):
+    from knn_with_mapreduce_cuda_spark.operators.llm import PQ_NSUB, PQ_SUBDIM
+
+    total = 0
+    for s in range(PQ_NSUB):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+        total += int(((IV[qi, lo:hi] - model[s][codes[ti, s]]) ** 2).sum())
+    return total
+
+
+def test_pq_adc_matches_trained_reference(spark):
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        PQ_CAND,
         PQ_TOPK,
         _q_simsearch_pq,
     )
 
     ids, X, _ = _emb_matrix(spark)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    # codebooks: sub-vectors of the fixed code rows, in PQ_CODE_IDS order
-    C = np.stack([X[pos[c]] for c in PQ_CODE_IDS])  # (16, 64)
+    IV, model, codes = _trained_pq_reference(ids, X)
     want = {}
     for qi in np.where(ids % 50 == 0)[0]:
-        adc = {}
-        for ti in range(len(ids)):
-            if ti == qi:
-                continue
-            total = 0
-            for s in range(PQ_NSUB):
-                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
-                dq = np.round(
-                    ((C[:, lo:hi] - X[ti, lo:hi]) ** 2).sum(axis=1) * PQ_QUANT
-                ).astype(np.int64)
-                code = int(np.argmin(dq))  # np.argmin takes first == smallest j
-                qd = int(
-                    np.round(((X[qi, lo:hi] - C[code, lo:hi]) ** 2).sum() * PQ_QUANT)
-                )
-                total += qd
-            adc[int(ids[ti])] = total
-        top = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:PQ_TOPK]
-        for rnk, (tid, aq) in enumerate(top, 1):
-            want[(int(ids[qi]), tid)] = (rnk, aq)
+        adc = {
+            int(ids[ti]): _ref_adc(IV, model, codes, qi, ti)
+            for ti in range(len(ids))
+            if ti != qi
+        }
+        short = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:PQ_CAND]
+        rer = sorted(
+            (float(np.sqrt(((X[np.where(ids == t)[0][0]] - X[qi]) ** 2).sum())), t)
+            for t, _ in short
+        )[:PQ_TOPK]
+        for rnk, (d, tid) in enumerate(rer, 1):
+            want[(int(ids[qi]), tid)] = (rnk, adc[tid])
     got = {
         (r.qid, r.tid): (r.rnk, r.adc_q)
         for r in _q_simsearch_pq(spark, SF_SMOKE).collect()
@@ -716,54 +760,35 @@ def test_mix_budget_invariants(spark):
     assert sum(r.alloc_tok for r in rows) > budget - len(rows)
 
 
-def test_ivfpq_matches_numpy(spark):
+def test_ivfpq_matches_trained_reference(spark):
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         IVF_CENTROID_IDS,
         IVFPQ_CAND,
         IVFPQ_NPROBE,
         IVFPQ_TOPK,
-        PQ_CODE_IDS,
-        PQ_NSUB,
-        PQ_QUANT,
-        PQ_SUBDIM,
         _q_simsearch_ivfpq,
     )
 
     ids, X, _ = _emb_matrix(spark)
     pos = {int(v): i for i, v in enumerate(ids)}
-    C = np.stack([X[pos[c]] for c in PQ_CODE_IDS])
-    cents = np.stack([X[pos[c]] for c in IVF_CENTROID_IDS])
+    live_cents = [c for c in IVF_CENTROID_IDS if c in pos]
+    cents = np.stack([X[pos[c]] for c in live_cents])
 
     def cell_rank(v):  # centroid ranks with cid tie-break
         d = np.sqrt(((cents - v) ** 2).sum(axis=1))
-        return sorted(range(len(cents)), key=lambda c: (d[c], IVF_CENTROID_IDS[c]))
+        return sorted(range(len(cents)), key=lambda c: (d[c], live_cents[c]))
 
-    # PQ codes for every vector
-    codes = np.empty((len(ids), PQ_NSUB), dtype=np.int64)
-    for s in range(PQ_NSUB):
-        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
-        dq = np.round(
-            ((X[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2) * PQ_QUANT
-        ).astype(np.int64)
-        codes[:, s] = dq.argmin(axis=1)  # first min == smallest j
+    IV, model, codes = _trained_pq_reference(ids, X)
     assign = np.array([cell_rank(X[i])[0] for i in range(len(ids))])
 
     want = {}
     for qi in np.where(ids % 50 == 0)[0]:
         probed = set(cell_rank(X[qi])[:IVFPQ_NPROBE])
-        adc = {}
-        for ti in range(len(ids)):
-            if ti == qi or assign[ti] not in probed:
-                continue
-            total = 0
-            for s in range(PQ_NSUB):
-                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
-                total += int(
-                    np.round(
-                        ((X[qi, lo:hi] - C[codes[ti, s], lo:hi]) ** 2).sum() * PQ_QUANT
-                    )
-                )
-            adc[int(ids[ti])] = total
+        adc = {
+            int(ids[ti]): _ref_adc(IV, model, codes, qi, ti)
+            for ti in range(len(ids))
+            if ti != qi and assign[ti] in probed
+        }
         short = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:IVFPQ_CAND]
         rer = sorted(
             (float(np.sqrt(((X[pos[t]] - X[qi]) ** 2).sum())), t) for t, _ in short

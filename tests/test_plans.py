@@ -427,8 +427,10 @@ def test_hamming_search_plan_shape(spark):
 
 
 def test_pq_adc_plan_no_cartesian(spark):
-    """ADC is lookup-table joins + one keyed aggregation — never a
-    cross product of queries x corpus floats."""
+    """ADC is a flat-LUT expression over the code table with the
+    queries+LUTs broadcast — never a cross product of queries x corpus
+    floats, and the shortlist cut is partition-local (WindowGroupLimit)
+    so the shuffle carries ~|Q| x CAND rows, not the corpus."""
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         _q_simsearch_ivfpq,
         _q_simsearch_pq,
@@ -438,8 +440,7 @@ def test_pq_adc_plan_no_cartesian(spark):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastExchange" in plan, plan
-        # partial + final aggregate around the ADC sum
-        assert plan.count("HashAggregate") >= 2, plan
+        assert "WindowGroupLimit" in plan, plan
 
 
 def test_weighted_sample_take_ordered(spark):
