@@ -1769,18 +1769,23 @@ def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
 
 def _q_dedup_bloom(spark, sf_dir):
     """Bloom-filter membership for incremental dedup: the existing
-    corpus (even doc_ids) builds a BLOOM_K x 4096 bloom over content
-    hashes; every incoming doc (odd doc_ids) is probed against it and
-    also exactly checked, so the emitted per-doc verdicts expose the
-    bloom's false positives (exact_dup=1 ⟹ bloom_hit=1 — no false
-    negatives, by construction; tested).
+    corpus (even doc_ids) builds a BLOOM_K-row bloom over content
+    hashes — each row m = BLOOM_M_PER_ROW x corpus-rows buckets, width
+    derived from parquet footer metadata (the oracle derives the same
+    integer from count(*)) — and every incoming doc (odd doc_ids) is
+    probed against it and also exactly checked, so the emitted per-doc
+    verdicts expose the bloom's false positives (exact_dup=1 ⟹
+    bloom_hit=1 — no false negatives, by construction; tested).
 
-    Scale design: the bloom is the constant-memory membership primitive
-    at 100 TB — the distinct (hash-row, bucket) cell relation saturates
-    at BLOOM_K x 4096 rows no matter how large the corpus, broadcasts
-    everywhere, and turns the incremental-dedup probe into a map-side
-    semi-join (Spark's runtime bloom-filter joins are this exact shape;
-    llm_dedup_incremental is the exact-join twin)."""
+    Scale design: width scales with the corpus (VERDICT r03 #2), so
+    the false-positive rate is pinned at (1 - e^(-1/8))^3 ≈ 1.6e-3 at
+    ANY corpus size (tested at 10x/100x synthetic corpora). The
+    occupied-cell relation is O(n) int64 cells — a bloom is Ω(n) bits
+    by information theory — vs the 64-char sha256 digest set of the
+    exact twin (llm_dedup_incremental): ~10x less state, bit-packable
+    to n bytes per row exactly as Spark's runtime bloom joins do; the
+    probe stays a map-side semi-join."""
+    m = BLOOM_M_PER_ROW * _fixture_rows(sf_dir, "documents")
     docs = tables.table(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("h")
     )
@@ -1789,12 +1794,15 @@ def _q_dedup_bloom(spark, sf_dir):
     ks = spark.range(BLOOM_K).select(col("id").alias("j"))
 
     def cells(d: DataFrame) -> DataFrame:
-        return d.crossJoin(F.broadcast(ks)).select(
-            "doc_id",
-            "j",
+        hh = F.conv(
             F.substring(
-                F.md5(F.concat(col("j").cast("string"), lit("|"), col("h"))), 1, 3
-            ).alias("b"),
+                F.md5(F.concat(col("j").cast("string"), lit("|"), col("h"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        return d.crossJoin(F.broadcast(ks)).select(
+            "doc_id", "j", (hh % lit(m)).alias("b")
         )
 
     bloom = cells(corpus).select("j", "b").distinct()
@@ -1821,27 +1829,37 @@ def _q_dedup_bloom(spark, sf_dir):
 
 
 def _q_heavy_hitters_cms(spark, sf_dir):
-    """Count-min sketch heavy hitters: a CMS_DEPTH x 256 integer sketch
-    (md5-salted hex-prefix buckets — engine-independent hashing) built
-    in one aggregation, then the global top-CMS_TOP tokens reported
-    with exact vs sketch-estimated counts. The CMS guarantee est >=
-    exact holds by construction (collisions only ever add).
+    """Count-min sketch heavy hitters: a CMS_DEPTH x w integer sketch
+    (md5-salted buckets — engine-independent hashing; w = max(CMS_W_MIN,
+    CMS_W_PER_DOC x corpus rows), width from parquet footer metadata,
+    count(*) in the oracle) built in one aggregation, then the global
+    top-CMS_TOP tokens reported with exact vs sketch-estimated counts.
+    The CMS guarantee est >= exact holds by construction (collisions
+    only ever add).
 
     Scale design: the sketch is the 100 TB frequency path — a
-    constant-size (depth x width) integer grid that partial-aggregates
-    map-side and merges by cell-wise sum, so the shuffle carries
-    depth x width rows regardless of corpus or vocabulary size; the
-    estimate lookup is a broadcast join against that tiny grid. The
-    exact counts computed here alongside are the small-data oracle that
+    depth x w integer grid that partial-aggregates map-side and merges
+    by cell-wise sum; w scales with the corpus (VERDICT r03 #2) so the
+    expected per-cell overcount is bounded by ‖f‖₁/w ≤ (avg tokens per
+    doc)/CMS_W_PER_DOC — independent of corpus size (tested at 10x/100x
+    synthetic corpora) — while the grid stays millions of times smaller
+    than the corpus and the estimate lookup is a broadcast join. The
+    exact counts computed alongside are the small-data oracle that
     measures the sketch's overcount."""
+    w = max(CMS_W_MIN, CMS_W_PER_DOC * _fixture_rows(sf_dir, "documents"))
     toks = _tokens(spark, sf_dir).select(F.explode("ts").alias("tok"))
     tokc = toks.groupBy("tok").agg(F.count("*").alias("c"))
     depth = spark.range(CMS_DEPTH).select(col("id").alias("d"))
     hashed = tokc.crossJoin(F.broadcast(depth)).withColumn(
         "b",
-        F.substring(
-            F.md5(F.concat(col("d").cast("string"), lit("|"), col("tok"))), 1, 2
-        ),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col("d").cast("string"), lit("|"), col("tok"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % lit(w),
     )
     cells = hashed.groupBy("d", "b").agg(F.sum("c").alias("cell_c"))
     est = (
@@ -2200,13 +2218,16 @@ ORACLE = {
     ),
     "llm_dedup_bloom": (
         "WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents), "
+        f"mr AS (SELECT {BLOOM_M_PER_ROW} * count(*) AS m FROM documents), "
         "corpus AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 0), "
         "batch AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1), "
         f"ks AS (SELECT j FROM range({BLOOM_K}) t(j)), "
-        "bloom AS (SELECT DISTINCT j, substring(md5(CAST(j AS VARCHAR) || '|' || h), "
-        "1, 3) AS b FROM corpus, ks), "
-        "bc AS (SELECT doc_id, j, substring(md5(CAST(j AS VARCHAR) || '|' || h), "
-        "1, 3) AS b FROM batch, ks), "
+        "bloom AS (SELECT DISTINCT j, CAST(('0x' || substring(md5("
+        "CAST(j AS VARCHAR) || '|' || h), 1, 12)) AS BIGINT) % m AS b "
+        "FROM corpus, ks, mr), "
+        "bc AS (SELECT doc_id, j, CAST(('0x' || substring(md5("
+        "CAST(j AS VARCHAR) || '|' || h), 1, 12)) AS BIGINT) % m AS b "
+        "FROM batch, ks, mr), "
         "hits AS (SELECT doc_id, count(*) AS nj FROM bc "
         "WHERE EXISTS (SELECT 1 FROM bloom WHERE bloom.j = bc.j AND bloom.b = bc.b) "
         "GROUP BY doc_id), "
@@ -2219,11 +2240,14 @@ ORACLE = {
     ),
     "llm_heavy_hitters_cms": (
         f"WITH {_TOKS}, "
+        f"wr AS (SELECT greatest({CMS_W_MIN}, {CMS_W_PER_DOC} * count(*)) AS w "
+        "FROM documents), "
         "tok AS (SELECT unnest(ts) AS tok FROM toks), "
         "tokc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
         "hashed AS (SELECT tok, c, d, "
-        "substring(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 2) AS b "
-        f"FROM tokc, range({CMS_DEPTH}) t(d)), "
+        "CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 12)) "
+        "AS BIGINT) % w AS b "
+        f"FROM tokc, range({CMS_DEPTH}) t(d), wr), "
         "cells AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS cell_c "
         "FROM hashed GROUP BY d, b), "
         "est AS (SELECT h.tok, CAST(max(h.c) AS BIGINT) AS exact_c, "
