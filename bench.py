@@ -98,6 +98,60 @@ def minhash_dedup(spark, sf_dir):
     return llm._q_dedup_near_minhash(spark, sf_dir)
 
 
+BUCKET_SCRATCH = "/tmp/spark_graft_bench_bucketed"
+BUCKETS = 32
+
+
+def setup_bucketed(spark, sf_dir) -> None:
+    """One-time (per bench run, untimed — index-build class, like the
+    warm-up scan): write lineitem/orders as bucketed+sorted tables on
+    the orderkey — the engine's documented 100 TB lake layout for
+    Q3-class fact⋈fact queries (SCALE.md §2/§9c). The timed query then
+    holds ONE exchange (the broadcast of filtered customer keys):
+    orders⋈lineitem merge-joins bucket-to-bucket and the per-orderkey
+    aggregation inherits the partitioning."""
+    li = tables.table(spark, sf_dir, "lineitem")
+    o = tables.table(spark, sf_dir, "orders")
+    for t in ("bench_li_b", "bench_ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        li.repartition(BUCKETS, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{BUCKET_SCRATCH}/lineitem")
+        .saveAsTable("bench_li_b")
+    )
+    (
+        o.repartition(BUCKETS, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{BUCKET_SCRATCH}/orders")
+        .saveAsTable("bench_ord_b")
+    )
+
+
+def q3_bucketed(spark, sf_dir):
+    """Q3 over the bucketed layout (cf. q3_shape, the flat-layout twin;
+    VERDICT r03 #4: the bucketed margin belongs in the bench artifact of
+    record, not only in one-off scale_proof runs)."""
+    lib = spark.table("bench_li_b")
+    ob = spark.table("bench_ord_b")
+    cust = tables.table(spark, sf_dir, "customer")
+    ckeys = cust.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bo = ob.join(
+        F.broadcast(ckeys), col("o_custkey") == col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    return (
+        lib.join(bo, col("l_orderkey") == col("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
 def naive_bayes(spark, sf_dir):
     from knn_with_mapreduce_cuda_spark.operators import llm
 
@@ -107,6 +161,7 @@ def naive_bayes(spark, sf_dir):
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
+    "rel_join_broadcast_q3_bucketed": q3_bucketed,
     "tpch_q5_star_join": tpch_q5,
     "knn_classify": knn_classify_gemm,
     "knn_join_2000x2000": knn_join_full_gemm,
@@ -116,6 +171,12 @@ BENCH_QUERIES = {
     "str_window_session": streaming_batch._q_window_session,
 }
 
+#: the bucketed layout row measures the documented 100 TB lake layout,
+#: not the flat-scan baseline the suite total is compared against —
+#: keep it out of the headline sum so totals stay comparable across
+#: rounds (r01-r03 artifacts predate it).
+EXTRA_QUERIES = {"rel_join_broadcast_q3_bucketed"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,18 +185,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/scan paths once so per-query timings measure the query
     tables.table(spark, sf_dir, "lineitem").count()
+    setup_bucketed(spark, sf_dir)  # untimed: index-build-class setup
 
+    # measurement provenance (VERDICT r03 #4/#6): every run of every
+    # query is recorded, with the 1-minute load average alongside —
+    # a best-of-n without the run spread and the host state is not a
+    # reproducible claim on a shared machine.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        best = float("inf")
+        rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            df.count()
+            rs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(rs)
+        runs[name] = rs
+        loads[name] = round(os.getloadavg()[0], 1)
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
+    )
     print(
         json.dumps(
             {
@@ -144,6 +216,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "load1": loads,
             }
         )
     )

@@ -67,14 +67,29 @@ def read_event_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
-    """Run a bounded stream to completion into a memory sink; return the table."""
+    """Run a bounded stream to completion into a memory sink; return the
+    table.
+
+    Termination is ``processAllAvailable()`` on a continuous trigger,
+    NOT ``availableNow``: append-mode aggregations flush their final
+    closed windows on the no-data micro-batch that runs AFTER the last
+    file batch advanced the watermark, and under full host saturation
+    availableNow can terminate before that flush batch is scheduled
+    (observed with a 32-core sweep running concurrently — VERDICT r03
+    #5). processAllAvailable blocks until a batch with no new data has
+    executed, which IS the flush batch, so the bounded run is
+    deterministic under any load."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
+        .trigger(processingTime="0 seconds")
         .start()
     )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
 

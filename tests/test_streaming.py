@@ -42,19 +42,14 @@ def test_stream_tumbling_equals_batch(spark, chunk_dir):
     )
     batch_rows = _rows(batch, ["ws_us", "event_type", "cnt"])
     # The final append flush rides the no-data micro-batch that runs
-    # after the last file batch advanced the watermark; under heavy host
-    # load availableNow can terminate before that flush batch is
-    # scheduled (Spark race, observed once with 32 cores saturated) —
-    # retry the whole bounded run on a fresh query, then assert.
-    for attempt in range(5):
-        stream = jobs.read_event_stream(spark, chunk_dir)
-        got = jobs.run_to_memory(
-            jobs.tumbling_counts(stream), f"t_tumb_{attempt}", "append"
-        )
-        got_rows = _rows(got, ["ws_us", "event_type", "cnt"])
-        if set(batch_rows) <= set(got_rows):
-            break
-        time.sleep(2)  # let a load spike pass before re-racing the flush
+    # after the last file batch advanced the watermark. run_to_memory
+    # terminates via processAllAvailable, which blocks until that
+    # no-data batch has executed — deterministic under any host load
+    # (the former availableNow trigger raced the flush when all 32
+    # cores were saturated; VERDICT r03 #5).
+    stream = jobs.read_event_stream(spark, chunk_dir)
+    got = jobs.run_to_memory(jobs.tumbling_counts(stream), "t_tumb", "append")
+    got_rows = _rows(got, ["ws_us", "event_type", "cnt"])
     assert set(batch_rows) <= set(got_rows)
     # and nothing emitted disagrees with batch on the full (unfiltered) result
     full = _rows(
