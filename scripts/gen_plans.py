@@ -173,20 +173,26 @@ def main() -> None:
         ["WindowGroupLimit", "BroadcastExchange", "Exchange hash", "Window"],
     )
     add(
-        "PQ/ADC: lookup-table joins, no cross product (llm_simsearch_pq)",
-        "The ADC ranking is a broadcast join of the nq x 8 x 16 lookup "
-        "table against the code relation plus one keyed partial/final "
-        "aggregation — queries never cross-join the raw floats:",
+        "PQ/ADC: flat-LUT scan over codes, partition-local shortlist cut "
+        "(llm_simsearch_pq)",
+        "The trained-codebook ADC ranking broadcasts the per-query flat "
+        "lookup tables into a single pass over the 8-byte code relation "
+        "(one Arrow encode stage, no join blow-up), cuts the shortlist "
+        "partition-locally (WindowGroupLimit) so the shuffle carries "
+        "~|Q| x PQ_CAND rows, and reranks only the shortlist against the "
+        "raw floats — queries never cross-join the corpus floats:",
         llm._q_simsearch_pq(spark, SF),
-        ["BroadcastHashJoin", "HashAggregate", "Exchange hash"],
+        ["WindowGroupLimit", "BroadcastExchange", "MapInArrow"],
     )
     add(
-        "Count-min sketch: constant-size grid shuffle (llm_heavy_hitters_cms)",
+        "Count-min sketch: bounded grid shuffle (llm_heavy_hitters_cms)",
         "The sketch aggregation partial-aggregates map-side and shuffles "
-        "depth x width cells, and the estimate lookup broadcasts that tiny "
-        "grid back — the wire cost is the sketch, not the vocabulary:",
+        "depth x width cells (width corpus-scaled, still millions of times "
+        "smaller than the corpus), the estimate lookup broadcasts that "
+        "grid back, and the top-k report is TakeOrderedAndProject — the "
+        "wire cost is the sketch, never the vocabulary:",
         llm._q_heavy_hitters_cms(spark, SF),
-        ["HashAggregate", "BroadcastExchange", "Exchange hash"],
+        ["HashAggregate", "BroadcastExchange", "TakeOrderedAndProject"],
     )
     add(
         "A-ES weighted sample: partition-local top-N (rel_sample_weighted)",
