@@ -212,13 +212,32 @@ def duck_sql(key: str, bigint_ts: bool) -> str:
     raise KeyError(key)
 
 
-def best_of(n, fn):
-    best = float("inf")
+def timed_runs(n, fn) -> list[float]:
+    runs = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
+
+
+def best_of(n, fn):
+    return min(timed_runs(n, fn))
+
+
+def _row(s_runs: list[float], d_runs: list[float]) -> dict:
+    """One comparison row with full measurement provenance (VERDICT r03
+    #4: a best-of-n on a shared host is not evidence without the run
+    spread and the load average)."""
+    s, d = min(s_runs), min(d_runs)
+    return {
+        "spark_s": s,
+        "duckdb_s": d,
+        "ratio": round(s / d, 2) if d > 0 else None,
+        "spark_runs": s_runs,
+        "duckdb_runs": d_runs,
+        "load1": round(os.getloadavg()[0], 1),
+    }
 
 
 def time_weak_queries(spark) -> dict:
@@ -233,29 +252,25 @@ def time_weak_queries(spark) -> dict:
                 p = f"{p}/*.parquet"
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         for key, fn in SPARK_QUERIES.items():
-            s = best_of(3, lambda: fn(spark, sf_dir).count())
-            d = best_of(3, lambda: con.execute(duck_sql(key, bigint_ts)).fetchall())
-            out[f"{key}@{scale}"] = {
-                "spark_s": s,
-                "duckdb_s": d,
-                "ratio": round(s / d, 2) if d > 0 else None,
-            }
+            # q3 is the one contested gate row — best-of-5 (VERDICT r03 #4)
+            n = 5 if key == "rel_join_broadcast_q3" else 3
+            out[f"{key}@{scale}"] = _row(
+                timed_runs(n, lambda: fn(spark, sf_dir).count()),
+                timed_runs(n, lambda: con.execute(duck_sql(key, bigint_ts)).fetchall()),
+            )
         if sf_dir == SCRATCH:
             # co-located bucketed layout — the engine's documented lake
             # layout for repeated orderkey joins; DuckDB twin unchanged
             # (same rows, its preferred range-sorted files).
-            s = best_of(3, lambda: q3_bucketed(spark, sf_dir).count())
-            d = best_of(
-                3,
-                lambda: con.execute(
-                    duck_sql("rel_join_broadcast_q3", bigint_ts)
-                ).fetchall(),
+            out[f"rel_join_broadcast_q3_bucketed@{scale}"] = _row(
+                timed_runs(5, lambda: q3_bucketed(spark, sf_dir).count()),
+                timed_runs(
+                    5,
+                    lambda: con.execute(
+                        duck_sql("rel_join_broadcast_q3", bigint_ts)
+                    ).fetchall(),
+                ),
             )
-            out[f"rel_join_broadcast_q3_bucketed@{scale}"] = {
-                "spark_s": s,
-                "duckdb_s": d,
-                "ratio": round(s / d, 2) if d > 0 else None,
-            }
         con.close()
     return out
 
