@@ -121,6 +121,8 @@ def _fixture_rows(sf_dir: str, name: str) -> int:
 
 
 _TOKENS_MEMO = tables.SessionMemo()
+#: fitted PQ codebooks per (session, sf_dir) — see _pq_fit.
+_PQ_MODEL_MEMO = tables.SessionMemo()
 
 
 def _size_bytes(conf_value: str) -> int:
@@ -1481,9 +1483,18 @@ def _pq_fit(spark, sf_dir) -> list:
     (VERDICT r03 #1).
 
     Returns [(js, C)] per subspace: js = surviving centroid ids
-    (ascending), C = (len(js), PQ_SUBDIM) int-valued f64 matrix."""
+    (ascending), C = (len(js), PQ_SUBDIM) int-valued f64 matrix.
+
+    The fitted model is memoized per (session, sf_dir) — training is
+    deterministic, so llm_simsearch_pq and llm_simsearch_ivfpq (and
+    repeated bench runs) share one fit; invalidate_caches() drops it
+    when a scratch dir is rewritten in-session."""
     import numpy as np
 
+    memo_key = (sf_dir.rstrip("/"), "pq_model")
+    hit = _PQ_MODEL_MEMO.get(spark, memo_key)
+    if hit is not None:
+        return hit
     tmod = _pq_train_mod(sf_dir)
     tpdf = (
         _pq_iv(tables.embeddings(spark, sf_dir))
@@ -1513,6 +1524,7 @@ def _pq_fit(spark, sf_dir) -> list:
             C = _pq_half_away(sums / cnt[:, None])
             js = js[keep]
         out.append((js, C))
+    _PQ_MODEL_MEMO.put(spark, memo_key, out)
     return out
 
 
