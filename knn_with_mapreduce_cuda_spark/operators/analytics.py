@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
 from .. import tables
+from ..plans import prefix
 from .relational import _CENTS, cents
 
 DAY_US = 86_400_000_000
@@ -437,8 +438,14 @@ def _q_zipf_slope(spark, sf_dir):
     divides two bigints in one final double op. Scale: token counting is
     the only large aggregate — the fit runs on 100 rows."""
     freq = _token_freq(spark, sf_dir)
+    # top-100 via orderBy+limit so the rank window runs over 100 rows,
+    # not the vocabulary-sized relation through a single partition.
     w = Window.orderBy(F.desc("f"), "tok")
-    top = freq.withColumn("r", F.row_number().over(w)).filter(col("r") <= 100)
+    top = (
+        freq.orderBy(F.desc("f"), "tok")
+        .limit(100)
+        .withColumn("r", F.row_number().over(w))
+    )
     q = top.select(
         F.expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("xi"),
         F.expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("yi"),
@@ -985,21 +992,33 @@ def _q_feature_gain(spark, sf_dir):
     )
 
 
-def roc_curve(pts: DataFrame) -> DataFrame:
-    """Full ROC curve for a continuous score vs binary label: one point
-    per distinct score threshold (score ≥ t positive), TPR/FPR from
-    cumulative integer counts over the score-descending window. One
-    sort-shuffle; the curve length is distinct scores, not rows."""
+def _score_sweep_cum(pts: DataFrame) -> DataFrame:
+    """(score, n, pos, tp, fp) per distinct score threshold, cumulative
+    score-descending — shared by the ROC/PR/threshold-pick family.
+
+    The cumulative counts run through the two-phase prefix scan
+    (plans/prefix.py) instead of a single-partition global window, so
+    the sweep survives a corpus-sized distinct-score set (raw float
+    scores at 100 TB are ~one distinct value per row). Distinct scores
+    form a total order, so the recombination is exact."""
     per = pts.groupBy("score").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = prefix.attach_running(
+        per, [F.desc("score")], sums={"pos": "tp", "n": "_cn"}
     )
-    cum = per.select(
-        "score", F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
+    return cum.select(
+        "score", "n", "pos", "tp", (col("_cn") - col("tp")).alias("fp")
     )
+
+
+def roc_curve(pts: DataFrame) -> DataFrame:
+    """Full ROC curve for a continuous score vs binary label: one point
+    per distinct score threshold (score ≥ t positive), TPR/FPR from
+    cumulative integer counts over the score-descending sweep
+    (_score_sweep_cum — two-phase prefix scan, no single-partition
+    window). The curve length is distinct scores, not rows."""
+    cum = _score_sweep_cum(pts)
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     return cum.crossJoin(F.broadcast(g)).select(
         F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
@@ -1883,15 +1902,7 @@ def _q_pr_curve(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    )
+    cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"))
     return cum.crossJoin(F.broadcast(g)).select(
         F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
@@ -4262,23 +4273,16 @@ def _q_youden_threshold(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    )
+    cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
         "j_scaled", col("tp") * col("neg") - col("fp") * col("p")
     )
-    wbest = Window.orderBy(F.desc("j_scaled"), F.desc("score"))
+    # argmax via orderBy+limit(1) (TakeOrderedAndProject), not a global
+    # rank window over the threshold sweep.
     return (
-        scored.withColumn("rn", F.row_number().over(wbest))
-        .filter(col("rn") == 1)
+        scored.orderBy(F.desc("j_scaled"), F.desc("score"))
+        .limit(1)
         .select(
             F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
             "tp",
@@ -4300,16 +4304,11 @@ def _q_average_precision(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wl = Window.orderBy(F.desc("score"))
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    ).withColumn("dtp", col("tp") - F.coalesce(F.lag("tp").over(wl), lit(0)))
+    # Δtp between consecutive thresholds is by construction this
+    # threshold's own `pos` (tp = prefix-sum of pos), so the lag window
+    # the r1 version used was redundant — the sweep needs no global
+    # window at all (two-phase prefix scan, round-4 sweep).
+    cum = _score_sweep_cum(pts).withColumn("dtp", col("pos"))
     g = pts.agg(F.sum("y").alias("p"))
     terms = cum.select(
         F.expr(
@@ -4692,15 +4691,7 @@ def _q_best_f1_threshold(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    )
+    cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
         "f1q",
@@ -4709,10 +4700,11 @@ def _q_best_f1_threshold(spark, sf_dir):
             "* 1000000, 0) AS BIGINT)"
         ),
     )
-    wbest = Window.orderBy(F.desc("f1q"), F.desc("score"))
+    # argmax via orderBy+limit(1) (TakeOrderedAndProject), not a global
+    # rank window over the threshold sweep.
     return (
-        scored.withColumn("rn", F.row_number().over(wbest))
-        .filter(col("rn") == 1)
+        scored.orderBy(F.desc("f1q"), F.desc("score"))
+        .limit(1)
         .select(
             F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
             "tp",
@@ -4900,23 +4892,14 @@ def _q_operating_point_card(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    )
+    cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
         "j_scaled", col("tp") * col("neg") - col("fp") * col("p")
     )
-    wbest = Window.orderBy(F.desc("j_scaled"), F.desc("score"))
-    best = scored.withColumn("rn", F.row_number().over(wbest)).filter(
-        col("rn") == 1
-    )
+    # argmax via orderBy+limit(1) (TakeOrderedAndProject), not a global
+    # rank window over the threshold sweep.
+    best = scored.orderBy(F.desc("j_scaled"), F.desc("score")).limit(1)
     return best.select(
         F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
         "tp",
@@ -5143,21 +5126,14 @@ def _q_tpr_at_fixed_fpr(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    per = pts.groupBy("score").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "score",
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("fp"),
-    )
+    cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     adm = cum.crossJoin(F.broadcast(g)).filter(col("fp") * 20 <= col("neg"))
-    wbest = Window.orderBy(F.desc("tp"), "score")
+    # argmax via orderBy+limit(1) (TakeOrderedAndProject), not a global
+    # rank window over the admissible-threshold sweep.
     return (
-        adm.withColumn("rn", F.row_number().over(wbest))
-        .filter(col("rn") == 1)
+        adm.orderBy(F.desc("tp"), "score")
+        .limit(1)
         .select(
             F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
             "tp",

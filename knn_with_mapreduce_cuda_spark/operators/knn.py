@@ -538,11 +538,10 @@ def _q_triangles(spark, sf_dir):
     total = tris.agg(F.count("*").alias("t")).select(
         lit(-1).cast("long").alias("node"), col("t").alias("n_tris")
     )
-    w = Window.orderBy(F.desc("n_tris"), "node")
-    top = (
-        per_node.withColumn("rn", F.row_number().over(w))
-        .filter(col("rn") <= 20)
-        .select("node", "n_tris")
+    # top-20 via orderBy+limit (TakeOrderedAndProject, bounded heaps)
+    # instead of a node-relation-sized single-partition rank window.
+    top = per_node.orderBy(F.desc("n_tris"), "node").limit(20).select(
+        "node", "n_tris"
     )
     return total.unionByName(top)
 

@@ -1053,10 +1053,13 @@ def _q_search_bm25(spark, sf_dir):
         )
     )
     total = scored.groupBy("doc_id").agg(F.sum("term_score_q").alias("score_q"))
+    # top-10 via orderBy+limit (TakeOrderedAndProject, per-partition
+    # bounded heaps) — the rank window then runs over 10 rows, not the
+    # corpus-sized doc relation (global-window sweep, round 4).
+    top = total.orderBy(F.desc("score_q"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("score_q"), "doc_id")
     return (
-        total.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score_q", col("rank").cast("long").alias("rank"))
     )
 

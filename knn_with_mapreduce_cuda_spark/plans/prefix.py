@@ -1,0 +1,177 @@
+"""Globally-ordered running aggregates without a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is correct but executes
+by moving EVERY row to one partition (Spark warns: "No Partition Defined
+for Window operation") — the one shape in this engine that cannot
+survive a corpus-sized input at 100 TB. This module is the scalable
+replacement, the classic two-phase prefix scan (the same layout
+``RDD.zipWithIndex`` uses, lifted to DataFrames and generalized to any
+associative running aggregate):
+
+1. **Range-repartition** on the order columns — equal keys co-locate,
+   partition *i* holds a contiguous, disjoint slice of the total order.
+2. **Window WITHIN each partition** (``partitionBy(_pid)``) — fully
+   parallel, per-partition running aggregates.
+3. **Shift by partition offsets** — one tiny job reduces each partition
+   to a single row of totals (≤ ``parts`` rows reach the driver), the
+   exclusive prefix over those totals is computed driver-side, and comes
+   back as a broadcast join keyed on the partition id.
+
+Exactness: sums/counts/max/min over int64 are associative, the order
+columns must form a *total* order (pass tie-broken orders, as every
+call-site in this repo already does), and range partitioning keeps equal
+keys together — the result is bit-identical to the global window.
+
+Cross-job determinism: the offsets job and the main job both re-execute
+the range exchange. Spark's range-boundary sampling is deterministically
+seeded per input partition (``RangePartitioner.sketch``), and the
+upstream scan/shuffle layout is stable across the two executions, so a
+row lands in the same partition in both jobs. ``parts`` is always passed
+explicitly so AQE cannot re-coalesce a user-specified repartition.
+
+Driver traffic is ≤ ``parts`` rows of int64 totals — the same bounded
+model-broadcast pattern as the GEMM query block and the PQ LUT build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import col, lit
+
+#: column name carrying the physical partition id through the two phases.
+_PID = "_prefix_pid"
+
+
+def _order(order_cols) -> list[Column]:
+    return [col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def attach_running(
+    df: DataFrame,
+    order_cols,
+    sums: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    rn: str | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """Attach global running aggregates in the total order ``order_cols``.
+
+    sums / maxs: {source_column: output_column} running SUM / MAX over
+    ``rowsBetween(unboundedPreceding, currentRow)``; ``rn``: output
+    column for the global ``row_number()``. Source columns must be
+    integral (the engine's quantized-int64 convention) so the two-phase
+    recombination is exact. Null sources contribute 0 to sums and are
+    ignored by maxs, matching the window functions they replace.
+    """
+    sums, maxs = dict(sums or {}), dict(maxs or {})
+    spark = df.sparkSession
+    if parts is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = _order(order_cols)
+    d = df.repartitionByRange(parts, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d
+    for src, dst in sums.items():
+        out = out.withColumn(dst, F.coalesce(F.sum(src).over(w), lit(0)))
+    for src, dst in maxs.items():
+        out = out.withColumn(dst, F.max(src).over(w))
+    if rn:
+        out = out.withColumn(
+            rn,
+            F.row_number()
+            .over(Window.partitionBy(_PID).orderBy(*order))
+            .cast("long"),
+        )
+
+    # phase 2: per-partition totals -> exclusive prefix offsets. The agg
+    # reduces each partition to ONE row; ≤ `parts` rows cross the driver.
+    aggs = [F.count(lit(1)).alias("_n")]
+    aggs += [F.sum(src).alias(f"_s_{dst}") for src, dst in sums.items()]
+    aggs += [F.max(src).alias(f"_m_{dst}") for src, dst in maxs.items()]
+    totals = {r[_PID]: r for r in d.groupBy(_PID).agg(*aggs).collect()}
+
+    rows = []
+    run_n = 0
+    run_s = {dst: 0 for dst in sums.values()}
+    run_m = {dst: None for dst in maxs.values()}
+    for pid in sorted(totals):
+        t = totals[pid]
+        rows.append(
+            (
+                pid,
+                run_n,
+                *[run_s[dst] for dst in sums.values()],
+                *[run_m[dst] for dst in maxs.values()],
+            )
+        )
+        run_n += t["_n"]
+        for src, dst in sums.items():
+            run_s[dst] += t[f"_s_{dst}"] or 0
+        for src, dst in maxs.items():
+            m = t[f"_m_{dst}"]
+            if m is not None and (run_m[dst] is None or m > run_m[dst]):
+                run_m[dst] = m
+
+    fields = [f"{_PID} INT", "_off_n BIGINT"]
+    fields += [f"_off_s_{i} BIGINT" for i in range(len(sums))]
+    fields += [f"_off_m_{i} BIGINT" for i in range(len(maxs))]
+    off = spark.createDataFrame(rows, ", ".join(fields))
+
+    out = out.join(F.broadcast(off), _PID)
+    for i, dst in enumerate(sums.values()):
+        out = out.withColumn(dst, col(dst) + col(f"_off_s_{i}"))
+    for i, dst in enumerate(maxs.values()):
+        out = out.withColumn(
+            dst,
+            F.when(
+                col(f"_off_m_{i}").isNull(), col(dst)
+            ).otherwise(F.greatest(F.coalesce(col(dst), col(f"_off_m_{i}")), col(f"_off_m_{i}"))),
+        )
+    if rn:
+        out = out.withColumn(rn, col(rn) + col("_off_n"))
+    drop = [_PID, "_off_n"]
+    drop += [f"_off_s_{i}" for i in range(len(sums))]
+    drop += [f"_off_m_{i}" for i in range(len(maxs))]
+    return out.drop(*drop)
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_cols,
+    n_buckets: int,
+    out: str,
+    parts: int | None = None,
+) -> DataFrame:
+    """Exact ``F.ntile(n)`` over a global order, scalably.
+
+    Spark's ntile gives the first ``N mod n`` buckets ``ceil(N/n)`` rows
+    and the rest ``floor(N/n)``; given the global row number and N the
+    bucket is closed-form, so this is ``attach_running(rn=...)`` plus a
+    broadcast of the single-row count — no single-partition exchange.
+    """
+    rn = f"_{out}_rn"
+    ranked = attach_running(df, order_cols, rn=rn, parts=parts)
+    nrow = df.agg(F.count(lit(1)).alias("_N"))
+    k = int(n_buckets)
+    # q = floor bucket size, r = buckets that get one extra row,
+    # (q+1)*r = rows covered by the size-(q+1) buckets. All int64 DIV/%.
+    bucket = F.expr(
+        f"CAST(CASE "
+        f"WHEN {rn} <= ((_N DIV {k}) + 1) * (_N % {k}) "
+        f"THEN (({rn} - 1) DIV ((_N DIV {k}) + 1)) + 1 "
+        f"WHEN _N DIV {k} > 0 "
+        f"THEN (_N % {k}) + (({rn} - ((_N DIV {k}) + 1) * (_N % {k}) - 1) "
+        f"DIV (_N DIV {k})) + 1 "
+        f"ELSE {rn} END AS BIGINT)"  # N < n_buckets: one row per bucket
+    )
+    return (
+        ranked.join(F.broadcast(nrow), how="cross")
+        .withColumn(out, bucket)
+        .drop(rn, "_N")
+    )

@@ -1,0 +1,74 @@
+"""plans/prefix.py: two-phase running aggregates must be bit-identical
+to the single-partition global window they replace."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import col, lit
+
+from knn_with_mapreduce_cuda_spark.plans import prefix
+
+
+def _data(spark, n=501, parts_in=5):
+    # ties in the order key, nulls in the values, negative values
+    return (
+        spark.range(n)
+        .repartition(parts_in)
+        .select(
+            (col("id") % 97).alias("k"),  # tied order key
+            col("id").alias("tie"),  # tie-break
+            F.when(col("id") % 11 == 0, None)
+            .otherwise((col("id") * 7) % 50 - 25)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+@pytest.mark.parametrize("desc", [False, True])
+def test_attach_running_matches_global_window(spark, parts, desc):
+    d = _data(spark)
+    order = [F.desc("k"), col("tie")] if desc else [col("k"), col("tie")]
+    got = prefix.attach_running(
+        d, order, sums={"v": "cs"}, maxs={"v": "cm"}, rn="rn", parts=parts
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = (
+        d.withColumn("cs", F.coalesce(F.sum("v").over(w), lit(0)))
+        .withColumn("cm", F.max("v").over(w))
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
+    )
+    cols = ["k", "tie", "v", "cs", "cm", "rn"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_attach_running_all_null_prefix(spark):
+    # leading rows all-null: running max must stay null until a value
+    d = spark.createDataFrame(
+        [(i, None if i < 4 else i * 2) for i in range(8)], "o INT, v BIGINT"
+    )
+    got = {
+        r["o"]: r["cm"]
+        for r in prefix.attach_running(
+            d, ["o"], maxs={"v": "cm"}, parts=3
+        ).collect()
+    }
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: 8, 5: 10, 6: 12, 7: 14}
+
+
+@pytest.mark.parametrize("n_rows,k", [(0, 4), (3, 10), (10, 10), (37, 5), (501, 10)])
+def test_ntile_exact_matches_spark_ntile(spark, n_rows, k):
+    d = spark.range(n_rows).select(
+        ((col("id") * 13) % 29).alias("s"), col("id").alias("tie")
+    )
+    got = prefix.ntile_exact(d, [F.desc("s"), col("tie")], k, "b", parts=7)
+    want = d.withColumn(
+        "b", F.ntile(k).over(Window.orderBy(F.desc("s"), col("tie"))).cast("long")
+    )
+    assert sorted(map(tuple, got.select("s", "tie", "b").collect())) == sorted(
+        map(tuple, want.select("s", "tie", "b").collect())
+    )
