@@ -472,11 +472,12 @@ def _q_vocab_coverage(spark, sf_dir):
     (integer cumsum × integer total, cross-multiplied); one ordered
     window over the vocabulary, thresholds fan out 3×."""
     freq = _token_freq(spark, sf_dir)
-    w = Window.orderBy(F.desc("f"), "tok")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = freq.select(
-        F.row_number().over(w).cast("long").alias("r"), F.sum("f").over(wc).alias("cum")
-    )
+    # vocabulary-wide rank + cumulative count via the two-phase prefix
+    # scan (plans/prefix.py) — the r1 global window moved the whole
+    # vocabulary through one partition.
+    ranked = prefix.attach_running(
+        freq, [F.desc("f"), col("tok")], sums={"f": "cum"}, rn="r"
+    ).select("r", "cum")
     tot = freq.agg(F.sum("f").alias("t"))
     thr = freq.sparkSession.range(0, 3).select(
         F.element_at(F.array(lit(50), lit(90), lit(99)), (col("id") + 1).cast("int")).alias(
@@ -836,8 +837,9 @@ def _q_power_users(spark, sf_dir):
     rn·10 ≤ N+9 (= rn ≤ ⌈N/10⌉); the share is the only float."""
     ev = tables.table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), "user_id")
-    ranked = per.withColumn("rn", F.row_number().over(w))
+    # global rank over the user dimension via the two-phase prefix scan
+    # (plans/prefix.py) — no single-partition window at any user count.
+    ranked = prefix.attach_running(per, [F.desc("c"), col("user_id")], rn="rn")
     g = per.agg(
         F.count("*").alias("n_users"), F.sum("c").alias("total_events")
     )
@@ -1692,9 +1694,9 @@ def _q_gini_activity(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("x"))
     )
-    r = per.select(
-        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
-    )
+    # ranks via the two-phase prefix scan — the sorted set is the user
+    # dimension, and it no longer funnels through one partition.
+    r = prefix.attach_running(per, ["x", "user_id"], rn="i").select("x", "i")
     g = r.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
@@ -2014,9 +2016,10 @@ def _q_gains_table(spark, sf_dir):
         col("emb").getItem(0).alias("score"),
         (col("label") >= 5).cast("long").alias("y"),
     )
-    nt = F.ntile(10).over(Window.orderBy(F.desc("score"), "vec_id"))
+    # exact ntile(10) via the two-phase prefix scan (plans/prefix.py) —
+    # the decile assignment no longer single-partitions the corpus.
     per = (
-        pts.withColumn("decile", nt.cast("long"))
+        prefix.ntile_exact(pts, [F.desc("score"), col("vec_id")], 10, "decile")
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
@@ -2174,11 +2177,13 @@ def _q_drawdown(spark, sf_dir):
     pts = ev.select(
         "event_id", "ts_us", (cents(col("value")) * sign).alias("delta_c")
     )
-    w = Window.orderBy("ts_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = pts.withColumn("cum_c", F.sum("delta_c").over(w))
-    r = cum.withColumn("peak_c", F.max("cum_c").over(w))
+    # two chained prefix scans (plans/prefix.py): running balance, then
+    # running peak OF the balance — no single-partition window over the
+    # event stream (the r1 docstring deferred this to "partition by
+    # portfolio key at scale"; now the global form scales too).
+    order = [col("ts_us"), col("event_id")]
+    cum = prefix.attach_running(pts, order, sums={"delta_c": "cum_c"})
+    r = prefix.attach_running(cum, order, maxs={"cum_c": "peak_c"})
     return r.select(
         "event_id",
         "cum_c",
@@ -3327,9 +3332,10 @@ def _q_conformal_knn(spark, sf_dir):
     )
     cal = scored.filter(col("is_cal"))
     ncal = cal.agg(F.count("*").alias("nc"))
-    wq = Window.orderBy("res_u", "qid")
+    # calibration-quantile pick via the two-phase prefix scan — no
+    # single-partition rank over the calibration set.
     qhat = (
-        cal.withColumn("r", F.row_number().over(wq))
+        prefix.attach_running(cal, ["res_u", "qid"], rn="r")
         .crossJoin(F.broadcast(ncal))
         .filter(col("r") == F.expr("CAST(ceil(0.9 * (nc + 1)) AS BIGINT)"))
         .select(col("res_u").alias("qhat_u"))
@@ -3419,12 +3425,19 @@ def _q_merge_intervals(spark, sf_dir):
         (col("ts_us") + lit(300_000_000)).alias("e"),
         "event_id",
     )
-    w = Window.orderBy("s", "event_id")
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    marked = iv.withColumn(
-        "brk",
-        F.when(col("s") > F.max("e").over(wprev), 1).otherwise(0),
-    ).withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    # sweep line as two chained prefix scans (plans/prefix.py): the
+    # exclusive running max of interval ends marks the breaks, the
+    # inclusive running sum of breaks numbers the groups — the global
+    # windows the r1 version used are gone.
+    order = [col("s"), col("event_id")]
+    pm = prefix.attach_running(iv, order, maxs_excl={"e": "prev_e"})
+    marked = prefix.attach_running(
+        pm.withColumn(
+            "brk", F.when(col("s") > col("prev_e"), 1).otherwise(0)
+        ),
+        order,
+        sums={"brk": "grp"},
+    )
     return marked.groupBy("grp").agg(
         F.min("s").alias("start_us"),
         F.max("e").alias("end_us"),
@@ -4806,18 +4819,18 @@ def _q_rfm_segments(spark, sf_dir):
         "freq",
         "spend_c",
     )
-    r_nt = F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-    f_nt = F.ntile(5).over(Window.orderBy(F.desc("freq"), "user_id"))
-    m_nt = F.ntile(5).over(Window.orderBy(F.desc("spend_c"), "user_id"))
-    coded = base.select(
-        "user_id",
-        "recency_days",
-        "freq",
-        "spend_c",
-        r_nt.cast("long").alias("r"),
-        f_nt.cast("long").alias("f"),
-        m_nt.cast("long").alias("m"),
+    # three exact quintile assignments via the two-phase prefix scan
+    # (plans/prefix.py) — one range shuffle each over the user dimension
+    # instead of three single-partition windows.
+    coded = prefix.ntile_exact(
+        base, [col("recency_days"), col("user_id")], 5, "r"
     )
+    coded = prefix.ntile_exact(
+        coded, [F.desc("freq"), col("user_id")], 5, "f"
+    )
+    coded = prefix.ntile_exact(
+        coded, [F.desc("spend_c"), col("user_id")], 5, "m"
+    ).select("user_id", "recency_days", "freq", "spend_c", "r", "f", "m")
     return coded.select(
         "user_id",
         "recency_days",
@@ -5021,9 +5034,10 @@ def _q_edge_length_stats(spark, sf_dir):
     )
     ed = m.join(d, ["a", "b"]).select("dr")
     n = ed.agg(F.count("*").alias("n"))
-    wq = Window.orderBy("dr")
+    # value-at-rank via the two-phase prefix scan; the value at a rank
+    # index is invariant to tie order among equal dr.
     med = (
-        ed.withColumn("r", F.row_number().over(wq))
+        prefix.attach_running(ed, ["dr"], rn="r")
         .crossJoin(F.broadcast(n))
         .filter(col("r") == F.expr("CAST(ceil(n / 2.0) AS BIGINT)"))
         .select(col("dr").alias("median_d"))

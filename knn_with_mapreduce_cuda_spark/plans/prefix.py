@@ -51,19 +51,24 @@ def attach_running(
     order_cols,
     sums: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    maxs_excl: dict[str, str] | None = None,
     rn: str | None = None,
     parts: int | None = None,
 ) -> DataFrame:
     """Attach global running aggregates in the total order ``order_cols``.
 
     sums / maxs: {source_column: output_column} running SUM / MAX over
-    ``rowsBetween(unboundedPreceding, currentRow)``; ``rn``: output
-    column for the global ``row_number()``. Source columns must be
-    integral (the engine's quantized-int64 convention) so the two-phase
-    recombination is exact. Null sources contribute 0 to sums and are
-    ignored by maxs, matching the window functions they replace.
+    ``rowsBetween(unboundedPreceding, currentRow)``; ``maxs_excl``: MAX
+    over ``rowsBetween(unboundedPreceding, -1)`` (current row excluded —
+    the sweep-line shape; null on the first row, like the window it
+    replaces); ``rn``: output column for the global ``row_number()``.
+    Source columns must be integral (the engine's quantized-int64
+    convention) so the two-phase recombination is exact. Null sources
+    contribute 0 to sums and are ignored by maxs, matching the window
+    functions they replace.
     """
     sums, maxs = dict(sums or {}), dict(maxs or {})
+    maxs_excl = dict(maxs_excl or {})
     spark = df.sparkSession
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -76,11 +81,18 @@ def attach_running(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_excl = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     out = d
     for src, dst in sums.items():
         out = out.withColumn(dst, F.coalesce(F.sum(src).over(w), lit(0)))
     for src, dst in maxs.items():
         out = out.withColumn(dst, F.max(src).over(w))
+    for src, dst in maxs_excl.items():
+        out = out.withColumn(dst, F.max(src).over(w_excl))
     if rn:
         out = out.withColumn(
             rn,
@@ -93,13 +105,14 @@ def attach_running(
     # reduces each partition to ONE row; ≤ `parts` rows cross the driver.
     aggs = [F.count(lit(1)).alias("_n")]
     aggs += [F.sum(src).alias(f"_s_{dst}") for src, dst in sums.items()]
-    aggs += [F.max(src).alias(f"_m_{dst}") for src, dst in maxs.items()]
+    all_maxs = list(maxs.items()) + list(maxs_excl.items())
+    aggs += [F.max(src).alias(f"_m_{dst}") for src, dst in all_maxs]
     totals = {r[_PID]: r for r in d.groupBy(_PID).agg(*aggs).collect()}
 
     rows = []
     run_n = 0
     run_s = {dst: 0 for dst in sums.values()}
-    run_m = {dst: None for dst in maxs.values()}
+    run_m = {dst: None for _, dst in all_maxs}
     for pid in sorted(totals):
         t = totals[pid]
         rows.append(
@@ -107,26 +120,28 @@ def attach_running(
                 pid,
                 run_n,
                 *[run_s[dst] for dst in sums.values()],
-                *[run_m[dst] for dst in maxs.values()],
+                *[run_m[dst] for _, dst in all_maxs],
             )
         )
         run_n += t["_n"]
         for src, dst in sums.items():
             run_s[dst] += t[f"_s_{dst}"] or 0
-        for src, dst in maxs.items():
+        for _, dst in all_maxs:
             m = t[f"_m_{dst}"]
             if m is not None and (run_m[dst] is None or m > run_m[dst]):
                 run_m[dst] = m
 
     fields = [f"{_PID} INT", "_off_n BIGINT"]
     fields += [f"_off_s_{i} BIGINT" for i in range(len(sums))]
-    fields += [f"_off_m_{i} BIGINT" for i in range(len(maxs))]
+    fields += [f"_off_m_{i} BIGINT" for i in range(len(all_maxs))]
     off = spark.createDataFrame(rows, ", ".join(fields))
 
     out = out.join(F.broadcast(off), _PID)
     for i, dst in enumerate(sums.values()):
         out = out.withColumn(dst, col(dst) + col(f"_off_s_{i}"))
-    for i, dst in enumerate(maxs.values()):
+    # offset = inclusive max of every previous partition — correct for
+    # both max frames (the current row is never on the offset side).
+    for i, (_, dst) in enumerate(all_maxs):
         out = out.withColumn(
             dst,
             F.when(
@@ -137,7 +152,7 @@ def attach_running(
         out = out.withColumn(rn, col(rn) + col("_off_n"))
     drop = [_PID, "_off_n"]
     drop += [f"_off_s_{i}" for i in range(len(sums))]
-    drop += [f"_off_m_{i}" for i in range(len(maxs))]
+    drop += [f"_off_m_{i}" for i in range(len(all_maxs))]
     return out.drop(*drop)
 
 

@@ -46,6 +46,19 @@ def test_attach_running_matches_global_window(spark, parts, desc):
     )
 
 
+@pytest.mark.parametrize("parts", [1, 4, 32])
+def test_attach_running_exclusive_max(spark, parts):
+    d = _data(spark)
+    order = [col("k"), col("tie")]
+    got = prefix.attach_running(d, order, maxs_excl={"v": "pm"}, parts=parts)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = d.withColumn("pm", F.max("v").over(w))
+    cols = ["k", "tie", "v", "pm"]
+    assert sorted(
+        map(tuple, got.select(cols).collect()), key=repr
+    ) == sorted(map(tuple, want.select(cols).collect()), key=repr)
+
+
 def test_attach_running_all_null_prefix(spark):
     # leading rows all-null: running max must stay null until a value
     d = spark.createDataFrame(
