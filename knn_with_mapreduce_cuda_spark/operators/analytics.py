@@ -232,10 +232,11 @@ def ks_two_sample(values: DataFrame) -> DataFrame:
         F.sum(F.when(col("grp") == 1, 1).otherwise(0)).alias("a"),
         F.sum(F.when(col("grp") == 2, 1).otherwise(0)).alias("b"),
     )
-    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select(
-        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
-    )
+    # two-phase prefix scan over the distinct-value CDF grid — no
+    # single-partition window at any value cardinality.
+    cum = prefix.attach_running(
+        per, ["vc"], sums={"a": "ca", "b": "cb"}
+    ).select("ca", "cb")
     g = values.agg(
         F.sum(F.when(col("grp") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(col("grp") == 2, 1).otherwise(0)).alias("n2"),
@@ -380,8 +381,11 @@ def decision_stump(pts: DataFrame) -> DataFrame:
     positive-left polarity). One sort-shuffle over distinct feature
     values; all candidate accuracies are exact integers."""
     per = pts.groupBy("x").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select("x", F.sum("n").over(w).alias("cn"), F.sum("pos").over(w).alias("cp"))
+    # two-phase prefix scan over the distinct split points — no
+    # single-partition window at any feature cardinality.
+    cum = prefix.attach_running(
+        per, ["x"], sums={"n": "cn", "pos": "cp"}
+    ).select("x", "cn", "cp")
     g = pts.agg(F.count("*").alias("nn"), F.sum("y").alias("p"))
     scored = cum.crossJoin(F.broadcast(g)).select(
         "x",
@@ -649,13 +653,24 @@ def spearman_rho(pts: DataFrame) -> DataFrame:
     """Spearman rank correlation of (x, y) with exact tie handling:
     doubled midranks 2·rank+count−1 are integers, so every moment is an
     exact integer sum and ρ floats only in the final expression.
-    Scale note: the global rank is a total sort — for a 100 TB column
-    this statistic runs on a bounded sample or per-group partition."""
-    wx, cx = Window.orderBy("x"), Window.partitionBy("x")
-    wy, cy = Window.orderBy("y"), Window.partitionBy("y")
-    r = pts.select(
-        (2 * F.rank().over(wx) + F.count("*").over(cx) - 1).alias("rx"),
-        (2 * F.rank().over(wy) + F.count("*").over(cy) - 1).alias("ry"),
+    Ranks come from per-distinct-value group counts run through the
+    two-phase prefix scan (min-rank = exclusive cumcount + 1, so
+    2·rank+count−1 = 2·cumExcl+count+1), joined back to the rows on the
+    value — two shuffles on value, no single-partition window at any
+    cardinality."""
+
+    def _dranks(c: str):
+        per = pts.groupBy(c).agg(F.count("*").alias("_cnt"))
+        cum = prefix.attach_running(per, [c], sums={"_cnt": "_cin"})
+        return cum.select(
+            c,
+            (2 * (col("_cin") - col("_cnt")) + col("_cnt") + 1).alias(f"r_{c}"),
+        )
+
+    r = (
+        pts.join(_dranks("x"), "x")
+        .join(_dranks("y"), "y")
+        .select(col("r_x").alias("rx"), col("r_y").alias("ry"))
     )
     m = r.agg(
         F.count("*").alias("n"),
@@ -1660,17 +1675,18 @@ def _q_interp_linear(spark, sf_dir):
             lit(1).alias("is_grid"),
         )
     )
-    order = [col("t"), col("is_grid"), F.coalesce("event_id", lit(-1))]
-    wp = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-    te = F.when(col("is_grid") == 0, col("t"))
-    u = (
+    # forward fill = running last-non-null via the two-phase prefix
+    # scan; backward fill = the same scan over the reversed order — no
+    # single-partition window over the event stream.
+    base = (
         pts.unionByName(grid)
-        .withColumn("pv", F.last("vc", ignorenulls=True).over(wp))
-        .withColumn("pt", F.last(te, ignorenulls=True).over(wp))
-        .withColumn("nv", F.first("vc", ignorenulls=True).over(wn))
-        .withColumn("nt", F.first(te, ignorenulls=True).over(wn))
+        .withColumn("te", F.when(col("is_grid") == 0, col("t")))
+        .withColumn("eid", F.coalesce("event_id", lit(-1)))
     )
+    fwd = [col("t"), col("is_grid"), col("eid")]
+    bwd = [F.desc("t"), F.desc("is_grid"), F.desc("eid")]
+    u = prefix.attach_running(base, fwd, lasts={"vc": "pv", "te": "pt"})
+    u = prefix.attach_running(u, bwd, lasts={"vc": "nv", "te": "nt"})
     return u.filter(
         (col("is_grid") == 1) & col("pv").isNotNull() & col("nv").isNotNull()
     ).select(
@@ -2486,7 +2502,9 @@ def _q_degree_gini(spark, sf_dir):
     x = nodes.join(indeg, "node", "left").select(
         "node", F.coalesce("d", lit(0)).alias("x")
     )
-    r = x.select("x", F.row_number().over(Window.orderBy("x", "node")).alias("i"))
+    # node-dimension ranks via the two-phase prefix scan — no
+    # single-partition window over the node set.
+    r = prefix.attach_running(x, ["x", "node"], rn="i").select("x", "i")
     g = r.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),

@@ -1044,11 +1044,12 @@ def _q_sample_weighted(spark, sf_dir):
     scored = o.withColumn(
         "score_q", F.round(F.log(u) / col("w_cents") * lit(1e9)).cast("long")
     )
+    # explicit top-N via orderBy+limit (TakeOrderedAndProject, bounded
+    # per-partition heaps); the rank window then runs over N rows only.
+    top = scored.orderBy(col("score_q").desc(), "o_orderkey").limit(WSAMPLE_N)
     w = Window.orderBy(col("score_q").desc(), "o_orderkey")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(col("rnk") <= WSAMPLE_N)
-        .select("rnk", "o_orderkey", "w_cents", "score_q")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk", "o_orderkey", "w_cents", "score_q"
     )
 
 

@@ -52,6 +52,7 @@ def attach_running(
     sums: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     maxs_excl: dict[str, str] | None = None,
+    lasts: dict[str, str] | None = None,
     rn: str | None = None,
     parts: int | None = None,
 ) -> DataFrame:
@@ -61,14 +62,17 @@ def attach_running(
     ``rowsBetween(unboundedPreceding, currentRow)``; ``maxs_excl``: MAX
     over ``rowsBetween(unboundedPreceding, -1)`` (current row excluded —
     the sweep-line shape; null on the first row, like the window it
-    replaces); ``rn``: output column for the global ``row_number()``.
+    replaces); ``lasts``: ``F.last(src, ignorenulls=True)`` over the
+    inclusive frame — the forward-fill shape (run it over the reversed
+    order for a backward fill); ``rn``: output column for the global
+    ``row_number()``.
     Source columns must be integral (the engine's quantized-int64
     convention) so the two-phase recombination is exact. Null sources
-    contribute 0 to sums and are ignored by maxs, matching the window
-    functions they replace.
+    contribute 0 to sums and are ignored by maxs/lasts, matching the
+    window functions they replace.
     """
     sums, maxs = dict(sums or {}), dict(maxs or {})
-    maxs_excl = dict(maxs_excl or {})
+    maxs_excl, lasts = dict(maxs_excl or {}), dict(lasts or {})
     spark = df.sparkSession
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -93,6 +97,8 @@ def attach_running(
         out = out.withColumn(dst, F.max(src).over(w))
     for src, dst in maxs_excl.items():
         out = out.withColumn(dst, F.max(src).over(w_excl))
+    for src, dst in lasts.items():
+        out = out.withColumn(dst, F.last(src, ignorenulls=True).over(w))
     if rn:
         out = out.withColumn(
             rn,
@@ -107,12 +113,26 @@ def attach_running(
     aggs += [F.sum(src).alias(f"_s_{dst}") for src, dst in sums.items()]
     all_maxs = list(maxs.items()) + list(maxs_excl.items())
     aggs += [F.max(src).alias(f"_m_{dst}") for src, dst in all_maxs]
-    totals = {r[_PID]: r for r in d.groupBy(_PID).agg(*aggs).collect()}
+    dd = d
+    if lasts:
+        # per-partition last non-null = max_by over the in-partition row
+        # number, restricted to non-null source rows (all-null -> null).
+        dd = d.withColumn(
+            "_rnl", F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
+        )
+        aggs += [
+            F.max_by(src, F.when(col(src).isNotNull(), col("_rnl"))).alias(
+                f"_l_{dst}"
+            )
+            for src, dst in lasts.items()
+        ]
+    totals = {r[_PID]: r for r in dd.groupBy(_PID).agg(*aggs).collect()}
 
     rows = []
     run_n = 0
     run_s = {dst: 0 for dst in sums.values()}
     run_m = {dst: None for _, dst in all_maxs}
+    run_l = {dst: None for dst in lasts.values()}
     for pid in sorted(totals):
         t = totals[pid]
         rows.append(
@@ -121,6 +141,7 @@ def attach_running(
                 run_n,
                 *[run_s[dst] for dst in sums.values()],
                 *[run_m[dst] for _, dst in all_maxs],
+                *[run_l[dst] for dst in lasts.values()],
             )
         )
         run_n += t["_n"]
@@ -130,10 +151,15 @@ def attach_running(
             m = t[f"_m_{dst}"]
             if m is not None and (run_m[dst] is None or m > run_m[dst]):
                 run_m[dst] = m
+        for _, dst in lasts.items():
+            v = t[f"_l_{dst}"]
+            if v is not None:
+                run_l[dst] = v
 
     fields = [f"{_PID} INT", "_off_n BIGINT"]
     fields += [f"_off_s_{i} BIGINT" for i in range(len(sums))]
     fields += [f"_off_m_{i} BIGINT" for i in range(len(all_maxs))]
+    fields += [f"_off_l_{i} BIGINT" for i in range(len(lasts))]
     off = spark.createDataFrame(rows, ", ".join(fields))
 
     out = out.join(F.broadcast(off), _PID)
@@ -148,11 +174,14 @@ def attach_running(
                 col(f"_off_m_{i}").isNull(), col(dst)
             ).otherwise(F.greatest(F.coalesce(col(dst), col(f"_off_m_{i}")), col(f"_off_m_{i}"))),
         )
+    for i, dst in enumerate(lasts.values()):
+        out = out.withColumn(dst, F.coalesce(col(dst), col(f"_off_l_{i}")))
     if rn:
         out = out.withColumn(rn, col(rn) + col("_off_n"))
     drop = [_PID, "_off_n"]
     drop += [f"_off_s_{i}" for i in range(len(sums))]
     drop += [f"_off_m_{i}" for i in range(len(all_maxs))]
+    drop += [f"_off_l_{i}" for i in range(len(lasts))]
     return out.drop(*drop)
 
 

@@ -59,6 +59,21 @@ def test_attach_running_exclusive_max(spark, parts):
     ) == sorted(map(tuple, want.select(cols).collect()), key=repr)
 
 
+@pytest.mark.parametrize("parts", [1, 4, 32])
+def test_attach_running_last_non_null(spark, parts):
+    d = _data(spark)  # v is null on every 11th row
+    order = [col("k"), col("tie")]
+    got = prefix.attach_running(d, order, lasts={"v": "ff"}, parts=parts)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = d.withColumn("ff", F.last("v", ignorenulls=True).over(w))
+    cols = ["k", "tie", "v", "ff"]
+    assert sorted(
+        map(tuple, got.select(cols).collect()), key=repr
+    ) == sorted(map(tuple, want.select(cols).collect()), key=repr)
+
+
 def test_attach_running_all_null_prefix(spark):
     # leading rows all-null: running max must stay null until a value
     d = spark.createDataFrame(
