@@ -8,29 +8,34 @@ replacement, the classic two-phase prefix scan (the same layout
 ``RDD.zipWithIndex`` uses, lifted to DataFrames and generalized to any
 associative running aggregate):
 
-1. **Range-repartition** on the order columns — equal keys co-locate,
-   partition *i* holds a contiguous, disjoint slice of the total order.
-2. **Window WITHIN each partition** (``partitionBy(_pid)``) — fully
-   parallel, per-partition running aggregates.
-3. **Shift by partition offsets** — one tiny job reduces each partition
-   to a single row of totals (≤ ``parts`` rows reach the driver), the
-   exclusive prefix over those totals is computed driver-side, and comes
-   back as a broadcast join keyed on the partition id.
+1. **Literal range boundaries**: one ``approxQuantile`` pass over the
+   leading order column, collected once and baked into the plan as
+   literals. The slice id is then a PURE FUNCTION of the row (count of
+   boundaries ≤ value, flipped for descending orders) — NOT
+   ``repartitionByRange``, whose boundary sampling is seeded per RDD id
+   and can pick DIFFERENT boundaries in the offsets job vs the main job
+   (observed at 5M rows, scripts/window_stress.py; invisible at fixture
+   scale where the reservoir sample is the whole partition). With
+   literal boundaries the two jobs agree by construction.
+2. **Window WITHIN each slice** (``partitionBy(_pid)`` after a hash
+   repartition on the slice id) — fully parallel, per-slice running
+   aggregates.
+3. **Shift by slice offsets** — one tiny job reduces each slice to a
+   single row of totals (≤ ``parts`` rows reach the driver), the
+   exclusive prefix over those totals is computed driver-side, and
+   comes back as a broadcast join keyed on the slice id.
 
 Exactness: sums/counts/max/min over int64 are associative, the order
 columns must form a *total* order (pass tie-broken orders, as every
-call-site in this repo already does), and range partitioning keeps equal
-keys together — the result is bit-identical to the global window.
+call-site in this repo already does), and equal leading keys map to the
+same slice (the id is a function of the value) — the result is
+bit-identical to the global window. Boundary PLACEMENT only affects
+load balance, never values, so the result is reproducible across runs
+even though ``approxQuantile`` itself is merge-order-dependent.
 
-Cross-job determinism: the offsets job and the main job both re-execute
-the range exchange. Spark's range-boundary sampling is deterministically
-seeded per input partition (``RangePartitioner.sketch``), and the
-upstream scan/shuffle layout is stable across the two executions, so a
-row lands in the same partition in both jobs. ``parts`` is always passed
-explicitly so AQE cannot re-coalesce a user-specified repartition.
-
-Driver traffic is ≤ ``parts`` rows of int64 totals — the same bounded
-model-broadcast pattern as the GEMM query block and the PQ LUT build.
+Driver traffic is ≤ ``parts`` boundary values + ≤ ``parts`` rows of
+int64 totals — the same bounded model-broadcast pattern as the GEMM
+query block and the PQ LUT build.
 """
 
 from __future__ import annotations
@@ -44,6 +49,37 @@ _PID = "_prefix_pid"
 
 def _order(order_cols) -> list[Column]:
     return [col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _slice_id(df: DataFrame, order: list[Column], parts: int) -> Column:
+    """Slice id for the two-phase scan: count of literal quantile
+    boundaries ≤ the leading order column (flipped when it sorts
+    descending) — monotone in the total order, equal keys share a
+    slice, and (being a pure function of the row with the boundaries
+    baked in as literals) identical in every job that evaluates it."""
+    # Column<'k'> / Column<'k DESC NULLS LAST'> — the stable repr form
+    s = str(order[0]).split("'", 2)[1]
+    descending = " DESC" in s
+    name = s.split(" ")[0].strip("`")
+    if parts <= 1:
+        return lit(0)
+    probs = [i / parts for i in range(1, parts)]
+    bounds = sorted(
+        set(
+            df.select(col(name).cast("double").alias("_b")).approxQuantile(
+                "_b", probs, 0.001
+            )
+        )
+    )
+    if not bounds:  # empty input
+        return lit(0)
+    c = col(name).cast("double")
+    ge: Column = lit(0)
+    for b in bounds:
+        ge = ge + (c >= lit(b)).cast("int")
+    pid = (lit(len(bounds)) - ge) if descending else ge
+    # null order keys: first slice for ASC (NULLS FIRST), last for DESC
+    return F.coalesce(pid, lit(len(bounds)) if descending else lit(0))
 
 
 def attach_running(
@@ -77,8 +113,8 @@ def attach_running(
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order = _order(order_cols)
-    d = df.repartitionByRange(parts, *order).withColumn(
-        _PID, F.spark_partition_id()
+    d = df.withColumn(_PID, _slice_id(df, order, parts).cast("int")).repartition(
+        parts, col(_PID)
     )
     w = (
         Window.partitionBy(_PID)
