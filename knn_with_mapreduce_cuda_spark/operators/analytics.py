@@ -1009,6 +1009,21 @@ def _q_feature_gain(spark, sf_dir):
     )
 
 
+def _emb_scored_pts(spark, sf_dir) -> DataFrame:
+    """(score, y) points shared by the ROC/PR/threshold-pick family:
+    emb[0] scoring the label ≥ 5 positive class. The score is quantized
+    to the output precision (4 decimals, −0.0-normalized) BEFORE the
+    sweep: raw f32 scores that collide only after rounding would
+    otherwise emit duplicate-threshold curve rows whose cumulative
+    counts differ — an order-ambiguous, non-monotone curve. Rounding
+    first makes each emitted threshold one distinct sweep point."""
+    e = tables.embeddings(spark, sf_dir)
+    return e.select(
+        F.expr("round(emb[0], 4) + CAST(0 AS DOUBLE)").alias("score"),
+        (col("label") >= 5).cast("long").alias("y"),
+    )
+
+
 def _score_sweep_cum(pts: DataFrame) -> DataFrame:
     """(score, n, pos, tp, fp) per distinct score threshold, cumulative
     score-descending — shared by the ROC/PR/threshold-pick family.
@@ -1047,13 +1062,7 @@ def roc_curve(pts: DataFrame) -> DataFrame:
 
 
 def _q_roc_curve(spark, sf_dir):
-    e = tables.embeddings(spark, sf_dir)
-    return roc_curve(
-        e.select(
-            col("emb").getItem(0).alias("score"),
-            (col("label") >= 5).cast("long").alias("y"),
-        )
-    )
+    return roc_curve(_emb_scored_pts(spark, sf_dir))
 
 
 def _q_calibration_knn(spark, sf_dir):
@@ -1915,11 +1924,7 @@ def _q_pr_curve(spark, sf_dir):
     (emb[0] scoring label ≥ 5) — the imbalanced-class companion to ROC.
     One point per distinct score; precision/recall from cumulative
     integer counts over the score-descending window."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"))
     return cum.crossJoin(F.broadcast(g)).select(
@@ -4299,11 +4304,7 @@ def _q_youden_threshold(spark, sf_dir):
     threshold maximizing TPR − FPR, picked by exact integer
     cross-multiplication (tp·neg − fp·p), ties → higher threshold —
     turning the graded ROC sweep into a deployable cutoff."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
@@ -4330,11 +4331,7 @@ def _q_average_precision(spark, sf_dir):
     AP = Σ (R_i − R_{i−1})·P_i over distinct score thresholds — the
     single-number PR summary. Per-step terms Δtp·(tp/(tp+fp)) quantize
     to nano units before the cross-step sum; all counts exact."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     # Δtp between consecutive thresholds is by construction this
     # threshold's own `pos` (tp = prefix-sum of pos), so the lag window
     # the r1 version used was redundant — the sweep needs no global
@@ -4717,11 +4714,7 @@ def _q_best_f1_threshold(spark, sf_dir):
     maximizing 2TP/(2TP+FP+FN) — the imbalanced-data counterpart of
     ml_youden_threshold. F1 per threshold quantizes to micro units from
     exact counts; ties break to the higher threshold."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
@@ -4918,11 +4911,7 @@ def _q_operating_point_card(spark, sf_dir):
     picking the threshold. Same integer-cross-multiplied selection as
     ml_youden_threshold; each ratio is one rounded division of exact
     counts."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
@@ -5153,11 +5142,7 @@ def _q_tpr_at_fixed_fpr(spark, sf_dir):
     deployments pick thresholds this way). The FPR cap compares
     fp·20 ≤ neg in exact integers; among admissible thresholds the
     lowest (most sensitive) wins deterministically."""
-    e = tables.embeddings(spark, sf_dir)
-    pts = e.select(
-        col("emb").getItem(0).alias("score"),
-        (col("label") >= 5).cast("long").alias("y"),
-    )
+    pts = _emb_scored_pts(spark, sf_dir)
     cum = _score_sweep_cum(pts)  # two-phase prefix scan, no global window
     g = pts.agg(F.sum("y").alias("p"), F.expr("count(*) - sum(y)").alias("neg"))
     adm = cum.crossJoin(F.broadcast(g)).filter(col("fp") * 20 <= col("neg"))
@@ -5753,7 +5738,8 @@ ORACLE = {
         "round(CAST(best_correct AS DOUBLE) / nn, 4) AS accuracy FROM best"
     ),
     "ml_roc_curve": (
-        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+        "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
         "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
         "FROM pts GROUP BY score), "
@@ -6167,7 +6153,8 @@ ORACLE["llm_tfidf_cosine_pairs"] = (
 )
 
 ORACLE["ml_pr_curve"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, sum(y) AS pos FROM pts GROUP BY score), "
     "cum AS (SELECT score, CAST(sum(pos) OVER w AS BIGINT) AS tp, "
@@ -7444,7 +7431,8 @@ ORACLE["str_stickiness"] = (
 )
 
 ORACLE["ml_youden_threshold"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
     "FROM pts GROUP BY score), "
@@ -7464,7 +7452,8 @@ ORACLE["ml_youden_threshold"] = (
 )
 
 ORACLE["ml_average_precision"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
     "FROM pts GROUP BY score), "
@@ -7695,7 +7684,8 @@ ORACLE["rel_unique_key_audit"] = (
 )
 
 ORACLE["ml_best_f1_threshold"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
     "FROM pts GROUP BY score), "
@@ -7793,7 +7783,8 @@ ORACLE["llm_dedup_cluster_langs"] = (
 )
 
 ORACLE["ml_operating_point_card"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
     "FROM pts GROUP BY score), "
@@ -7917,7 +7908,8 @@ ORACLE["graph_degree_entropy"] = (
 )
 
 ORACLE["ml_tpr_at_fixed_fpr"] = (
-    "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
     "FROM pts GROUP BY score), "

@@ -14,6 +14,17 @@ from knn_with_mapreduce_cuda_spark.operators import analytics
 from conftest import SF_SMOKE
 
 
+def _round4(x: float) -> float:
+    """Spark F.round(x, 4): BigDecimal(x).setScale(4, HALF_UP)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(float(x)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def test_gaps_islands_tiny(spark):
     days = spark.createDataFrame(
         [(1, 5), (1, 6), (1, 7), (1, 9), (2, 1), (2, 3), (2, 4), (1, 6)],
@@ -1766,7 +1777,8 @@ def test_youden_matches_numpy(spark):
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
-    s = np.array([e[0] for e in t.embedding], dtype=np.float64)
+    # mirror the operator's pre-quantized thresholds (_emb_scored_pts)
+    s = np.array([_round4(e[0]) for e in t.embedding], dtype=np.float64)
     y = (t.label.to_numpy() >= 5).astype(int)
     p, neg = y.sum(), (1 - y).sum()
     best = (-1, None)
@@ -1783,7 +1795,10 @@ def test_average_precision_matches_numpy(spark):
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
-    s = np.array([e[0] for e in t.embedding], dtype=np.float64)
+    # the operator sweeps thresholds pre-quantized to 4 decimals (see
+    # analytics._emb_scored_pts) — mirror that exactly: F.round is
+    # BigDecimal(x).setScale(4, HALF_UP), which Decimal reproduces
+    s = np.array([_round4(e[0]) for e in t.embedding], dtype=np.float64)
     y = (t.label.to_numpy() >= 5).astype(int)
     order = np.argsort(-s, kind="stable")
     ap, tp, fp, prev_tp = 0.0, 0, 0, 0
