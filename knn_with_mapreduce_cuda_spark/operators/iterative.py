@@ -244,8 +244,13 @@ def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.embeddings(spark, sf_dir)
     a = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
     b = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    # stream the repartitioned side, broadcast the other (the all_pairs
+    # BNLJ fan-out rule: the per-row distance work dwarfs the one-round
+    # O(n) shuffle, and BNLJ task count = streamed-side partitions)
+    fanout = e.sparkSession.sparkContext.defaultParallelism
     close = (
-        a.join(b, col("qid") != col("tid"))
+        a.repartition(fanout, col("qid"))
+        .join(F.broadcast(b), col("qid") != col("tid"))
         .withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
         .filter(col("dist") < DBSCAN_EPS)
         .select("qid", "tid")

