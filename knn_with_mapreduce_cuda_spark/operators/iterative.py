@@ -254,6 +254,10 @@ def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
         .filter(col("dist") < DBSCAN_EPS)
         .select("qid", "tid")
+        # referenced by counts, core_edges AND border: materialize the
+        # pruned ε-edge list once instead of re-running the quadratic
+        # join three times (the _q_mutual consumers' pattern)
+        .localCheckpoint(eager=True)
     )
     counts = close.groupBy("qid").agg(F.count("*").alias("n_in_eps"))
     core = counts.filter(col("n_in_eps") >= DBSCAN_MINPTS).select(
@@ -535,7 +539,16 @@ ORACLE = {
         "JOIN core x ON x.id = c.qid JOIN core y ON y.id = c.tid "
         "WHERE c.qid < c.tid), "
         "edges AS (SELECT a AS x, b AS y FROM ce UNION ALL SELECT b, a FROM ce), "
-        "reach(id, r) AS (SELECT id, id FROM core "
+        # closure roots restricted to LOCAL MINIMA of the core graph:
+        # every component's min node is a local min (it is smaller than
+        # all its neighbors), so min(r) per node is unchanged for any
+        # graph — but the materialized closure shrinks from
+        # Σ|comp|² (node × every-root) to Σ|comp|·|local minima| rows.
+        # At sf0.1 (one 2000-core component, 3 local minima) this is
+        # the difference between 546 s and 1.8 s.
+        "lm AS (SELECT id FROM core WHERE id NOT IN "
+        "(SELECT x FROM edges WHERE y < x)), "
+        "reach(id, r) AS (SELECT id, id FROM lm "
         "UNION SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id), "
         "comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id), "
         "border AS (SELECT c.qid AS id, min(comp.cluster) AS cluster "

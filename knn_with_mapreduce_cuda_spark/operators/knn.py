@@ -356,7 +356,12 @@ def _q_crossval(spark, sf_dir):
         col("emb").alias("temb"),
         col("label").alias("tlabel"),
     )
-    pairs = t.join(F.broadcast(q), col("fold") != col("tfold"))
+    # the all_pairs BNLJ fan-out rule: repartition the streamed side so
+    # the 4/5-dense pair fold runs on every core, not one file partition
+    fanout = spark.sparkContext.defaultParallelism
+    pairs = t.repartition(fanout, col("tid")).join(
+        F.broadcast(q), col("fold") != col("tfold")
+    )
     d = pairs.withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
     w = Window.partitionBy("fold", "qid").orderBy("dist", "tid")
     top = d.withColumn("rnk", F.row_number().over(w)).filter(col("rnk") <= K_DEFAULT)

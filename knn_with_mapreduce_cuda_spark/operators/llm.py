@@ -362,8 +362,14 @@ def _q_dedup_embed(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     a = e.select(col("vec_id").alias("vec_a"), col("emb").alias("emb_a"))
     b = e.select(col("vec_id").alias("vec_b"), col("emb").alias("emb_b"))
-    pairs = a.join(b, col("vec_a") < col("vec_b")).withColumn(
-        "cos", cosine("emb_a", "emb_b")
+    # BNLJ task count = streamed-side partitions (the all_pairs fan-out
+    # rule): repartition the streamed side so a one-file fixture doesn't
+    # run the quadratic cosine fold in a single task
+    fanout = spark.sparkContext.defaultParallelism
+    pairs = (
+        a.repartition(fanout, col("vec_a"))
+        .join(F.broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine("emb_a", "emb_b"))
     )
     return pairs.filter(col("cos") >= EMBED_DUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cos")
