@@ -4247,6 +4247,10 @@ def _q_hits(spark, sf_dir):
                     f"coalesce(raw, 0) * {HITS_SCALE} div mx"
                 ).alias("a"),
             )
+            # truncate the per-half-step lineage (the kmeans pattern):
+            # asum feeds both its max and the renormalized scores, and
+            # iteration 2 nests iteration 1's whole DAG otherwise
+            .localCheckpoint(eager=True)
         )
         hsum = (
             edges.join(a.select(col("id").alias("dst"), col("a").alias("av")), "dst")
@@ -4263,6 +4267,7 @@ def _q_hits(spark, sf_dir):
                     f"coalesce(raw, 0) * {HITS_SCALE} div mx"
                 ).alias("h"),
             )
+            .localCheckpoint(eager=True)
         )
     return h.join(a, "id").select("id", col("h").alias("hub_u"), col("a").alias("auth_u"))
 
