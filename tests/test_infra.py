@@ -93,3 +93,13 @@ def test_arrives_narrow_probe(spark, tmp_path):
     assert _arrives_narrow(spark, spark.read.parquet(wide_dir)) is False
     # non-file relation → trusted
     assert _arrives_narrow(spark, spark.range(10)) is False
+
+
+def test_knn_self_join_memo_and_invalidate(spark):
+    from knn_with_mapreduce_cuda_spark.operators.knn import knn_self_join
+
+    e1 = knn_self_join(spark, SF_SMOKE, 5)
+    assert knn_self_join(spark, SF_SMOKE, 5) is e1  # memo hit
+    assert knn_self_join(spark, SF_SMOKE, 3) is not e1  # k is part of the key
+    tables.invalidate_caches(SF_SMOKE)
+    assert knn_self_join(spark, SF_SMOKE, 5) is not e1  # dropped with the dir
