@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -31,10 +32,19 @@ def stage_event_chunks(spark: SparkSession, sf_dir: str, chunk_dir: str, n_chunk
 
     Fully distributed (VERDICT r01 #7): ``repartitionByRange`` gives each
     output file a contiguous, globally-ordered ``ts_us`` range (part-00000
-    holds the earliest — lexical file order is arrival order for the file
-    stream source), so no driver materialization at any events size. The
-    chunks keep ts_us as bigint micros — the canonical column
+    holds the earliest), so no driver materialization at any events size.
+    The chunks keep ts_us as bigint micros — the canonical column
     ``tables.table`` produces regardless of the parquet nanos behavior.
+
+    Arrival order: FileStreamSource orders new files by MODIFICATION
+    TIME (millisecond granularity), not by name — and parallel part
+    writes routinely tie within one millisecond, after which the
+    tie-break is the directory listing order. A later ts-range chunk
+    processed first jumps the watermark ahead and the earlier chunk's
+    events are then dropped as late: scattered undercounts (the flaky
+    stream≠batch failures). Each chunk therefore gets an explicit,
+    strictly increasing mtime matching its ts-range index, making
+    arrival order deterministic on any filesystem and under any load.
     """
     shutil.rmtree(chunk_dir, ignore_errors=True)
     ev = tables.table(spark, sf_dir, "events").select(
@@ -48,12 +58,16 @@ def stage_event_chunks(spark: SparkSession, sf_dir: str, chunk_dir: str, n_chunk
     )
     # normalize to chunk_NNN.parquet (drop _SUCCESS/.crc) — pure metadata
     # renames; part-0000i is the i-th ts range, so the index is preserved
-    for f in os.listdir(chunk_dir):
+    base = int(time.time()) - 3600  # in the past: never ahead of "now"
+    for f in sorted(os.listdir(chunk_dir)):
         p = os.path.join(chunk_dir, f)
         if not (f.startswith("part-") and f.endswith(".parquet")):
             os.remove(p)
             continue
-        os.rename(p, os.path.join(chunk_dir, f"chunk_{int(f.split('-')[1]):03d}.parquet"))
+        idx = int(f.split("-")[1])
+        dst = os.path.join(chunk_dir, f"chunk_{idx:03d}.parquet")
+        os.rename(p, dst)
+        os.utime(dst, (base + idx, base + idx))  # arrival order = ts order
 
 
 def read_event_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:

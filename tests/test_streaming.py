@@ -233,3 +233,17 @@ def test_stream_stream_left_outer_join(spark, chunk_dir):
     got_nulls = {r.p_id for r in got.itertuples() if pd_isna(r.c_id)}
     assert got_pairs == batch_pairs
     assert got_nulls <= batch_unmatched
+
+
+def test_chunk_mtimes_give_deterministic_arrival_order(spark, tmp_path):
+    # FileStreamSource orders files by modification time (ms), not name;
+    # parallel part writes tie within a millisecond, so arrival order was
+    # listing-order-dependent (the flaky stream!=batch undercounts).
+    # stage_event_chunks must stamp strictly increasing mtimes matching
+    # the ts-range index.
+    d = str(tmp_path / "chunks")
+    jobs.stage_event_chunks(spark, SF_SMOKE, d, n_chunks=4)
+    files = sorted(os.listdir(d))
+    assert files == [f"chunk_{i:03d}.parquet" for i in range(4)]
+    mtimes = [os.path.getmtime(os.path.join(d, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
