@@ -203,6 +203,34 @@ def main() -> None:
         relational._q_sample_weighted(spark, SF),
         ["TakeOrderedAndProject", "Window", "Scan parquet"],
     )
+    add(
+        "Two-phase prefix scan: keyed window + broadcast offsets "
+        "(ml_roc_curve)",
+        "Round 4 replaced every corpus-sized `Window.orderBy()` "
+        "(single-partition by construction) with `plans/prefix.py`: the "
+        "window is KEYED by the literal-boundary slice id (per-slice "
+        "parallel sort — no `Exchange SinglePartition` anywhere near the "
+        "sweep) and the slice offsets arrive as a broadcast of <= parts "
+        "rows; the only single-partition exchange left is the 1-row "
+        "grand-total aggregate. tests/test_global_windows.py pins 21 "
+        "converted keys at zero partition-less Windows:",
+        analytics._q_roc_curve(spark, SF),
+        ["Window", "Exchange", "BroadcastExchange", "HashAggregate"],
+    )
+    add(
+        "Exact pair joins: streamed-side fan-out (knn_self_join family)",
+        "BroadcastNestedLoopJoin parallelism is the streamed side's "
+        "partition count — nothing else — so a one-file relation would run "
+        "the whole quadratic distance fold in ONE task. The streamed side "
+        "is hash-repartitioned to the session default parallelism first "
+        "(the O(n) shuffle against the O(n^2 d) fold; knn_self_join "
+        "53 s -> 4.3 s at sf0.1, plan-pinned by "
+        "test_knn_pairs_streamed_side_fans_out). The edge list is then "
+        "memoized per session as an eagerly checkpointed n x k relation "
+        "shared by ~15 graph/ML consumers:",
+        knn.all_pairs(knn.split_test(e), knn.train_all(e)),
+        ["BroadcastNestedLoopJoin", "hashpartitioning(tid", "REPARTITION"],
+    )
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER + "\n" + "\n".join(sections))
