@@ -679,7 +679,9 @@ def _q_radius_pivot(spark, sf_dir):
     t = withp.select(
         col("vec_id").alias("tid"), col("emb").alias("temb"), col("dp").alias("tdp")
     )
-    cand = t.join(
+    # the all_pairs BNLJ fan-out rule: stream the repartitioned side
+    fanout = spark.sparkContext.defaultParallelism
+    cand = t.repartition(fanout, col("tid")).join(
         F.broadcast(q),
         (col("qid") != col("tid"))
         & (F.abs(col("qdp") - col("tdp")) < RADIUS_EPS),
