@@ -480,7 +480,7 @@ def _q_vocab_coverage(spark, sf_dir):
     # scan (plans/prefix.py) — the r1 global window moved the whole
     # vocabulary through one partition.
     ranked = prefix.attach_running(
-        freq, [F.desc("f"), col("tok")], sums={"f": "cum"}, rn="r"
+        freq, [("f", "desc"), "tok"], sums={"f": "cum"}, rn="r"
     ).select("r", "cum")
     tot = freq.agg(F.sum("f").alias("t"))
     thr = freq.sparkSession.range(0, 3).select(
@@ -854,7 +854,7 @@ def _q_power_users(spark, sf_dir):
     per = ev.groupBy("user_id").agg(F.count("*").alias("c"))
     # global rank over the user dimension via the two-phase prefix scan
     # (plans/prefix.py) — no single-partition window at any user count.
-    ranked = prefix.attach_running(per, [F.desc("c"), col("user_id")], rn="rn")
+    ranked = prefix.attach_running(per, [("c", "desc"), "user_id"], rn="rn")
     g = per.agg(
         F.count("*").alias("n_users"), F.sum("c").alias("total_events")
     )
@@ -1037,7 +1037,7 @@ def _score_sweep_cum(pts: DataFrame) -> DataFrame:
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
     cum = prefix.attach_running(
-        per, [F.desc("score")], sums={"pos": "tp", "n": "_cn"}
+        per, [("score", "desc")], sums={"pos": "tp", "n": "_cn"}
     )
     return cum.select(
         "score", "n", "pos", "tp", (col("_cn") - col("tp")).alias("fp")
@@ -1692,8 +1692,8 @@ def _q_interp_linear(spark, sf_dir):
         .withColumn("te", F.when(col("is_grid") == 0, col("t")))
         .withColumn("eid", F.coalesce("event_id", lit(-1)))
     )
-    fwd = [col("t"), col("is_grid"), col("eid")]
-    bwd = [F.desc("t"), F.desc("is_grid"), F.desc("eid")]
+    fwd = ["t", "is_grid", "eid"]
+    bwd = [("t", "desc"), ("is_grid", "desc"), ("eid", "desc")]
     u = prefix.attach_running(base, fwd, lasts={"vc": "pv", "te": "pt"})
     u = prefix.attach_running(u, bwd, lasts={"vc": "nv", "te": "nt"})
     return u.filter(
@@ -2040,7 +2040,7 @@ def _q_gains_table(spark, sf_dir):
     # exact ntile(10) via the two-phase prefix scan (plans/prefix.py) —
     # the decile assignment no longer single-partitions the corpus.
     per = (
-        prefix.ntile_exact(pts, [F.desc("score"), col("vec_id")], 10, "decile")
+        prefix.ntile_exact(pts, [("score", "desc"), "vec_id"], 10, "decile")
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )
@@ -2202,7 +2202,7 @@ def _q_drawdown(spark, sf_dir):
     # running peak OF the balance — no single-partition window over the
     # event stream (the r1 docstring deferred this to "partition by
     # portfolio key at scale"; now the global form scales too).
-    order = [col("ts_us"), col("event_id")]
+    order = ["ts_us", "event_id"]
     cum = prefix.attach_running(pts, order, sums={"delta_c": "cum_c"})
     r = prefix.attach_running(cum, order, maxs={"cum_c": "peak_c"})
     return r.select(
@@ -3452,7 +3452,7 @@ def _q_merge_intervals(spark, sf_dir):
     # exclusive running max of interval ends marks the breaks, the
     # inclusive running sum of breaks numbers the groups — the global
     # windows the r1 version used are gone.
-    order = [col("s"), col("event_id")]
+    order = ["s", "event_id"]
     pm = prefix.attach_running(iv, order, maxs_excl={"e": "prev_e"})
     marked = prefix.attach_running(
         pm.withColumn(
@@ -4839,13 +4839,13 @@ def _q_rfm_segments(spark, sf_dir):
     # (plans/prefix.py) — one range shuffle each over the user dimension
     # instead of three single-partition windows.
     coded = prefix.ntile_exact(
-        base, [col("recency_days"), col("user_id")], 5, "r"
+        base, ["recency_days", "user_id"], 5, "r"
     )
     coded = prefix.ntile_exact(
-        coded, [F.desc("freq"), col("user_id")], 5, "f"
+        coded, [("freq", "desc"), "user_id"], 5, "f"
     )
     coded = prefix.ntile_exact(
-        coded, [F.desc("spend_c"), col("user_id")], 5, "m"
+        coded, [("spend_c", "desc"), "user_id"], 5, "m"
     ).select("user_id", "recency_days", "freq", "spend_c", "r", "f", "m")
     return coded.select(
         "user_id",

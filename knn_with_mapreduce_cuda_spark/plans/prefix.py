@@ -43,26 +43,60 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
+from .. import tables
+
 #: column name carrying the physical partition id through the two phases.
 _PID = "_prefix_pid"
 
 
+def _parse_spec(spec) -> tuple[str, bool]:
+    """One order element → (column name, descending). Accepted forms:
+    ``"name"`` (ascending) or ``("name", "asc"|"desc")`` — explicit
+    direction, never parsed out of ``Column.__repr__`` (VERDICT r04 #6:
+    the repr is not API, and an expression column or non-default null
+    ordering would silently mis-slice). Default null placement (NULLS
+    FIRST asc / NULLS LAST desc) is part of the contract."""
+    if isinstance(spec, str):
+        return spec, False
+    if (
+        isinstance(spec, tuple)
+        and len(spec) == 2
+        and isinstance(spec[0], str)
+        and spec[1] in ("asc", "desc")
+    ):
+        return spec[0], spec[1] == "desc"
+    raise TypeError(
+        f"prefix order element must be 'name' or (name, 'asc'|'desc'); got {spec!r}"
+    )
+
+
 def _order(order_cols) -> list[Column]:
-    return [col(c) if isinstance(c, str) else c for c in order_cols]
+    """Order spec → Window.orderBy columns (shared with callers that
+    need the equivalent single-window shape, e.g. scripts/window_stress)."""
+    out = []
+    for spec in order_cols:
+        name, desc = _parse_spec(spec)
+        out.append(col(name).desc() if desc else col(name))
+    return out
 
 
-def _slice_id(df: DataFrame, order: list[Column], parts: int) -> Column:
-    """Slice id for the two-phase scan: count of literal quantile
-    boundaries ≤ the leading order column (flipped when it sorts
-    descending) — monotone in the total order, equal keys share a
-    slice, and (being a pure function of the row with the boundaries
-    baked in as literals) identical in every job that evaluates it."""
-    # Column<'k'> / Column<'k DESC NULLS LAST'> — the stable repr form
-    s = str(order[0]).split("'", 2)[1]
-    descending = " DESC" in s
-    name = s.split(" ")[0].strip("`")
-    if parts <= 1:
-        return lit(0)
+#: literal quantile boundaries memo — boundary PLACEMENT only affects
+#: load balance, never values (module docstring), so serving memoized
+#: boundaries for a semantically-equal plan is always sound; it saves
+#: the approxQuantile job the ROC/PR/calibration family would otherwise
+#: re-run per operator on the same scored relation (VERDICT r04 #6).
+_BOUNDS_MEMO = tables.SessionMemo()
+
+
+def _bounds(df: DataFrame, name: str, parts: int) -> list[float]:
+    try:
+        memo_key = ("prefix_bounds", df.semanticHash(), name, parts)
+    except Exception:  # semanticHash unavailable — compute uncached
+        memo_key = None
+    if memo_key is not None:
+        hit = _BOUNDS_MEMO.get(df.sparkSession, memo_key)
+        if hit is not None:
+            return hit
     probs = [i / parts for i in range(1, parts)]
     bounds = sorted(
         set(
@@ -71,6 +105,21 @@ def _slice_id(df: DataFrame, order: list[Column], parts: int) -> Column:
             )
         )
     )
+    if memo_key is not None:
+        _BOUNDS_MEMO.put(df.sparkSession, memo_key, bounds)
+    return bounds
+
+
+def _slice_id(df: DataFrame, order_cols, parts: int) -> Column:
+    """Slice id for the two-phase scan: count of literal quantile
+    boundaries ≤ the leading order column (flipped when it sorts
+    descending) — monotone in the total order, equal keys share a
+    slice, and (being a pure function of the row with the boundaries
+    baked in as literals) identical in every job that evaluates it."""
+    name, descending = _parse_spec(order_cols[0])
+    if parts <= 1:
+        return lit(0)
+    bounds = _bounds(df, name, parts)
     if not bounds:  # empty input
         return lit(0)
     c = col(name).cast("double")
@@ -94,6 +143,8 @@ def attach_running(
 ) -> DataFrame:
     """Attach global running aggregates in the total order ``order_cols``.
 
+    ``order_cols`` elements are ``"name"`` (ascending) or
+    ``("name", "asc"|"desc")`` — explicit direction, see ``_parse_spec``.
     sums / maxs: {source_column: output_column} running SUM / MAX over
     ``rowsBetween(unboundedPreceding, currentRow)``; ``maxs_excl``: MAX
     over ``rowsBetween(unboundedPreceding, -1)`` (current row excluded —
@@ -113,7 +164,7 @@ def attach_running(
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order = _order(order_cols)
-    d = df.withColumn(_PID, _slice_id(df, order, parts).cast("int")).repartition(
+    d = df.withColumn(_PID, _slice_id(df, order_cols, parts).cast("int")).repartition(
         parts, col(_PID)
     )
     w = (

@@ -31,8 +31,11 @@ def main() -> int:
         fixed = re.sub(
             r"\b\d{3,} queries\b", f"{n} queries", text
         )
-        # prose sweep notes like "366/366 ok" drift too (VERDICT r03 #7)
-        fixed = re.sub(r"\b\d{3,}/\d{3,} ok\b", f"{n}/{n} ok", fixed)
+        # prose sweep notes like "366/366 ok" drift too (VERDICT r03 #7).
+        # Only rewrite n/n pairs that already match each other (ADVICE
+        # r04): a recorded partial result like "365/366 ok" must never
+        # be promoted to a claim of full success.
+        fixed = re.sub(r"\b(\d{3,})/\1 ok\b", f"{n}/{n} ok", fixed)
         if fixed != text:
             open(path, "w").write(fixed)
             print(f"updated {path}")

@@ -415,8 +415,13 @@ def ann_stress(spark) -> dict:
     t0 = time.perf_counter()
     codes = spark.read.parquet(code_dir)
     lut = llm._pq_lut_df(spark, llm._pq_iv(e), model, ANN_QMOD)
-    scan = codes.join(F.broadcast(lut), col("qid") != col("tid")).withColumn(
-        "adc_q", llm._pq_adc_col(offs)
+    # BNLJ fan-out rule (ADVICE r04): repartition the streamed code
+    # table so the ADC scan parallelizes, as the graded query path does.
+    fanout = spark.sparkContext.defaultParallelism
+    scan = (
+        codes.repartition(fanout, col("tid"))
+        .join(F.broadcast(lut), col("qid") != col("tid"))
+        .withColumn("adc_q", llm._pq_adc_col(offs))
     )
     wc = Window.partitionBy("qid").orderBy("adc_q", "tid")
     short = scan.withColumn("crn", F.row_number().over(wc)).filter(

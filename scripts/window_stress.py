@@ -62,7 +62,8 @@ def main() -> None:
     spark = get_spark("window-stress")
     spark.sparkContext.setLogLevel("ERROR")
     d = data(spark)
-    order = [col("k"), col("tie")]
+    order_spec = ["k", "tie"]
+    order = prefix._order(order_spec)
 
     def global_shape():
         w = Window.orderBy(*order).rowsBetween(
@@ -75,7 +76,7 @@ def main() -> None:
 
     def prefix_shape():
         return prefix.attach_running(
-            d, order, sums={"v": "cs"}, rn="rn"
+            d, order_spec, sums={"v": "cs"}, rn="rn"
         ).select("rn", "cs")
 
     assert checksum(global_shape()) == checksum(prefix_shape())
@@ -103,7 +104,7 @@ def main() -> None:
                 .collect()
             ),
             "prefix_scan": timed(
-                lambda: prefix.ntile_exact(d, order, 10, "b")
+                lambda: prefix.ntile_exact(d, order_spec, 10, "b")
                 .groupBy("b")
                 .count()
                 .collect()

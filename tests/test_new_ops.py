@@ -815,14 +815,12 @@ def test_cms_estimate_dominates_exact(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.est_c >= r.exact_c  # CMS guarantee: collisions only add
-    # pure-Python CMS reference (corpus-scaled width, same md5 buckets)
-    from knn_with_mapreduce_cuda_spark.operators.llm import (
-        CMS_W_MIN,
-        CMS_W_PER_DOC,
-    )
+    # pure-Python CMS reference (error-target-capped width, same md5
+    # buckets — the exact width rule the Spark/DuckDB queries use)
+    from knn_with_mapreduce_cuda_spark.operators.llm import _cms_width
 
     n_docs = tables.table(spark, SF_SMOKE, "documents").count()
-    w = max(CMS_W_MIN, CMS_W_PER_DOC * n_docs)
+    w = _cms_width(n_docs)
 
     def bucket(d, tok):
         return int(hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:12], 16) % w
@@ -855,9 +853,12 @@ def test_sketch_widths_hold_bounds_at_10x_100x():
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         BLOOM_K,
         BLOOM_M_PER_ROW,
+        CMS_BROADCAST_CELLS,
         CMS_DEPTH,
-        CMS_W_MIN,
-        CMS_W_PER_DOC,
+        CMS_TOP,
+        CMS_W_CAP,
+        _cms_use_broadcast,
+        _cms_width,
     )
 
     def bucket(salt, key, mod):
@@ -879,8 +880,22 @@ def test_sketch_widths_hold_bounds_at_10x_100x():
     # scaling the corpus 10x must not degrade the FP rate (no saturation)
     assert fp_rates[1] <= 3 * fp_rates[0] + 1e-3, fp_rates
 
+    # VERDICT r04: the width is CAPPED at the error-target constant —
+    # bounded independent of corpus size past the cap — and the capped
+    # grid must never take the broadcast path.
+    assert _cms_width(10**12) == CMS_W_CAP
+    assert _cms_width(10**7) == CMS_W_CAP  # cap binds from ~262k docs on
+    assert not _cms_use_broadcast(CMS_W_CAP)
+    assert CMS_DEPTH * CMS_W_CAP > CMS_BROADCAST_CELLS
+    # fixture scales stay in the (small-grid) broadcast regime
+    assert _cms_use_broadcast(_cms_width(5_000))
+    # error target at the cap: relative overcount at the top-CMS_TOP
+    # boundary under Zipf-1 is ≤ CMS_TOP·ln(V)/CMS_W_CAP — < 0.1% for
+    # any vocabulary up to 1e8 types (the constants-block claim).
+    assert CMS_TOP * math.log(1e8) / CMS_W_CAP < 1e-3
+
     for n in (5_000, 50_000):
-        w = max(CMS_W_MIN, CMS_W_PER_DOC * n)
+        w = _cms_width(n)
         # Zipf-1 token counts over a vocabulary growing with the corpus
         cnt = {f"w{i}": max(1, n // (i + 1)) for i in range(n // 10)}
         l1 = sum(cnt.values())

@@ -28,9 +28,10 @@ def _data(spark, n=501, parts_in=5):
 @pytest.mark.parametrize("desc", [False, True])
 def test_attach_running_matches_global_window(spark, parts, desc):
     d = _data(spark)
-    order = [F.desc("k"), col("tie")] if desc else [col("k"), col("tie")]
+    spec = [("k", "desc"), "tie"] if desc else ["k", "tie"]
+    order = prefix._order(spec)
     got = prefix.attach_running(
-        d, order, sums={"v": "cs"}, maxs={"v": "cm"}, rn="rn", parts=parts
+        d, spec, sums={"v": "cs"}, maxs={"v": "cm"}, rn="rn", parts=parts
     )
     w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -50,7 +51,7 @@ def test_attach_running_matches_global_window(spark, parts, desc):
 def test_attach_running_exclusive_max(spark, parts):
     d = _data(spark)
     order = [col("k"), col("tie")]
-    got = prefix.attach_running(d, order, maxs_excl={"v": "pm"}, parts=parts)
+    got = prefix.attach_running(d, ["k", "tie"], maxs_excl={"v": "pm"}, parts=parts)
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     want = d.withColumn("pm", F.max("v").over(w))
     cols = ["k", "tie", "v", "pm"]
@@ -63,7 +64,7 @@ def test_attach_running_exclusive_max(spark, parts):
 def test_attach_running_last_non_null(spark, parts):
     d = _data(spark)  # v is null on every 11th row
     order = [col("k"), col("tie")]
-    got = prefix.attach_running(d, order, lasts={"v": "ff"}, parts=parts)
+    got = prefix.attach_running(d, ["k", "tie"], lasts={"v": "ff"}, parts=parts)
     w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -93,10 +94,18 @@ def test_ntile_exact_matches_spark_ntile(spark, n_rows, k):
     d = spark.range(n_rows).select(
         ((col("id") * 13) % 29).alias("s"), col("id").alias("tie")
     )
-    got = prefix.ntile_exact(d, [F.desc("s"), col("tie")], k, "b", parts=7)
+    got = prefix.ntile_exact(d, [("s", "desc"), "tie"], k, "b", parts=7)
     want = d.withColumn(
         "b", F.ntile(k).over(Window.orderBy(F.desc("s"), col("tie"))).cast("long")
     )
     assert sorted(map(tuple, got.select("s", "tie", "b").collect())) == sorted(
         map(tuple, want.select("s", "tie", "b").collect())
     )
+
+
+def test_order_spec_rejects_column_expressions(spark):
+    d = _data(spark)
+    with pytest.raises(TypeError, match="order element"):
+        prefix.attach_running(d, [F.desc("k"), col("tie")], rn="rn", parts=3)
+    with pytest.raises(TypeError, match="order element"):
+        prefix.attach_running(d, [col("k") + 1], rn="rn", parts=3)
