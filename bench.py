@@ -178,9 +178,40 @@ BENCH_QUERIES = {
 EXTRA_QUERIES = {"rel_join_broadcast_q3_bucketed"}
 
 
+#: Idle gate (VERDICT r04 #1 — BENCH_r04 ran at external load1 7.7-12.8
+#: and regressed 43%, which round-5 reproduction pinned entirely on
+#: host contention: the same code on a quiet host measured suite 6.14 s
+#: and naive_bayes 1.14 s). The suite REFUSES to start measuring until
+#: the 1-minute load average drops below IDLE_LOAD1, up to IDLE_TIMEOUT
+#: seconds. The gate is checked BEFORE the suite because the bench's
+#: own 32-thread bursts raise load1 to ~3.5 even on a fully idle box
+#: (measured: start 0.55 → per-row post ~3.1-3.6) — so per-row fields
+#: record load BEFORE each query block (external + decaying self-load)
+#: and the pre-suite gate value is the clean host-quietness signal.
+IDLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD1", "2.0"))
+IDLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "900"))
+#: mid-suite retry bar: self-load alone never pushes pre-row load1 past
+#: ~3.5 (measured above), so a pre-row reading beyond IDLE_LOAD1 + 2.5
+#: means external contention arrived mid-suite — re-gate and re-run the row.
+SELF_LOAD_ALLOWANCE = 2.5
+
+
+def _wait_for_idle(deadline: float) -> tuple[float, float, bool]:
+    """Block until load1 < IDLE_LOAD1 or the deadline passes. Returns
+    (final load1, seconds waited, gate met)."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= IDLE_LOAD1 and time.time() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(load, 2), round(time.time() - t0, 1), load < IDLE_LOAD1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    deadline = time.time() + IDLE_TIMEOUT
+    gate_load, gate_wait, gate_met = _wait_for_idle(deadline)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/scan paths once so per-query timings measure the query
@@ -193,16 +224,30 @@ def main() -> None:
     # reproducible claim on a shared machine.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    loads_pre: dict[str, float] = {}
     loads: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
+    retried: list[str] = []
+
+    def run_block(fn) -> list[float]:
         rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
             rs.append(round(time.perf_counter() - t0, 3))
+        return rs
+
+    for name, fn in BENCH_QUERIES.items():
+        pre = round(os.getloadavg()[0], 1)
+        if pre >= IDLE_LOAD1 + SELF_LOAD_ALLOWANCE and time.time() < deadline:
+            # external contention arrived mid-suite: re-gate, then rerun
+            retried.append(name)
+            pre, _, _ = _wait_for_idle(deadline)
+            pre = round(pre, 1)
+        rs = run_block(fn)
         timings[name] = min(rs)
         runs[name] = rs
+        loads_pre[name] = pre
         loads[name] = round(os.getloadavg()[0], 1)
 
     total = round(
@@ -217,7 +262,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
+                "load1_pre": loads_pre,
                 "load1": loads,
+                "idle_gate": {
+                    "threshold": IDLE_LOAD1,
+                    "timeout_s": IDLE_TIMEOUT,
+                    "load1_at_gate": gate_load,
+                    "waited_s": gate_wait,
+                    "met": gate_met,
+                    "regated": retried,
+                },
             }
         )
     )
