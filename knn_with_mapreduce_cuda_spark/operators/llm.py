@@ -64,8 +64,12 @@ PQ_IQ = 10_000
 #: IVF-PQ: coarse-cell probe count, ADC shortlist size before the
 #: exact rerank, final k. The shortlist was deepened 10 -> 128 in round
 #: 4 (VERDICT r03 #1): the rerank cost is |Q| x CAND rows, so depth is
-#: nearly free while recall scales with it.
-IVFPQ_NPROBE = 2
+#: nearly free while recall scales with it. n_probe raised 2 -> 3 of 5
+#: cells in round 5 (VERDICT r04 #5: the residual recall gap at the
+#: 100x stress — 0.992 vs PQ's 1.000 — was coarse-cell misprobes, and
+#: probing one more cell costs ~1/5 more code-scan rows, far below the
+#: exact scan).
+IVFPQ_NPROBE = 3
 IVFPQ_CAND = 128
 IVFPQ_TOPK = 3
 
@@ -1703,6 +1707,126 @@ def _q_simsearch_pq(spark, sf_dir, qmod: int = 50):
     return _pq_rerank(e, short, qmod, PQ_TOPK)
 
 
+#: stored-PQ scratch root: the index artifacts for fixture directory D
+#: live under PQ_STORED_ROOT + D (D is absolute, so the layout nests) —
+#: a deterministic path both the Spark query and the DuckDB oracle
+#: (via the {SF_DIR} placeholder) resolve identically.
+PQ_STORED_ROOT = "/tmp/spark_graft_scratch"
+
+_PQ_STORED_MEMO = tables.SessionMemo()
+
+
+def _pq_stored_dir(sf_dir: str) -> str:
+    return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/pq"
+
+
+def _pq_store(spark, sf_dir) -> str:
+    """Index build (run once, then reused across queries AND sessions):
+    persist the PQ code table and the trained codebooks to scratch
+    parquet. codes.parquet is the distributed artifact (8 bytes of
+    payload per corpus vector, written by the executors); codebook.
+    parquet is the model (≤ PQ_NSUB x PQ_K rows, driver-sized like any
+    trained model). Training and encoding are deterministic integer
+    arithmetic, so a rebuild writes byte-identical values — disk reuse
+    is safe. This is the build/query split every real ANN deployment
+    runs (FAISS: train+add once, search many); the inline-refit twin
+    llm_simsearch_pq stays the self-contained graded form."""
+    import os
+
+    d = _pq_stored_dir(sf_dir)
+    memo_key = (sf_dir.rstrip("/"), "pq_stored")
+    if _PQ_STORED_MEMO.get(spark, memo_key) is not None:
+        return d
+    done = all(
+        os.path.exists(f"{d}/{a}/_SUCCESS") for a in ("codes.parquet", "codebook.parquet")
+    )
+    if not done:
+        model = _pq_fit(spark, sf_dir)
+        iv = _pq_iv(tables.embeddings(spark, sf_dir))
+        enc, _ = _pq_encode(spark, iv, model)
+        enc.write.mode("overwrite").parquet(f"{d}/codes.parquet")
+        rows = [
+            (s, pos, [int(v) for v in C[pos]])
+            for s, (_, C) in enumerate(model)
+            for pos in range(len(C))
+        ]
+        spark.createDataFrame(rows, "s long, pos long, csub array<bigint>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{d}/codebook.parquet")
+    _PQ_STORED_MEMO.put(spark, memo_key, d)
+    return d
+
+
+def _pq_stored_model(spark, sf_dir) -> list:
+    """Load the trained codebooks back from the stored index — a
+    driver-side pyarrow read of codebook.parquet (≤ PQ_NSUB x PQ_K
+    rows: model-sized at ANY corpus scale, like reading back any
+    serialized model; no Spark job, no re-fit). Codes in the stored
+    index are 0-based positions, so the reconstructed per-subspace id
+    list is simply 0..k-1."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    memo_key = (sf_dir.rstrip("/"), "pq_stored_model")
+    hit = _PQ_MODEL_MEMO.get(spark, memo_key)
+    if hit is not None:
+        return hit
+    d = _pq_stored_dir(sf_dir)
+    pdf = (
+        pq_.ParquetDataset(glob.glob(f"{d}/codebook.parquet/*.parquet"))
+        .read()
+        .to_pandas()
+        .sort_values(["s", "pos"])
+    )
+    model = []
+    for s in range(PQ_NSUB):
+        C = np.stack(pdf[pdf["s"] == s]["csub"].to_numpy()).astype(np.float64)
+        model.append((np.arange(len(C), dtype=np.int64), C))
+    _PQ_MODEL_MEMO.put(spark, memo_key, model)
+    return model
+
+
+def _q_simsearch_pq_stored(spark, sf_dir, qmod: int = 50):
+    """PQ search against the STORED index (VERDICT r04 #4): the code
+    table and codebooks are persisted to scratch once (_pq_store); the
+    query pays only model load (driver-side read of the stored
+    codebook — no re-fit), LUT construction (driver-side, |Q| x 8 x
+    PQ_K ints), the ADC scan over the 8-byte-per-vector stored codes,
+    and the exact rerank of the shortlist. This is the real usage
+    shape of a PQ index — build once, query many — promoted to a
+    first-class graded key; the DuckDB oracle reads THE SAME stored
+    parquet artifacts (codes + codebooks) and re-derives the ADC
+    ranking + rerank in SQL, so the key stays hash-graded end to end.
+
+    Scale design: at 100 TB the stored code table IS the index layout
+    on the lake (32x smaller than the raw vectors); the scan streams it
+    map-side against the broadcast LUT with the pair-join fan-out rule
+    applied, the candidate cut is partition-local, and raw floats are
+    read only for |Q| x PQ_CAND rerank rows."""
+    d = _pq_store(spark, sf_dir)
+    e = tables.embeddings(spark, sf_dir)
+    model = _pq_stored_model(spark, sf_dir)
+    offs, acc = [], 0
+    for js, _ in model:
+        offs.append(acc)
+        acc += len(js)
+    codes = spark.read.parquet(f"{d}/codes.parquet")
+    lut = _pq_lut_df(spark, _pq_iv(e), model, qmod)
+    fanout = spark.sparkContext.defaultParallelism
+    scan = (
+        codes.repartition(fanout, col("tid"))
+        .join(F.broadcast(lut), col("qid") != col("tid"))
+        .withColumn("adc_q", _pq_adc_col(offs))
+    )
+    wc = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    short = scan.withColumn("crn", F.row_number().over(wc)).filter(
+        col("crn") <= PQ_CAND
+    )
+    return _pq_rerank(e, short, qmod, PQ_TOPK)
+
+
 def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
     """IVF-PQ — the billion-scale ANN index layout: the IVF coarse
     quantizer (same fixed-id centroids as llm_simsearch_ivf) prunes the
@@ -1903,6 +2027,17 @@ def _q_heavy_hitters_cms(spark, sf_dir):
     sketch's overcount."""
     w = _cms_width(_fixture_rows(sf_dir, "documents"))
     toks = _tokens(spark, sf_dir).select(F.explode("ts").alias("tok"))
+    return _cms_top(toks, w)
+
+
+def _cms_top(toks: DataFrame, w: int) -> DataFrame:
+    """CMS body over an exploded token relation at explicit width ``w``
+    — split from the graded wrapper so both join regimes (broadcast
+    below CMS_BROADCAST_CELLS, shuffle at/above — e.g. at the
+    CMS_W_CAP grid) are testable at any width (tests/test_plans.py
+    pins the capped-regime plan; tests/test_new_ops.py checks the
+    shuffle path value-identical to the broadcast path)."""
+    spark = toks.sparkSession
     tokc = toks.groupBy("tok").agg(F.count("*").alias("c"))
     depth = spark.range(CMS_DEPTH).select(col("id").alias("d"))
     hashed = tokc.crossJoin(F.broadcast(depth)).withColumn(
@@ -1991,6 +2126,7 @@ QUERIES = {
     "llm_simsearch_gemm": _q_simsearch_gemm,
     "llm_simsearch_ivf": _q_simsearch_ivf,
     "llm_simsearch_pq": _q_simsearch_pq,
+    "llm_simsearch_pq_stored": _q_simsearch_pq_stored,
     "llm_simsearch_ivfpq": _q_simsearch_ivfpq,
     "llm_simsearch_hamming": _q_simsearch_hamming,
     "llm_mix_budget": _q_mix_budget,
@@ -2217,6 +2353,40 @@ ORACLE = {
     ),
     "llm_simsearch_pq": (
         f"WITH {_pq_oracle_ctes()}, "
+        "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
+        "FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code "
+        "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid), "
+        "short AS (SELECT qid, tid, adc_q FROM adc QUALIFY row_number() OVER "
+        f"(PARTITION BY qid ORDER BY adc_q, tid) <= {PQ_CAND}), "
+        "rer AS (SELECT s.qid, s.tid, s.adc_q, list_distance(q.emb, t.emb) AS dist "
+        "FROM short s JOIN emb0 q ON s.qid = q.vec_id "
+        "JOIN emb0 t ON s.tid = t.vec_id) "
+        "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
+        f"WHERE rnk <= {PQ_TOPK}"
+    ),
+    "llm_simsearch_pq_stored": (
+        # reads the SAME stored artifacts the Spark query scans
+        # (codes.parquet + codebook.parquet under PQ_STORED_ROOT +
+        # {SF_DIR}, written by _pq_store) and re-derives the ADC
+        # ranking + exact rerank in SQL — no Lloyd unroll needed: the
+        # trained model is part of the stored index under test.
+        "WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0), "
+        "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
+        "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
+        f"cb AS (SELECT s, pos, csub FROM read_parquet("
+        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
+        f"codes AS (SELECT * FROM read_parquet("
+        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codes.parquet/*.parquet')), "
+        "enc AS (SELECT tid, t.j AS s, CASE t.j "
+        + " ".join(f"WHEN {s} THEN c{s}" for s in range(PQ_NSUB))
+        + " END AS code FROM codes, range(8) t(j)), "
+        "lut AS (SELECT b.vec_id AS qid, b.s, c.pos AS code, "
+        + _PQ_IDIST.format(a="b.sub", b="c.csub")
+        + " AS dq FROM sub b JOIN cb c ON b.s = c.s WHERE b.vec_id % 50 = 0), "
         "adc AS (SELECT l.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
         "FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code "
         "WHERE l.qid <> e.tid GROUP BY l.qid, e.tid), "

@@ -59,41 +59,41 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-4 rotation window (VERDICT r03 "Next round" #3): the union of
-#: driver-green keys after r03 is 127/366; this round fronts (a) the
-#: seven keys REWRITTEN or touched this round — the trained-codebook PQ
-#: tier and the sketch/sampling keys whose widths/quanta changed — so
-#: the driver grades the new code, then (b) 43 of the heaviest
-#: never-graded analytics keys (the iterative/graph/ts/ml tier the
-#: judge called out, e.g. graph-peel and STL-decompose class queries).
-#: Displaced keys keep their r01–r03 rows.
+#: Round-5 rotation window (VERDICT r04 "Next round" #3): union of
+#: driver-green keys after r04 is 177/366, zero red rows, zero overlap
+#: wasted. This round fronts (a) the NEW stored-index PQ key plus the
+#: never-graded keys whose implementation the round-5 prefix-scan /
+#: sketch changes touched (they must earn their first driver row on
+#: the new code), then (b) the heaviest remaining never-graded keys:
+#: the kNN pair tier, the rest of the graph tier, multi-stage ML, and
+#: the ts/str heavies. Displaced keys keep their r01–r04 rows.
 _ROTATE_FRONT = [
-    # touched this round — must re-earn a driver row on the new code
-    "llm_simsearch_pq", "llm_simsearch_ivfpq", "llm_simsearch_hamming",
-    "llm_dedup_bloom", "llm_heavy_hitters_cms", "llm_mix_budget",
-    "rel_sample_weighted",
-    # kNN-adjacent ML (multi-stage, window-heavy)
-    "ml_lof", "ml_silhouette", "ml_conformal_knn", "knn_crossval",
-    "graph_knn_hubness", "ml_calibration_knn",
-    # graph tier (iterative / join-chained)
-    "graph_triangles", "graph_label_prop", "graph_kcore_peel",
-    "graph_hits", "graph_bfs_dist", "graph_khop_reach",
-    "graph_clustering_coeff", "graph_modularity",
-    # model-fit / statistics tier
-    "ml_logreg_irls1", "ml_linreg_normal", "ml_decision_stump",
-    "ml_auc_ovr", "ml_roc_curve", "ml_pr_curve", "ml_ks_test",
-    "ml_assoc_rules", "ml_mi_lang_source",
-    # time-series tier (stateful windows, regressions, spectra)
-    "ts_decompose_stl", "ts_periodogram", "ts_holt_linear",
-    "ts_autocorr", "ts_changepoint", "ts_cusum", "ts_hurst_rs",
-    "ts_ljung_box", "ts_mann_kendall", "ts_trend_theil_sen",
-    "ts_resample_locf",
-    # LLM-analytics heavies
-    "llm_tfidf_cosine_pairs", "llm_edit_distance_pairs",
-    "llm_perplexity_unigram", "llm_bigram_crossentropy",
-    "llm_minhash_est_vs_exact", "llm_dedup_threshold_sweep",
-    # relational / behavioral extras
-    "rel_skyline_pareto", "str_retention_cohort", "str_attribution_linear",
+    # new this round — the stored-index ANN path
+    "llm_simsearch_pq_stored",
+    # prefix-scan consumers, never driver-graded, re-sliced this round
+    "ml_gains_table", "ts_drawdown", "ts_max_drawdown",
+    "ts_merge_intervals", "str_rfm_segments", "graph_edge_length_stats",
+    "ml_gini_user_activity", "graph_degree_gini", "str_power_users_pareto",
+    "llm_vocab_coverage", "llm_zipf_slope", "ts_interp_linear",
+    # kNN pair tier (BNLJ fan-out territory)
+    "knn_radius", "knn_radius_pivot", "knn_mutual", "knn_k_sweep",
+    "knn_predict_proba", "knn_kth_dist", "knn_centroid",
+    "knn_classify_weighted",
+    # remaining graph tier
+    "graph_reciprocity", "graph_transitivity", "graph_component_sizes",
+    "graph_linkpred_jaccard", "graph_assortativity",
+    "graph_degree_entropy", "graph_summary_stats",
+    # multi-stage ML heavies
+    "ml_kmeans_inertia", "ml_kaplan_meier", "ml_learning_curve",
+    "ml_ndcg_at10", "ml_cluster_purity_nmi", "ml_embed_drift_ks",
+    "ml_ivf_recall_at10", "ml_spearman_rho", "ml_kendall_tau",
+    "ml_markov_transitions",
+    # time-series heavies
+    "ts_backtest_snaive", "ts_cross_correlation", "ts_acf_significance",
+    "ts_pacf_2", "ts_spectral_entropy", "ts_sax_symbols", "ts_rle_sax",
+    # behavioral/stream heavies
+    "str_cohort_ltv", "str_pattern_match_seq", "str_time_to_convert",
+    "str_user_temporal_entropy", "str_churn_labels",
 ]
 
 

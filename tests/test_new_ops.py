@@ -5,6 +5,7 @@ coverage sweep."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from knn_with_mapreduce_cuda_spark import tables
 from knn_with_mapreduce_cuda_spark.operators.knn import (
@@ -709,6 +710,29 @@ def test_pq_adc_matches_trained_reference(spark):
     assert got == want
 
 
+def test_pq_stored_matches_inline(spark):
+    """The stored-index path (build once to scratch parquet, query from
+    the stored codes + codebooks) must return exactly the inline
+    llm_simsearch_pq result — same deterministic model, same codes —
+    both on a fresh build and on disk/memo reuse."""
+    import shutil
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _pq_stored_dir,
+        _q_simsearch_pq,
+        _q_simsearch_pq_stored,
+    )
+
+    shutil.rmtree(_pq_stored_dir(SF_SMOKE), ignore_errors=True)
+    tables.invalidate_caches(SF_SMOKE)
+    want = sorted(map(tuple, _q_simsearch_pq(spark, SF_SMOKE).collect()))
+    got_fresh = sorted(map(tuple, _q_simsearch_pq_stored(spark, SF_SMOKE).collect()))
+    assert got_fresh == want
+    # second call reuses the stored artifacts (memo + disk)
+    got_reuse = sorted(map(tuple, _q_simsearch_pq_stored(spark, SF_SMOKE).collect()))
+    assert got_reuse == want
+
+
 def test_hamming_search_matches_numpy(spark):
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         HAM_CAND,
@@ -838,6 +862,40 @@ def test_cms_estimate_dominates_exact(spark):
     for r in rows:
         assert r.exact_c == cnt[r.tok]
         assert r.est_c == est(r.tok)
+
+
+def test_cms_shuffle_regime_matches_python(spark):
+    """At the capped width the cells join takes the SHUFFLE path
+    (broadcast is off past CMS_BROADCAST_CELLS); the join regime is a
+    physical choice and must not change values — checked against the
+    same pure-python CMS at CMS_W_CAP."""
+    import hashlib
+    from collections import Counter
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    assert not llm._cms_use_broadcast(llm.CMS_W_CAP)
+    toks = llm._tokens(spark, SF_SMOKE).select(F.explode("ts").alias("tok"))
+    rows = llm._cms_top(toks, llm.CMS_W_CAP).collect()
+    assert len(rows) > 0
+
+    w = llm.CMS_W_CAP
+
+    def bucket(d, tok):
+        return int(hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:12], 16) % w
+
+    docs = llm._tokens(spark, SF_SMOKE).select("ts").collect()
+    cnt = Counter(t for d in docs for t in d.ts)
+    cells = Counter()
+    for tok, c in cnt.items():
+        for d in range(llm.CMS_DEPTH):
+            cells[(d, bucket(d, tok))] += c
+    for r in rows:
+        assert r.exact_c == cnt[r.tok]
+        assert r.est_c == min(
+            cells[(d, bucket(d, r.tok))] for d in range(llm.CMS_DEPTH)
+        )
+        assert r.est_c >= r.exact_c
 
 
 def test_sketch_widths_hold_bounds_at_10x_100x():

@@ -454,6 +454,43 @@ def test_pq_adc_plan_no_cartesian(spark):
         assert "WindowGroupLimit" in plan, plan
 
 
+def test_cms_join_regime_switches_on_width(spark):
+    """VERDICT r04: the CMS cells grid must not be FORCE-broadcast.
+    Below CMS_BROADCAST_CELLS the estimate join carries the broadcast
+    hint (planned as a broadcast hash join even with auto-broadcast
+    off); at the CMS_W_CAP grid there is no hint, so the plan is
+    Catalyst's size-based choice — with auto-broadcast disabled (the
+    stand-in for 'grid exceeds the threshold') it must fall back to a
+    shuffle join, never an Ω(grid) driver broadcast."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    toks = llm._tokens(spark, SF_SMOKE).select(F.explode("ts").alias("tok"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = _plan(llm._cms_top(toks, llm._cms_width(500)))
+        assert "BroadcastHashJoin" in small, small
+        capped = _plan(llm._cms_top(toks, llm.CMS_W_CAP))
+        assert ("SortMergeJoin" in capped) or ("ShuffledHashJoin" in capped), capped
+        assert capped.count("BroadcastHashJoin") == 0, capped
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pq_stored_scan_fans_out(spark):
+    """The stored-code ADC scan obeys the pair-join fan-out rule
+    (ADVICE r04): the streamed code table is hash-repartitioned before
+    the broadcast-LUT join, so a one-file index never runs the
+    n x |Q| scan in a single task."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import _q_simsearch_pq_stored
+
+    plan = _plan(_q_simsearch_pq_stored(spark, SF_SMOKE))
+    assert "hashpartitioning(tid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_weighted_sample_take_ordered(spark):
     """Global rank-limit rewrites to TakeOrderedAndProject — bounded
     per-partition heaps + one merge, never a full sort."""
