@@ -185,12 +185,24 @@ def main() -> None:
         ["WindowGroupLimit", "BroadcastExchange", "MapInArrow"],
     )
     add(
+        "Stored-index PQ: fanned-out ADC scan over persisted codes "
+        "(llm_simsearch_pq_stored)",
+        "The build-once/query-many shape (round 5): the query reads the "
+        "persisted 8-byte code table, hash-repartitions it (BNLJ fan-out "
+        "rule) before the broadcast-LUT join, cuts the shortlist "
+        "partition-locally, and reranks only |Q| x PQ_CAND rows — no "
+        "re-fit, no Arrow encode stage in the query plan:",
+        llm._q_simsearch_pq_stored(spark, SF),
+        ["WindowGroupLimit", "BroadcastExchange", "Exchange hash"],
+    )
+    add(
         "Count-min sketch: bounded grid shuffle (llm_heavy_hitters_cms)",
         "The sketch aggregation partial-aggregates map-side and shuffles "
-        "depth x width cells (width corpus-scaled, still millions of times "
-        "smaller than the corpus), the estimate lookup broadcasts that "
-        "grid back, and the top-k report is TakeOrderedAndProject — the "
-        "wire cost is the sketch, never the vocabulary:",
+        "depth x width cells (width error-target-capped at 2^20 since "
+        "round 5 — constant-size past the cap), the estimate lookup "
+        "broadcast-hints that grid only below the cell bound (shuffle "
+        "join past it), and the top-k report is TakeOrderedAndProject — "
+        "the wire cost is the sketch, never the vocabulary:",
         llm._q_heavy_hitters_cms(spark, SF),
         ["HashAggregate", "BroadcastExchange", "TakeOrderedAndProject"],
     )
