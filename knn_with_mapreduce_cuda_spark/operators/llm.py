@@ -131,6 +131,18 @@ def _cms_use_broadcast(w: int) -> bool:
 #: Spark's runtime bloom joins do).
 BLOOM_K = 3
 BLOOM_M_PER_ROW = 8
+#: the occupied-cell relation (≤ BLOOM_K x members rows) is broadcast
+#: into the probe semi-join only below this bound — the same size
+#: switch Spark's own runtime bloom-filter joins apply (they cap the
+#: shipped bloom at maxNumBits); past it the probe falls back to a
+#: shuffled semi-join on (j, b). Pinned like CMS_BROADCAST_CELLS
+#: (VERDICT r04: an Ω(n) relation must never be force-broadcast).
+BLOOM_BROADCAST_CELLS = 1 << 19
+
+
+def _bloom_use_broadcast(n_docs: int) -> bool:
+    # occupied cells ≤ BLOOM_K x members ≤ BLOOM_K x corpus rows
+    return BLOOM_K * n_docs <= BLOOM_BROADCAST_CELLS
 
 #: above this corpus size the llm_dedup_minhash_mllib exact twin runs on
 #: a deterministic ~10% md5-bucket document sample (VERDICT r02 #5): the
@@ -1960,9 +1972,13 @@ def _q_dedup_bloom(spark, sf_dir):
     occupied-cell relation is O(n) int64 cells — a bloom is Ω(n) bits
     by information theory — vs the 64-char sha256 digest set of the
     exact twin (llm_dedup_incremental): ~10x less state, bit-packable
-    to n bytes per row exactly as Spark's runtime bloom joins do; the
-    probe stays a map-side semi-join."""
-    m = BLOOM_M_PER_ROW * _fixture_rows(sf_dir, "documents")
+    to n bytes per row exactly as Spark's runtime bloom joins do. The
+    probe is a broadcast (map-side) semi-join only while the occupied
+    cells fit BLOOM_BROADCAST_CELLS, and a shuffled semi-join past
+    that — the Ω(n) relation is never force-broadcast (the same size
+    switch as the CMS grid, VERDICT r04)."""
+    n_docs = _fixture_rows(sf_dir, "documents")
+    m = BLOOM_M_PER_ROW * n_docs
     docs = tables.table(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("h")
     )
@@ -1983,16 +1999,18 @@ def _q_dedup_bloom(spark, sf_dir):
         )
 
     bloom = cells(corpus).select("j", "b").distinct()
+    if _bloom_use_broadcast(n_docs):
+        bloom = F.broadcast(bloom)
     hits = (
         cells(batch)
-        .join(F.broadcast(bloom), ["j", "b"], "left_semi")
+        .join(bloom, ["j", "b"], "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("nj"))
     )
-    # only the bloom is constant-size; hits is batch-sized and the exact
-    # corpus hash set is corpus-sized — neither may be forced broadcast
-    # (the exact check is the shuffled semi-join llm_dedup_incremental
-    # documents; the bloom's job is to prune what reaches it)
+    # hits is batch-sized and the exact corpus hash set is corpus-sized
+    # — neither may be forced broadcast (the exact check is the shuffled
+    # semi-join llm_dedup_incremental documents; the bloom's job is to
+    # prune what reaches it)
     exact = corpus.select("h").distinct()
     return (
         batch.join(hits, "doc_id", "left")

@@ -477,6 +477,25 @@ def test_cms_join_regime_switches_on_width(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bloom_broadcast_is_bounded(spark):
+    """Same rule as the CMS grid: the bloom's occupied-cell relation is
+    Ω(corpus) and may only be broadcast below BLOOM_BROADCAST_CELLS —
+    the fixture sits in the broadcast regime (hint present even with
+    auto-broadcast off); past the bound the hint is absent, so the
+    probe degrades to Catalyst's size-based choice."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    assert llm._bloom_use_broadcast(5_000)
+    assert not llm._bloom_use_broadcast(1_000_000)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(llm._q_dedup_bloom(spark, SF_SMOKE))
+        assert "BroadcastHashJoin LeftSemi" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pq_stored_scan_fans_out(spark):
     """The stored-code ADC scan obeys the pair-join fan-out rule
     (ADVICE r04): the streamed code table is hash-repartitioned before
