@@ -2207,14 +2207,19 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
     update; empty clusters drop) — then argmin encode of the full
     corpus and the per-query lookup tables. Every distance is exact
     integer arithmetic, so the trained operator hash-grades."""
+    # sub / tr / cb{i} are each referenced several times downstream
+    # (tr 2x per Lloyd iteration, sub by enc + lut + tr) — MATERIALIZED
+    # stops DuckDB re-evaluating the list arithmetic per reference
+    # (measured ~20% off the 8 s sf0.1 oracle wall, values identical).
     ctes = [
         "emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
         "AS BIGINT)) AS ivec FROM emb0)",
-        "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
+        "sub AS MATERIALIZED (SELECT vec_id, j AS s, "
+        "list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j))",
         f"tmod AS (SELECT greatest(1, count(*) // {PQ_TRAIN_MAX}) AS m FROM embq)",
-        "tr AS (SELECT vec_id, s, sub FROM sub, tmod WHERE vec_id % m = 0)",
+        "tr AS MATERIALIZED (SELECT vec_id, s, sub FROM sub, tmod WHERE vec_id % m = 0)",
         "sv AS (SELECT vec_id, j FROM (SELECT vec_id, row_number() OVER "
         "(ORDER BY vec_id) - 1 AS j FROM (SELECT DISTINCT vec_id FROM tr)) "
         f"WHERE j < {PQ_K})",
@@ -2230,7 +2235,7 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
             "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, j) = 1)"
         )
         ctes.append(
-            f"cb{i} AS (SELECT s, j, list(v ORDER BY d) AS csub FROM "
+            f"cb{i} AS MATERIALIZED (SELECT s, j, list(v ORDER BY d) AS csub FROM "
             f"(SELECT a.s, a.j, d.d, CAST(round(avg(t.sub[CAST(d.d + 1 AS INTEGER)])) "
             f"AS BIGINT) AS v FROM a{i} a JOIN tr t ON a.vec_id = t.vec_id "
             "AND a.s = t.s, range(8) d(d) GROUP BY a.s, a.j, d.d) GROUP BY s, j)"
