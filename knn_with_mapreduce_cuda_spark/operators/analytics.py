@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
 from .. import tables
+from ..oracle import materialize_ctes
 from ..plans import prefix
 from .relational import _CENTS, cents
 
@@ -5447,7 +5448,7 @@ ORACLE = {
         "SELECT k, nk AS n_pairs, "
         "round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4) AS acf FROM j"
     ),
-    "ts_holt_linear": (
+    "ts_holt_linear": materialize_ctes(
         # recursive CTE replays the identical fold arithmetic (DuckDB
         # 1.0's list_reduce evaluates struct fields sequentially — the
         # b-expression would see the already-updated l — so the fold is
@@ -5813,7 +5814,7 @@ ORACLE["ml_calibration_knn"] = (
     "FROM pred WHERE rn = 1 GROUP BY votes"
 )
 
-ORACLE["graph_component_sizes"] = (
+ORACLE["graph_component_sizes"] = materialize_ctes(
     f"WITH comp AS ({_COMPONENTS_SQL}) "
     "SELECT cluster_size AS size, count(DISTINCT cluster) AS n_clusters "
     "FROM comp GROUP BY cluster_size"
@@ -6112,7 +6113,7 @@ ORACLE["ts_fano_burstiness"] = (
     "round(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s), 4) AS fano FROM m"
 )
 
-ORACLE["graph_bfs_dist"] = (
+ORACLE["graph_bfs_dist"] = materialize_ctes(
     f"WITH RECURSIVE {_MUTUAL}, "
     "sym AS (SELECT a AS src, b AS dst FROM m UNION ALL SELECT b, a FROM m), "
     "bfs AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS dist "
@@ -7779,7 +7780,7 @@ ORACLE["ml_precision_at_k"] = (
     "AS precision_q4 FROM cum GROUP BY k"
 )
 
-ORACLE["llm_dedup_cluster_langs"] = (
+ORACLE["llm_dedup_cluster_langs"] = materialize_ctes(
     f"WITH comp AS ({_COMPONENTS_SQL}) "
     "SELECT cluster, count(*) AS n_members, "
     "count(DISTINCT d.lang) AS n_langs, min(d.lang) AS first_lang "

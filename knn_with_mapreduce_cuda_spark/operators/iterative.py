@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import col
 
 from .. import tables
+from ..oracle import materialize_ctes
 from ..functions.vector import sq_euclidean
 from .llm import _q_dedup_near_minhash
 
@@ -483,8 +484,8 @@ _COMPONENTS_SQL = (
 
 ORACLE = {
     "ml_kmeans_lloyd": _KMEANS_SQL,
-    "graph_components_dedup": _COMPONENTS_SQL,
-    "llm_dedup_apply": (
+    "graph_components_dedup": materialize_ctes(_COMPONENTS_SQL),
+    "llm_dedup_apply": materialize_ctes(
         f"WITH comp AS ({_COMPONENTS_SQL}) "
         "SELECT c.doc_id, d.lang, d.n_chars, c.cluster_size AS n_merged "
         "FROM comp c JOIN documents d ON c.doc_id = d.doc_id "
@@ -528,7 +529,7 @@ ORACLE = {
         "SELECT CAST(a AS BIGINT) AS dim, v1q, round(v1q / mx, 6) AS v1_norm "
         "FROM v1, mx"
     ),
-    "ml_dbscan": (
+    "ml_dbscan": materialize_ctes(
         f"WITH RECURSIVE {_EMB_D}, "
         "clo AS (SELECT q.vec_id AS qid, t.vec_id AS tid "
         "FROM emb q, emb t WHERE q.vec_id <> t.vec_id "

@@ -9,12 +9,26 @@ conventions). Failures surface here before the grading driver runs.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 import duckdb
 import pandas as pd
 
 from .tables import TABLE_NAMES
+
+_CTE_HEAD = re.compile(r"\b(\w+) AS \(SELECT")
+
+
+def materialize_ctes(sql: str) -> str:
+    """Pin every CTE in ``sql`` as MATERIALIZED. DuckDB re-evaluates a
+    non-materialized CTE at every reference; inside a WITH RECURSIVE
+    iteration that turns an O(1)-pass base relation into O(iterations)
+    full re-scans (measured 11.6 s → 0.8 s on ts_holt_linear at sf0.1,
+    ~5 s → <1 s on each label-propagation oracle). Values are
+    unchanged — materialization is a physical hint (verified per key
+    before adoption)."""
+    return _CTE_HEAD.sub(lambda m: f"{m.group(1)} AS MATERIALIZED (SELECT", sql)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
