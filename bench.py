@@ -158,6 +158,14 @@ def naive_bayes(spark, sf_dir):
     return llm._q_naive_bayes(spark, sf_dir)
 
 
+def simsearch_pq_stored(spark, sf_dir):
+    """PQ search over the stored index (build untimed in main(), like
+    the bucketed-layout setup — index-build-class work)."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    return llm._q_simsearch_pq_stored(spark, sf_dir)
+
+
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
@@ -168,6 +176,7 @@ BENCH_QUERIES = {
     "simsearch_cosine_topk": simsearch_full_gemm,
     "minhash_dedup_5k_docs": minhash_dedup,
     "naive_bayes_langid": naive_bayes,
+    "simsearch_pq_stored": simsearch_pq_stored,
     "str_window_session": streaming_batch._q_window_session,
 }
 
@@ -175,7 +184,7 @@ BENCH_QUERIES = {
 #: not the flat-scan baseline the suite total is compared against —
 #: keep it out of the headline sum so totals stay comparable across
 #: rounds (r01-r03 artifacts predate it).
-EXTRA_QUERIES = {"rel_join_broadcast_q3_bucketed"}
+EXTRA_QUERIES = {"rel_join_broadcast_q3_bucketed", "simsearch_pq_stored"}
 
 
 #: Idle gate (VERDICT r04 #1 — BENCH_r04 ran at external load1 7.7-12.8
@@ -217,6 +226,9 @@ def main() -> None:
     # warm the JVM/scan paths once so per-query timings measure the query
     tables.table(spark, sf_dir, "lineitem").count()
     setup_bucketed(spark, sf_dir)  # untimed: index-build-class setup
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    llm._pq_store(spark, sf_dir)  # untimed: PQ index build (stored-index row)
 
     # measurement provenance (VERDICT r03 #4/#6): every run of every
     # query is recorded, with the 1-minute load average alongside —

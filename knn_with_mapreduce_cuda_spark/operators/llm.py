@@ -1732,6 +1732,26 @@ def _pq_stored_dir(sf_dir: str) -> str:
     return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/pq"
 
 
+def _pq_stored_layout_stale(d: str) -> bool:
+    """True when on-disk artifacts don't match the current PQ layout
+    (codes columns tid,c0..c{NSUB-1}; codebook columns s,pos,csub)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    try:
+        codes_f = glob.glob(f"{d}/codes.parquet/*.parquet")
+        cb_f = glob.glob(f"{d}/codebook.parquet/*.parquet")
+        if not codes_f or not cb_f:
+            return True
+        codes_cols = set(pq_.ParquetFile(codes_f[0]).schema_arrow.names)
+        cb_cols = set(pq_.ParquetFile(cb_f[0]).schema_arrow.names)
+    except Exception:
+        return True
+    want = {"tid"} | {f"c{s}" for s in range(PQ_NSUB)}
+    return codes_cols != want or cb_cols != {"s", "pos", "csub"}
+
+
 def _pq_store(spark, sf_dir) -> str:
     """Index build (run once, then reused across queries AND sessions):
     persist the PQ code table and the trained codebooks to scratch
@@ -1752,6 +1772,13 @@ def _pq_store(spark, sf_dir) -> str:
     done = all(
         os.path.exists(f"{d}/{a}/_SUCCESS") for a in ("codes.parquet", "codebook.parquet")
     )
+    if done and _pq_stored_layout_stale(d):
+        # artifacts written by an older PQ layout (different NSUB / a
+        # schema change): rebuild rather than serve a mismatched index
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        done = False
     if not done:
         model = _pq_fit(spark, sf_dir)
         iv = _pq_iv(tables.embeddings(spark, sf_dir))
