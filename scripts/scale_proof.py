@@ -441,6 +441,116 @@ def ann_stress(spark) -> dict:
     return out
 
 
+SCRATCH_SKETCH = os.environ.get("SCALE_SCRATCH_SKETCH", "/tmp/spark_graft_scale_sketch")
+DOC_FACTOR = int(os.environ.get("DOC_FACTOR", "60"))
+
+
+def amplify_documents(spark) -> int:
+    """DOC_FACTOR× copies of documents with shifted doc_ids and a
+    per-replica marker token appended, so the vocabulary grows with the
+    corpus (Heaps-ish) instead of 60-way exact clones."""
+    tables.invalidate_caches(SCRATCH_SKETCH)
+    shutil.rmtree(SCRATCH_SKETCH, ignore_errors=True)
+    os.makedirs(SCRATCH_SKETCH)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+    rep = spark.range(DOC_FACTOR).select(col("id").alias("_r"))
+    tail = F.concat(lit(" rep"), col("_r").cast("string"))
+    amp = d.crossJoin(rep).select(
+        (col("doc_id") + col("_r") * n).alias("doc_id"),
+        F.concat(col("text"), tail).alias("text"),
+        "lang",
+        "source",
+        (col("n_chars") + F.length(tail)).alias("n_chars"),
+    )
+    _write(amp, "doc_id", f"{SCRATCH_SKETCH}/documents.parquet")
+    return n * DOC_FACTOR
+
+
+def sketch_stress(spark) -> dict:
+    """Round 5 (VERDICT r04 #2): exercise the CMS and bloom at a corpus
+    where the capped/shuffle regimes BIND — the fixture scales only
+    ever see the broadcast regime, so this is the only place the 100 TB
+    join path actually runs. Checks, per sketch: the width/regime the
+    driver-side rule picks, the physical join in the live plan, the
+    correctness invariants (est>=exact / no false negatives), the
+    error actually measured vs the bound, and the wall."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    def load():
+        return round(os.getloadavg()[0], 1)
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    n_docs = amplify_documents(spark)
+    out = {"n_docs": n_docs, "doc_factor": DOC_FACTOR}
+
+    # --- CMS at the cap ---
+    w = llm._cms_width(n_docs)
+    assert w == llm.CMS_W_CAP, (w, n_docs)
+    assert not llm._cms_use_broadcast(w)
+    df = llm._q_heavy_hitters_cms(spark, SCRATCH_SKETCH)
+    plan = plan_of(df)
+    cells_shuffle_join = ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    t0 = time.perf_counter()
+    rows = df.collect()
+    cms_wall = round(time.perf_counter() - t0, 3)
+    l1 = (
+        llm._tokens(spark, SCRATCH_SKETCH)
+        .select(F.explode("ts").alias("t"))
+        .count()
+    )
+    overcounts = [r.est_c - r.exact_c for r in rows]
+    out["cms"] = {
+        "width": w,
+        "capped": True,
+        "cells_join_is_shuffle": cells_shuffle_join,
+        "wall_s": cms_wall,
+        "rows": len(rows),
+        "est_ge_exact": all(r.est_c >= r.exact_c for r in rows),
+        "l1_tokens": l1,
+        "mean_overcount": round(sum(overcounts) / len(overcounts), 1),
+        "bound_l1_over_w": round(l1 / w, 1),
+        "max_overcount_vs_top20_count": round(
+            max(overcounts) / min(r.exact_c for r in rows), 6
+        ),
+        "load1": load(),
+    }
+    assert out["cms"]["est_ge_exact"]
+    assert cells_shuffle_join, "capped CMS grid must not broadcast"
+
+    # --- bloom past the broadcast bound ---
+    assert not llm._bloom_use_broadcast(n_docs)
+    bdf = llm._q_dedup_bloom(spark, SCRATCH_SKETCH)
+    bplan = plan_of(bdf)
+    bloom_shuffle_semi = "BroadcastHashJoin LeftSemi" not in bplan
+    t0 = time.perf_counter()
+    verdicts = bdf.collect()
+    bloom_wall = round(time.perf_counter() - t0, 3)
+    fn = sum(1 for r in verdicts if r.exact_dup == 1 and r.bloom_hit == 0)
+    probes = [r for r in verdicts if r.exact_dup == 0]
+    fp = sum(r.bloom_hit for r in probes)
+    import math
+
+    bound = (1 - math.exp(-0.5 / llm.BLOOM_M_PER_ROW)) ** llm.BLOOM_K
+    out["bloom"] = {
+        "m": llm.BLOOM_M_PER_ROW * n_docs,
+        "probe_join_is_shuffle": bloom_shuffle_semi,
+        "wall_s": bloom_wall,
+        "verdicts": len(verdicts),
+        "false_negatives": fn,
+        "fp_rate": round(fp / max(len(probes), 1), 6),
+        "fp_bound_theory": round(bound, 6),
+        "load1": load(),
+    }
+    assert fn == 0, "bloom must never miss a member"
+    assert bloom_shuffle_semi, "over-bound bloom must not broadcast"
+    return out
+
+
 def main() -> None:
     from bench import q3_shape  # the graded bench shape, reduce-first
 
@@ -449,6 +559,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if os.environ.get("SCALE_ANN"):
         print(json.dumps({"ann_stress": ann_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_SKETCH"):
+        print(json.dumps({"sketch_stress": sketch_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
