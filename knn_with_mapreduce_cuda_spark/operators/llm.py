@@ -1866,6 +1866,111 @@ def _q_simsearch_pq_stored(spark, sf_dir, qmod: int = 50):
     return _pq_rerank(e, short, qmod, PQ_TOPK)
 
 
+def _ivfpq_stored_dir(sf_dir: str) -> str:
+    return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/ivfpq"
+
+
+def _ivfpq_store(spark, sf_dir) -> str:
+    """IVF-PQ index build, persisted CELL-PARTITIONED (run once): every
+    vector's PQ codes land under ``codes.parquet/cid=<cell>/`` — the
+    physical layout the llm_simsearch_ivfpq docstring promises at
+    100 TB, where a probe reads n_probe/k_cells of the files via
+    partition pruning. The codebook artifact is shared with the flat
+    stored-PQ index (same trained model)."""
+    import os
+
+    d = _ivfpq_stored_dir(sf_dir)
+    memo_key = (sf_dir.rstrip("/"), "ivfpq_stored")
+    if _PQ_STORED_MEMO.get(spark, memo_key) is not None:
+        return d
+    if not os.path.exists(f"{d}/codes.parquet/_SUCCESS"):
+        e = tables.embeddings(spark, sf_dir)
+        cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+            col("vec_id").alias("cid"), col("emb").alias("cemb")
+        )
+        ac = (
+            e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
+            .join(F.broadcast(cents))
+            .withColumn("cdist", euclidean("vemb", "cemb"))
+        )
+        wa = Window.partitionBy("vid").orderBy("cdist", "cid")
+        assign = (
+            ac.withColumn("rn", F.row_number().over(wa))
+            .filter(col("rn") == 1)
+            .select(col("vid").alias("tid"), "cid")
+        )
+        model = _pq_fit(spark, sf_dir)
+        enc, _ = _pq_encode(spark, _pq_iv(e), model)
+        (
+            enc.join(assign, "tid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{d}/codes.parquet")
+        )
+    _pq_store(spark, sf_dir)  # shared codebook artifact
+    _PQ_STORED_MEMO.put(spark, memo_key, d)
+    return d
+
+
+def _q_simsearch_ivfpq_stored(spark, sf_dir, qmod: int = 50):
+    """IVF-PQ search against the STORED cell-partitioned index: the
+    probe list (each query's IVFPQ_NPROBE nearest cells — |Q| x
+    n_probe rows, driver-sized like the query set itself) turns into a
+    LITERAL cell filter on the code scan, so Catalyst prunes unprobed
+    ``cid=`` partitions at planning time (PartitionFilters in the
+    plan) — the stored-layout realization of "a probe reads
+    n_probe/k_cells of the files". ADC then ranks survivors from the
+    8-byte stored codes (broadcast LUT from the stored codebook, no
+    re-fit) and the shortlist gets the exact rerank. The DuckDB oracle
+    reads the SAME hive-partitioned artifacts, so the key is
+    hash-graded; results are unit-pinned equal to the self-contained
+    llm_simsearch_ivfpq."""
+    d = _ivfpq_store(spark, sf_dir)
+    e = tables.embeddings(spark, sf_dir)
+    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        col("vec_id").alias("cid"), col("emb").alias("cemb")
+    )
+    qs = e.filter(col("vec_id") % qmod == 0).select(
+        col("vec_id").alias("qid"), col("emb").alias("qemb")
+    )
+    qc = qs.join(F.broadcast(cents)).withColumn("cdist", euclidean("qemb", "cemb"))
+    wq = Window.partitionBy("qid").orderBy("cdist", "cid")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(col("rn") <= IVFPQ_NPROBE)
+        .select("qid", "cid")
+    )
+    # |Q| x n_probe rows — the probe list is part of the query, and its
+    # distinct cells become a literal partition filter on the scan.
+    probe_rows = probes.collect()
+    probed_cells = sorted({r.cid for r in probe_rows})
+    model = _pq_stored_model(spark, sf_dir)
+    offs, acc = [], 0
+    for js, _ in model:
+        offs.append(acc)
+        acc += len(js)
+    codes = spark.read.parquet(f"{d}/codes.parquet").filter(
+        col("cid").isin(probed_cells)
+    )
+    lut = _pq_lut_df(spark, _pq_iv(e), model, qmod)
+    pdf = spark.createDataFrame(
+        [(r.qid, r.cid) for r in probe_rows], "qid long, cid long"
+    )
+    fanout = spark.sparkContext.defaultParallelism
+    scan = (
+        codes.repartition(fanout, col("tid"))
+        .join(F.broadcast(pdf), "cid")
+        .filter(col("qid") != col("tid"))
+        .join(F.broadcast(lut), "qid")
+        .withColumn("adc_q", _pq_adc_col(offs))
+    )
+    wadc = Window.partitionBy("qid").orderBy("adc_q", "tid")
+    short = scan.withColumn("crn", F.row_number().over(wadc)).filter(
+        col("crn") <= IVFPQ_CAND
+    )
+    return _pq_rerank(e, short, qmod, IVFPQ_TOPK)
+
+
 def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
     """IVF-PQ — the billion-scale ANN index layout: the IVF coarse
     quantizer (same fixed-id centroids as llm_simsearch_ivf) prunes the
@@ -2173,6 +2278,7 @@ QUERIES = {
     "llm_simsearch_pq": _q_simsearch_pq,
     "llm_simsearch_pq_stored": _q_simsearch_pq_stored,
     "llm_simsearch_ivfpq": _q_simsearch_ivfpq,
+    "llm_simsearch_ivfpq_stored": _q_simsearch_ivfpq_stored,
     "llm_simsearch_hamming": _q_simsearch_hamming,
     "llm_mix_budget": _q_mix_budget,
     "llm_heavy_hitters_cms": _q_heavy_hitters_cms,
@@ -2448,6 +2554,49 @@ ORACLE = {
         "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
         "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
         f"WHERE rnk <= {PQ_TOPK}"
+    ),
+    "llm_simsearch_ivfpq_stored": (
+        # reads the SAME cell-partitioned stored index the Spark query
+        # scans (hive-partitioned codes + shared codebook) and
+        # re-derives probes + ADC + rerank in SQL.
+        "WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0), "
+        "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
+        "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
+        f"cb AS (SELECT s, pos, csub FROM read_parquet("
+        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
+        f"codes AS (SELECT tid, "
+        + ", ".join(f"c{s}" for s in range(PQ_NSUB))
+        + ", CAST(cid AS BIGINT) AS cid FROM read_parquet("
+        f"'{PQ_STORED_ROOT}{{SF_DIR}}/ivfpq/codes.parquet/*/*.parquet', "
+        "hive_partitioning = 1)), "
+        "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb0 WHERE vec_id IN ("
+        + ", ".join(str(i) for i in IVF_CENTROID_IDS)
+        + ")), "
+        "probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_distance(q.emb, c.cemb), c.cid) AS rn FROM emb0 q, cents c "
+        f"WHERE q.vec_id % 50 = 0) WHERE rn <= {IVFPQ_NPROBE}), "
+        "enc AS (SELECT tid, cid, t.j AS s, CASE t.j "
+        + " ".join(f"WHEN {s} THEN c{s}" for s in range(PQ_NSUB))
+        + " END AS code FROM codes, range(8) t(j)), "
+        "lut AS (SELECT b.vec_id AS qid, b.s, c.pos AS code, "
+        + _PQ_IDIST.format(a="b.sub", b="c.csub")
+        + " AS dq FROM sub b JOIN cb c ON b.s = c.s WHERE b.vec_id % 50 = 0), "
+        "adc AS (SELECT p.qid, e.tid, CAST(sum(l.dq) AS BIGINT) AS adc_q "
+        "FROM enc e JOIN probes p ON e.cid = p.cid "
+        "JOIN lut l ON l.qid = p.qid AND l.s = e.s AND l.code = e.code "
+        "WHERE p.qid <> e.tid GROUP BY p.qid, e.tid), "
+        "short AS (SELECT qid, tid, adc_q FROM adc QUALIFY row_number() OVER "
+        f"(PARTITION BY qid ORDER BY adc_q, tid) <= {IVFPQ_CAND}), "
+        "rer AS (SELECT s.qid, s.tid, s.adc_q, list_distance(q.emb, t.emb) AS dist "
+        "FROM short s JOIN emb0 q ON s.qid = q.vec_id "
+        "JOIN emb0 t ON s.tid = t.vec_id) "
+        "SELECT qid, tid, rnk, adc_q, round(dist, 4) AS dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rnk FROM rer) "
+        f"WHERE rnk <= {IVFPQ_TOPK}"
     ),
     "llm_simsearch_ivfpq": (
         f"WITH {_pq_oracle_ctes()}, "

@@ -733,6 +733,27 @@ def test_pq_stored_matches_inline(spark):
     assert got_reuse == want
 
 
+def test_ivfpq_stored_matches_inline(spark):
+    """The cell-partitioned stored index must return exactly the
+    self-contained llm_simsearch_ivfpq result — same centroids, same
+    trained model, same probe rule — on a fresh build and on reuse."""
+    import shutil
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _ivfpq_stored_dir,
+        _q_simsearch_ivfpq,
+        _q_simsearch_ivfpq_stored,
+    )
+
+    shutil.rmtree(_ivfpq_stored_dir(SF_SMOKE), ignore_errors=True)
+    tables.invalidate_caches(SF_SMOKE)
+    want = sorted(map(tuple, _q_simsearch_ivfpq(spark, SF_SMOKE).collect()))
+    got = sorted(map(tuple, _q_simsearch_ivfpq_stored(spark, SF_SMOKE).collect()))
+    assert got == want
+    again = sorted(map(tuple, _q_simsearch_ivfpq_stored(spark, SF_SMOKE).collect()))
+    assert again == want
+
+
 def test_hamming_search_matches_numpy(spark):
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         HAM_CAND,

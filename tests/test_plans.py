@@ -454,6 +454,22 @@ def test_pq_adc_plan_no_cartesian(spark):
         assert "WindowGroupLimit" in plan, plan
 
 
+def test_ivfpq_stored_scan_partition_pruned(spark):
+    """The stored IVF-PQ code scan carries the probe cells as a
+    LITERAL partition filter, so Catalyst prunes unprobed cid=
+    directories at planning time — the stored-layout realization of
+    'a probe reads n_probe/k_cells of the files'."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _q_simsearch_ivfpq_stored,
+    )
+
+    plan = _plan(_q_simsearch_ivfpq_stored(spark, SF_SMOKE))
+    assert "PartitionFilters: [cid" in plan, plan
+    assert "hashpartitioning(tid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_cms_join_regime_switches_on_width(spark):
     """VERDICT r04: the CMS cells grid must not be FORCE-broadcast.
     Below CMS_BROADCAST_CELLS the estimate join carries the broadcast
