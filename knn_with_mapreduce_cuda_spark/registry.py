@@ -68,8 +68,8 @@ SURVEY_QKEYS = [
 #: the kNN pair tier, the rest of the graph tier, multi-stage ML, and
 #: the ts/str heavies. Displaced keys keep their r01–r04 rows.
 _ROTATE_FRONT = [
-    # new this round — the stored-index ANN path
-    "llm_simsearch_pq_stored",
+    # new this round — the stored-index ANN paths (flat + cell-partitioned)
+    "llm_simsearch_pq_stored", "llm_simsearch_ivfpq_stored",
     # prefix-scan consumers, never driver-graded, re-sliced this round
     "ml_gains_table", "ts_drawdown", "ts_max_drawdown",
     "ts_merge_intervals", "str_rfm_segments", "graph_edge_length_stats",
@@ -91,9 +91,10 @@ _ROTATE_FRONT = [
     # time-series heavies
     "ts_backtest_snaive", "ts_cross_correlation", "ts_acf_significance",
     "ts_pacf_2", "ts_spectral_entropy", "ts_sax_symbols", "ts_rle_sax",
-    # behavioral/stream heavies
+    # behavioral/stream heavies (str_churn_labels displaced to r06 by
+    # the second new stored-index key — window stays exactly 50)
     "str_cohort_ltv", "str_pattern_match_seq", "str_time_to_convert",
-    "str_user_temporal_entropy", "str_churn_labels",
+    "str_user_temporal_entropy",
 ]
 
 
