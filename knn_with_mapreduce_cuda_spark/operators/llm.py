@@ -424,8 +424,13 @@ def _q_simsearch_topk(spark, sf_dir):
         col("vec_id").alias("qid"), col("emb").alias("qemb")
     )
     t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
-    pairs = t.join(F.broadcast(q), col("qid") != col("tid")).withColumn(
-        "cos", cosine("qemb", "temb")
+    # BNLJ fan-out rule (knn.all_pairs): parallelism = streamed-side
+    # partitions, so spread the corpus before the quadratic cosine fold
+    fanout = spark.sparkContext.defaultParallelism
+    pairs = (
+        t.repartition(fanout, col("tid"))
+        .join(F.broadcast(q), col("qid") != col("tid"))
+        .withColumn("cos", cosine("qemb", "temb"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "tid")
     return (
@@ -2056,12 +2061,19 @@ def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
         pack(0).alias("qh1"),
         pack(32).alias("qh2"),
     )
-    scan = sketch.join(F.broadcast(q), col("qid") != col("tid")).withColumn(
-        "ham",
-        (
-            F.bit_count(col("h1").bitwiseXOR(col("qh1")))
-            + F.bit_count(col("h2").bitwiseXOR(col("qh2")))
-        ).cast("long"),
+    # BNLJ fan-out rule (knn.all_pairs): spread the sketch scan so a
+    # one-file fixture never runs the n x |Q| XOR fold in a single task
+    fanout = spark.sparkContext.defaultParallelism
+    scan = (
+        sketch.repartition(fanout, col("tid"))
+        .join(F.broadcast(q), col("qid") != col("tid"))
+        .withColumn(
+            "ham",
+            (
+                F.bit_count(col("h1").bitwiseXOR(col("qh1")))
+                + F.bit_count(col("h2").bitwiseXOR(col("qh2")))
+            ).cast("long"),
+        )
     )
     wc = Window.partitionBy("qid").orderBy("ham", "tid")
     cand = scan.withColumn("crn", F.row_number().over(wc)).filter(
