@@ -1724,11 +1724,39 @@ def _q_simsearch_pq(spark, sf_dir, qmod: int = 50):
     return _pq_rerank(e, short, qmod, PQ_TOPK)
 
 
+def _scratch_root() -> str:
+    """User-scoped scratch root for the stored-index artifacts (ADVICE
+    r05: the old fixed world-writable ``/tmp/spark_graft_scratch`` could
+    be pre-created or left over by another user, and whatever sat there
+    was trusted — and rmtree'd — by the staleness guards). Resolution:
+    ``$SPARK_GRAFT_SCRATCH`` (repo-configured) else
+    ``$XDG_CACHE_HOME/spark_graft_scratch`` else
+    ``~/.cache/spark_graft_scratch``. Created 0o700; reuse and deletion
+    both require current-uid ownership, so a foreign directory is an
+    error, never a trusted index."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not base:
+        cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+        base = os.path.join(cache, "spark_graft_scratch")
+    base = os.path.abspath(base)
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"scratch root {base} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to reuse or delete foreign artifacts"
+        )
+    return base
+
+
 #: stored-PQ scratch root: the index artifacts for fixture directory D
 #: live under PQ_STORED_ROOT + D (D is absolute, so the layout nests) —
 #: a deterministic path both the Spark query and the DuckDB oracle
-#: (via the {SF_DIR} placeholder) resolve identically.
-PQ_STORED_ROOT = "/tmp/spark_graft_scratch"
+#: (via the {SF_DIR} placeholder) resolve identically in every process
+#: of the same user.
+PQ_STORED_ROOT = _scratch_root()
 
 _PQ_STORED_MEMO = tables.SessionMemo()
 
@@ -1875,6 +1903,28 @@ def _ivfpq_stored_dir(sf_dir: str) -> str:
     return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/ivfpq"
 
 
+def _ivfpq_stored_layout_stale(d: str) -> bool:
+    """True when the cell-partitioned codes don't match the current PQ
+    layout — file columns tid,c0..c{NSUB-1} with cid as the hive
+    partition directory (ADVICE r05: without this guard a PQ_NSUB or
+    schema change rebuilt the shared codebook via _pq_store's guard but
+    kept serving the old cid-partitioned codes, silently mismatching
+    codes/codebook — and the oracle reads the same stale artifacts, so
+    hash-grading would agree with the corruption)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    try:
+        codes_f = glob.glob(f"{d}/codes.parquet/cid=*/*.parquet")
+        if not codes_f:
+            return True
+        codes_cols = set(pq_.ParquetFile(codes_f[0]).schema_arrow.names)
+    except Exception:
+        return True
+    return codes_cols != {"tid"} | {f"c{s}" for s in range(PQ_NSUB)}
+
+
 def _ivfpq_store(spark, sf_dir) -> str:
     """IVF-PQ index build, persisted CELL-PARTITIONED (run once): every
     vector's PQ codes land under ``codes.parquet/cid=<cell>/`` — the
@@ -1888,7 +1938,15 @@ def _ivfpq_store(spark, sf_dir) -> str:
     memo_key = (sf_dir.rstrip("/"), "ivfpq_stored")
     if _PQ_STORED_MEMO.get(spark, memo_key) is not None:
         return d
-    if not os.path.exists(f"{d}/codes.parquet/_SUCCESS"):
+    done = os.path.exists(f"{d}/codes.parquet/_SUCCESS")
+    if done and _ivfpq_stored_layout_stale(d):
+        # artifacts written by an older PQ layout: rebuild rather than
+        # serve codes that mismatch the (guarded, shared) codebook
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        done = False
+    if not done:
         e = tables.embeddings(spark, sf_dir)
         cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
             col("vec_id").alias("cid"), col("emb").alias("cemb")
@@ -1945,10 +2003,15 @@ def _q_simsearch_ivfpq_stored(spark, sf_dir, qmod: int = 50):
         .filter(col("rn") <= IVFPQ_NPROBE)
         .select("qid", "cid")
     )
-    # |Q| x n_probe rows — the probe list is part of the query, and its
-    # distinct cells become a literal partition filter on the scan.
-    probe_rows = probes.collect()
-    probed_cells = sorted({r.cid for r in probe_rows})
+    # Only the DISTINCT probed cells reach the driver — a list bounded
+    # by k_cells = |IVF_CENTROID_IDS| (a model constant), NOT by |Q|
+    # (VERDICT r05 #7: the old per-pair collect grew with the query
+    # batch). The cells become a literal partition filter on the scan
+    # (PartitionFilters at planning time); the per-query (qid, cid)
+    # probe pairs stay a distributed DataFrame and broadcast-join in.
+    probed_cells = sorted(
+        r.cid for r in probes.select("cid").distinct().collect()
+    )
     model = _pq_stored_model(spark, sf_dir)
     offs, acc = [], 0
     for js, _ in model:
@@ -1958,13 +2021,10 @@ def _q_simsearch_ivfpq_stored(spark, sf_dir, qmod: int = 50):
         col("cid").isin(probed_cells)
     )
     lut = _pq_lut_df(spark, _pq_iv(e), model, qmod)
-    pdf = spark.createDataFrame(
-        [(r.qid, r.cid) for r in probe_rows], "qid long, cid long"
-    )
     fanout = spark.sparkContext.defaultParallelism
     scan = (
         codes.repartition(fanout, col("tid"))
-        .join(F.broadcast(pdf), "cid")
+        .join(F.broadcast(probes), "cid")
         .filter(col("qid") != col("tid"))
         .join(F.broadcast(lut), "qid")
         .withColumn("adc_q", _pq_adc_col(offs))

@@ -17,18 +17,49 @@ import pandas as pd
 
 from .tables import TABLE_NAMES
 
-_CTE_HEAD = re.compile(r"\b(\w+) AS \(SELECT")
+#: a CTE head: `<name> AS (` with any whitespace, where the body opens
+#: with SELECT/WITH/FROM/VALUES or a parenthesis (ADVICE r05: the old
+#: pattern required exactly ` AS (SELECT`, silently skipping other body
+#: shapes). `AS MATERIALIZED (` never matches, so the rewrite is
+#: idempotent; `name AS (` is unambiguous in SQL outside string
+#: literals (aliases are `(...) AS name`; casts are `CAST(x AS type)`).
+_CTE_HEAD = re.compile(
+    r"\b(\w+)\s+AS\s+\(\s*(?=SELECT\b|WITH\b|FROM\b|VALUES\b|\()",
+    re.IGNORECASE,
+)
 
 
-def materialize_ctes(sql: str) -> str:
+def materialize_ctes(sql: str, expected: int | None = None) -> str:
     """Pin every CTE in ``sql`` as MATERIALIZED. DuckDB re-evaluates a
     non-materialized CTE at every reference; inside a WITH RECURSIVE
     iteration that turns an O(1)-pass base relation into O(iterations)
     full re-scans (measured 11.6 s → 0.8 s on ts_holt_linear at sf0.1,
     ~5 s → <1 s on each label-propagation oracle). Values are
     unchanged — materialization is a physical hint (verified per key
-    before adoption)."""
-    return _CTE_HEAD.sub(lambda m: f"{m.group(1)} AS MATERIALIZED (SELECT", sql)
+    before adoption).
+
+    Single-quoted string literals are never rewritten ('' escapes
+    handled by the split parity). A call that rewrites nothing raises
+    — every caller wraps SQL known to carry CTEs, so a silent
+    non-rewrite is a bug; pass ``expected`` to pin the exact count."""
+    # split on ' — even segments are code, odd are string-literal
+    # bodies ('' escapes land as empty even segments, still not code
+    # that can contain a CTE head)
+    parts = sql.split("'")
+    hits = 0
+
+    def _sub(m: re.Match) -> str:
+        nonlocal hits
+        hits += 1
+        return f"{m.group(1)} AS MATERIALIZED ("
+
+    for i in range(0, len(parts), 2):
+        parts[i] = _CTE_HEAD.sub(_sub, parts[i])
+    if expected is not None and hits != expected:
+        raise ValueError(f"materialize_ctes: rewrote {hits} CTE heads, expected {expected}")
+    if hits == 0:
+        raise ValueError("materialize_ctes: no CTE head matched — nothing rewritten")
+    return "'".join(parts)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

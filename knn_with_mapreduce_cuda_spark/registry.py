@@ -59,43 +59,57 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-5 rotation window (VERDICT r04 "Next round" #3): union of
-#: driver-green keys after r04 is 177/366, zero red rows, zero overlap
-#: wasted. This round fronts (a) the NEW stored-index PQ key plus the
-#: never-graded keys whose implementation the round-5 prefix-scan /
-#: sketch changes touched (they must earn their first driver row on
-#: the new code), then (b) the heaviest remaining never-graded keys:
-#: the kNN pair tier, the rest of the graph tier, multi-stage ML, and
-#: the ts/str heavies. Displaced keys keep their r01–r04 rows.
+#: Round-6 rotation window (VERDICT r05 "Next round" #1): union of
+#: driver-green keys after r05 is 227/368, zero red rows ever. This
+#: window fronts 50 never-driver-graded keys — the judge-named set
+#: (str_churn_labels displaced from r05, the multimodal trio,
+#: llm_embed_quantize, rel_agg_sketch_hll, rel_join_range_bucket,
+#: llm_text_cooccur) plus the heaviest remaining extras by tier (kNN
+#: distance variants, UDF surface extras, rel/ts/str/ml leftovers).
+#: Displaced keys keep their r01–r05 rows; 91 never-graded keys remain
+#: after this round (~2 more windows).
 _ROTATE_FRONT = [
-    # new this round — the stored-index ANN paths (flat + cell-partitioned)
-    "llm_simsearch_pq_stored", "llm_simsearch_ivfpq_stored",
-    # prefix-scan consumers, never driver-graded, re-sliced this round
-    "ml_gains_table", "ts_drawdown", "ts_max_drawdown",
-    "ts_merge_intervals", "str_rfm_segments", "graph_edge_length_stats",
-    "ml_gini_user_activity", "graph_degree_gini", "str_power_users_pareto",
-    "llm_vocab_coverage", "llm_zipf_slope", "ts_interp_linear",
-    # kNN pair tier (BNLJ fan-out territory)
-    "knn_radius", "knn_radius_pivot", "knn_mutual", "knn_k_sweep",
-    "knn_predict_proba", "knn_kth_dist", "knn_centroid",
-    "knn_classify_weighted",
-    # remaining graph tier
-    "graph_reciprocity", "graph_transitivity", "graph_component_sizes",
-    "graph_linkpred_jaccard", "graph_assortativity",
-    "graph_degree_entropy", "graph_summary_stats",
-    # multi-stage ML heavies
-    "ml_kmeans_inertia", "ml_kaplan_meier", "ml_learning_curve",
-    "ml_ndcg_at10", "ml_cluster_purity_nmi", "ml_embed_drift_ks",
-    "ml_ivf_recall_at10", "ml_spearman_rho", "ml_kendall_tau",
-    "ml_markov_transitions",
+    # judge-named (VERDICT r05 #1)
+    "str_churn_labels", "llm_multimodal_features",
+    "llm_multimodal_framesample", "llm_multimodal_resize",
+    "llm_embed_quantize", "rel_agg_sketch_hll", "rel_join_range_bucket",
+    "llm_text_cooccur",
+    # kNN distance/normalize variants
+    "knn_normalize_unit", "knn_dist_chebyshev", "knn_dist_minkowski",
+    "knn_dist_hamming", "knn_dist_dot", "knn_dist_seuclidean",
+    # UDF surface extras
+    "udf_arrow_scalar", "udf_pandas_iter", "udf_apply_arrow",
+    "udf_grouped_map",
+    # LLM text extras
+    "llm_text_ngram_char", "llm_normalize_text", "llm_split_stratified",
+    "llm_mix_temperature",
+    # relational heavies (rel_unpivot / rel_fn_math2 are the sweep-tail
+    # keys — 0.6–1.8 M-row outputs, the comparator-profiling targets)
+    "rel_window_percentiles", "rel_string_agg", "rel_agg_percentile",
+    "rel_fn_bitwise", "rel_unpivot", "rel_fn_string2", "rel_fn_math2",
+    "rel_agg_stats", "rel_agg_collect", "rel_fn_date2",
+    "rel_window_range_interval", "rel_gen_range", "rel_window_cume",
+    "rel_fn_format",
     # time-series heavies
-    "ts_backtest_snaive", "ts_cross_correlation", "ts_acf_significance",
-    "ts_pacf_2", "ts_spectral_entropy", "ts_sax_symbols", "ts_rle_sax",
-    # behavioral/stream heavies (str_churn_labels displaced to r06 by
-    # the second new stored-index key — window stays exactly 50)
-    "str_cohort_ltv", "str_pattern_match_seq", "str_time_to_convert",
-    "str_user_temporal_entropy",
+    "ts_gaps_islands", "ts_ewma", "ts_seasonal_profile",
+    "ts_anomaly_rolling_z", "ts_downsample_minmax", "ts_mad_outliers",
+    "ts_ohlc", "ts_fano_burstiness",
+    # behavioral/stream heavies
+    "str_window_distinct", "str_session_stats", "str_rolling_active",
+    "str_arrival_iat_stats",
+    # ML metrics
+    "ml_precision_recall", "ml_ttest_welch",
 ]
+
+#: Keys deliberately re-fronted after an output-changing edit (ADVICE
+#: r05 #4): each entry re-earns a driver row on the new output, so the
+#: rotation-policy test allows exactly these to overlap prior
+#: CORRECTNESS_r*.json artifacts. Empty this round: the NPROBE 2→3
+#: change to llm_simsearch_ivfpq is re-graded transitively — its
+#: stored twin llm_simsearch_ivfpq_stored earned a driver r05 row on
+#: the NPROBE=3 output and tests/test_new_ops.py::
+#: test_ivfpq_stored_matches_inline pins the two bit-equal.
+_RE_EARNED: list[str] = []
 
 
 def _collect(attr: str) -> dict:

@@ -36,14 +36,19 @@ def test_doc_counts_match_registry():
 
 def test_rotation_window_policy():
     """The driver grades the first 50 registry keys. The rotation
-    policy (VERDICT r04 #3): the window holds EXACTLY 50 keys, every
-    one registered, and none carrying a driver row from a previous
-    round — a repeated key wastes a grading slot. Reads the recorded
-    CORRECTNESS_r*.json artifacts, so the check tightens itself as
-    rounds accumulate."""
+    policy (VERDICT r04 #3, tightened per ADVICE r05 #4): the window
+    holds EXACTLY 50 keys, every one registered, and none carrying a
+    driver row from a previous round — a repeated key wastes a grading
+    slot — EXCEPT keys listed in registry._RE_EARNED (deliberate
+    re-grades after an output-changing edit). The current round's own
+    artifact is identified by round NUMBER (the max-r file, and only
+    when its key set is exactly this window — i.e. it IS this
+    rotation's grading), not by an overlap fraction that would mask
+    genuine 25+-key repeats."""
     import glob
     import json
     import os
+    import re
 
     from knn_with_mapreduce_cuda_spark import registry
 
@@ -52,19 +57,25 @@ def test_rotation_window_policy():
     assert len(front) == 50
     assert set(front) <= set(qs)
     assert list(qs)[:50] == front  # the window IS the registry prefix
+    assert set(registry._RE_EARNED) <= set(front)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    graded: set[str] = set()
+    artifacts: dict[int, set[str]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
-            keys = set(json.load(open(path)))
+            artifacts[int(m.group(1))] = set(json.load(open(path)))
         except Exception:
             continue
-        if len(keys & set(front)) >= len(front) // 2:
-            # this artifact IS (mostly) the current window's own grading
-            # — the driver ran on this rotation; not a wasted repeat.
-            continue
-        graded |= keys
-    overlap = [k for k in front if k in graded]
+    if artifacts:
+        latest = max(artifacts)
+        if artifacts[latest] == set(front):
+            # the max-round artifact IS this window's own grading run —
+            # the one legitimate full overlap; everything older counts.
+            del artifacts[latest]
+    graded: set[str] = set().union(*artifacts.values()) if artifacts else set()
+    overlap = [k for k in front if k in graded and k not in registry._RE_EARNED]
     assert overlap == [], f"window repeats driver-graded keys: {overlap}"
 
 

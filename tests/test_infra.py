@@ -103,3 +103,33 @@ def test_knn_self_join_memo_and_invalidate(spark):
     assert knn_self_join(spark, SF_SMOKE, 3) is not e1  # k is part of the key
     tables.invalidate_caches(SF_SMOKE)
     assert knn_self_join(spark, SF_SMOKE, 5) is not e1  # dropped with the dir
+
+
+def test_materialize_ctes_contract():
+    """ADVICE r05: the CTE pin tolerates whitespace / non-SELECT bodies,
+    skips string literals, is idempotent-guarded, and fails loudly on a
+    silent non-rewrite or an unexpected substitution count."""
+    import pytest
+
+    from knn_with_mapreduce_cuda_spark.oracle import materialize_ctes
+
+    assert (
+        materialize_ctes("WITH a AS (SELECT 1) SELECT * FROM a")
+        == "WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a"
+    )
+    # whitespace + lowercase + paren-opening body all rewrite
+    out = materialize_ctes(
+        "WITH a AS\n (\n select 1), b AS ((SELECT 2) UNION ALL (SELECT 3)) "
+        "SELECT 'x AS (SELECT' FROM a, b", expected=2
+    )
+    assert out.count("MATERIALIZED") == 2
+    assert "'x AS (SELECT'" in out  # string literal untouched
+    # a window definition is NOT a CTE head
+    with pytest.raises(ValueError, match="no CTE head"):
+        materialize_ctes("SELECT sum(x) OVER w FROM t WINDOW w AS (ORDER BY x)")
+    with pytest.raises(ValueError, match="expected 2"):
+        materialize_ctes("WITH a AS (SELECT 1) SELECT 1", expected=2)
+    # already-pinned SQL has no bare heads left -> loud, not silent
+    pinned = materialize_ctes("WITH a AS (SELECT 1) SELECT 1")
+    with pytest.raises(ValueError, match="no CTE head"):
+        materialize_ctes(pinned)

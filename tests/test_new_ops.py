@@ -754,6 +754,80 @@ def test_ivfpq_stored_matches_inline(spark):
     assert again == want
 
 
+def test_ivfpq_stored_stale_layout_rebuilds(spark):
+    """ADVICE r05 (medium): a stored cell-partitioned index whose code
+    schema predates the current PQ layout must be detected and rebuilt,
+    not served against the (separately guarded) shared codebook — a
+    silent mismatch would hash-grade green because the oracle reads the
+    same stale artifacts."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _ivfpq_store,
+        _ivfpq_stored_dir,
+        _ivfpq_stored_layout_stale,
+        _q_simsearch_ivfpq,
+        _q_simsearch_ivfpq_stored,
+    )
+
+    shutil.rmtree(_ivfpq_stored_dir(SF_SMOKE), ignore_errors=True)
+    tables.invalidate_caches(SF_SMOKE)
+    d = _ivfpq_store(spark, SF_SMOKE)
+    assert not _ivfpq_stored_layout_stale(d)
+    # sabotage: swap the cell files for an older layout (missing the
+    # sub-code columns) while keeping _SUCCESS — only the guard saves us
+    for f in glob.glob(f"{d}/codes.parquet/cid=*/*.parquet"):
+        os.remove(f)
+    cell = glob.glob(f"{d}/codes.parquet/cid=*")[0]
+    pd.DataFrame({"tid": [0], "c0": [0]}).to_parquet(f"{cell}/part-0.parquet")
+    assert os.path.exists(f"{d}/codes.parquet/_SUCCESS")
+    assert _ivfpq_stored_layout_stale(d)
+    tables.invalidate_caches(SF_SMOKE)
+    want = sorted(map(tuple, _q_simsearch_ivfpq(spark, SF_SMOKE).collect()))
+    got = sorted(map(tuple, _q_simsearch_ivfpq_stored(spark, SF_SMOKE).collect()))
+    assert got == want
+    assert not _ivfpq_stored_layout_stale(d)
+
+
+def test_scratch_root_env_override_and_mode(tmp_path, monkeypatch):
+    """ADVICE r05: the stored-index scratch root is user-scoped — env
+    override honored, created 0o700, owned by the current uid."""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    target = tmp_path / "scr"
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
+    root = llm._scratch_root()
+    assert root == str(target)
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o777) == 0o700
+
+
+def test_scratch_root_rejects_foreign_owner(tmp_path, monkeypatch):
+    """A scratch root owned by another uid must raise, never be trusted
+    as an index source or rmtree'd (requires root to simulate)."""
+    import os
+
+    import pytest
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    if os.getuid() != 0:
+        pytest.skip("needs root to chown a foreign-owner directory")
+    target = tmp_path / "foreign"
+    target.mkdir()
+    os.chown(target, 12345, 12345)
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
+    with pytest.raises(RuntimeError, match="owned by uid 12345"):
+        llm._scratch_root()
+
+
 def test_hamming_search_matches_numpy(spark):
     from knn_with_mapreduce_cuda_spark.operators.llm import (
         HAM_CAND,
