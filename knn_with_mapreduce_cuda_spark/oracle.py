@@ -113,11 +113,141 @@ class CompareResult:
     duck_rows: int = -1
 
 
+#: spark-side row count above which compare() tries the server-side
+#: fingerprint before the exact python canon+sort (which costs ~8 s/M
+#: rows — the r05 sweep tail: rel_unpivot 14.5 s, rel_fn_math 13.5 s
+#: of pure comparator on equal frames; VERDICT r05 #2).
+HASH_ROWS_MIN = 100_000
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_DUCK_RAW = {"VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+
+
+def _fingerprint_sql(cols: list[tuple[str, str]], rel: str) -> str:
+    """Order-insensitive multiset fingerprint of ``rel`` — count, sum and
+    bit_xor of per-row hashes over the name-sorted columns (ints pinned
+    to BIGINT, floats to DOUBLE so both sides hash identical types),
+    plus a per-float-column -0.0 count: DuckDB's hash() maps both zero
+    signs to 0, and this term restores the strictness the exact path's
+    repr() check has (SURVEY §7.2 normalizes -0.0 away, so the expected
+    count is zero on both sides; residual weakness — a -0.0 *placement*
+    swap inside otherwise-equal frames — is also invisible to
+    hash+counts, which is why audit_negzero.py stays in the round-close
+    gate). Float NaNs fold to NULL on BOTH sides: the exact path
+    already conflates null/NaN in float columns (Spark nulls arrive as
+    pandas NaN, DuckDB NULLs leave fetchdf as NaN, and registration
+    maps pandas NaN back to NULL), so the symmetric fold reproduces
+    exactly the comparison the exact path performs."""
+    terms, extras = [], []
+    for name, kind in cols:
+        qc = '"' + name.replace('"', '""') + '"'
+        if kind == "float":
+            cast = f"CAST({qc} AS DOUBLE)"
+            expr = f"(CASE WHEN isnan({cast}) THEN NULL ELSE {cast} END)"
+            extras.append(
+                f"count(CASE WHEN signbit({expr}) AND {expr} = 0 THEN 1 END)"
+            )
+        elif kind == "int":
+            expr = f"CAST({qc} AS BIGINT)"
+        else:
+            expr = qc
+        terms.append(expr)
+    row = f"hash(ROW({', '.join(terms)}))"
+    sel = [f"count(*)", f"sum(CAST({row} AS HUGEINT))", f"bit_xor({row})"]
+    return f"SELECT {', '.join(sel + extras)} FROM {rel}"
+
+
+def _duck_kind(duck_type: str) -> str | None:
+    t = duck_type.upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t in _DUCK_RAW:
+        return "raw"
+    return None  # unsupported for fingerprinting → exact path
+
+
+def _pandas_kind(series: pd.Series) -> str | None:
+    from pandas.api import types as pt
+
+    dt = series.dtype
+    if pt.is_bool_dtype(dt):
+        return "raw"
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_float_dtype(dt):
+        return "float"
+    if pt.is_datetime64_any_dtype(dt):
+        return "raw"
+    if dt == object:
+        # strings fingerprint as VARCHAR; anything else (lists, decimals,
+        # mixed) keeps the exact path
+        inferred = pt.infer_dtype(series, skipna=True)
+        return "raw" if inferred in ("string", "empty") else None
+    return None
+
+
+def _hash_compare(res: CompareResult, spdf: pd.DataFrame, sql: str, con) -> bool:
+    """Server-side fingerprint compare (VERDICT r05 #2): the oracle rows
+    never leave DuckDB (no fetchdf), the Spark frame is fingerprinted by
+    the SAME engine over a zero-copy registration, and only the
+    (count, sum-of-row-hashes, xor-of-row-hashes, float sign/NaN
+    counts) tuples are compared. Returns True when it settled the
+    comparison (res filled in); False → caller runs the exact path
+    (unsupported type, fingerprint error, or a mismatch that needs the
+    detailed diff)."""
+    cols = sorted(spdf.columns)
+    s_cols = []
+    for c in cols:
+        kind = _pandas_kind(spdf[c])
+        if kind is None:
+            return False
+        s_cols.append((c, kind))
+    try:
+        desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    except Exception:
+        return False  # let the exact path surface the real SQL error
+    d_kinds = {r[0]: _duck_kind(r[1]) for r in desc}
+    if sorted(d_kinds) != cols:
+        return False  # column mismatch → exact path reports it
+    d_cols = [(c, d_kinds[c]) for c in cols]
+    if any(k is None for _, k in d_cols):
+        return False
+    try:
+        con.register("__spark_fp", spdf)
+        try:
+            s_fp = con.execute(_fingerprint_sql(s_cols, "__spark_fp")).fetchone()
+        finally:
+            con.unregister("__spark_fp")
+        d_fp = con.execute(_fingerprint_sql(d_cols, f"({sql})")).fetchone()
+    except Exception:
+        return False
+    res.spark_rows, res.duck_rows = int(s_fp[0]), int(d_fp[0])
+    if s_fp[0] != d_fp[0]:
+        res.ok = False
+        res.detail = f"row count differs: spark={s_fp[0]} duck={d_fp[0]}"
+        return True
+    if s_fp != d_fp:
+        return False  # exact path produces the row-level diff
+    res.ok = True
+    return True
+
+
 def compare(name: str, spark_df, sql: str, con) -> CompareResult:
     try:
         spdf = spark_df.toPandas()
     except Exception as e:  # noqa: BLE001
         return CompareResult(name, False, f"spark error: {str(e)[:500]}")
+
+    res = CompareResult(name, True, "", len(spdf), -1)
+    if len(spdf) >= HASH_ROWS_MIN and _hash_compare(res, spdf, sql, con):
+        return res
+
     try:
         dpdf = con.execute(sql).fetchdf()
     except Exception as e:  # noqa: BLE001

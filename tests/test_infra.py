@@ -133,3 +133,76 @@ def test_materialize_ctes_contract():
     pinned = materialize_ctes("WITH a AS (SELECT 1) SELECT 1")
     with pytest.raises(ValueError, match="no CTE head"):
         materialize_ctes(pinned)
+
+
+def test_hash_compare_fingerprint_semantics():
+    """VERDICT r05 #2: the server-side fingerprint settles equal frames
+    without fetching oracle rows, refuses anything it can't hash
+    type-safely, and NEVER false-passes — value drift, -0.0 drift and
+    NaN drift all force the exact path (or an immediate red)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from knn_with_mapreduce_cuda_spark.oracle import CompareResult, _hash_compare
+
+    con = duckdb.connect()
+    n = 1000
+    base = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "v": np.arange(n, dtype=np.float64) / 7.0,
+            "s": [f"row-{i}" for i in range(n)],
+        }
+    )
+    con.register("base", base)
+
+    def run(spdf, sql):
+        res = CompareResult("t", True, "")
+        settled = _hash_compare(res, spdf, sql, con)
+        return settled, res
+
+    settled, res = run(base, "SELECT * FROM base")
+    assert settled and res.ok and res.spark_rows == n == res.duck_rows
+    # column order on either side is irrelevant
+    settled, res = run(base[["s", "v", "k"]], "SELECT v, s, k FROM base")
+    assert settled and res.ok
+    # a single drifted value cannot settle as equal
+    drift = base.copy()
+    drift.loc[500, "v"] = drift.loc[500, "v"] + 1e-9
+    settled, res = run(drift, "SELECT * FROM base")
+    assert not settled  # falls back to the exact path's row diff
+    # -0.0 drift: duckdb hash(±0.0) collides — the signbit term catches it
+    negz = base.copy()
+    negz.loc[0, "v"] = -0.0
+    assert negz.loc[0, "v"] == base.loc[0, "v"]  # == can't see it; we must
+    settled, res = run(negz, "SELECT * FROM base")
+    assert not settled
+    # NaN drift: NaN folds to NULL on both sides (the exact path's own
+    # null/NaN conflation in float columns), so a NaN-vs-value drift
+    # cannot settle as equal
+    nan = base.copy()
+    nan.loc[1, "v"] = float("nan")
+    settled, res = run(nan, "SELECT * FROM base")
+    assert not settled
+    # equal NaNs on both sides settle as equal (both fold to NULL)
+    settled, res = run(
+        nan, "SELECT k, CASE WHEN k = 1 THEN 'nan'::DOUBLE ELSE v END AS v, s FROM base"
+    )
+    assert settled and res.ok
+    # ...and a duck-side NULL equals a spark-side NaN — exactly the
+    # exact path's semantics (fetchdf returns NULL doubles as NaN)
+    settled, res = run(
+        nan, "SELECT k, CASE WHEN k = 1 THEN NULL ELSE v END AS v, s FROM base"
+    )
+    assert settled and res.ok
+    # row-count mismatch settles immediately as a red with counts
+    settled, res = run(base, "SELECT * FROM base WHERE k < 999")
+    assert settled and not res.ok and "row count differs" in res.detail
+    # unsupported spark-side type (lists) refuses the fast path
+    lists = base.assign(arr=[[1, 2]] * n)
+    settled, res = run(lists, "SELECT *, [1, 2] AS arr FROM base")
+    assert not settled
+    # int-vs-float type drift between the sides refuses (exact path decides)
+    settled, res = run(base, "SELECT CAST(k AS DOUBLE) AS k, v, s FROM base")
+    assert settled is False or not res.ok
