@@ -205,6 +205,41 @@ IDLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "900"))
 SELF_LOAD_ALLOWANCE = 2.5
 
 
+#: the four BASELINE.md suite rows (DuckDB 1.0.0, 4 threads, sf0.1 —
+#: 58 + 44 + 9107 + 12 ms = 9.221 s). Their registry oracle twins are
+#: the same query shapes the baseline table was measured with
+#: (SURVEY.md §6 probe), so re-timing them HERE makes the suite ratio
+#: same-host, same-day, same-gate (VERDICT r05 #5) instead of a
+#: comparison against a round-0 static table.
+DUCK_BASELINE_KEYS = [
+    "rel_agg_hash",
+    "rel_join_broadcast",
+    "knn_classify",
+    "str_window_session",
+]
+
+
+def duckdb_twin_suite(sf_dir: str) -> dict[str, float]:
+    """Best-of-3 warm DuckDB timings for the BASELINE.md suite rows,
+    measured in this same bench session (after the Spark rows, so the
+    4-thread DuckDB bursts never contend with a timed Spark query)."""
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import duck_connection
+
+    con = duck_connection(sf_dir)
+    con.execute("PRAGMA threads=4")  # BASELINE.md's config
+    osql = registry.oracle_sql(sf_dir)
+    out: dict[str, float] = {}
+    for key in DUCK_BASELINE_KEYS:
+        rs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(osql[key]).fetchall()
+            rs.append(round(time.perf_counter() - t0, 3))
+        out[key] = min(rs)
+    return out
+
+
 def _wait_for_idle(deadline: float) -> tuple[float, float, bool]:
     """Block until load1 < IDLE_LOAD1 or the deadline passes. Returns
     (final load1, seconds waited, gate met)."""
@@ -265,6 +300,9 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
     )
+    duck_pre = round(os.getloadavg()[0], 1)
+    duck = duckdb_twin_suite(sf_dir)
+    duck_total = round(sum(duck.values()), 3)
     print(
         json.dumps(
             {
@@ -276,6 +314,12 @@ def main() -> None:
                 "runs": runs,
                 "load1_pre": loads_pre,
                 "load1": loads,
+                "duckdb_suite_seconds": duck_total,
+                "duckdb_queries": duck,
+                "duckdb_load1_pre": duck_pre,
+                "suite_vs_duckdb_same_session": (
+                    round(total / duck_total, 3) if duck_total else None
+                ),
                 "idle_gate": {
                     "threshold": IDLE_LOAD1,
                     "timeout_s": IDLE_TIMEOUT,

