@@ -72,6 +72,28 @@ def knn_classify_gemm(spark, sf_dir):
     return knn.majority_vote(labeled)
 
 
+def knn_classify_full_gemm(spark, sf_dir):
+    """All-vectors classify — the BASELINE.md knn_classify shape (ALL
+    2000×2000 pairs at sf0.1, self excluded, k=10, vote). The headline
+    knn_classify row keeps its r01 shape (the %5 test split, 400
+    queries) for artifact continuity; this EXTRA row exists so the
+    same-session `spark_matching_subtotal` compares identical pair
+    counts with the DuckDB probe, tested value-equal at the smoke SF in
+    tests/test_bench_probes.py."""
+    e = tables.embeddings(spark, sf_dir)
+    t = knn.train_all(e)
+    q = e.select(
+        col("vec_id").alias("qid"),
+        col("emb").alias("qemb"),
+        col("label").alias("qlabel"),
+    )
+    top = knn_topk_gemm(q.select("qid", "qemb"), t.select("tid", "temb"), 10)
+    labeled = top.join(t.select("tid", "tlabel"), "tid").join(
+        q.select("qid", "qlabel"), "qid"
+    )
+    return knn.majority_vote(labeled)
+
+
 def knn_join_full_gemm(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
@@ -172,6 +194,7 @@ BENCH_QUERIES = {
     "rel_join_broadcast_q3_bucketed": q3_bucketed,
     "tpch_q5_star_join": tpch_q5,
     "knn_classify": knn_classify_gemm,
+    "knn_classify_full": knn_classify_full_gemm,
     "knn_join_2000x2000": knn_join_full_gemm,
     "simsearch_cosine_topk": simsearch_full_gemm,
     "minhash_dedup_5k_docs": minhash_dedup,
@@ -184,7 +207,11 @@ BENCH_QUERIES = {
 #: not the flat-scan baseline the suite total is compared against —
 #: keep it out of the headline sum so totals stay comparable across
 #: rounds (r01-r03 artifacts predate it).
-EXTRA_QUERIES = {"rel_join_broadcast_q3_bucketed", "simsearch_pq_stored"}
+EXTRA_QUERIES = {
+    "rel_join_broadcast_q3_bucketed",
+    "simsearch_pq_stored",
+    "knn_classify_full",
+}
 
 
 #: Idle gate (VERDICT r04 #1 — BENCH_r04 ran at external load1 7.7-12.8
@@ -205,36 +232,90 @@ IDLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "900"))
 SELF_LOAD_ALLOWANCE = 2.5
 
 
-#: the four BASELINE.md suite rows (DuckDB 1.0.0, 4 threads, sf0.1 —
-#: 58 + 44 + 9107 + 12 ms = 9.221 s). Their registry oracle twins are
-#: the same query shapes the baseline table was measured with
-#: (SURVEY.md §6 probe), so re-timing them HERE makes the suite ratio
-#: same-host, same-day, same-gate (VERDICT r05 #5) instead of a
-#: comparison against a round-0 static table.
-DUCK_BASELINE_KEYS = [
-    "rel_agg_hash",
-    "rel_join_broadcast",
-    "knn_classify",
-    "str_window_session",
-]
+#: Same-session DuckDB twin of the four BASELINE.md suite rows
+#: (VERDICT r05 #5: the static table was measured once in round 0 —
+#: re-measuring in the SAME gated bench session makes the comparison
+#: same-host, same-day, with the probe text pinned here so it stays
+#: reproducible). The probes reproduce each row's documented shape
+#: (BASELINE.md: Q1-shape agg, Q3 join+group+top10, brute-force
+#: 2000×2000 kNN with list_distance + per-query row_number + vote,
+#: lag/gap sessionize). NOTE: a well-formed kNN probe measures ~0.9 s
+#: on the SAME DuckDB 1.0.0 — the static 9,107 ms row is not
+#: reproducible and was a probe-formulation artifact of the round-0
+#: measurement; the same-session fields below are therefore the
+#: comparison of record going forward, with the static total kept for
+#: continuity with earlier rounds' artifacts.
+DUCK_PROBES = {
+    "rel_agg_hash": (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "sum(l_extendedprice) AS sum_base, "
+        "sum(l_extendedprice*(1-l_discount)) AS sum_disc, "
+        "sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge, "
+        "avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price, "
+        "avg(l_discount) AS avg_disc, count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "rel_join_broadcast": (
+        "SELECT o_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+    "knn_classify": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
+        "FROM embeddings), "
+        "d AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, "
+        "t.label AS tlabel, list_distance(q.emb, t.emb) AS dist "
+        "FROM e q JOIN e t ON q.vec_id <> t.vec_id), "
+        "k AS (SELECT * FROM d QUALIFY row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist, tid) <= 10), "
+        "v AS (SELECT qid, qlabel, tlabel, count(*) AS c FROM k "
+        "GROUP BY qid, qlabel, tlabel) "
+        "SELECT qid, qlabel, tlabel AS pred FROM v QUALIFY row_number() OVER "
+        "(PARTITION BY qid ORDER BY c DESC, tlabel) = 1"
+    ),
+    "str_window_session": (
+        "WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, "
+        "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS "
+        "TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "> 1800000000 THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT user_id, tsu, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, sid, min(tsu) AS start_ts, count(*) AS n_events "
+        "FROM s GROUP BY user_id, sid"
+    ),
+}
+
+#: spark bench rows that match the four baseline rows, for the
+#: apples-to-apples same-session subtotal.
+DUCK_MATCHING_SPARK = {
+    "rel_agg_hash": "rel_agg_hash",
+    "rel_join_broadcast": "rel_join_broadcast_q3",
+    # NOT the headline knn_classify row: that one classifies only the
+    # %5 test split (400 queries at sf0.1), while the BASELINE row and
+    # its probe above run ALL 2000×2000 pairs — knn_classify_full is
+    # the identical-work Spark twin (tests/test_bench_probes.py pins
+    # each probe value-equivalent to its matching Spark row).
+    "knn_classify": "knn_classify_full",
+    "str_window_session": "str_window_session",
+}
 
 
 def duckdb_twin_suite(sf_dir: str) -> dict[str, float]:
-    """Best-of-3 warm DuckDB timings for the BASELINE.md suite rows,
+    """Best-of-3 warm DuckDB timings for the pinned BASELINE probes,
     measured in this same bench session (after the Spark rows, so the
     4-thread DuckDB bursts never contend with a timed Spark query)."""
-    from knn_with_mapreduce_cuda_spark import registry
     from knn_with_mapreduce_cuda_spark.oracle import duck_connection
 
     con = duck_connection(sf_dir)
     con.execute("PRAGMA threads=4")  # BASELINE.md's config
-    osql = registry.oracle_sql(sf_dir)
     out: dict[str, float] = {}
-    for key in DUCK_BASELINE_KEYS:
+    for key, sql in DUCK_PROBES.items():
         rs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(osql[key]).fetchall()
+            con.execute(sql).fetchall()
             rs.append(round(time.perf_counter() - t0, 3))
         out[key] = min(rs)
     return out
@@ -303,6 +384,9 @@ def main() -> None:
     duck_pre = round(os.getloadavg()[0], 1)
     duck = duckdb_twin_suite(sf_dir)
     duck_total = round(sum(duck.values()), 3)
+    matching = round(
+        sum(timings[s] for s in DUCK_MATCHING_SPARK.values() if s in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -317,8 +401,10 @@ def main() -> None:
                 "duckdb_suite_seconds": duck_total,
                 "duckdb_queries": duck,
                 "duckdb_load1_pre": duck_pre,
-                "suite_vs_duckdb_same_session": (
-                    round(total / duck_total, 3) if duck_total else None
+                "baseline_static_seconds": 9.221,  # BASELINE.md, round 0
+                "spark_matching_subtotal": matching,
+                "matching_vs_duckdb_same_session": (
+                    round(matching / duck_total, 3) if duck_total else None
                 ),
                 "idle_gate": {
                     "threshold": IDLE_LOAD1,

@@ -1,0 +1,108 @@
+"""bench.py DUCK_PROBES ↔ Spark matching-row equivalence.
+
+The same-session DuckDB twin (VERDICT r05 #5) re-measures the four
+BASELINE.md rows with probe SQL pinned in bench.DUCK_PROBES, and
+compares their total against `spark_matching_subtotal` — the sum of the
+Spark bench rows named in bench.DUCK_MATCHING_SPARK. That ratio is only
+honest if each probe computes the SAME work as its matching Spark row,
+so this module pins them value-equivalent at the smoke SF:
+
+- identical group/row membership everywhere (exact),
+- aggregates equal up to the representational differences the two
+  sides deliberately have (the Spark rows pin money to cents /
+  round averages to 4 dp for hash grading; the probes reproduce
+  BASELINE.md's raw-float shapes) — bounded by per-row rounding,
+  never a loose "looks close" tolerance.
+
+If a probe's text drifts from its Spark row's semantics (or vice
+versa), these tests fail before the bench artifact can publish a
+skewed same-session ratio.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import bench
+from knn_with_mapreduce_cuda_spark.oracle import duck_connection
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    con.execute("PRAGMA threads=4")
+    yield con
+    con.close()
+
+
+def _spark_row(spark, duck_key: str):
+    fn = bench.BENCH_QUERIES[bench.DUCK_MATCHING_SPARK[duck_key]]
+    return fn(spark, SF_SMOKE).toPandas()
+
+
+def test_matching_map_targets_exist():
+    for duck_key, spark_key in bench.DUCK_MATCHING_SPARK.items():
+        assert duck_key in bench.DUCK_PROBES
+        assert spark_key in bench.BENCH_QUERIES
+
+
+def test_rel_agg_hash_probe_matches_spark_row(spark, duck):
+    d = duck.execute(bench.DUCK_PROBES["rel_agg_hash"]).fetchdf()
+    s = _spark_row(spark, "rel_agg_hash").rename(
+        columns={c: f"s_{c}" for c in ("sum_qty", "avg_qty", "avg_price", "avg_disc")}
+    )
+    assert len(d) == len(s)
+    m = d.merge(s, on=["l_returnflag", "l_linestatus"], how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    for _, r in m.iterrows():
+        assert int(r["n"]) == int(r["count_order"])
+        # probe sums raw doubles; the Spark row pins money columns to
+        # per-row-rounded cents — error bound 0.005 per contributing row
+        # plus float-sum association slack.
+        row_cents_slack = 0.005 * r["n"] + 1e-6 * abs(r["sum_base"])
+        assert abs(r["sum_base"] - r["sum_base_cents"] / 100) <= row_cents_slack
+        assert abs(r["sum_disc"] - r["sum_disc_cents"] / 100) <= row_cents_slack
+        assert abs(r["sum_charge"] - r["sum_charge_cents"] / 100) <= row_cents_slack
+        # qty/avg columns: the Spark row rounds to 4 dp, the probe doesn't.
+        assert abs(r["sum_qty"] - r["s_sum_qty"]) <= 1e-3
+        for c in ("avg_qty", "avg_price", "avg_disc"):
+            assert abs(r[c] - r[f"s_{c}"]) <= 5e-5 + 1e-9 * abs(r[c])
+
+
+def test_rel_join_broadcast_probe_matches_spark_row(spark, duck):
+    d = duck.execute(bench.DUCK_PROBES["rel_join_broadcast"]).fetchdf()
+    s = _spark_row(spark, "rel_join_broadcast")
+    assert len(d) == len(s) == 10
+    # top-10 membership and per-key revenue agree; comparing as sets
+    # keeps the pin robust to last-ulp ordering of distinct revenues.
+    assert set(d["o_orderkey"]) == set(s["o_orderkey"])
+    dm = dict(zip(d["o_orderkey"], d["revenue"]))
+    sm = dict(zip(s["o_orderkey"], s["revenue"]))
+    for k, dv in dm.items():
+        assert math.isclose(dv, sm[k], rel_tol=1e-9, abs_tol=1e-6)
+
+
+def test_knn_classify_probe_matches_spark_row(spark, duck):
+    d = duck.execute(bench.DUCK_PROBES["knn_classify"]).fetchdf()
+    s = _spark_row(spark, "knn_classify")
+    assert len(d) == len(s)  # every vector classified (all-pairs shape)
+    dm = {int(r.qid): (r.qlabel, r.pred) for r in d.itertuples()}
+    sm = {int(r.qid): (r.true_label, r.pred_label) for r in s.itertuples()}
+    assert dm == sm
+
+
+def test_str_window_session_probe_matches_spark_row(spark, duck):
+    # wrap the pinned probe text (unchanged) to get an engine-computed
+    # epoch so the comparison never depends on pandas datetime dtypes.
+    d = duck.execute(
+        "SELECT user_id, epoch_us(start_ts) AS start_us, n_events FROM ("
+        + bench.DUCK_PROBES["str_window_session"]
+        + ")"
+    ).fetchdf()
+    s = _spark_row(spark, "str_window_session")
+    ds = {(int(r.user_id), int(r.start_us), int(r.n_events)) for r in d.itertuples()}
+    ss = {(int(r.user_id), int(r.start_us), int(r.n_events)) for r in s.itertuples()}
+    assert ds == ss
