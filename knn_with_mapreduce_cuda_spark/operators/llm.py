@@ -1138,22 +1138,27 @@ def _q_pack_sequences(spark, sf_dir):
     are packed in doc_id order into fixed-capacity token bins per
     language (streaming/contiguous packing: bin = floor(cum_tokens_before
     / capacity)). Output: per doc its bin, offset within the packed
-    stream, and whether it straddles a bin boundary. One window cumsum
-    per language partition — deterministic, shuffle-once, and exactly the
-    layout a downstream tokenizer-consumer job would read."""
+    stream, and whether it straddles a bin boundary.
+
+    The per-language exclusive cumsum runs on the GROUPED two-phase
+    prefix scan (plans/prefix.attach_running_grouped), not on
+    ``Window.partitionBy("lang")``: a plain per-lang window folds each
+    language through ONE task, and a handful of languages over a corpus
+    is exactly the low-cardinality/skewed partition cliff — at 100 TB
+    the biggest language IS most of the corpus. The scan slices on
+    doc_id (high-cardinality, the pack order), windows within
+    (slice, lang), and recombines per-(slice, lang) offsets
+    distributively; values are bit-identical to the per-lang window
+    (integer sums, total order), pinned by
+    tests/test_prefix.py::test_grouped_matches_plain_window and the
+    unchanged hash-graded oracle."""
     t = _tokens(spark, sf_dir).select(
         "doc_id", "lang", F.size("ts").cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = t.select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        F.coalesce(F.sum("n_tok").over(w), lit(0)).alias("off_tok"),
+    from ..plans.prefix import attach_running_grouped
+
+    c = attach_running_grouped(
+        t, ["lang"], ["doc_id"], sums_excl={"n_tok": "off_tok"}
     )
     return c.select(
         "doc_id",

@@ -272,6 +272,107 @@ def attach_running(
     return out.drop(*drop)
 
 
+def attach_running_grouped(
+    df: DataFrame,
+    group_cols,
+    order_cols,
+    sums: dict[str, str] | None = None,
+    sums_excl: dict[str, str] | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """Per-GROUP running sums in the order ``order_cols``, without a
+    per-group single-task fold.
+
+    ``Window.partitionBy(*group_cols)`` executes each group's cumsum in
+    ONE task — correct, but a low-cardinality or skewed group key (a
+    language column, a tenant id) caps parallelism at the number of
+    groups and folds a corpus-sized group through a single executor
+    thread: the same cliff the module docstring describes for the
+    unpartitioned window, just sharded |groups| ways. This is the
+    scalable replacement, the two-phase scan generalized per group:
+
+    1. slice on the leading ORDER column exactly like ``attach_running``
+       (literal quantile boundaries — the slice id is a pure function of
+       the row), so every slice holds rows of MANY groups;
+    2. window within ``(slice, *group_cols)`` — parallelism is
+       ``parts``, independent of the group cardinality;
+    3. shift by per-(slice, group) offsets recombined DISTRIBUTIVELY:
+       the totals relation is ≤ ``parts × |groups|`` rows, its
+       per-group exclusive prefix across slices is a window over
+       ≤ ``parts`` rows per group (never a corpus-sized partition), and
+       the offsets broadcast-join back on (slice, group). Nothing is
+       collected to the driver.
+
+    ``sums`` attaches running SUM over ``rowsBetween(unboundedPreceding,
+    currentRow)``; ``sums_excl`` over ``(unboundedPreceding, -1)`` (the
+    exclusive sweep shape, 0 on each group's first row — matching
+    ``coalesce(sum over excl, 0)``). Exactness rules as attach_running:
+    integral sources, ``order_cols`` must totally order rows WITHIN each
+    group, and the leading order column should be numeric and
+    high-cardinality (a string leading column degrades every row to one
+    slice — values stay correct, parallelism collapses back to
+    per-group). Group columns must be non-null (they ride a broadcast
+    equi-join; a null group key would drop its offsets)."""
+    spark = df.sparkSession
+    if parts is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    gcols = list(group_cols)
+    order = _order(order_cols)
+    items = [(src, dst, False) for src, dst in (sums or {}).items()]
+    items += [(src, dst, True) for src, dst in (sums_excl or {}).items()]
+    dsts = [dst for _, dst, _ in items]
+    if len(set(dsts)) != len(dsts):
+        raise ValueError(f"duplicate output columns across sums/sums_excl: {dsts}")
+
+    d = df.withColumn(_PID, _slice_id(df, order_cols, parts).cast("int")).repartition(
+        parts, col(_PID)
+    )
+    w = (
+        Window.partitionBy(_PID, *gcols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_excl = (
+        Window.partitionBy(_PID, *gcols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = d
+    for src, dst, excl in items:
+        frame = w_excl if excl else w
+        out = out.withColumn(dst, F.coalesce(F.sum(src).over(frame), lit(0)))
+
+    # per-(slice, group) totals — the exclusive-frame offset is the SAME
+    # full-slice total (previous slices contribute whole, so both frames
+    # shift by the inclusive per-slice sums of earlier slices).
+    totals = d.groupBy(_PID, *gcols).agg(
+        *[F.sum(src).alias(f"_t_{dst}") for src, dst, _ in items]
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        col(_PID).alias("_opid"),
+        *[col(g).alias(f"_og_{i}") for i, g in enumerate(gcols)],
+        *[
+            F.coalesce(F.sum(f"_t_{dst}").over(w_off), lit(0)).alias(f"_off_{dst}")
+            for _, dst, _ in items
+        ],
+    )
+    cond = col(_PID) == col("_opid")
+    for i, g in enumerate(gcols):
+        cond = cond & (col(g) == col(f"_og_{i}"))
+    out = out.join(F.broadcast(offs), cond)
+    for _, dst, _ in items:
+        out = out.withColumn(dst, col(dst) + col(f"_off_{dst}"))
+    drop = [_PID, "_opid"]
+    drop += [f"_og_{i}" for i in range(len(gcols))]
+    drop += [f"_off_{dst}" for _, dst, _ in items]
+    return out.drop(*drop)
+
+
 def ntile_exact(
     df: DataFrame,
     order_cols,

@@ -109,3 +109,92 @@ def test_order_spec_rejects_column_expressions(spark):
         prefix.attach_running(d, [F.desc("k"), col("tie")], rn="rn", parts=3)
     with pytest.raises(TypeError, match="order element"):
         prefix.attach_running(d, [col("k") + 1], rn="rn", parts=3)
+
+
+def _grouped_data(spark, n=600, n_groups=4, parts_in=5):
+    # few skewed groups (group 0 holds half the rows), unique order key,
+    # nulls and negatives in the summed value
+    return (
+        spark.range(n)
+        .repartition(parts_in)
+        .select(
+            F.when(col("id") % 2 == 0, lit(0))
+            .otherwise(col("id") % n_groups)
+            .cast("long")
+            .alias("g"),
+            col("id").alias("o"),  # unique order key
+            F.when(col("id") % 13 == 0, None)
+            .otherwise((col("id") * 3) % 40 - 20)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_grouped_matches_plain_window(spark, parts):
+    d = _grouped_data(spark)
+    got = prefix.attach_running_grouped(
+        d, ["g"], ["o"], sums={"v": "cs"}, sums_excl={"v": "cse"}, parts=parts
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    want = d.withColumn(
+        "cs",
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0)
+        ),
+    ).withColumn(
+        "cse",
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)
+        ),
+    )
+    cols = ["g", "o", "v", "cs", "cse"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_grouped_string_group_key(spark):
+    # string GROUP key is fine (only the leading ORDER column drives the
+    # slicing); values must still match the per-group window
+    d = _grouped_data(spark).select(
+        F.concat(lit("lang_"), col("g")).alias("g"), "o", "v"
+    )
+    got = prefix.attach_running_grouped(d, ["g"], ["o"], sums={"v": "cs"}, parts=7)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = d.withColumn("cs", F.coalesce(F.sum("v").over(w), lit(0)))
+    cols = ["g", "o", "v", "cs"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_grouped_rejects_duplicate_outputs(spark):
+    d = _grouped_data(spark)
+    with pytest.raises(ValueError, match="duplicate output"):
+        prefix.attach_running_grouped(
+            d, ["g"], ["o"], sums={"v": "x"}, sums_excl={"v": "x"}, parts=3
+        )
+
+
+def test_pack_sequences_plan_is_sliced_not_per_lang(spark):
+    """llm_pack_sequences must run the grouped two-phase scan: the plan
+    carries the slice-id hash repartition, and no window in the plan is
+    partitioned by lang ALONE (the per-group single-task fold)."""
+    import re
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+    from tests.conftest import SF_SMOKE
+
+    df = llm._q_pack_sequences(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert prefix._PID in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "lang" in spec:
+            assert prefix._PID in spec, f"per-lang-only window in plan: {spec}"
