@@ -530,16 +530,17 @@ SCRATCH_SKETCH = os.environ.get("SCALE_SCRATCH_SKETCH", "/tmp/spark_graft_scale_
 DOC_FACTOR = int(os.environ.get("DOC_FACTOR", "60"))
 
 
-def amplify_documents(spark) -> int:
-    """DOC_FACTOR× copies of documents with shifted doc_ids and a
-    per-replica marker token appended, so the vocabulary grows with the
-    corpus (Heaps-ish) instead of 60-way exact clones."""
+def amplify_documents(spark, factor: int | None = None) -> int:
+    """factor× (default DOC_FACTOR×) copies of documents with shifted
+    doc_ids and a per-replica marker token appended, so the vocabulary
+    grows with the corpus (Heaps-ish) instead of 60-way exact clones."""
+    factor = DOC_FACTOR if factor is None else factor
     tables.invalidate_caches(SCRATCH_SKETCH)
     shutil.rmtree(SCRATCH_SKETCH, ignore_errors=True)
     os.makedirs(SCRATCH_SKETCH)
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = d.count()
-    rep = spark.range(DOC_FACTOR).select(col("id").alias("_r"))
+    rep = spark.range(factor).select(col("id").alias("_r"))
     tail = F.concat(lit(" rep"), col("_r").cast("string"))
     amp = d.crossJoin(rep).select(
         (col("doc_id") + col("_r") * n).alias("doc_id"),
@@ -549,7 +550,7 @@ def amplify_documents(spark) -> int:
         (col("n_chars") + F.length(tail)).alias("n_chars"),
     )
     _write(amp, "doc_id", f"{SCRATCH_SKETCH}/documents.parquet")
-    return n * DOC_FACTOR
+    return n * factor
 
 
 def sketch_stress(spark) -> dict:
@@ -636,6 +637,88 @@ def sketch_stress(spark) -> dict:
     return out
 
 
+def text_stress(spark) -> dict:
+    """Text-analysis family at amplified corpus scale (round 6): the
+    last LLM-pipeline tier without a dedicated scale proof (ANN r04/r05,
+    sketches r05, graph r06). Runs the graded tokenize / ngram / tfidf /
+    bm25 / lang-id / quality / gopher-repetition / pack-sequences
+    operators on the amplified documents table at 10× and 60×
+    (50k / 300k docs — the 60× corpus is the same size the sketch tier
+    was proven at), timing FULL materialization through a noop sink
+    (count() would let Catalyst prune the expression columns on the
+    per-doc operators) and recording, per op:
+
+    - wall (best of 2; first run pays scan/JIT warmup), rows, load1;
+    - Exchange SinglePartition count in the executed plan — expected
+      only as 1-row scalar aggregates (tfidf/bm25's corpus-size /
+      avgdl), NEVER a token- or doc-sized relation;
+    - for pack_sequences: the plan must carry the grouped prefix scan's
+      slice-id repartition (the per-lang window fold this round removed
+      would show up here as a windowspecdefinition partitioned by lang
+      alone);
+    - the 60×/10× wall ratio: token volume scales linearly with docs,
+      so a super-linear ratio (quadratic stage, fold) blows it out.
+    """
+    from knn_with_mapreduce_cuda_spark.operators import llm
+    from knn_with_mapreduce_cuda_spark.plans import prefix as prefix_mod
+
+    def load():
+        return round(os.getloadavg()[0], 1)
+
+    ops = {
+        "llm_text_tokenize": llm._q_text_tokenize,
+        "llm_text_ngram": llm._q_text_ngram,
+        "llm_text_tfidf": llm._q_text_tfidf,
+        "llm_search_bm25": llm._q_search_bm25,
+        "llm_lang_id": llm._q_lang_id,
+        "llm_quality_score": llm._q_quality_score,
+        "llm_gopher_repetition": llm._q_gopher_repetition,
+        "llm_pack_sequences": llm._q_pack_sequences,
+    }
+    out: dict = {}
+    for factor in (10, 60):
+        n_docs = amplify_documents(spark, factor)
+        fx: dict = {"n_docs": n_docs}
+        for name, fn in ops.items():
+            df = fn(spark, SCRATCH_SKETCH)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                rs.append(round(time.perf_counter() - t0, 3))
+            rec = {
+                "wall_s": min(rs),
+                "runs": rs,
+                "rows": df.count(),
+                "load1": load(),
+                "single_partition_exchanges": plan.count(
+                    "Exchange SinglePartition"
+                ),
+            }
+            if name == "llm_pack_sequences":
+                rec["grouped_scan_in_plan"] = prefix_mod._PID in plan
+                rec["per_lang_window_fold"] = any(
+                    "lang" in m and prefix_mod._PID not in m
+                    for m in _window_specs(plan)
+                )
+            fx[name] = rec
+        out[f"factor_{factor}"] = fx
+    for name in ops:
+        w10 = out["factor_10"][name]["wall_s"]
+        w60 = out["factor_60"][name]["wall_s"]
+        out.setdefault("wall_ratio_60x_over_10x", {})[name] = (
+            round(w60 / w10, 2) if w10 > 0 else None
+        )
+    return out
+
+
+def _window_specs(plan: str) -> list[str]:
+    import re
+
+    return [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)]
+
+
 def main() -> None:
     from bench import q3_shape  # the graded bench shape, reduce-first
 
@@ -650,6 +733,9 @@ def main() -> None:
         return
     if os.environ.get("SCALE_GRAPH"):
         print(json.dumps({"graph_stress": graph_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_TEXT"):
+        print(json.dumps({"text_stress": text_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
