@@ -591,17 +591,50 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_window_percentiles(spark, sf_dir):
+    """Per-priority percent_rank / cume_dist / 3rd-lowest price over all
+    orders, scale-safely: o_orderpriority has ~5 values, so the naive
+    ``Window.partitionBy(priority)`` folds a fifth of the table through
+    ONE task each (the low-cardinality-group window cliff, cf.
+    llm_pack_sequences). With the unique total order (o_totalprice,
+    o_orderkey) the window functions reduce to closed forms over the
+    per-group row number: percent_rank = (rn-1)/(n-1) (0 when n = 1),
+    cume_dist = rn/n — the SAME double divisions Spark's window
+    implementations execute, so values are bit-identical. rn comes from
+    the grouped two-phase prefix scan (plans/prefix), n rides a 5-row
+    broadcast, and the 3rd value is a rank-3 filter that compiles to
+    WindowGroupLimit (map-side partial top-3, never a full per-group
+    sort) joined back by priority.
+
+    percent_rank/cume_dist are rationals → floor-scaled (round()
+    half-tie hazard, see quality_score)."""
+    from ..plans.prefix import attach_running_grouped
+
     orders = tables.table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    # percent_rank/cume_dist are rationals → floor-scaled (round() half-tie
-    # hazard, see quality_score)
-    return orders.select(
+    d = orders.select("o_orderkey", "o_orderpriority", "o_totalprice").withColumn(
+        "_one", lit(1)
+    )
+    r = attach_running_grouped(
+        d, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], sums={"_one": "_rn"}
+    )
+    n = orders.groupBy("o_orderpriority").agg(F.count("*").alias("_n"))
+    w3 = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    third = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("_rn3", F.row_number().over(w3))
+        .filter(col("_rn3") == 3)  # WindowGroupLimit: bounded per group
+        .select("o_orderpriority", col("o_totalprice").alias("third_price"))
+    )
+    out = r.join(F.broadcast(n), "o_orderpriority").join(
+        F.broadcast(third), "o_orderpriority", "left"
+    )
+    pr = F.when(col("_n") > 1, (col("_rn") - 1) / (col("_n") - 1)).otherwise(lit(0.0))
+    cd = col("_rn") / col("_n")
+    return out.select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.percent_rank().over(w) * 10000).cast("long").alias("pr_q4"),
-        F.floor(F.cume_dist().over(w) * 10000).cast("long").alias("cd_q4"),
-        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+        F.floor(pr * 10000).cast("long").alias("pr_q4"),
+        F.floor(cd * 10000).cast("long").alias("cd_q4"),
+        "third_price",
     )
 
 
@@ -1116,17 +1149,25 @@ def _q_window_hourly_top_type(spark, sf_dir):
 def _q_fn_null(spark, sf_dir):
     """Null-semantics sweep: nullif-manufactured nulls, null-safe
     equality (<=> ⟷ IS NOT DISTINCT FROM), coalesce defaults, and the
-    count(col)-skips-nulls vs count(*) distinction over a window."""
+    count(col)-skips-nulls vs count(*) distinction attached to every
+    row. The global counts ride a 1-row aggregate broadcast-cross-joined
+    back — NOT ``count(...) over (Window.partitionBy())``, whose
+    unpartitioned window is an Exchange SinglePartition folding the
+    whole relation through one task (the same values, computed as a
+    tree-reduced scalar instead)."""
     o = tables.table(spark, sf_dir, "orders")
     st = F.nullif(col("o_orderstatus"), lit("O"))
-    return o.select(
+    counts = o.agg(
+        F.count(st).alias("n_nonnull"), F.count("*").alias("n_all")
+    )
+    return o.crossJoin(F.broadcast(counts)).select(
         "o_orderkey",
         st.alias("st"),
         st.eqNullSafe(lit("F")).alias("nsafe_f"),
         st.eqNullSafe(F.lit(None).cast("string")).alias("nsafe_null"),
         F.coalesce(st, lit("?")).alias("st_or_q"),
-        F.count(st).over(Window.partitionBy()).alias("n_nonnull"),
-        F.count("*").over(Window.partitionBy()).alias("n_all"),
+        "n_nonnull",
+        "n_all",
     )
 
 

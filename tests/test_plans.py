@@ -534,3 +534,33 @@ def test_weighted_sample_take_ordered(spark):
     plan = _plan(_q_sample_weighted(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_fn_null_global_counts_are_scalar_not_window(spark):
+    """rel_fn_null attaches corpus-wide counts via a 1-row aggregate
+    broadcast-cross-joined back — never `count(...) over ()`, whose
+    unpartitioned window is an Exchange SinglePartition folding the
+    whole relation through one task."""
+    from knn_with_mapreduce_cuda_spark.operators.relational import _q_fn_null
+
+    plan = _plan(_q_fn_null(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_window_percentiles_plan_is_sliced_not_per_priority(spark):
+    """rel_window_percentiles must not fold a fifth of orders per task:
+    percent_rank/cume_dist run as closed forms over the grouped prefix
+    scan (slice-id repartition in the plan), the rank-3 probe compiles
+    to WindowGroupLimit, and no percent_rank/cume_dist/nth_value window
+    function survives in the physical plan."""
+    from knn_with_mapreduce_cuda_spark.operators.relational import (
+        _q_window_percentiles,
+    )
+    from knn_with_mapreduce_cuda_spark.plans import prefix
+
+    plan = _plan(_q_window_percentiles(spark, SF_SMOKE), mode="extended")
+    assert prefix._PID in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    for fn in ("percent_rank()", "cume_dist()", "nth_value("):
+        assert fn not in plan, fn
