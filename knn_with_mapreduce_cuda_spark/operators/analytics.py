@@ -980,20 +980,20 @@ def _q_feature_gain(spark, sf_dir):
     """Per-dimension decision-stump accuracy for the first 8 embedding
     dimensions — the univariate feature-ranking pass a feature-selection
     step runs. Same exact-integer cumulative-count stump as
-    ml_decision_stump, parallelized across dims by partitioned windows
-    (one shuffle keyed on dim carries every dimension's scan)."""
+    ml_decision_stump; the per-dim cumulative scan runs on the GROUPED
+    two-phase prefix scan (group = dim, slices on the split value) —
+    ``Window.partitionBy("dim")`` would fold each dimension's entire
+    distinct-value set (~one per corpus row for raw floats) through a
+    single task, capping parallelism at 8."""
     e = tables.embeddings(spark, sf_dir)
     pts = e.select(
         F.posexplode(F.slice(col("emb"), 1, 8)).alias("dim", "x"),
         (col("label") >= 5).cast("long").alias("y"),
     )
     per = pts.groupBy("dim", "x").agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    w = Window.partitionBy("dim").orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "dim", "x", F.sum("n").over(w).alias("cn"), F.sum("pos").over(w).alias("cp")
-    )
+    cum = prefix.attach_running_grouped(
+        per, ["dim"], ["x"], sums={"n": "cn", "pos": "cp"}
+    ).select("dim", "x", "cn", "cp")
     g = pts.groupBy("dim").agg(F.count("*").alias("nn"), F.sum("y").alias("p"))
     scored = cum.join(g, "dim").select(
         "dim",

@@ -200,30 +200,42 @@ def _q_scan(spark, sf_dir):
 
 
 def _q_normalize_minmax(spark, sf_dir):
+    """Per-dimension min-max scaling. The per-pos stats come from a
+    map-side ``groupBy("pos")`` aggregate (≤ dim rows) broadcast-joined
+    back — not ``min/max over Window.partitionBy("pos")``, whose
+    unordered window folds every vector of a dimension through ONE task
+    (parallelism capped at dim = 64 regardless of corpus size).
+    min/max are order-insensitive, so values are identical."""
     e = tables.embeddings(spark, sf_dir)
     ex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
-    w = Window.partitionBy("pos")
-    return ex.select(
+    stats = ex.groupBy("pos").agg(
+        F.min("val").alias("_mn"), F.max("val").alias("_mx")
+    )
+    return ex.join(F.broadcast(stats), "pos").select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
-        F.round(
-            (col("val") - F.min("val").over(w)) / (F.max("val").over(w) - F.min("val").over(w)), 4
-        ).alias("scaled"),
+        F.round((col("val") - col("_mn")) / (col("_mx") - col("_mn")), 4).alias(
+            "scaled"
+        ),
     )
 
 
 def _q_normalize_zscore(spark, sf_dir):
+    """Per-dimension z-score, same scale shape as minmax above: per-pos
+    mean/stddev via the map-side partial aggregate (tree-merged — the
+    same merge path DuckDB's grouped avg/stddev runs) broadcast-joined
+    back, never an unordered per-pos window fold."""
     e = tables.embeddings(spark, sf_dir)
     ex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
-    w = Window.partitionBy("pos")
-    return ex.select(
+    stats = ex.groupBy("pos").agg(
+        F.avg("val").alias("_mu"), F.stddev_pop("val").alias("_sd")
+    )
+    return ex.join(F.broadcast(stats), "pos").select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
         # + 0.0 normalizes IEEE -0.0 (round of a tiny negative) to +0.0 so
         # the value-hash is engine-independent; same term in the oracle SQL.
-        (F.round((col("val") - F.avg("val").over(w)) / F.stddev_pop("val").over(w), 4) + 0.0).alias(
-            "scaled"
-        ),
+        (F.round((col("val") - col("_mu")) / col("_sd"), 4) + 0.0).alias("scaled"),
     )
 
 

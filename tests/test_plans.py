@@ -564,3 +564,29 @@ def test_window_percentiles_plan_is_sliced_not_per_priority(spark):
     assert "WindowGroupLimit" in plan, plan
     for fn in ("percent_rank()", "cume_dist()", "nth_value("):
         assert fn not in plan, fn
+
+
+def test_normalize_stats_are_grouped_not_window(spark):
+    """knn_normalize_minmax/zscore: per-dimension stats come from a
+    map-side groupBy broadcast-joined back — an unordered
+    Window.partitionBy(pos) would fold every vector of a dimension
+    through one task (parallelism capped at dim)."""
+    from knn_with_mapreduce_cuda_spark.operators.knn import (
+        _q_normalize_minmax,
+        _q_normalize_zscore,
+    )
+
+    for fn in (_q_normalize_minmax, _q_normalize_zscore):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_feature_gain_scan_is_sliced_not_per_dim(spark):
+    """ml_feature_gain's per-dim cumulative scan must ride the grouped
+    prefix scan (slice-id repartition), not a per-dim window fold."""
+    from knn_with_mapreduce_cuda_spark.operators.analytics import _q_feature_gain
+    from knn_with_mapreduce_cuda_spark.plans import prefix
+
+    plan = _plan(_q_feature_gain(spark, SF_SMOKE), mode="extended")
+    assert prefix._PID in plan, plan
