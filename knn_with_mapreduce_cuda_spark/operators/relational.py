@@ -639,6 +639,13 @@ def _q_window_percentiles(spark, sf_dir):
 
 
 def _q_string_agg(spark, sf_dir):
+    """string_agg / group_concat semantics: one sorted, comma-joined
+    string of supplier names per nation. Scale note: the output ROW is
+    group-sized by the operator's own contract (SQL string_agg returns
+    the concatenation) — that is the user's stated intent, not a plan
+    defect; the aggregation itself is a map-side partial collect merged
+    per group, and a bounded alternative (top-N names + count) is what a
+    pipeline should ask for at corpus-sized groups."""
     supp = tables.table(spark, sf_dir, "supplier")
     nation = tables.table(spark, sf_dir, "nation")
     j = supp.join(F.broadcast(nation), col("s_nationkey") == col("n_nationkey"))
