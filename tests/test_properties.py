@@ -174,3 +174,43 @@ def test_chunk_window_tiling_covers_every_token_once_per_window(spark, doc_lens)
         assert n - starts[-1] <= CHUNK_SIZE  # and reaches the end
         for r in ws:
             assert r.n_tok_chunk == min(CHUNK_SIZE, n - (r.start_tok - 1))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group (few, skewable)
+            st.integers(-1000, 1000),   # order key (ties across groups ok)
+            st.one_of(st.none(), st.integers(-50, 50)),  # summed value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(1, 9),
+)
+def test_grouped_prefix_scan_matches_window_property(spark, rows, parts):
+    """attach_running_grouped ≡ Window.partitionBy(group) for ANY group
+    skew, order-key ties (broken by a unique id), null values, and
+    slice count — the hypothesis twin of the parametrized cases."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import coalesce, col, lit
+    from pyspark.sql import functions as F
+
+    from knn_with_mapreduce_cuda_spark.plans import prefix
+
+    data = [(g, o, i, v) for i, (g, o, v) in enumerate(rows)]
+    d = spark.createDataFrame(data, "g long, o long, tie long, v long").repartition(3)
+    got = prefix.attach_running_grouped(
+        d, ["g"], ["o", "tie"], sums={"v": "cs"}, sums_excl={"v": "cse"}, parts=parts
+    )
+    w = Window.partitionBy("g").orderBy("o", "tie")
+    want = d.withColumn(
+        "cs", coalesce(F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0))
+    ).withColumn(
+        "cse", coalesce(F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+    )
+    cols = ["g", "o", "tie", "v", "cs", "cse"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
