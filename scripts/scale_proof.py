@@ -713,6 +713,74 @@ def text_stress(spark) -> dict:
     return out
 
 
+def multimodal_stress(spark) -> dict:
+    """Multimodal (binary-payload) family at amplified corpus scale
+    (round 6): the Arrow/mapInPandas plumbing is the part a real codec
+    would slot into, so the stress proves the BATCH path — payloads
+    stream through ArrowEvalPython/MapInPandas in bounded Arrow batches
+    (10k rows/batch default), never a per-row Python UDF and never a
+    collected relation. Walls over full noop-sink materialization at
+    10× and 60× (50k / 300k docs), SinglePartition exchanges audited
+    (expected 0: the ops are map-only or broadcast-joined)."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    def load():
+        return round(os.getloadavg()[0], 1)
+
+    ops = {
+        "llm_multimodal_features": llm._q_multimodal_features,
+        "llm_multimodal_framesample": llm._q_multimodal_framesample,
+        "llm_multimodal_resize": llm._q_multimodal_resize,
+        "llm_multimodal_join": llm._q_multimodal_join,
+    }
+    out: dict = {}
+    for factor in (10, 60):
+        n_docs = amplify_documents(spark, factor)
+        # doc-aligned amplified embeddings: replica r shifts vec_id by
+        # r * n_docs_base, the same shift amplify_documents applies to
+        # doc_id — so the docs⋈embeddings match count grows with the
+        # factor instead of pinning at the base corpus.
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_docs_base = n_docs // factor
+        rep = spark.range(factor).select(col("id").alias("_r"))
+        amp_e = e.crossJoin(rep).select(
+            (col("vec_id") + col("_r") * n_docs_base).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        _write(amp_e, "vec_id", f"{SCRATCH_SKETCH}/embeddings.parquet")
+        tables.invalidate_caches(SCRATCH_SKETCH)
+        fx: dict = {"n_docs": n_docs}
+        for name, fn in ops.items():
+            df = fn(spark, SCRATCH_SKETCH)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                rs.append(round(time.perf_counter() - t0, 3))
+            fx[name] = {
+                "wall_s": min(rs),
+                "runs": rs,
+                "rows": df.count(),
+                "load1": load(),
+                "arrow_batched": ("MapInPandas" in plan)
+                or ("ArrowEvalPython" in plan),
+                "single_partition_exchanges": plan.count(
+                    "Exchange SinglePartition"
+                ),
+                "python_row_udf": "BatchEvalPython" in plan,
+            }
+        out[f"factor_{factor}"] = fx
+    for name in ops:
+        w10 = out["factor_10"][name]["wall_s"]
+        w60 = out["factor_60"][name]["wall_s"]
+        out.setdefault("wall_ratio_60x_over_10x", {})[name] = (
+            round(w60 / w10, 2) if w10 > 0 else None
+        )
+    return out
+
+
 def _window_specs(plan: str) -> list[str]:
     import re
 
@@ -736,6 +804,9 @@ def main() -> None:
         return
     if os.environ.get("SCALE_TEXT"):
         print(json.dumps({"text_stress": text_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_MM"):
+        print(json.dumps({"multimodal_stress": multimodal_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
