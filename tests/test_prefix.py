@@ -132,12 +132,14 @@ def _grouped_data(spark, n=600, n_groups=4, parts_in=5):
 
 
 @pytest.mark.parametrize("parts", [1, 3, 32])
-def test_grouped_matches_plain_window(spark, parts):
+@pytest.mark.parametrize("desc", [False, True])
+def test_grouped_matches_plain_window(spark, parts, desc):
     d = _grouped_data(spark)
+    spec = [("o", "desc")] if desc else ["o"]
     got = prefix.attach_running_grouped(
-        d, ["g"], ["o"], sums={"v": "cs"}, sums_excl={"v": "cse"}, parts=parts
+        d, ["g"], spec, sums={"v": "cs"}, sums_excl={"v": "cse"}, parts=parts
     )
-    w = Window.partitionBy("g").orderBy("o")
+    w = Window.partitionBy("g").orderBy(*prefix._order(spec))
     want = d.withColumn(
         "cs",
         F.coalesce(
