@@ -590,3 +590,47 @@ def test_feature_gain_scan_is_sliced_not_per_dim(spark):
 
     plan = _plan(_q_feature_gain(spark, SF_SMOKE), mode="extended")
     assert prefix._PID in plan, plan
+
+
+def test_text_family_single_partition_budget(spark):
+    """Pin SCALE.md §9i's plan audit: the text ops carry NO
+    SinglePartition exchange except the 1-row corpus-stat scalars in
+    tfidf (corpus count) and bm25 (n_docs/avgdl) — a token- or
+    doc-sized relation through one partition would show up here."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    budget = {
+        "_q_text_tokenize": 0,
+        "_q_text_ngram": 0,
+        "_q_lang_id": 0,
+        "_q_quality_score": 0,
+        "_q_gopher_repetition": 0,
+        "_q_pack_sequences": 0,
+        "_q_text_tfidf": 1,
+        "_q_search_bm25": 1,
+    }
+    for name, allowed in budget.items():
+        plan = _plan(getattr(llm, name)(spark, SF_SMOKE))
+        got = plan.count("Exchange SinglePartition")
+        assert got <= allowed, (name, got, allowed)
+
+
+def test_multimodal_family_arrow_batched_no_row_udf(spark):
+    """Pin SCALE.md §9k: every binary-payload op streams Arrow batches
+    (MapInPandas / ArrowEvalPython), never per-row Python
+    (BatchEvalPython), and holds no SinglePartition exchange."""
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    payload_ops = [
+        "_q_multimodal_features",
+        "_q_multimodal_framesample",
+        "_q_multimodal_resize",
+    ]
+    for name in payload_ops:
+        plan = _plan(getattr(llm, name)(spark, SF_SMOKE))
+        assert ("MapInPandas" in plan) or ("ArrowEvalPython" in plan), name
+        assert "BatchEvalPython" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+    jplan = _plan(llm._q_multimodal_join(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in jplan
+    assert "Exchange SinglePartition" not in jplan
