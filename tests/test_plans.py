@@ -634,3 +634,20 @@ def test_multimodal_family_arrow_batched_no_row_udf(spark):
     jplan = _plan(llm._q_multimodal_join(spark, SF_SMOKE))
     assert "BatchEvalPython" not in jplan
     assert "Exchange SinglePartition" not in jplan
+
+
+def test_graph_family_single_partition_budget(spark):
+    """Pin SCALE.md §9g: graph-op SinglePartition exchanges are 1-row
+    scalar aggregates only — the triangle total (1) and pagerank's
+    per-iteration node-count scalars — never an edge-sized relation;
+    linkpred's top-n is TakeOrderedAndProject."""
+    from knn_with_mapreduce_cuda_spark.operators import analytics, iterative
+    from knn_with_mapreduce_cuda_spark.operators import knn as knnmod
+
+    lp = _plan(analytics._q_linkpred(spark, SF_SMOKE))
+    assert lp.count("Exchange SinglePartition") == 0, lp
+    assert "TakeOrderedAndProject" in lp, lp
+    tr = _plan(knnmod._q_triangles(spark, SF_SMOKE))
+    assert tr.count("Exchange SinglePartition") <= 1, tr
+    pr = _plan(iterative._q_pagerank(spark, SF_SMOKE))
+    assert pr.count("Exchange SinglePartition") <= 3, pr
