@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -781,6 +782,67 @@ def multimodal_stress(spark) -> dict:
     return out
 
 
+def udf_ladder_stress(spark) -> dict:
+    """Measure the UDF cost ladder (SCALE.md §8) in THIS container
+    instead of citing literature ratios: the same conditional-affine
+    computation over 5 M rows as (a) a row `@udf`, (b) an Arrow
+    `@pandas_udf`, (c) a built-in Catalyst expression. Walls over full
+    noop-sink materialization, best of 2 (first run pays Python worker
+    startup / codegen). Row-vs-pandas is the '10-100×' claim; pandas-vs-
+    builtin is the 'stay JVM-side' claim."""
+    from pyspark.sql.types import DoubleType
+
+    n = 5_000_000
+    d = spark.range(n).select(((col("id") % 997).cast("double")).alias("x"))
+
+    @F.udf(DoubleType())
+    def f_row(x):
+        return x * 0.5 + 1.0 if x > 100.0 else x
+
+    @F.pandas_udf(DoubleType())
+    def f_vec(x: pd.Series) -> pd.Series:
+        return (x * 0.5 + 1.0).where(x > 100.0, x)
+
+    builtin = F.when(col("x") > 100.0, col("x") * 0.5 + 1.0).otherwise(col("x"))
+
+    out: dict = {
+        "rows": n,
+        # record the row-UDF serialization regime in force (unset =
+        # Spark 4.1 default: pickled rows, no Arrow optimization)
+        "python_udf_arrow_enabled": spark.conf.get(
+            "spark.sql.execution.pythonUDF.arrow.enabled", None
+        ),
+    }
+
+    def timed(name, c):
+        df = d.select(c.alias("y"))
+        rs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            rs.append(round(time.perf_counter() - t0, 3))
+        out[name] = {
+            "wall_s": min(rs),
+            "runs": rs,
+            "mrows_per_s": round(n / 1e6 / min(rs), 1),
+            "load1": round(os.getloadavg()[0], 1),
+        }
+
+    timed("row_udf", f_row("x"))
+    timed("pandas_udf", f_vec("x"))
+    timed("builtin", builtin)
+    out["row_over_pandas"] = round(
+        out["row_udf"]["wall_s"] / out["pandas_udf"]["wall_s"], 1
+    )
+    out["pandas_over_builtin"] = round(
+        out["pandas_udf"]["wall_s"] / out["builtin"]["wall_s"], 1
+    )
+    out["row_over_builtin"] = round(
+        out["row_udf"]["wall_s"] / out["builtin"]["wall_s"], 1
+    )
+    return out
+
+
 def _window_specs(plan: str) -> list[str]:
     import re
 
@@ -807,6 +869,9 @@ def main() -> None:
         return
     if os.environ.get("SCALE_MM"):
         print(json.dumps({"multimodal_stress": multimodal_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_UDF"):
+        print(json.dumps({"udf_ladder": udf_ladder_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
