@@ -244,6 +244,30 @@ def main() -> None:
         ["BroadcastNestedLoopJoin", "hashpartitioning(tid", "REPARTITION"],
     )
 
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    add(
+        "Grouped two-phase prefix scan (llm_pack_sequences)",
+        "The per-language cumsum carries NO window partitioned by lang "
+        "alone (a per-group single-task fold): the plan hash-partitions "
+        "on the slice id `_prefix_pid` (a pure function of doc_id with "
+        "literal quantile boundaries), windows within (slice, lang), and "
+        "broadcast-joins the per-(slice, lang) offsets back "
+        "(SCALE.md §9i/§9j; round-6 rewrite, bit-identical values):",
+        llm._q_pack_sequences(spark, SF),
+        ["hashpartitioning(_prefix_pid", "Window", "BroadcastExchange"],
+    )
+
+    add(
+        "Closed-form window percentiles (rel_window_percentiles)",
+        "percent_rank/cume_dist over ~5 priorities reduce to closed "
+        "forms over the grouped scan's row number; the only remaining "
+        "window is the rank-3 probe, which compiles to WindowGroupLimit "
+        "(map-side partial top-3), and the stats ride 5-row broadcasts:",
+        relational._q_window_percentiles(spark, SF),
+        ["hashpartitioning(_prefix_pid", "WindowGroupLimit", "BroadcastExchange"],
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(HEADER + "\n" + "\n".join(sections))
     print(f"PLANS.md written: {len(sections)} sections")
