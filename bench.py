@@ -321,6 +321,29 @@ def duckdb_twin_suite(sf_dir: str) -> dict[str, float]:
     return out
 
 
+#: hard budget for the FINAL printed line. The driver records only the
+#: last 2000 chars of bench stdout; BENCH_r06's one fat line outgrew
+#: that tail and the artifact of record parsed as null (VERDICT r06
+#: #1). The summary stays ~700 chars today; the margin below absorbs
+#: suite growth, and past it per-query detail is dropped before any
+#: headline field (everything dropped is still in BENCH_DETAIL.json
+#: and the preceding detail line).
+SUMMARY_LINE_BUDGET = 1500
+
+
+def compact_line(summary: dict) -> str:
+    line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_BUDGET and "queries" in summary:
+        summary = dict(summary)
+        summary["queries"] = {
+            k: v
+            for k, v in summary["queries"].items()
+            if k in DUCK_MATCHING_SPARK.values()
+        }
+        line = json.dumps(summary)
+    return line
+
+
 def _wait_for_idle(deadline: float) -> tuple[float, float, bool]:
     """Block until load1 < IDLE_LOAD1 or the deadline passes. Returns
     (final load1, seconds waited, gate met)."""
@@ -357,11 +380,21 @@ def main() -> None:
     retried: list[str] = []
 
     def run_block(fn) -> list[float]:
+        """3 timed runs; a 4th when the WARM runs (2..n — run 1 carries
+        per-query codegen/warm-up and always dominates the raw spread)
+        disagree by >20% (VERDICT r06 #5: three rows moved >10% under
+        load1_pre 2.4-4.1 in r06; the extra run gives best-of more
+        samples exactly when contention is visible in the data)."""
         rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
+            rs.append(round(time.perf_counter() - t0, 3))
+        warm = rs[1:]
+        if min(warm) > 0 and (max(warm) - min(warm)) / min(warm) > 0.2:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
             rs.append(round(time.perf_counter() - t0, 3))
         return rs
 
@@ -387,36 +420,63 @@ def main() -> None:
     matching = round(
         sum(timings[s] for s in DUCK_MATCHING_SPARK.values() if s in timings), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-                "load1_pre": loads_pre,
-                "load1": loads,
-                "duckdb_suite_seconds": duck_total,
-                "duckdb_queries": duck,
-                "duckdb_load1_pre": duck_pre,
-                "baseline_static_seconds": 9.221,  # BASELINE.md, round 0
-                "spark_matching_subtotal": matching,
-                "matching_vs_duckdb_same_session": (
-                    round(matching / duck_total, 3) if duck_total else None
-                ),
-                "idle_gate": {
-                    "threshold": IDLE_LOAD1,
-                    "timeout_s": IDLE_TIMEOUT,
-                    "load1_at_gate": gate_load,
-                    "waited_s": gate_wait,
-                    "met": gate_met,
-                    "regated": retried,
-                },
-            }
-        )
+    # Warm-run spread per row (runs 2..n; run 1 is the codegen warm-up):
+    # the reproducibility signal VERDICT r06 #5 asked the artifact to carry.
+    spreads = {
+        k: round((max(rs[1:]) - min(rs[1:])) / min(rs[1:]), 3)
+        for k, rs in runs.items()
+        if len(rs) > 1 and min(rs[1:]) > 0
+    }
+
+    # Detail record: full provenance (every run, host load before/after
+    # each row, per-probe DuckDB timings). Printed FIRST and mirrored to
+    # a side file — the driver keeps only the last ~2000 chars of
+    # stdout, which is why BENCH_r06's single fat line lost its head and
+    # parsed as null (VERDICT r06 #1). The LAST printed line below is
+    # the compact machine-readable summary, kept well under that tail.
+    detail = {
+        "metric": "suite_seconds_detail",
+        "runs": runs,
+        "warm_spread": spreads,
+        "extra_run": sorted(k for k, rs in runs.items() if len(rs) > 3),
+        "load1_pre": loads_pre,
+        "load1": loads,
+        "duckdb_queries": duck,
+        "duckdb_load1_pre": duck_pre,
+        "regated": retried,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries it
+    print(json.dumps(detail))
+
+    summary = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "duckdb_suite_seconds": duck_total,
+        "baseline_static_seconds": 9.221,  # BASELINE.md, round 0
+        "spark_matching_subtotal": matching,
+        "matching_vs_duckdb_same_session": (
+            round(matching / duck_total, 3) if duck_total else None
+        ),
+        "max_warm_spread": max(spreads.values()) if spreads else None,
+        "idle_gate": {
+            "threshold": IDLE_LOAD1,
+            "load1_at_gate": gate_load,
+            "waited_s": gate_wait,
+            "met": gate_met,
+            "regated": len(retried),
+        },
+    }
+    print(compact_line(summary))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,52 @@ def test_matching_map_targets_exist():
         assert spark_key in bench.BENCH_QUERIES
 
 
+def test_summary_line_fits_driver_stdout_tail():
+    """The driver keeps only the last 2000 chars of bench stdout;
+    BENCH_r06 lost its JSON head to that tail and parsed as null. Pin
+    the final printed line under bench.SUMMARY_LINE_BUDGET (<2000 with
+    margin) for a summary built over the FULL current suite, and pin
+    that the budget-overflow fallback keeps every headline field."""
+    timings = {k: 9999.999 for k in bench.BENCH_QUERIES}
+    summary = {
+        "metric": "suite_seconds",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "duckdb_suite_seconds": 9999.999,
+        "baseline_static_seconds": 9.221,
+        "spark_matching_subtotal": 9999.999,
+        "matching_vs_duckdb_same_session": 99.999,
+        "max_warm_spread": 9.999,
+        "idle_gate": {
+            "threshold": 2.0,
+            "load1_at_gate": 99.99,
+            "waited_s": 999.9,
+            "met": False,
+            "regated": len(bench.BENCH_QUERIES),
+        },
+    }
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    assert parsed["value"] == 9999.999
+    # overflow path: blow the queries dict up past the budget and check
+    # the fallback still parses, fits, and keeps the headline fields.
+    summary["queries"] = {f"padded_query_name_{i:04d}": 9999.999 for i in range(80)}
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    for field in (
+        "value",
+        "duckdb_suite_seconds",
+        "spark_matching_subtotal",
+        "matching_vs_duckdb_same_session",
+        "idle_gate",
+    ):
+        assert field in parsed
+
+
 def test_rel_agg_hash_probe_matches_spark_row(spark, duck):
     d = duck.execute(bench.DUCK_PROBES["rel_agg_hash"]).fetchdf()
     s = _spark_row(spark, "rel_agg_hash").rename(
