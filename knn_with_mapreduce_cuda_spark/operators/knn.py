@@ -224,7 +224,17 @@ def _q_normalize_zscore(spark, sf_dir):
     """Per-dimension z-score, same scale shape as minmax above: per-pos
     mean/stddev via the map-side partial aggregate (tree-merged — the
     same merge path DuckDB's grouped avg/stddev runs) broadcast-joined
-    back, never an unordered per-pos window fold."""
+    back, never an unordered per-pos window fold.
+
+    Documented half-tie exposure (ADVICE r06 #5; same class as
+    quality_score): unlike min/max, avg/stddev_pop are NOT
+    order-insensitive in floating point — partial-merge order can move
+    the statistic by an ulp, and an ulp flips ``round(x, 4)`` only when
+    the true quotient sits within ~1e-12 of a .5e-4 boundary (odds
+    ~1e-8 per cell; hash-verified bit-identical to the window form and
+    to DuckDB at 3 SFs and under the 5-cpu/7-partition shake). Accepted
+    as-is: quantizing val to integers would change the operator's
+    semantics, and the oracle runs the same float merge."""
     e = tables.embeddings(spark, sf_dir)
     ex = e.select("vec_id", F.posexplode("emb").alias("pos", "val"))
     stats = ex.groupBy("pos").agg(

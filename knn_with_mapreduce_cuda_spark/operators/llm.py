@@ -1729,23 +1729,39 @@ def _q_simsearch_pq(spark, sf_dir, qmod: int = 50):
     return _pq_rerank(e, short, qmod, PQ_TOPK)
 
 
-def _scratch_root() -> str:
-    """User-scoped scratch root for the stored-index artifacts (ADVICE
-    r05: the old fixed world-writable ``/tmp/spark_graft_scratch`` could
-    be pre-created or left over by another user, and whatever sat there
-    was trusted — and rmtree'd — by the staleness guards). Resolution:
-    ``$SPARK_GRAFT_SCRATCH`` (repo-configured) else
-    ``$XDG_CACHE_HOME/spark_graft_scratch`` else
-    ``~/.cache/spark_graft_scratch``. Created 0o700; reuse and deletion
-    both require current-uid ownership, so a foreign directory is an
-    error, never a trusted index."""
+def _scratch_root_path() -> str:
+    """PURE resolution of the stored-index scratch root — no mkdir, no
+    stat, no raise (ADVICE r06 #4: the old module-level
+    ``PQ_STORED_ROOT = _scratch_root()`` created a directory and could
+    raise at IMPORT time, making the whole registry unimportable in a
+    restricted environment). Resolution: ``$SPARK_GRAFT_SCRATCH``
+    (repo-configured) else ``$XDG_CACHE_HOME/spark_graft_scratch`` else
+    ``~/.cache/spark_graft_scratch``. Oracle-SQL rendering uses this
+    pure form — an unusable root then fails only the two stored-index
+    keys at execution, never the import or the other 366 oracles."""
     import os
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
     if not base:
         cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
         base = os.path.join(cache, "spark_graft_scratch")
-    base = os.path.abspath(base)
+    return os.path.abspath(base)
+
+
+def _scratch_root() -> str:
+    """Validated scratch root for the stored-index artifacts (ADVICE
+    r05: the old fixed world-writable ``/tmp/spark_graft_scratch`` could
+    be pre-created or left over by another user, and whatever sat there
+    was trusted — and rmtree'd — by the staleness guards). Called
+    LAZILY from the stored-dir resolvers, i.e. on the read/write/trust
+    paths only, never at import. Created 0o700; a pre-existing root is
+    re-tightened to 0o700 after the ownership check (ADVICE r06 #4:
+    ``exist_ok=True`` alone left a loose pre-existing mode in place).
+    Reuse and deletion both require current-uid ownership, so a foreign
+    directory is an error, never a trusted index."""
+    import os
+
+    base = _scratch_root_path()
     os.makedirs(base, mode=0o700, exist_ok=True)
     st = os.stat(base)
     if st.st_uid != os.getuid():
@@ -1753,21 +1769,22 @@ def _scratch_root() -> str:
             f"scratch root {base} is owned by uid {st.st_uid}, not "
             f"{os.getuid()} — refusing to reuse or delete foreign artifacts"
         )
+    if (st.st_mode & 0o777) != 0o700:
+        os.chmod(base, 0o700)
     return base
 
 
-#: stored-PQ scratch root: the index artifacts for fixture directory D
-#: live under PQ_STORED_ROOT + D (D is absolute, so the layout nests) —
-#: a deterministic path both the Spark query and the DuckDB oracle
-#: (via the {SF_DIR} placeholder) resolve identically in every process
-#: of the same user.
-PQ_STORED_ROOT = _scratch_root()
-
+#: stored-PQ scratch layout: the index artifacts for fixture directory
+#: D live under <scratch root> + D (D is absolute, so the layout
+#: nests) — a deterministic path both the Spark query and the DuckDB
+#: oracle (via the {PQ_ROOT}/{SF_DIR} placeholders, rendered in
+#: registry.oracle_sql) resolve identically in every process of the
+#: same user.
 _PQ_STORED_MEMO = tables.SessionMemo()
 
 
 def _pq_stored_dir(sf_dir: str) -> str:
-    return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/pq"
+    return f"{_scratch_root()}{sf_dir.rstrip('/')}/pq"
 
 
 def _pq_stored_layout_stale(d: str) -> bool:
@@ -1905,7 +1922,7 @@ def _q_simsearch_pq_stored(spark, sf_dir, qmod: int = 50):
 
 
 def _ivfpq_stored_dir(sf_dir: str) -> str:
-    return f"{PQ_STORED_ROOT}{sf_dir.rstrip('/')}/ivfpq"
+    return f"{_scratch_root()}{sf_dir.rstrip('/')}/ivfpq"
 
 
 def _ivfpq_stored_layout_stale(d: str) -> bool:
@@ -2600,7 +2617,7 @@ ORACLE = {
     ),
     "llm_simsearch_pq_stored": (
         # reads the SAME stored artifacts the Spark query scans
-        # (codes.parquet + codebook.parquet under PQ_STORED_ROOT +
+        # (codes.parquet + codebook.parquet under the scratch root ({PQ_ROOT}) +
         # {SF_DIR}, written by _pq_store) and re-derives the ADC
         # ranking + exact rerank in SQL — no Lloyd unroll needed: the
         # trained model is part of the stored index under test.
@@ -2611,9 +2628,9 @@ ORACLE = {
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("
-        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
+        f"'{{PQ_ROOT}}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
         f"codes AS (SELECT * FROM read_parquet("
-        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codes.parquet/*.parquet')), "
+        f"'{{PQ_ROOT}}{{SF_DIR}}/pq/codes.parquet/*.parquet')), "
         "enc AS (SELECT tid, t.j AS s, CASE t.j "
         + " ".join(f"WHEN {s} THEN c{s}" for s in range(PQ_NSUB))
         + " END AS code FROM codes, range(8) t(j)), "
@@ -2643,11 +2660,11 @@ ORACLE = {
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("
-        f"'{PQ_STORED_ROOT}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
+        f"'{{PQ_ROOT}}{{SF_DIR}}/pq/codebook.parquet/*.parquet')), "
         f"codes AS (SELECT tid, "
         + ", ".join(f"c{s}" for s in range(PQ_NSUB))
         + ", CAST(cid AS BIGINT) AS cid FROM read_parquet("
-        f"'{PQ_STORED_ROOT}{{SF_DIR}}/ivfpq/codes.parquet/*/*.parquet', "
+        f"'{{PQ_ROOT}}{{SF_DIR}}/ivfpq/codes.parquet/*/*.parquet', "
         "hive_partitioning = 1)), "
         "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb0 WHERE vec_id IN ("
         + ", ".join(str(i) for i in IVF_CENTROID_IDS)

@@ -29,6 +29,89 @@ _CTE_HEAD = re.compile(
 )
 
 
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_]\w*\$|\$\$")
+
+
+def _code_segments(sql: str) -> list[tuple[bool, str]]:
+    """Lex ``sql`` into (is_code, text) segments: string literals
+    (single-quoted with '' escapes, dollar-quoted), double-quoted
+    identifiers, line comments and (nested, Postgres/DuckDB-style)
+    block comments are NON-code, everything else is code. A plain
+    quote-parity split misreads an apostrophe inside a comment as a
+    string-literal boundary and flips code/literal for the rest of the
+    statement (ADVICE r06 #3) — this scanner tracks the real state."""
+    segs: list[tuple[bool, str]] = []
+    i, n, start = 0, len(sql), 0
+
+    def _flush(end: int, is_code: bool) -> None:
+        nonlocal start
+        if end > start:
+            segs.append((is_code, sql[start:end]))
+        start = end
+
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if ch == "'":
+            _flush(i, True)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            _flush(j, False)
+            i = j
+        elif ch == '"':
+            _flush(i, True)
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':  # "" escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            _flush(j, False)
+            i = j
+        elif ch == "-" and nxt == "-":
+            _flush(i, True)
+            j = sql.find("\n", i)
+            j = n if j == -1 else j + 1
+            _flush(j, False)
+            i = j
+        elif ch == "/" and nxt == "*":
+            _flush(i, True)
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            _flush(j, False)
+            i = j
+        elif ch == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                _flush(i, True)
+                close = sql.find(m.group(0), m.end())
+                j = n if close == -1 else close + len(m.group(0))
+                _flush(j, False)
+                i = j
+            else:
+                i += 1
+        else:
+            i += 1
+    _flush(n, True)
+    return segs
+
+
 def materialize_ctes(sql: str, expected: int | None = None) -> str:
     """Pin every CTE in ``sql`` as MATERIALIZED. DuckDB re-evaluates a
     non-materialized CTE at every reference; inside a WITH RECURSIVE
@@ -38,14 +121,12 @@ def materialize_ctes(sql: str, expected: int | None = None) -> str:
     unchanged — materialization is a physical hint (verified per key
     before adoption).
 
-    Single-quoted string literals are never rewritten ('' escapes
-    handled by the split parity). A call that rewrites nothing raises
-    — every caller wraps SQL known to carry CTEs, so a silent
+    String literals, quoted identifiers and comments are never
+    rewritten (``_code_segments`` tracks the real lexical state, so an
+    apostrophe inside a comment can't flip the code/literal parity the
+    way the old split-on-quote did). A call that rewrites nothing
+    raises — every caller wraps SQL known to carry CTEs, so a silent
     non-rewrite is a bug; pass ``expected`` to pin the exact count."""
-    # split on ' — even segments are code, odd are string-literal
-    # bodies ('' escapes land as empty even segments, still not code
-    # that can contain a CTE head)
-    parts = sql.split("'")
     hits = 0
 
     def _sub(m: re.Match) -> str:
@@ -53,13 +134,15 @@ def materialize_ctes(sql: str, expected: int | None = None) -> str:
         hits += 1
         return f"{m.group(1)} AS MATERIALIZED ("
 
-    for i in range(0, len(parts), 2):
-        parts[i] = _CTE_HEAD.sub(_sub, parts[i])
+    out = [
+        _CTE_HEAD.sub(_sub, text) if is_code else text
+        for is_code, text in _code_segments(sql)
+    ]
     if expected is not None and hits != expected:
         raise ValueError(f"materialize_ctes: rewrote {hits} CTE heads, expected {expected}")
     if hits == 0:
         raise ValueError("materialize_ctes: no CTE head matched — nothing rewritten")
-    return "'".join(parts)
+    return "".join(out)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -129,7 +212,8 @@ _DUCK_RAW = {"VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
 
 def _fingerprint_sql(cols: list[tuple[str, str]], rel: str) -> str:
     """Order-insensitive multiset fingerprint of ``rel`` — count, sum and
-    bit_xor of per-row hashes over the name-sorted columns (ints pinned
+    bit_xor of per-row hashes from TWO independent hash families (plain
+    and salted; ADVICE r06 #2) over the name-sorted columns (ints pinned
     to BIGINT, floats to DOUBLE so both sides hash identical types),
     plus a per-float-column -0.0 count: DuckDB's hash() maps both zero
     signs to 0, and this term restores the strictness the exact path's
@@ -157,7 +241,22 @@ def _fingerprint_sql(cols: list[tuple[str, str]], rel: str) -> str:
             expr = qc
         terms.append(expr)
     row = f"hash(ROW({', '.join(terms)}))"
-    sel = [f"count(*)", f"sum(CAST({row} AS HUGEINT))", f"bit_xor({row})"]
+    # Independent second fingerprint family (ADVICE r06 #2): a salt
+    # term makes hash() a different function of the row, so a multiset
+    # pair colliding on (count, sum, xor) of the first hash would also
+    # have to collide on the salted sum+xor — pushing the false-green
+    # odds from ~2^-64-ish structured-collision territory to
+    # negligible. Squaring the first hash instead would overflow
+    # HUGEINT (hash() is UBIGINT, its square needs 128 unsigned bits);
+    # the salted family costs the same single scan and stays exact.
+    row2 = f"hash(ROW('fp2_salt', {', '.join(terms)}))"
+    sel = [
+        "count(*)",
+        f"sum(CAST({row} AS HUGEINT))",
+        f"bit_xor({row})",
+        f"sum(CAST({row2} AS HUGEINT))",
+        f"bit_xor({row2})",
+    ]
     return f"SELECT {', '.join(sel + extras)} FROM {rel}"
 
 

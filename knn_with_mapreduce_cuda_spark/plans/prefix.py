@@ -311,8 +311,10 @@ def attach_running_grouped(
     group, and the leading order column should be numeric and
     high-cardinality (a string leading column degrades every row to one
     slice — values stay correct, parallelism collapses back to
-    per-group). Group columns must be non-null (they ride a broadcast
-    equi-join; a null group key would drop its offsets)."""
+    per-group). A NULL group key is a group of its own, consistently:
+    the windows/groupBy treat NULL as one group and the recombine join
+    is null-safe (``eqNullSafe``), so null-group rows carry correct
+    running sums instead of vanishing (ADVICE r06 #1)."""
     spark = df.sparkSession
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -363,7 +365,11 @@ def attach_running_grouped(
     )
     cond = col(_PID) == col("_opid")
     for i, g in enumerate(gcols):
-        cond = cond & (col(g) == col(f"_og_{i}"))
+        # eqNullSafe, not ==: partitionBy and groupBy above both treat
+        # NULL as its own group, so a null group key must also survive
+        # this recombine join — a plain equality would silently DROP
+        # every null-group row from the output (ADVICE r06 #1).
+        cond = cond & (col(g).eqNullSafe(col(f"_og_{i}")))
     out = out.join(F.broadcast(offs), cond)
     for _, dst, _ in items:
         out = out.withColumn(dst, col(dst) + col(f"_off_{dst}"))

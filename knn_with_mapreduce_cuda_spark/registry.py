@@ -59,46 +59,58 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-6 rotation window (VERDICT r05 "Next round" #1): union of
-#: driver-green keys after r05 is 227/368, zero red rows ever. This
-#: window fronts 50 never-driver-graded keys — the judge-named set
-#: (str_churn_labels displaced from r05, the multimodal trio,
-#: llm_embed_quantize, rel_agg_sketch_hll, rel_join_range_bucket,
-#: llm_text_cooccur) plus the heaviest remaining extras by tier (kNN
-#: distance variants, UDF surface extras, rel/ts/str/ml leftovers).
-#: Displaced keys keep their r01–r05 rows; 91 never-graded keys remain
-#: after this round (~2 more windows).
+#: Round-7 rotation window (VERDICT r06 "Next round" #2): union of
+#: driver-green keys after r06 is 277/368, zero red rows ever. This
+#: window fronts the FIRST 50 of the 91 never-driver-graded keys, in
+#: their stable merged-module order (rel data-quality/statistics
+#: heavies, ML evaluation metrics, LLM corpus analytics, time-series
+#: detectors). Displaced keys keep their r01–r06 rows; the final 41
+#: never-graded keys are pinned in _ROTATE_NEXT for r08 (VERDICT r06
+#: #4: the r08 window list is fixed NOW so closing the contract is a
+#: formality).
 _ROTATE_FRONT = [
-    # judge-named (VERDICT r05 #1)
-    "str_churn_labels", "llm_multimodal_features",
-    "llm_multimodal_framesample", "llm_multimodal_resize",
-    "llm_embed_quantize", "rel_agg_sketch_hll", "rel_join_range_bucket",
-    "llm_text_cooccur",
-    # kNN distance/normalize variants
-    "knn_normalize_unit", "knn_dist_chebyshev", "knn_dist_minkowski",
-    "knn_dist_hamming", "knn_dist_dot", "knn_dist_seuclidean",
-    # UDF surface extras
-    "udf_arrow_scalar", "udf_pandas_iter", "udf_apply_arrow",
-    "udf_grouped_map",
-    # LLM text extras
-    "llm_text_ngram_char", "llm_normalize_text", "llm_split_stratified",
-    "llm_mix_temperature",
-    # relational heavies (rel_unpivot / rel_fn_math2 are the sweep-tail
-    # keys — 0.6–1.8 M-row outputs, the comparator-profiling targets)
-    "rel_window_percentiles", "rel_string_agg", "rel_agg_percentile",
-    "rel_fn_bitwise", "rel_unpivot", "rel_fn_string2", "rel_fn_math2",
-    "rel_agg_stats", "rel_agg_collect", "rel_fn_date2",
-    "rel_window_range_interval", "rel_gen_range", "rel_window_cume",
-    "rel_fn_format",
-    # time-series heavies
-    "ts_gaps_islands", "ts_ewma", "ts_seasonal_profile",
-    "ts_anomaly_rolling_z", "ts_downsample_minmax", "ts_mad_outliers",
-    "ts_ohlc", "ts_fano_burstiness",
-    # behavioral/stream heavies
-    "str_window_distinct", "str_session_stats", "str_rolling_active",
-    "str_arrival_iat_stats",
-    # ML metrics
-    "ml_precision_recall", "ml_ttest_welch",
+    # relational data-quality / statistics heavies
+    "rel_agg_approx_quantile", "rel_scd2_intervals", "rel_histogram_fixed",
+    "rel_sample_stratified", "rel_agg_bool", "rel_join_existence_flag",
+    "rel_window_hourly_top_type", "rel_fn_null", "rel_stat_crosstab",
+    "rel_join_lateral", "rel_lateral_view", "rel_values_inline",
+    "rel_fn_higher_order2", "rel_join_asof_tolerance",
+    "rel_stat_chi2_benford", "rel_funnel_3step", "rel_join_interval_overlap",
+    "str_join_stream_stream_outer", "rel_join_bloom_prefilter",
+    "rel_top_mover",
+    # ML evaluation metrics
+    "ml_ab_test_proportions", "llm_ngram_novelty", "ml_feature_gain",
+    "ml_brier_score", "ml_log_loss", "rel_incremental_agg",
+    "rel_snapshot_diff", "llm_dataset_card", "rel_select_except",
+    "rel_group_by_all", "ml_psi_drift", "ml_chi2_independence",
+    "ml_dist_concentration", "llm_keywords_per_doc", "llm_token_entropy",
+    "ml_cohens_kappa", "llm_lang_vocab_overlap", "rel_order_by_all",
+    "rel_try_arith", "llm_shingle_containment", "ml_mcc", "ml_platt_1step",
+    "ts_peak_detect", "rel_fn_variant", "ts_variance_time",
+    "rel_histogram_log", "rel_yoy_growth", "ml_tukey_fences",
+    "llm_lang_confusion", "rel_fk_integrity_audit",
+]
+
+#: The r08 window plan (VERDICT r06 #4) — the final 41 never-graded
+#: keys in stable merged order. Next round: _ROTATE_FRONT becomes this
+#: list (plus any keys added in r07, which land never-graded by
+#: construction), closing the driver-grade union at 368/368.
+_ROTATE_NEXT = [
+    "ts_lag_features", "llm_embed_outliers", "rel_hash_uniformity_chi2",
+    "llm_boilerplate_prefix", "ml_class_weights", "ts_season_strength",
+    "ml_mcnemar_test", "llm_lsh_bucket_stats", "ts_weekday_weekend_profile",
+    "ml_ece", "llm_hapax_stats", "rel_join_natural",
+    "ts_type_correlation_matrix", "ml_dim_ablation", "str_new_vs_returning",
+    "rel_column_profile", "ts_completeness", "ml_label_noise_flags",
+    "ml_lowe_ratio", "ml_balanced_accuracy", "ts_runs_test",
+    "str_stickiness", "ml_youden_threshold", "ml_average_precision",
+    "llm_heaps_law", "ml_f1_scores", "llm_vocab_kl_divergence",
+    "ts_persistence_error_curve", "rel_unique_key_audit",
+    "ml_best_f1_threshold", "ts_gumbel_fit", "llm_term_burstiness",
+    "ml_precision_at_k", "llm_dedup_cluster_langs",
+    "ml_operating_point_card", "ts_median_filter", "ml_vote_margin",
+    "ml_recall_at_k", "str_bounce_rate", "ml_tpr_at_fixed_fpr",
+    "ts_exceedance_episodes",
 ]
 
 #: Keys deliberately re-fronted after an output-changing edit (ADVICE
@@ -150,4 +162,14 @@ def oracle_sql(sf_dir: str = GRADED_SF_DIR) -> dict[str, str]:
     if stray:
         raise ValueError(f"oracle entries without queries: {sorted(stray)}")
     stem = sf_dir.rstrip("/")
-    return {k: v.replace("{SF_DIR}", stem) for k, v in out.items()}
+    out = {k: v.replace("{SF_DIR}", stem) for k, v in out.items()}
+    if any("{PQ_ROOT}" in v for v in out.values()):
+        # stored-index oracles read artifacts under the user scratch
+        # root. Rendered with the PURE path resolver (no mkdir, no
+        # raise — ADVICE r06 #4): an unusable root fails only those
+        # keys at execution, never this whole dict.
+        from .operators.llm import _scratch_root_path
+
+        root = _scratch_root_path()
+        out = {k: v.replace("{PQ_ROOT}", root) for k, v in out.items()}
+    return out

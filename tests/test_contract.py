@@ -77,6 +77,18 @@ def test_rotation_window_policy():
     graded: set[str] = set().union(*artifacts.values()) if artifacts else set()
     overlap = [k for k in front if k in graded and k not in registry._RE_EARNED]
     assert overlap == [], f"window repeats driver-graded keys: {overlap}"
+    # The pinned r08 plan (VERDICT r06 #4): _ROTATE_NEXT + this window
+    # must cover EVERY never-driver-graded registry key exactly once —
+    # no key lost between windows, no slot wasted on a graded key.
+    nxt = registry._ROTATE_NEXT
+    assert set(nxt) <= set(qs)
+    assert not set(nxt) & set(front)
+    assert not set(nxt) & graded, "r08 plan repeats driver-graded keys"
+    never = set(qs) - graded - set(front)
+    assert set(nxt) == never, (
+        f"r08 plan out of sync with never-graded set: "
+        f"missing={sorted(never - set(nxt))} stale={sorted(set(nxt) - never)}"
+    )
 
 
 def test_entry_smoke(spark):

@@ -135,6 +135,45 @@ def test_materialize_ctes_contract():
         materialize_ctes(pinned)
 
 
+def test_materialize_ctes_lexes_comments_and_quotes():
+    """ADVICE r06 #3: an apostrophe inside a comment must not flip the
+    code/literal parity — the scanner tracks real lexical state, so CTE
+    heads AFTER a comment-with-apostrophe still rewrite, heads INSIDE
+    comments / double-quoted identifiers / dollar-quoted strings never
+    do, and the rewritten SQL stays valid."""
+    import duckdb
+    import pytest
+
+    from knn_with_mapreduce_cuda_spark.oracle import materialize_ctes
+
+    # apostrophe in a line comment, CTE after it: old parity split
+    # would treat everything after the ' as a string literal and skip b
+    sql = (
+        "WITH a AS (SELECT 1 AS x), -- tom's note\n"
+        "b AS (SELECT 2 AS x) SELECT * FROM a UNION ALL SELECT * FROM b"
+    )
+    out = materialize_ctes(sql, expected=2)
+    assert out.count("MATERIALIZED") == 2
+    assert duckdb.connect().execute(out).fetchall() == [(1,), (2,)]
+    # apostrophe in a (nested) block comment
+    out = materialize_ctes(
+        "WITH a AS (SELECT 1) /* it's /* nested, isn't it */ fine */ "
+        "SELECT * FROM a",
+        expected=1,
+    )
+    assert "nested, isn't it" in out
+    # a commented-out CTE head is NOT rewritten
+    with pytest.raises(ValueError, match="no CTE head"):
+        materialize_ctes("-- a AS (SELECT 1)\nSELECT 1")
+    # double-quoted identifier and dollar-quoted literal are opaque
+    out = materialize_ctes(
+        'WITH a AS (SELECT \'b AS (SELECT\' AS "c AS (SELECT", '
+        "$$d AS (SELECT$$ AS e) SELECT * FROM a",
+        expected=1,
+    )
+    assert out.count("MATERIALIZED") == 1
+
+
 def test_hash_compare_fingerprint_semantics():
     """VERDICT r05 #2: the server-side fingerprint settles equal frames
     without fetching oracle rows, refuses anything it can't hash
@@ -206,3 +245,25 @@ def test_hash_compare_fingerprint_semantics():
     # int-vs-float type drift between the sides refuses (exact path decides)
     settled, res = run(base, "SELECT CAST(k AS DOUBLE) AS k, v, s FROM base")
     assert settled is False or not res.ok
+
+
+def test_fingerprint_carries_two_hash_families():
+    """ADVICE r06 #2: the multiset fingerprint must include a second,
+    independent (salted) hash family — a pair of distinct multisets
+    colliding on (count, sum, xor) of one 64-bit hash then has to
+    collide on the second family too. Pin the structure (both families,
+    sum+xor each) and that the families really are independent: rows
+    hashing equal under family 1 terms hash different under family 2."""
+    import duckdb
+
+    from knn_with_mapreduce_cuda_spark.oracle import _fingerprint_sql
+
+    sql = _fingerprint_sql([("k", "int")], "t")
+    assert sql.count("hash(ROW(") == 4  # sum+xor for each of 2 families
+    assert "fp2_salt" in sql
+    con = duckdb.connect()
+    h1, h2 = con.execute(
+        "SELECT hash(ROW(CAST(7 AS BIGINT))), "
+        "hash(ROW('fp2_salt', CAST(7 AS BIGINT)))"
+    ).fetchone()
+    assert h1 != h2

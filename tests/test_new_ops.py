@@ -809,6 +809,49 @@ def test_scratch_root_env_override_and_mode(tmp_path, monkeypatch):
     assert (st.st_mode & 0o777) == 0o700
 
 
+def test_scratch_root_retightens_loose_preexisting_mode(tmp_path, monkeypatch):
+    """ADVICE r06 #4: a pre-existing user-owned root at a loose mode is
+    chmod'd back to 0o700 — makedirs(exist_ok=True) alone leaves the
+    original mode in place."""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    target = tmp_path / "loose"
+    target.mkdir(mode=0o755)
+    os.chmod(target, 0o755)  # mkdir mode is umask-filtered; pin it
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
+    root = llm._scratch_root()
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+
+def test_import_and_oracle_render_need_no_scratch_root(tmp_path):
+    """ADVICE r06 #4: importing the operators package and rendering
+    oracle_sql() must neither create the scratch root nor raise when it
+    is uncreatable — only the two stored-index keys may fail, at
+    execution. Run in a subprocess so the import is genuinely fresh."""
+    import os
+    import subprocess
+    import sys
+
+    impossible = str(tmp_path / "missing_parent" / "scr")
+    env = dict(os.environ, SPARK_GRAFT_SCRATCH=impossible)
+    code = (
+        "from knn_with_mapreduce_cuda_spark import registry\n"
+        "osql = registry.oracle_sql()\n"
+        "assert len(osql) > 300\n"
+        f"assert {impossible!r} in osql['llm_simsearch_pq_stored']\n"
+        "import os\n"
+        f"assert not os.path.exists({impossible!r})\n"
+        "print('IMPORT_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "IMPORT_OK" in r.stdout
+
+
 def test_scratch_root_rejects_foreign_owner(tmp_path, monkeypatch):
     """A scratch root owned by another uid must raise, never be trusted
     as an index source or rmtree'd (requires root to simulate)."""

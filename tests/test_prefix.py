@@ -176,6 +176,38 @@ def test_grouped_string_group_key(spark):
     )
 
 
+def test_grouped_null_group_key_rows_survive(spark):
+    """A NULL group key is a real group, not lost rows: windows and
+    groupBy treat NULL as one group and the recombine join is
+    eqNullSafe — with a plain == the null-group rows would vanish from
+    the output entirely (ADVICE r06 #1)."""
+    d = _grouped_data(spark).select(
+        F.when(col("g") == 0, None).otherwise(col("g")).alias("g"), "o", "v"
+    )
+    n_null = d.filter(col("g").isNull()).count()
+    assert n_null > 0  # the fixture must exercise the null group
+    got = prefix.attach_running_grouped(
+        d, ["g"], ["o"], sums={"v": "cs"}, sums_excl={"v": "cse"}, parts=7
+    )
+    assert got.count() == d.count()
+    w = Window.partitionBy("g").orderBy("o")
+    want = d.withColumn(
+        "cs",
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0)
+        ),
+    ).withColumn(
+        "cse",
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)
+        ),
+    )
+    cols = ["g", "o", "v", "cs", "cse"]
+    assert sorted(
+        map(tuple, got.select(cols).fillna({"g": -999}).collect())
+    ) == sorted(map(tuple, want.select(cols).fillna({"g": -999}).collect()))
+
+
 def test_grouped_rejects_duplicate_outputs(spark):
     d = _grouped_data(spark)
     with pytest.raises(ValueError, match="duplicate output"):
