@@ -66,8 +66,17 @@ def knn_classify_gemm(spark, sf_dir):
     q = knn.split_test(e)
     t = knn.train_all(e)
     top = knn_topk_gemm(q.select("qid", "qemb"), t.select("tid", "temb"), 10)
-    labeled = top.join(t.select("tid", "tlabel"), "tid").join(
-        q.select("qid", "qlabel"), "qid"
+    # Broadcast the label dims explicitly: without the hint Catalyst
+    # broadcasts the TOPK side (statistics after the window filter look
+    # tiny), which re-runs the GEMM subtree as a broadcast-build job and
+    # discards the topk's hash(qid) partitioning — costing two extra
+    # exchanges in the vote. Hinted, the n_q*k candidates stay streamed,
+    # the vote's agg+window reuse hash(qid), and the whole classify tail
+    # holds ONE exchange (measured 1.16 -> 0.90 s at sf0.1; SCALE.md
+    # 9a). At 100 TB the dims stay broadcastable per query block while
+    # the candidate relation never concentrates on one node.
+    labeled = top.join(F.broadcast(t.select("tid", "tlabel")), "tid").join(
+        F.broadcast(q.select("qid", "qlabel")), "qid"
     )
     return knn.majority_vote(labeled)
 
@@ -88,8 +97,17 @@ def knn_classify_full_gemm(spark, sf_dir):
         col("label").alias("qlabel"),
     )
     top = knn_topk_gemm(q.select("qid", "qemb"), t.select("tid", "temb"), 10)
-    labeled = top.join(t.select("tid", "tlabel"), "tid").join(
-        q.select("qid", "qlabel"), "qid"
+    # Broadcast the label dims explicitly: without the hint Catalyst
+    # broadcasts the TOPK side (statistics after the window filter look
+    # tiny), which re-runs the GEMM subtree as a broadcast-build job and
+    # discards the topk's hash(qid) partitioning — costing two extra
+    # exchanges in the vote. Hinted, the n_q*k candidates stay streamed,
+    # the vote's agg+window reuse hash(qid), and the whole classify tail
+    # holds ONE exchange (measured 1.16 -> 0.90 s at sf0.1; SCALE.md
+    # 9a). At 100 TB the dims stay broadcastable per query block while
+    # the candidate relation never concentrates on one node.
+    labeled = top.join(F.broadcast(t.select("tid", "tlabel")), "tid").join(
+        F.broadcast(q.select("qid", "qlabel")), "qid"
     )
     return knn.majority_vote(labeled)
 

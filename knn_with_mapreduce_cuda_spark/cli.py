@@ -32,8 +32,11 @@ def _classify_frames(q, t, k: int, strategy: str):
 
     if strategy == "gemm":
         top = knn_topk_gemm(q.select("qid", "qemb"), t.select("tid", "temb"), k)
-        labeled = top.join(t.select("tid", "tlabel"), "tid").join(
-            q.select("qid", "qlabel"), "qid"
+        # broadcast-hint the label dims so the candidate relation stays
+        # streamed and the vote tail reuses its hash(qid) partitioning
+        # (one exchange total — see bench.knn_classify_gemm / SCALE.md 9a)
+        labeled = top.join(F.broadcast(t.select("tid", "tlabel")), "tid").join(
+            F.broadcast(q.select("qid", "qlabel")), "qid"
         )
         return knn.majority_vote(labeled)
     return knn.majority_vote(knn.topk(knn.with_distance(knn.all_pairs(q, t)), k))
