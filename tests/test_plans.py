@@ -676,3 +676,22 @@ def test_near_dup_family_joins_are_banded_equi_joins(spark):
     ep = _plan(llm._q_dedup_embed(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in ep, ep
     assert "hashpartitioning(vec_a" in ep, ep
+
+
+def test_gemm_classify_tail_single_exchange(spark):
+    """The bench/CLI GEMM classify tail must keep the label dims as the
+    broadcast sides: un-hinted, Catalyst broadcasts the TOPK relation
+    (post-window stats look tiny), re-running the GEMM subtree as a
+    broadcast build and paying two extra exchanges in the vote
+    (measured 1.20 -> 0.80 s at sf0.1; SCALE.md 9a, round 7). Pin: one
+    hash exchange total (inside topk — agg and vote window reuse its
+    hash(qid) clustering) and the MapInArrow stage NOT under a
+    BroadcastExchange."""
+    import bench
+
+    df = bench.knn_classify_full_gemm(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the GEMM stage streams: no broadcast node above it
+    above = plan.split("MapInArrow")[0]
+    assert "BroadcastExchange" not in above, plan
