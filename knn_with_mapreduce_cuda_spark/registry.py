@@ -59,43 +59,17 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-7 rotation window (VERDICT r06 "Next round" #2): union of
-#: driver-green keys after r06 is 277/368, zero red rows ever. This
-#: window fronts the FIRST 50 of the 91 never-driver-graded keys, in
-#: their stable merged-module order (rel data-quality/statistics
-#: heavies, ML evaluation metrics, LLM corpus analytics, time-series
-#: detectors). Displaced keys keep their r01–r06 rows; the final 41
-#: never-graded keys are pinned in _ROTATE_NEXT for r08 (VERDICT r06
-#: #4: the r08 window list is fixed NOW so closing the contract is a
-#: formality).
+#: Round-8 rotation window (VERDICT r07 "Next round" #1): union of
+#: driver-green keys after r07 is 327/368, zero red rows ever. This
+#: window fronts ALL 41 remaining never-driver-graded keys (the list
+#: pinned as _ROTATE_NEXT since r07, in stable merged-module order),
+#: closing the driver-graded contract at 368/368. The 9 remaining
+#: slots re-grade the OLDEST driver rows for freshness (the first 9
+#: r01-graded kNN-core keys, including knn_normalize_zscore whose
+#: half-tie exposure ADVICE r06 #5 documented) — listed in _RE_EARNED
+#: so the rotation-policy test admits exactly these repeats.
 _ROTATE_FRONT = [
-    # relational data-quality / statistics heavies
-    "rel_agg_approx_quantile", "rel_scd2_intervals", "rel_histogram_fixed",
-    "rel_sample_stratified", "rel_agg_bool", "rel_join_existence_flag",
-    "rel_window_hourly_top_type", "rel_fn_null", "rel_stat_crosstab",
-    "rel_join_lateral", "rel_lateral_view", "rel_values_inline",
-    "rel_fn_higher_order2", "rel_join_asof_tolerance",
-    "rel_stat_chi2_benford", "rel_funnel_3step", "rel_join_interval_overlap",
-    "str_join_stream_stream_outer", "rel_join_bloom_prefilter",
-    "rel_top_mover",
-    # ML evaluation metrics
-    "ml_ab_test_proportions", "llm_ngram_novelty", "ml_feature_gain",
-    "ml_brier_score", "ml_log_loss", "rel_incremental_agg",
-    "rel_snapshot_diff", "llm_dataset_card", "rel_select_except",
-    "rel_group_by_all", "ml_psi_drift", "ml_chi2_independence",
-    "ml_dist_concentration", "llm_keywords_per_doc", "llm_token_entropy",
-    "ml_cohens_kappa", "llm_lang_vocab_overlap", "rel_order_by_all",
-    "rel_try_arith", "llm_shingle_containment", "ml_mcc", "ml_platt_1step",
-    "ts_peak_detect", "rel_fn_variant", "ts_variance_time",
-    "rel_histogram_log", "rel_yoy_growth", "ml_tukey_fences",
-    "llm_lang_confusion", "rel_fk_integrity_audit",
-]
-
-#: The r08 window plan (VERDICT r06 #4) — the final 41 never-graded
-#: keys in stable merged order. Next round: _ROTATE_FRONT becomes this
-#: list (plus any keys added in r07, which land never-graded by
-#: construction), closing the driver-grade union at 368/368.
-_ROTATE_NEXT = [
+    # the final 41 never-driver-graded keys (r07's pinned plan)
     "ts_lag_features", "llm_embed_outliers", "rel_hash_uniformity_chi2",
     "llm_boilerplate_prefix", "ml_class_weights", "ts_season_strength",
     "ml_mcnemar_test", "llm_lsh_bucket_stats", "ts_weekday_weekend_profile",
@@ -111,17 +85,30 @@ _ROTATE_NEXT = [
     "ml_operating_point_card", "ts_median_filter", "ml_vote_margin",
     "ml_recall_at_k", "str_bounce_rate", "ml_tpr_at_fixed_fpr",
     "ts_exceedance_episodes",
+    # freshness re-grades: the 9 oldest driver rows (r01, kNN core)
+    "knn_scan", "knn_normalize_minmax", "knn_normalize_zscore",
+    "knn_split", "knn_allpairs", "knn_dist_euclidean",
+    "knn_dist_sqeuclidean", "knn_dist_manhattan", "knn_dist_cosine",
 ]
 
-#: Keys deliberately re-fronted after an output-changing edit (ADVICE
-#: r05 #4): each entry re-earns a driver row on the new output, so the
-#: rotation-policy test allows exactly these to overlap prior
-#: CORRECTNESS_r*.json artifacts. Empty this round: the NPROBE 2→3
-#: change to llm_simsearch_ivfpq is re-graded transitively — its
-#: stored twin llm_simsearch_ivfpq_stored earned a driver r05 row on
-#: the NPROBE=3 output and tests/test_new_ops.py::
-#: test_ivfpq_stored_matches_inline pins the two bit-equal.
-_RE_EARNED: list[str] = []
+#: The r09 window plan: EMPTY — after the r08 window every registry key
+#: carries a driver CORRECTNESS row (368/368). Future rounds rotate the
+#: oldest-graded keys (or _RE_EARNED output-changed keys) for freshness;
+#: any NEW key added lands here first, never-graded by construction.
+_ROTATE_NEXT: list[str] = []
+
+#: Keys deliberately re-fronted into the window despite carrying a
+#: prior driver row (ADVICE r05 #4 discipline): the rotation-policy
+#: test allows exactly these to overlap prior CORRECTNESS_r*.json
+#: artifacts. This round: the 9 oldest rows (r01, 7 rounds stale) are
+#: re-graded for freshness — their outputs are UNCHANGED (cross-SF
+#: sweep in VERDICT_RESPONSE_r08.md proves it); they fill the window
+#: slots left after the final 41 never-graded keys.
+_RE_EARNED: list[str] = [
+    "knn_scan", "knn_normalize_minmax", "knn_normalize_zscore",
+    "knn_split", "knn_allpairs", "knn_dist_euclidean",
+    "knn_dist_sqeuclidean", "knn_dist_manhattan", "knn_dist_cosine",
+]
 
 
 def _collect(attr: str) -> dict:
