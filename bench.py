@@ -206,6 +206,38 @@ def simsearch_pq_stored(spark, sf_dir):
     return llm._q_simsearch_pq_stored(spark, sf_dir)
 
 
+#: blocks the chunked bench row splits the probe set into — ≥4 so the
+#: outer loop (block select → GEMM → flush → broadcast destroy) is
+#: genuinely exercised, not collapsed to the single-block fast path.
+CHUNKED_BLOCKS = 4
+
+
+def knn_join_chunked(spark, sf_dir):
+    """knn_join via the CHUNKED GEMM entry (plans/gemm_knn.py:
+    knn_topk_gemm_chunked) forced to CHUNKED_BLOCKS query blocks —
+    VERDICT r07 #6: the bounded-broadcast-residency design the 100 TB
+    claim rests on was never in the bench artifact; this row times the
+    full outer loop (per-block broadcast build, GEMM, parquet flush,
+    broadcast destroy, final sink scan). Values are pinned identical to
+    the single-block row in tests/test_bench_probes.py."""
+    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import (
+        _rows_upper_bound,
+        knn_topk_gemm_chunked,
+    )
+
+    e = tables.embeddings(spark, sf_dir)
+    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    n = _rows_upper_bound(q)
+    if n is None:
+        n = q.count()
+    return knn_topk_gemm_chunked(
+        q, t, 10,
+        query_block_rows=max(1, -(-n // CHUNKED_BLOCKS)),
+        n_queries=n,
+    )
+
+
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
@@ -218,6 +250,7 @@ BENCH_QUERIES = {
     "minhash_dedup_5k_docs": minhash_dedup,
     "naive_bayes_langid": naive_bayes,
     "simsearch_pq_stored": simsearch_pq_stored,
+    "knn_join_chunked_4blocks": knn_join_chunked,
     "str_window_session": streaming_batch._q_window_session,
 }
 
@@ -229,6 +262,7 @@ EXTRA_QUERIES = {
     "rel_join_broadcast_q3_bucketed",
     "simsearch_pq_stored",
     "knn_classify_full",
+    "knn_join_chunked_4blocks",
 }
 
 
@@ -350,6 +384,13 @@ SUMMARY_LINE_BUDGET = 1500
 
 
 def compact_line(summary: dict) -> str:
+    """Shrink the final JSON line under SUMMARY_LINE_BUDGET, dropping
+    per-query detail before any headline field: first non-matching
+    queries, then the whole 'queries' map. ADVICE r07 #1: each fallback
+    RE-CHECKS the budget, and an overflow past the last fallback fails
+    loudly rather than silently reprinting the over-budget line (the
+    BENCH_r06 null-artifact failure mode). Dropped detail stays in
+    BENCH_DETAIL.json and the preceding detail line."""
     line = json.dumps(summary)
     if len(line) > SUMMARY_LINE_BUDGET and "queries" in summary:
         summary = dict(summary)
@@ -359,6 +400,21 @@ def compact_line(summary: dict) -> str:
             if k in DUCK_MATCHING_SPARK.values()
         }
         line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_BUDGET and "queries" in summary:
+        summary = dict(summary)
+        del summary["queries"]
+        line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_BUDGET and summary.get("warm_medians"):
+        # also per-query detail (one entry per high-spread row) — drop
+        # before any headline field; it stays in BENCH_DETAIL.json.
+        summary = dict(summary)
+        summary["warm_medians"] = {}
+        line = json.dumps(summary)
+    assert len(line) <= SUMMARY_LINE_BUDGET, (
+        f"bench summary {len(line)} chars exceeds the "
+        f"{SUMMARY_LINE_BUDGET}-char driver tail budget even without "
+        f"per-query detail — trim headline fields"
+    )
     return line
 
 
@@ -387,6 +443,22 @@ def main() -> None:
 
     llm._pq_store(spark, sf_dir)  # untimed: PQ index build (stored-index row)
 
+    # Empty-job floor (VERDICT r07 #3): Spark's per-job scheduling
+    # overhead at this local[N] config, measured as a count() over a
+    # 1-row cached frame (best-of-3, same gated session). The sub-100 ms
+    # relational rows are floor-dominated — their same-session ratios
+    # vs DuckDB are published raw AND floor-adjusted so a real plan
+    # regression can't hide under "that's just the job floor".
+    floor_df = spark.range(1).cache()
+    floor_df.count()  # materialize the cache before timing
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.count()
+        floor_runs.append(round(time.perf_counter() - t0, 4))
+    job_floor = min(floor_runs)
+    floor_df.unpersist()
+
     # measurement provenance (VERDICT r03 #4/#6): every run of every
     # query is recorded, with the 1-minute load average alongside —
     # a best-of-n without the run spread and the host state is not a
@@ -402,18 +474,28 @@ def main() -> None:
         per-query codegen/warm-up and always dominates the raw spread)
         disagree by >20% (VERDICT r06 #5: three rows moved >10% under
         load1_pre 2.4-4.1 in r06; the extra run gives best-of more
-        samples exactly when contention is visible in the data)."""
+        samples exactly when contention is visible in the data), and a
+        5th when the 4th still leaves the warm spread >20% (VERDICT r07
+        #4: knn_join_2000x2000 held 0.73 spread after its 4th run — the
+        median over 4 warm samples is then the robust statistic,
+        reported as warm_median alongside best-of-N)."""
         rs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
             rs.append(round(time.perf_counter() - t0, 3))
-        warm = rs[1:]
-        if min(warm) > 0 and (max(warm) - min(warm)) / min(warm) > 0.2:
+
+        def _spread() -> float:
+            warm = rs[1:]
+            return (max(warm) - min(warm)) / min(warm) if min(warm) > 0 else 0.0
+
+        extra = 0
+        while _spread() > 0.2 and extra < 2:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             rs.append(round(time.perf_counter() - t0, 3))
+            extra += 1
         return rs
 
     for name, fn in BENCH_QUERIES.items():
@@ -445,6 +527,28 @@ def main() -> None:
         for k, rs in runs.items()
         if len(rs) > 1 and min(rs[1:]) > 0
     }
+    # Warm medians for rows whose spread stayed >20% after the extra
+    # runs (VERDICT r07 #4): best-of-N on a contended row is optimistic;
+    # the median is the robust companion statistic of record.
+    import statistics
+
+    warm_medians = {
+        k: round(statistics.median(runs[k][1:]), 3)
+        for k, sp in spreads.items()
+        if sp > 0.2
+    }
+    # Per-row honesty (VERDICT r07 #3): raw and floor-adjusted ratios of
+    # each matching Spark row vs its same-session DuckDB twin. The
+    # aggregate matching ratio is dominated by the kNN row; these expose
+    # each relational row individually.
+    matching_ratios = {
+        dk: [
+            round(timings[sk] / duck[dk], 2),
+            round(max(timings[sk] - job_floor, 0.0) / duck[dk], 2),
+        ]
+        for dk, sk in DUCK_MATCHING_SPARK.items()
+        if sk in timings and duck.get(dk)
+    }
 
     # Detail record: full provenance (every run, host load before/after
     # each row, per-probe DuckDB timings). Printed FIRST and mirrored to
@@ -456,7 +560,11 @@ def main() -> None:
         "metric": "suite_seconds_detail",
         "runs": runs,
         "warm_spread": spreads,
+        "warm_medians": warm_medians,
         "extra_run": sorted(k for k, rs in runs.items() if len(rs) > 3),
+        "job_floor_s": job_floor,
+        "job_floor_runs": floor_runs,
+        "matching_ratios": matching_ratios,
         "load1_pre": loads_pre,
         "load1": loads,
         "duckdb_queries": duck,
@@ -485,7 +593,10 @@ def main() -> None:
         "matching_vs_duckdb_same_session": (
             round(matching / duck_total, 3) if duck_total else None
         ),
+        "job_floor_s": job_floor,
+        "matching_ratios": matching_ratios,  # [raw, floor-adjusted] per row
         "max_warm_spread": max(spreads.values()) if spreads else None,
+        "warm_medians": warm_medians,  # rows left >20% after extra runs
         "idle_gate": {
             "threshold": IDLE_LOAD1,
             "load1_at_gate": gate_load,

@@ -1748,29 +1748,49 @@ def _scratch_root_path() -> str:
     return os.path.abspath(base)
 
 
+#: scratch roots already validated by this process (ADVICE r07 #3:
+#: the resolver is called from every stored-dir lookup; re-running
+#: makedirs/stat/chmod each time is waste and re-chmodding a
+#: user-shared root on every call compounds the mode clobber below).
+_SCRATCH_VALIDATED: set[str] = set()
+
+
 def _scratch_root() -> str:
     """Validated scratch root for the stored-index artifacts (ADVICE
     r05: the old fixed world-writable ``/tmp/spark_graft_scratch`` could
     be pre-created or left over by another user, and whatever sat there
     was trusted — and rmtree'd — by the staleness guards). Called
     LAZILY from the stored-dir resolvers, i.e. on the read/write/trust
-    paths only, never at import. Created 0o700; a pre-existing root is
-    re-tightened to 0o700 after the ownership check (ADVICE r06 #4:
-    ``exist_ok=True`` alone left a loose pre-existing mode in place).
-    Reuse and deletion both require current-uid ownership, so a foreign
-    directory is an error, never a trusted index."""
+    paths only, never at import. Created 0o700. A PRE-EXISTING root is
+    re-tightened to 0o700 only when it resolves to the default
+    ``~/.cache`` location (ADVICE r07 #3: an explicit
+    ``SPARK_GRAFT_SCRATCH`` may deliberately point at a group-shared
+    directory; silently revoking other users' access there is not this
+    module's call — the owner chose that mode). Reuse and deletion both
+    require current-uid ownership, so a foreign directory is an error,
+    never a trusted index. The validated root is memoized per process."""
     import os
 
     base = _scratch_root_path()
-    os.makedirs(base, mode=0o700, exist_ok=True)
+    if base in _SCRATCH_VALIDATED:
+        return base
+    created = False
+    try:
+        os.makedirs(base, mode=0o700)
+        created = True
+    except FileExistsError:
+        pass
     st = os.stat(base)
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"scratch root {base} is owned by uid {st.st_uid}, not "
             f"{os.getuid()} — refusing to reuse or delete foreign artifacts"
         )
-    if (st.st_mode & 0o777) != 0o700:
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    default_root = os.path.abspath(os.path.join(cache, "spark_graft_scratch"))
+    if (created or base == default_root) and (st.st_mode & 0o777) != 0o700:
         os.chmod(base, 0o700)
+    _SCRATCH_VALIDATED.add(base)
     return base
 
 
@@ -1821,7 +1841,12 @@ def _pq_store(spark, sf_dir) -> str:
     import os
 
     d = _pq_stored_dir(sf_dir)
-    memo_key = (sf_dir.rstrip("/"), "pq_stored")
+    # the RESOLVED dir is part of the memo key (ADVICE r07 #3
+    # follow-up): a mid-session SPARK_GRAFT_SCRATCH change must
+    # trigger a fresh existence check under the new root, not a
+    # stale "already built" hit; the sf_dir stem stays at key[0]
+    # so SessionMemo.invalidate(sf_dir) still purges these.
+    memo_key = (sf_dir.rstrip("/"), "pq_stored", d)
     if _PQ_STORED_MEMO.get(spark, memo_key) is not None:
         return d
     done = all(
@@ -1863,11 +1888,12 @@ def _pq_stored_model(spark, sf_dir) -> list:
     import numpy as np
     import pyarrow.parquet as pq_
 
-    memo_key = (sf_dir.rstrip("/"), "pq_stored_model")
+    d = _pq_stored_dir(sf_dir)
+    # resolved dir is part of the key, see _pq_store
+    memo_key = (sf_dir.rstrip("/"), "pq_stored_model", d)
     hit = _PQ_MODEL_MEMO.get(spark, memo_key)
     if hit is not None:
         return hit
-    d = _pq_stored_dir(sf_dir)
     pdf = (
         pq_.ParquetDataset(glob.glob(f"{d}/codebook.parquet/*.parquet"))
         .read()
@@ -1957,7 +1983,8 @@ def _ivfpq_store(spark, sf_dir) -> str:
     import os
 
     d = _ivfpq_stored_dir(sf_dir)
-    memo_key = (sf_dir.rstrip("/"), "ivfpq_stored")
+    # resolved dir is part of the key, see _pq_store
+    memo_key = (sf_dir.rstrip("/"), "ivfpq_stored", d)
     if _PQ_STORED_MEMO.get(spark, memo_key) is not None:
         return d
     done = os.path.exists(f"{d}/codes.parquet/_SUCCESS")

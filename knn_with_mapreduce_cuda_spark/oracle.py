@@ -39,7 +39,10 @@ def _code_segments(sql: str) -> list[tuple[bool, str]]:
     block comments are NON-code, everything else is code. A plain
     quote-parity split misreads an apostrophe inside a comment as a
     string-literal boundary and flips code/literal for the rest of the
-    statement (ADVICE r06 #3) — this scanner tracks the real state."""
+    statement (ADVICE r06 #3) — this scanner tracks the real state.
+    E'...' escape-string literals (ADVICE r07 #2) are handled too: a
+    quote opened by a standalone E/e prefix honors backslash escapes,
+    so E'it\\'s' no longer ends the literal early."""
     segs: list[tuple[bool, str]] = []
     i, n, start = 0, len(sql), 0
 
@@ -49,13 +52,26 @@ def _code_segments(sql: str) -> list[tuple[bool, str]]:
             segs.append((is_code, sql[start:end]))
         start = end
 
+    def _is_escape_prefix(pos: int) -> bool:
+        # quote at `pos` preceded by a standalone E/e (not the tail of
+        # an identifier like TABLE_E'...' can't occur, but CASE...ELSE
+        # or a column named e must not trigger: require the char before
+        # the E to be a non-word char or start-of-string).
+        if pos < 1 or sql[pos - 1] not in "Ee":
+            return False
+        return pos < 2 or not (sql[pos - 2].isalnum() or sql[pos - 2] == "_")
+
     while i < n:
         ch = sql[i]
         nxt = sql[i + 1] if i + 1 < n else ""
         if ch == "'":
+            backslash_escapes = _is_escape_prefix(i)
             _flush(i, True)
             j = i + 1
             while j < n:
+                if backslash_escapes and sql[j] == "\\" and j + 1 < n:
+                    j += 2  # \' \\ etc. stay inside the literal
+                    continue
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":  # '' escape
                         j += 2

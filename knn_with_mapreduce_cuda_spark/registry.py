@@ -148,7 +148,11 @@ def oracle_sql(sf_dir: str = GRADED_SF_DIR) -> dict[str, str]:
     stray = set(out) - known
     if stray:
         raise ValueError(f"oracle entries without queries: {sorted(stray)}")
-    stem = sf_dir.rstrip("/")
+    # both placeholders land inside single-quoted DuckDB string
+    # literals — escape embedded quotes (ADVICE r07 #4: an
+    # env-controlled SPARK_GRAFT_SCRATCH containing ' would otherwise
+    # break or ALTER the rendered oracle SQL).
+    stem = sf_dir.rstrip("/").replace("'", "''")
     out = {k: v.replace("{SF_DIR}", stem) for k, v in out.items()}
     if any("{PQ_ROOT}" in v for v in out.values()):
         # stored-index oracles read artifacts under the user scratch
@@ -157,6 +161,6 @@ def oracle_sql(sf_dir: str = GRADED_SF_DIR) -> dict[str, str]:
         # keys at execution, never this whole dict.
         from .operators.llm import _scratch_root_path
 
-        root = _scratch_root_path()
+        root = _scratch_root_path().replace("'", "''")
         out = {k: v.replace("{PQ_ROOT}", root) for k, v in out.items()}
     return out

@@ -66,7 +66,10 @@ def test_summary_line_fits_driver_stdout_tail():
         "baseline_static_seconds": 9.221,
         "spark_matching_subtotal": 9999.999,
         "matching_vs_duckdb_same_session": 99.999,
+        "job_floor_s": 9.9999,
+        "matching_ratios": {k: [99.99, 99.99] for k in bench.DUCK_MATCHING_SPARK},
         "max_warm_spread": 9.999,
+        "warm_medians": {k: 9999.999 for k in bench.BENCH_QUERIES},
         "idle_gate": {
             "threshold": 2.0,
             "load1_at_gate": 99.99,
@@ -93,6 +96,31 @@ def test_summary_line_fits_driver_stdout_tail():
         "idle_gate",
     ):
         assert field in parsed
+    # ADVICE r07 #1: when even the matching-only queries dict blows the
+    # budget, 'queries' is dropped ENTIRELY and the line re-checked —
+    # never printed over-budget (the BENCH_r06 null-artifact mode).
+    summary["queries"] = {
+        k: 9999.999 for k in bench.DUCK_MATCHING_SPARK.values()
+    }
+    summary["padding_for_overflow"] = "x" * bench.SUMMARY_LINE_BUDGET
+    import pytest
+
+    with pytest.raises(AssertionError, match="driver tail budget"):
+        # headline fields alone exceed the budget -> loud failure
+        bench.compact_line(summary)
+    del summary["padding_for_overflow"]
+    # headline fits but matching queries alone overflow -> queries
+    # dropped entirely, headline fields survive
+    summary["matching_overflow_pad"] = "x" * (
+        bench.SUMMARY_LINE_BUDGET
+        - len(__import__("json").dumps({k: v for k, v in summary.items() if k != "queries"}))
+        - 60  # room for the pad key's own JSON overhead
+    )
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    assert "queries" not in parsed
+    assert parsed["value"] == 9999.999
 
 
 def test_rel_agg_hash_probe_matches_spark_row(spark, duck):
@@ -152,3 +180,35 @@ def test_str_window_session_probe_matches_spark_row(spark, duck):
     ds = {(int(r.user_id), int(r.start_us), int(r.n_events)) for r in d.itertuples()}
     ss = {(int(r.user_id), int(r.start_us), int(r.n_events)) for r in s.itertuples()}
     assert ds == ss
+
+
+def test_chunked_bench_row_matches_single_block(spark):
+    """VERDICT r07 #6: the knn_join_chunked_4blocks bench row must
+    genuinely take the CHUNKED path (≥ bench.CHUNKED_BLOCKS blocks —
+    never the n_blocks==1 fast-path collapse) and return exactly the
+    single-block row's values, at every SF (block size derives from the
+    probe count, so 4 blocks hold at smoke and at sf0.1 alike)."""
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
+
+    whole = bench.knn_join_full_gemm(spark, SF_SMOKE).collect()
+
+    calls: list[dict] = []
+    real = G.knn_topk_gemm_chunked
+
+    def tracked(q, t, k, **kwargs):
+        calls.append(dict(kwargs))
+        return real(q, t, k, **kwargs)
+
+    G.knn_topk_gemm_chunked = tracked
+    try:
+        chunked = bench.knn_join_chunked(spark, SF_SMOKE).collect()
+    finally:
+        G.knn_topk_gemm_chunked = real
+
+    assert len(calls) == 1
+    n = calls[0]["n_queries"]
+    block_rows = calls[0]["query_block_rows"]
+    n_blocks = -(-n // block_rows)
+    assert n_blocks >= bench.CHUNKED_BLOCKS, (n, block_rows, n_blocks)
+    key = lambda rows: sorted((r.qid, r.tid, r.rnk) for r in rows)
+    assert key(whole) == key(chunked)

@@ -174,6 +174,44 @@ def test_materialize_ctes_lexes_comments_and_quotes():
     assert out.count("MATERIALIZED") == 1
 
 
+def test_code_segments_escape_string_literals():
+    """ADVICE r07 #2: an E'...' escape-string literal honors backslash
+    escapes — E'it\\'s' must not end the literal at the escaped quote
+    and flip code/literal state for the rest of the statement. A plain
+    literal keeps standard SQL semantics (backslash is NOT an escape),
+    and a word ending in e (CASE/ELSE, a column named e) must not
+    trigger escape mode."""
+    import duckdb
+
+    from knn_with_mapreduce_cuda_spark.oracle import (
+        _code_segments,
+        materialize_ctes,
+    )
+
+    # escaped quote inside E'...': the CTE head AFTER it must rewrite
+    sql = (
+        "WITH a AS (SELECT E'it\\'s' AS x), b AS (SELECT 2 AS x) "
+        "SELECT x FROM a UNION ALL SELECT CAST(x AS VARCHAR) FROM b"
+    )
+    out = materialize_ctes(sql, expected=2)
+    assert out.count("MATERIALIZED") == 2
+    assert "E'it\\'s'" in out  # literal untouched
+    assert sorted(r[0] for r in duckdb.connect().execute(out).fetchall()) == [
+        "2",
+        "it's",
+    ]
+    # a plain literal does NOT treat backslash as an escape: '\' is a
+    # complete one-backslash string, and code resumes after it
+    segs = _code_segments("SELECT '\\' AS x, 1 AS y")
+    assert (False, "'\\'") in segs
+    assert any(is_code and "1 AS y" in text for is_code, text in segs)
+    # ELSE'...' / a column named e: the quote opens a PLAIN literal
+    # (backslash kept verbatim, literal ends at the first quote) — the
+    # preceding word character means the E is not a standalone prefix
+    segs = _code_segments("SELECT CASE WHEN b THEN 'x' ELSE'y' END")
+    assert (False, "'y'") in segs
+
+
 def test_hash_compare_fingerprint_semantics():
     """VERDICT r05 #2: the server-side fingerprint settles equal frames
     without fetching oracle rows, refuses anything it can't hash

@@ -783,7 +783,8 @@ def test_ivfpq_stored_stale_layout_rebuilds(spark):
     for f in glob.glob(f"{d}/codes.parquet/cid=*/*.parquet"):
         os.remove(f)
     cell = glob.glob(f"{d}/codes.parquet/cid=*")[0]
-    pd.DataFrame({"tid": [0], "c0": [0]}).to_parquet(f"{cell}/part-0.parquet")
+    sabotaged = f"{cell}/part-0.parquet"
+    pd.DataFrame({"tid": [0], "c0": [0]}).to_parquet(sabotaged)
     assert os.path.exists(f"{d}/codes.parquet/_SUCCESS")
     assert _ivfpq_stored_layout_stale(d)
     tables.invalidate_caches(SF_SMOKE)
@@ -791,6 +792,13 @@ def test_ivfpq_stored_stale_layout_rebuilds(spark):
     got = sorted(map(tuple, _q_simsearch_ivfpq_stored(spark, SF_SMOKE).collect()))
     assert got == want
     assert not _ivfpq_stored_layout_stale(d)
+    # VERDICT r07 #7: the REBUILD branch itself must have fired — the
+    # old-layout artifact is rmtree'd before the rewrite, so the
+    # sabotaged file cannot survive a correct pass (a green result with
+    # the file still present would mean something else masked the
+    # corruption).
+    assert not os.path.exists(sabotaged)
+    assert os.path.exists(f"{d}/codes.parquet/_SUCCESS")
 
 
 def test_scratch_root_env_override_and_mode(tmp_path, monkeypatch):
@@ -809,20 +817,58 @@ def test_scratch_root_env_override_and_mode(tmp_path, monkeypatch):
     assert (st.st_mode & 0o777) == 0o700
 
 
-def test_scratch_root_retightens_loose_preexisting_mode(tmp_path, monkeypatch):
-    """ADVICE r06 #4: a pre-existing user-owned root at a loose mode is
-    chmod'd back to 0o700 — makedirs(exist_ok=True) alone leaves the
-    original mode in place."""
+def test_scratch_root_default_location_retightens_loose_mode(tmp_path, monkeypatch):
+    """ADVICE r06 #4 (scoped by ADVICE r07 #3): a pre-existing loose
+    mode at the DEFAULT ~/.cache location is chmod'd back to 0o700 —
+    that directory is this module's own, so tightening is safe."""
     import os
 
     from knn_with_mapreduce_cuda_spark.operators import llm
 
-    target = tmp_path / "loose"
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    target = tmp_path / "spark_graft_scratch"
     target.mkdir(mode=0o755)
     os.chmod(target, 0o755)  # mkdir mode is umask-filtered; pin it
+    root = llm._scratch_root()
+    assert root == str(target)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+
+def test_scratch_root_explicit_override_keeps_preexisting_mode(tmp_path, monkeypatch):
+    """ADVICE r07 #3: an EXPLICIT SPARK_GRAFT_SCRATCH may deliberately
+    point at a group-shared directory — a pre-existing mode there is
+    the owner's choice and must NOT be silently revoked. (A root this
+    process CREATES is still 0o700, covered by
+    test_scratch_root_env_override_and_mode.)"""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    target = tmp_path / "shared"
+    target.mkdir(mode=0o770)
+    os.chmod(target, 0o770)
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
     root = llm._scratch_root()
-    assert (os.stat(root).st_mode & 0o777) == 0o700
+    assert root == str(target)
+    assert (os.stat(root).st_mode & 0o777) == 0o770
+
+
+def test_scratch_root_memoized_per_process(tmp_path, monkeypatch):
+    """ADVICE r07 #3: the validated root is memoized — the second call
+    does no makedirs/stat/chmod (proved by deleting the dir between
+    calls: a re-validation would recreate it)."""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    target = tmp_path / "memo"
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
+    root = llm._scratch_root()
+    assert os.path.isdir(root)
+    os.rmdir(root)
+    assert llm._scratch_root() == root
+    assert not os.path.exists(root)  # memo hit: no filesystem work
 
 
 def test_import_and_oracle_render_need_no_scratch_root(tmp_path):
@@ -850,6 +896,29 @@ def test_import_and_oracle_render_need_no_scratch_root(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "IMPORT_OK" in r.stdout
+
+
+def test_oracle_render_escapes_quotes_in_paths(tmp_path, monkeypatch):
+    """ADVICE r07 #4: {PQ_ROOT} (env-controlled via SPARK_GRAFT_SCRATCH)
+    and {SF_DIR} land inside single-quoted DuckDB string literals — a
+    path containing a single quote must render with '' escaping, not
+    break or alter the SQL. Checked end-to-end: the rendered statement
+    still lexes as one literal per path reference."""
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import _code_segments
+
+    quoted = tmp_path / "o'brien" / "scr"
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(quoted))
+    sql = registry.oracle_sql()["llm_simsearch_pq_stored"]
+    assert "o''brien" in sql
+    assert "o'brien/" not in sql  # no raw quote survives inside SQL
+    # the escaped path stays INSIDE a string literal: every non-code
+    # segment containing the path is one intact literal
+    lits = [t for is_code, t in _code_segments(sql) if "o''brien" in t]
+    assert lits and all(t.startswith("'") and t.endswith("'") for t in lits)
+    # {SF_DIR} rendering gets the same treatment
+    sql2 = registry.oracle_sql("/tmp/it's/sf0.01")["src_parquet_metadata"]
+    assert "it''s" in sql2
 
 
 def test_scratch_root_rejects_foreign_owner(tmp_path, monkeypatch):
@@ -1168,3 +1237,21 @@ def test_bloom_dedup_no_false_negatives(spark):
         want_hit = all((j, bucket(j, h[r.doc_id])) in bloom for j in range(BLOOM_K))
         assert r.bloom_hit == int(want_hit)
         assert r.exact_dup == int(h[r.doc_id] in corpus_h)
+
+
+def test_stored_index_memo_tracks_scratch_root(spark, tmp_path, monkeypatch):
+    """A mid-session SPARK_GRAFT_SCRATCH change must not serve a stale
+    "already built" memo hit for a root that holds no artifacts — the
+    stored-index memos key on the RESOLVED dir (plus the sf_dir stem at
+    key[0] so invalidate_caches still purges them)."""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "rootA"))
+    d1 = llm._pq_store(spark, SF_SMOKE)
+    assert os.path.exists(f"{d1}/codes.parquet/_SUCCESS")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "rootB"))
+    d2 = llm._pq_store(spark, SF_SMOKE)
+    assert d2 != d1
+    assert os.path.exists(f"{d2}/codes.parquet/_SUCCESS")
