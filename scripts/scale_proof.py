@@ -277,7 +277,7 @@ def time_weak_queries(spark) -> dict:
 
 
 def gemm_chunked_stress(spark) -> dict:
-    from knn_with_mapreduce_cuda_spark.plans.gemm_knn import knn_topk_gemm_chunked
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
 
     dim, n_train, n_q, block = 64, 500_000, 32_768, 8_192
     deriv = F.transform(
@@ -289,22 +289,71 @@ def gemm_chunked_stress(spark) -> dict:
         .select(col("id").alias("tid"), deriv.alias("temb"))
     )
     q = spark.range(n_q).select(col("id").alias("qid"), deriv.alias("qemb"))
+
+    # Block ledger (VERDICT r07 #6): the MEASURED run itself records how
+    # many per-block kernel calls ran and that broadcast create/destroy
+    # strictly alternated (≤1 query broadcast resident at any instant) —
+    # the same contract tests/test_plans.py pins at smoke scale, here
+    # observed at 500k×32k.
+    ledger: list[dict] = []
+    events: list[str] = []
+    real = G.knn_topk_gemm
+
+    def tracked(*args, **kwargs):
+        out = kwargs.get("broadcast_out")
+        tb = time.perf_counter()
+        res = real(*args, **kwargs)
+        ledger.append(
+            {"block": len(ledger), "build_s": round(time.perf_counter() - tb, 3)}
+        )
+        for h in out or []:
+            if id(h) not in {id(x) for x in tracked._seen}:
+                tracked._seen.append(h)
+                events.append("create")
+                orig = h.destroy
+
+                def destroy(_orig=orig):
+                    events.append("destroy")
+                    return _orig()
+
+                h.destroy = destroy
+        return res
+
+    tracked._seen = []
+
     t0 = time.perf_counter()
     # n_queries hint: the probe set is a spark.range derivation (no file
     # scan to read footers from); real probe sets come off parquet and
     # size their blocks from metadata without any job.
-    res = knn_topk_gemm_chunked(q, t, k=10, query_block_rows=block, n_queries=n_q)
-    n = res.count()
+    G.knn_topk_gemm = tracked
+    try:
+        res = G.knn_topk_gemm_chunked(
+            q, t, k=10, query_block_rows=block, n_queries=n_q
+        )
+        n = res.count()
+    finally:
+        G.knn_topk_gemm = real
     wall = round(time.perf_counter() - t0, 3)
+    alive, max_alive, alternates = 0, 0, True
+    for e in events:
+        alive += 1 if e == "create" else -1
+        max_alive = max(max_alive, alive)
+        alternates &= 0 <= alive <= 1
     return {
         "n_train": n_train,
         "n_queries": n_q,
         "dim": dim,
         "n_blocks": -(-n_q // block),
+        "blocks_observed": len(ledger),
+        "block_ledger": ledger,
+        "broadcasts_created": events.count("create"),
+        "broadcasts_destroyed": events.count("destroy"),
+        "max_broadcasts_resident": max_alive,
+        "residency_alternates": alternates and alive == 0,
         "result_rows": n,
         "wall_s": wall,
         # residency contract (1 broadcast alive, train persisted once,
-        # per-block flush) is asserted in tests/test_plans.py
+        # per-block flush) is also asserted in tests/test_plans.py
         "streaming_blocks": True,
     }
 
@@ -872,6 +921,9 @@ def main() -> None:
         return
     if os.environ.get("SCALE_UDF"):
         print(json.dumps({"udf_ladder": udf_ladder_stress(spark)}, indent=2))
+        return
+    if os.environ.get("SCALE_GEMM"):
+        print(json.dumps({"gemm_chunked": gemm_chunked_stress(spark)}, indent=2))
         return
     t0 = time.perf_counter()
     amplify(spark)
