@@ -214,3 +214,23 @@ def test_grouped_prefix_scan_matches_window_property(spark, rows, parts):
     assert sorted(map(tuple, got.select(cols).collect())) == sorted(
         map(tuple, want.select(cols).collect())
     )
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("abE'\"\\-/*$|\n ()1;")),
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_code_segments_lexing_is_lossless(sql):
+    """The oracle lexer must be a pure PARTITION of its input: whatever
+    quote/comment/escape state it infers, concatenating the segments
+    reproduces the input byte-for-byte (so a mis-lexed statement can
+    degrade only into wrong code/literal CLASSIFICATION, never into
+    dropped or duplicated SQL), and no segment is empty."""
+    from knn_with_mapreduce_cuda_spark.oracle import _code_segments
+
+    segs = _code_segments(sql)
+    assert "".join(t for _, t in segs) == sql
+    assert all(t for _, t in segs)
