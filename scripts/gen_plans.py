@@ -92,6 +92,26 @@ def main() -> None:
         ["MapInArrow", "WindowGroupLimit", "Window", "Exchange"],
     )
 
+    import bench
+
+    add(
+        "Classify tail: dims broadcast, candidates streamed (round 7)",
+        "The vote tail after the GEMM topk holds exactly ONE hash(qid) "
+        "exchange. Un-hinted, Catalyst chose the topk relation as the label "
+        "joins' broadcast build side (its post-window statistics look tiny), "
+        "which re-ran the whole GEMM subtree as a broadcast build and "
+        "re-shuffled the vote twice. With the label dims hinted "
+        "(`F.broadcast`, bench.py / cli.py), the n_q×k candidate relation "
+        "streams, and both the vote's HashAggregate and its rank window reuse "
+        "the topk exchange's hash(qid) clustering (subset-clustering "
+        "satisfaction). Measured 1.20 s → 0.80 s best-of-4 at sf0.1 "
+        "(exchanges 3 → 1); pinned by "
+        "tests/test_plans.py::test_gemm_classify_tail_single_exchange:",
+        bench.knn_classify_full_gemm(spark, SF),
+        ["MapInArrow", "BroadcastHashJoin", "HashAggregate", "Window",
+         "Exchange"],
+    )
+
     from knn_with_mapreduce_cuda_spark.operators import llm
 
     add(
