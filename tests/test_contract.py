@@ -105,3 +105,34 @@ def test_queries_run_at_smoke_sf(spark):
     for key in ["knn_topk", "rel_agg_hash", "llm_text_stats", "str_window_session",
                 "udf_map_arrow"]:
         assert qs[key](spark, SF_SMOKE).count() > 0
+
+
+def test_re_earned_outputs_pinned(spark):
+    """The 9 freshness re-grades in the r08 window (_RE_EARNED) are
+    declared output-UNCHANGED since their r01 driver rows — pin that
+    mechanically: the canonical value digest of each at the smoke SF is
+    a literal here. If a future edit changes any of these outputs, this
+    fails and the key must be explicitly re-fronted (the _RE_EARNED
+    discipline), not silently re-graded under a stale claim."""
+    import hashlib
+
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import canonical_rows
+
+    pinned = {
+        "knn_scan": "ab3b136b82eee4a3",
+        "knn_normalize_minmax": "faf0eda9faa8763c",
+        "knn_normalize_zscore": "1ae4ee6f70aecafc",
+        "knn_split": "02561560cdea93e6",
+        "knn_allpairs": "49e2b12ca3494814",
+        "knn_dist_euclidean": "879b7bb61d30e47c",
+        "knn_dist_sqeuclidean": "fc9d17606df93ba2",
+        "knn_dist_manhattan": "00723e4f183efe53",
+        "knn_dist_cosine": "9376256cf7fd6b98",
+    }
+    assert set(pinned) == set(registry._RE_EARNED)
+    qs = registry.queries()
+    for key, want in pinned.items():
+        pdf = qs[key](spark, SF_SMOKE).toPandas()
+        got = hashlib.sha256(repr(canonical_rows(pdf)).encode()).hexdigest()[:16]
+        assert got == want, f"{key}: output changed ({got} != pinned {want})"
