@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate tests/golden_smoke_digests.json — canonical value digests
+of every SURVEY §2 contract key at the smoke SF (sf0.001).
+
+The DuckDB oracle gate proves Spark == oracle each run; these digests
+pin the values against HISTORY: a change where the Spark query and its
+oracle SQL drift together (agreeing corruption — the failure class the
+stored-index staleness guards exist for) passes the oracle gate but
+fails here, forcing the change to be explicit (rerun with --fix, and
+re-front the key per the _RE_EARNED rotation discipline).
+
+Usage: python scripts/gen_golden.py [--fix]
+  (no flag: print drift vs the committed file, exit 1 on any;
+   --fix: rewrite the file with current digests)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from knn_with_mapreduce_cuda_spark import registry
+from knn_with_mapreduce_cuda_spark.oracle import canonical_rows
+from knn_with_mapreduce_cuda_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden_smoke_digests.json",
+)
+
+
+def digest(pdf) -> str:
+    return hashlib.sha256(repr(canonical_rows(pdf)).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    spark = get_spark("golden")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    got = {
+        k: digest(qs[k](spark, SF_SMOKE).toPandas()) for k in registry.SURVEY_QKEYS
+    }
+    if "--fix" in sys.argv:
+        with open(OUT, "w") as fh:
+            json.dump(got, fh, indent=1, sort_keys=True)
+        print(f"wrote {len(got)} digests to {OUT}")
+        return 0
+    want = json.load(open(OUT))
+    drift = {k: (want.get(k), v) for k, v in got.items() if want.get(k) != v}
+    for k, (w, g) in drift.items():
+        print(f"DRIFT {k}: pinned {w} != current {g}")
+    print(f"{len(got) - len(drift)}/{len(got)} match")
+    return 1 if drift else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
