@@ -9,9 +9,14 @@ stored-index staleness guards exist for) passes the oracle gate but
 fails here, forcing the change to be explicit (rerun with --fix, and
 re-front the key per the _RE_EARNED rotation discipline).
 
-Usage: python scripts/gen_golden.py [--fix]
+Usage: python scripts/gen_golden.py [--fix] [--all]
   (no flag: print drift vs the committed file, exit 1 on any;
-   --fix: rewrite the file with current digests)
+   --fix: rewrite the file with current digests;
+   --all: cover the FULL 368-key registry instead of the 67 contract
+   keys, against tests/golden_smoke_digests_all.json — the full net
+   matters most for keys whose oracle reads engine-produced artifacts
+   (the stored ANN indexes), where code and oracle corrupt TOGETHER by
+   construction; run as round-close evidence, not in pytest)
 """
 
 from __future__ import annotations
@@ -28,10 +33,8 @@ from knn_with_mapreduce_cuda_spark.oracle import canonical_rows
 from knn_with_mapreduce_cuda_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests",
-    "golden_smoke_digests.json",
+_TESTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
 )
 
 
@@ -43,9 +46,11 @@ def main() -> int:
     spark = get_spark("golden")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    got = {
-        k: digest(qs[k](spark, SF_SMOKE).toPandas()) for k in registry.SURVEY_QKEYS
-    }
+    full = "--all" in sys.argv
+    keys = list(qs) if full else registry.SURVEY_QKEYS
+    out_name = "golden_smoke_digests_all.json" if full else "golden_smoke_digests.json"
+    OUT = os.path.join(_TESTS, out_name)
+    got = {k: digest(qs[k](spark, SF_SMOKE).toPandas()) for k in keys}
     if "--fix" in sys.argv:
         with open(OUT, "w") as fh:
             json.dump(got, fh, indent=1, sort_keys=True)
