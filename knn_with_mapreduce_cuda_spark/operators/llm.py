@@ -1787,7 +1787,15 @@ def _scratch_root() -> str:
         os.makedirs(base, mode=0o700)
         created = True
     except FileExistsError:
-        pass
+        # the old makedirs(exist_ok=True) raised here when the path was
+        # a regular FILE — keep that contract (review r08): silently
+        # accepting a file defers the failure to a confusing
+        # NotADirectoryError deep inside a parquet write, memoized for
+        # the whole process.
+        if not os.path.isdir(base):
+            raise NotADirectoryError(
+                f"scratch root {base} exists and is not a directory"
+            ) from None
     st = os.stat(base)
     if st.st_uid != os.getuid():
         raise RuntimeError(

@@ -50,7 +50,18 @@ def main() -> int:
     keys = list(qs) if full else registry.SURVEY_QKEYS
     out_name = "golden_smoke_digests_all.json" if full else "golden_smoke_digests.json"
     OUT = os.path.join(_TESTS, out_name)
-    got = {k: digest(qs[k](spark, SF_SMOKE).toPandas()) for k in keys}
+    got, empty = {}, []
+    for k in keys:
+        pdf = qs[k](spark, SF_SMOKE).toPandas()
+        got[k] = digest(pdf)
+        if len(pdf) == 0:
+            empty.append(k)
+    if empty:
+        # review r08: an empty-result pin asserts ONLY emptiness — a
+        # break that returns zero rows for the wrong reason still
+        # matches. Surface it so the evidence never overclaims.
+        print(f"NOTE: {len(empty)} empty-at-smoke pins (digest asserts "
+              f"emptiness, not values): {sorted(empty)}")
     if "--fix" in sys.argv:
         with open(OUT, "w") as fh:
             json.dump(got, fh, indent=1, sort_keys=True)
@@ -60,8 +71,13 @@ def main() -> int:
     drift = {k: (want.get(k), v) for k, v in got.items() if want.get(k) != v}
     for k, (w, g) in drift.items():
         print(f"DRIFT {k}: pinned {w} != current {g}")
-    print(f"{len(got) - len(drift)}/{len(got)} match")
-    return 1 if drift else 0
+    # a pin whose key left the registry is drift too (review r08:
+    # renames would otherwise leave stale entries forever)
+    stale = sorted(set(want) - set(got))
+    for k in stale:
+        print(f"STALE {k}: pinned {want[k]} but no longer in the registry")
+    print(f"{len(got) - len(drift)}/{len(got)} match, {len(stale)} stale")
+    return 1 if drift or stale else 0
 
 
 if __name__ == "__main__":

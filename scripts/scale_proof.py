@@ -328,7 +328,8 @@ def gemm_chunked_stress(spark) -> dict:
     G.knn_topk_gemm = tracked
     try:
         res = G.knn_topk_gemm_chunked(
-            q, t, k=10, query_block_rows=block, n_queries=n_q
+            q, t, k=10, query_block_rows=block, n_queries=n_q,
+            sink_path="/tmp/spark_graft_scale_gemm_sink",  # fixed, overwritten
         )
         n = res.count()
     finally:

@@ -102,12 +102,17 @@ def test_summary_line_fits_driver_stdout_tail():
     summary["queries"] = {
         k: 9999.999 for k in bench.DUCK_MATCHING_SPARK.values()
     }
+    # headline fields alone exceed the budget -> the guaranteed-small
+    # core is emitted, flagged truncated, NEVER an over-budget line or
+    # a raise (review r08: an assert here is stripped under -O and
+    # would discard the whole suite's result under plain python).
     summary["padding_for_overflow"] = "x" * bench.SUMMARY_LINE_BUDGET
-    import pytest
-
-    with pytest.raises(AssertionError, match="driver tail budget"):
-        # headline fields alone exceed the budget -> loud failure
-        bench.compact_line(summary)
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    assert parsed["truncated"] is True
+    assert parsed["value"] == 9999.999
+    assert parsed["metric"] == "suite_seconds"
     del summary["padding_for_overflow"]
     # headline fits but matching queries alone overflow -> queries
     # dropped entirely, headline fields survive

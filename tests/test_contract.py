@@ -107,17 +107,19 @@ def test_queries_run_at_smoke_sf(spark):
         assert qs[key](spark, SF_SMOKE).count() > 0
 
 
-def test_re_earned_outputs_pinned(spark):
+def test_re_earned_outputs_pinned():
     """The 9 freshness re-grades in the r08 window (_RE_EARNED) are
     declared output-UNCHANGED since their r01 driver rows — pin that
-    mechanically: the canonical value digest of each at the smoke SF is
-    a literal here. If a future edit changes any of these outputs, this
-    fails and the key must be explicitly re-fronted (the _RE_EARNED
-    discipline), not silently re-graded under a stale claim."""
-    import hashlib
+    mechanically against the golden digest file: the digests recorded
+    when the claim was made are literals here, the LIVE values are
+    asserted per-key by tests/test_golden.py against the same file, so
+    an output change either fails test_golden (file not regenerated) or
+    fails here (file regenerated via gen_golden.py --fix without
+    re-fronting the key) — no duplicate Spark runs (review r08)."""
+    import json
+    import os
 
     from knn_with_mapreduce_cuda_spark import registry
-    from knn_with_mapreduce_cuda_spark.oracle import canonical_rows
 
     pinned = {
         "knn_scan": "ab3b136b82eee4a3",
@@ -131,8 +133,11 @@ def test_re_earned_outputs_pinned(spark):
         "knn_dist_cosine": "9376256cf7fd6b98",
     }
     assert set(pinned) == set(registry._RE_EARNED)
-    qs = registry.queries()
+    root = os.path.dirname(os.path.abspath(__file__))
+    golden = json.load(open(os.path.join(root, "golden_smoke_digests.json")))
     for key, want in pinned.items():
-        pdf = qs[key](spark, SF_SMOKE).toPandas()
-        got = hashlib.sha256(repr(canonical_rows(pdf)).encode()).hexdigest()[:16]
-        assert got == want, f"{key}: output changed ({got} != pinned {want})"
+        assert golden[key] == want, (
+            f"{key}: golden digest changed ({golden[key]} != {want}) — the "
+            f"_RE_EARNED 'outputs unchanged' claim no longer holds; re-front "
+            f"the key and update this pin"
+        )

@@ -854,6 +854,22 @@ def test_scratch_root_explicit_override_keeps_preexisting_mode(tmp_path, monkeyp
     assert (os.stat(root).st_mode & 0o777) == 0o770
 
 
+def test_scratch_root_rejects_regular_file(tmp_path, monkeypatch):
+    """Review r08: a scratch root that exists as a regular FILE must
+    raise immediately (the old makedirs(exist_ok=True) contract), not
+    be chmod'd/memoized and fail later deep inside a parquet write."""
+    import pytest
+
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    target = tmp_path / "notadir"
+    target.write_text("x")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
+    with pytest.raises(NotADirectoryError, match="not a directory"):
+        llm._scratch_root()
+    assert str(target) not in llm._SCRATCH_VALIDATED
+
+
 def test_scratch_root_memoized_per_process(tmp_path, monkeypatch):
     """ADVICE r07 #3: the validated root is memoized — the second call
     does no makedirs/stat/chmod (proved by deleting the dir between
