@@ -94,15 +94,24 @@ def kmeans_update(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_lloyd(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+def _lloyd(e: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
     """``iters`` Lloyd rounds from the fixed seeds; returns the final
-    (vec_id, cluster) assignment."""
+    (centroids, assignment) pair — the ONE home of the iteration
+    convention (seed → assign → (update, assign)×(iters−1)), shared by
+    kmeans_lloyd and plans/ivf.build_ivf_index so a change to the
+    contract can't silently apply to only one of them (review r08)."""
     centroids = _seed_centroids(e)
     assign = kmeans_assign(e, centroids)
     for _ in range(iters - 1):
         centroids = kmeans_update(e, assign)
         assign = kmeans_assign(e, centroids)
-    return assign
+    return centroids, assign
+
+
+def kmeans_lloyd(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """``iters`` Lloyd rounds from the fixed seeds; returns the final
+    (vec_id, cluster) assignment."""
+    return _lloyd(e, iters)[1]
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,9 +101,29 @@ OVERFETCH = 16
 #: relative tolerance for the f32 boundary-tie detection: the f32
 #: distance assembly (norms + GEMM dot, dim-length accumulations) has
 #: absolute error ≲ dim·eps32·2·(‖q‖²+‖t‖²) ≈ 1.5e-5·scale at dim=64;
-#: 1e-4 gives ~6× margin. A false positive only costs an exact f64
-#: recompute of that query row.
+#: 1e-4 gives ~6× margin THERE, but the bound grows linearly with dim,
+#: so kernels scale it by dim/64 past the calibration point (review
+#: r08: a fixed 1e-4 loses its margin by dim≈1024 and an excluded true
+#: neighbor would no longer trigger the exact-f64 redo). A false
+#: positive only costs an exact f64 recompute of that query row.
 F32_TIE_RTOL = 1e-4
+
+
+def _f32_tie_rtol(dim: int) -> float:
+    return F32_TIE_RTOL * max(1.0, dim / 64.0)
+
+
+def _safe_norm(mat):
+    """Row L2 norms with zeros mapped to 1 — an all-zero embedding then
+    normalizes to the zero vector (cosine 0 against everything, ranked
+    by the tid tie-break) instead of a NaN row that the isfinite filter
+    silently DROPS from the output (review r08: the euclidean twin
+    returns rows for the same input, so the contracts diverged)."""
+    import numpy as np
+
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return n
 
 
 def knn_topk_gemm(
@@ -128,8 +148,16 @@ def knn_topk_gemm(
     (sum of squared diffs, the expression-path formula), and falls back
     to an exact full-f64 scan for any query row whose k-th reranked
     distance lands within f32 tolerance of the selection boundary
-    (OVERFETCH/F32_TIE_RTOL) — so emitted distances, ranks, AND the
-    tid tie-break contract match the f64 path on every input.
+    (OVERFETCH/_f32_tie_rtol) — so emitted distances, ranks, AND the
+    tid tie-break contract match the EXPRESSION-PATH exact formula
+    (sum of squared diffs) on every input. Note the asymmetry (review
+    r08): precision='float64' keeps the GEMM *decomposition*
+    ‖q‖²+‖t‖²−2q·t end to end, whose catastrophic-cancellation error
+    (≲ dim·eps64·2·scale, clamped at 0) is what the CUDA kernels this
+    slot models emit; for near-duplicate vectors its ordering can
+    differ from the exact formula within that noise floor, while the
+    default f32 path reranks candidates with the exact formula and is
+    therefore the MORE exact of the two despite the name.
     This container's OpenBLAS runs sgemm ~16× faster than dgemm under
     32-way worker concurrency (measured; see SCALE.md §9).
     'float64' keeps the whole kernel in doubles.
@@ -160,6 +188,10 @@ def knn_topk_gemm(
         b_qids, b_qmat = q_bc.value
         gmat = b_qmat.astype(np.float32) if use_f32 else b_qmat
         qnorm = (gmat * gmat).sum(axis=1)
+        # depends only on the broadcast qids — build once, not per
+        # Arrow batch (review r08: a 100k-query block over 10k-row
+        # batches rebuilt this dict 100x per partition)
+        qrow = {int(q): i for i, q in enumerate(b_qids)} if exclude_self else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -178,16 +210,18 @@ def knn_topk_gemm(
                 # (this OpenBLAS runs ~3× faster on the C-contiguous
                 # transposed operand than on the .T view)
                 tsel_t = np.ascontiguousarray(tsel.T)
-            if not use_f32 and "tnorm" in batch.schema.names:
+            if not use_f32 and "__gemm_tnorm" in batch.schema.names:
                 # precomputed once in the cached train relation
-                # (knn_topk_gemm_chunked) — not per block
-                tnorm = batch.column("tnorm").to_numpy()
+                # (knn_topk_gemm_chunked) — not per block. The dunder
+                # name is collision-proof (review r08: a caller's
+                # unrelated column literally named tnorm used to be
+                # trusted as ‖t‖² and produced garbage distances).
+                tnorm = batch.column("__gemm_tnorm").to_numpy()
             else:
                 tnorm = (tsel * tsel).sum(axis=1)
             # O(n_t) sparse self-mask columns instead of an (n_q, n_t)
             # boolean compare (which allocates and scans a full matrix)
             if exclude_self:
-                qrow = {int(q): i for i, q in enumerate(b_qids)}
                 self_pairs = [
                     (qrow[int(tids[j])], j)
                     for j in np.nonzero(np.isin(tids, b_qids))[0]
@@ -236,7 +270,7 @@ def knn_topk_gemm(
                         kth64 = np.partition(d2k, min(k, kk) - 1, axis=1)[
                             :, min(k, kk) - 1
                         ]
-                        tol = F32_TIE_RTOL * (
+                        tol = _f32_tie_rtol(tmat.shape[1]) * (
                             float(qnorm[s:e].max()) + float(tnorm.max())
                         )
                         for r in np.nonzero(kth64 >= bound32 - tol)[0]:
@@ -299,7 +333,14 @@ def _rows_upper_bound(df: DataFrame) -> int | None:
     from .. import tables
 
     plan = df._jdf.queryExecution().analyzed().toString()
-    if any(tok in plan for tok in ("Join", "Generate", "Expand", "Union")):
+    # Python map nodes can emit MORE rows than their input too (review
+    # r08): an under-stated count would over-pack blocks and break the
+    # broadcast-residency bound this function feeds.
+    if any(tok in plan for tok in (
+        "Join", "Generate", "Expand", "Union",
+        "MapInArrow", "MapInPandas", "MapPartitions",
+        "FlatMapGroupsIn", "FlatMapCoGroupsIn",
+    )):
         return None
     try:
         files = df.inputFiles()
@@ -350,7 +391,7 @@ def knn_topk_gemm_chunked(
       broadcast destroyed before the next block's broadcast is built —
       exactly one ``query_block_rows × dim`` broadcast is resident at
       any time (asserted in tests/test_plans.py).
-    - The train side is projected once — plus a ``tnorm`` column only
+    - The train side is projected once — plus a ``__gemm_tnorm`` column only
       when the selected kernel actually reads it (the f64/CuPy branch;
       ADVICE r02) — and **persisted**, so the train scan happens once
       regardless of n_blocks, then unpersisted before returning.
@@ -364,18 +405,27 @@ def knn_topk_gemm_chunked(
     if n is None:
         n = queries_df.count()
     n_blocks = max(1, -(-n // query_block_rows))
-    if n_blocks == 1:
+    if n_blocks == 1 and sink_path is None:
+        # single in-memory block — but ONLY when the caller didn't ask
+        # for a sink: bypassing an explicit sink_path would leave any
+        # previous run's rows there stale while returning fresh ones
+        # in memory (review r08).
         return knn_topk_gemm(
             queries_df, train_df, k, exclude_self, min_partitions,
             backend=backend, precision=precision,
         )
     use_f32 = precision == "float32" and (backend or gemm_backend()) != "cupy"
-    aug = _ensure_parallel(train_df, min_partitions)
+    # project to exactly the kernel columns BEFORE the persist: the
+    # docstring always promised this, and without it every extra train
+    # column was cached and shipped through Arrow to all n_blocks block
+    # jobs (review r08).
+    aug = _ensure_parallel(train_df.select("tid", "temb"), min_partitions)
     if not use_f32:
         # precomputed norms are only read by the f64/CuPy kernel branch;
         # the f32 path recomputes them on the cast f32 matrix.
         aug = aug.withColumn(
-            "tnorm", F.aggregate("temb", F.lit(0.0), lambda acc, x: acc + x * x)
+            "__gemm_tnorm",
+            F.aggregate("temb", F.lit(0.0), lambda acc, x: acc + x * x),
         )
     train_aug = aug.persist()
     sink = sink_path or tempfile.mkdtemp(prefix="gemm_chunked_")
@@ -423,12 +473,13 @@ def cosine_topk_gemm(
         )
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["qemb"].to_numpy())
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / _safe_norm(qmat)
     q_bc = spark.sparkContext.broadcast((qids, qmat))
 
     def block_sim(batches):
         b_qids, b_qmat = q_bc.value
         gmat = b_qmat.astype(np.float32) if use_f32 else b_qmat
+        qrow = {int(q): i for i, q in enumerate(b_qids)} if exclude_self else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -439,12 +490,11 @@ def cosine_topk_gemm(
                 .to_numpy(zero_copy_only=False)
                 .reshape(len(tids), -1)
             )
-            tmat = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)
+            tmat = tmat / _safe_norm(tmat)
             tsel = tmat.astype(np.float32) if use_f32 else tmat
             if not use_cupy:
                 tsel_t = np.ascontiguousarray(tsel.T)
             if exclude_self:
-                qrow = {int(q): i for i, q in enumerate(b_qids)}
                 self_pairs = [
                     (qrow[int(tids[j])], j)
                     for j in np.nonzero(np.isin(tids, b_qids))[0]
@@ -471,13 +521,14 @@ def cosine_topk_gemm(
                     if kk < len(tids):
                         # boundary-tie guard, similarity-descending twin
                         # of the knn_topk_gemm guard (ADVICE r02): unit
-                        # vectors ⇒ absolute tolerance ~F32_TIE_RTOL.
+                        # vectors ⇒ absolute tolerance ~_f32_tie_rtol(dim).
                         rows = np.arange(idx.shape[0])
                         bound32 = cos[rows, idx[:, kk - 1]].astype(np.float64)
                         kth64 = -np.partition(-cosk, min(k, kk) - 1, axis=1)[
                             :, min(k, kk) - 1
                         ]
-                        for r in np.nonzero(kth64 <= bound32 + F32_TIE_RTOL)[0]:
+                        ctol = _f32_tie_rtol(tmat.shape[1])
+                        for r in np.nonzero(kth64 <= bound32 + ctol)[0]:
                             dd = tmat @ b_qmat[s + r]
                             if exclude_self:
                                 dd[tids == b_qids[s + r]] = -np.inf

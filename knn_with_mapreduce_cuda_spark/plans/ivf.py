@@ -33,13 +33,9 @@ def build_ivf_index(e: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]
     e: (vec_id, emb, label). Returns (centroids(c, cent), index(vec_id,
     emb, c)) — the index is the thing to persist partitioned by ``c``.
     """
-    from ..operators.iterative import _seed_centroids, kmeans_assign, kmeans_update
+    from ..operators.iterative import _lloyd
 
-    centroids = _seed_centroids(e)
-    assign = kmeans_assign(e, centroids)
-    for _ in range(iters - 1):
-        centroids = kmeans_update(e, assign)
-        assign = kmeans_assign(e, centroids)
+    centroids, assign = _lloyd(e, iters)
     index = assign.join(e, "vec_id").select("vec_id", "emb", "c")
     return centroids, index
 

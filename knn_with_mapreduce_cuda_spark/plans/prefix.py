@@ -119,6 +119,25 @@ def _slice_id(df: DataFrame, order_cols, parts: int) -> Column:
     name, descending = _parse_spec(order_cols[0])
     if parts <= 1:
         return lit(0)
+    from pyspark.sql.types import (
+        BooleanType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    # Slice ONLY on types whose cast('double') is monotone in the
+    # column's sort order. A string column is NOT (review r08: '9' and
+    # '10' cast to 9.0 < 10.0 but sort as '10' < '9', so quantile
+    # slicing would place '9' in an earlier slice than a row that
+    # precedes it globally — silently wrong running sums); degrade such
+    # columns to one slice, which is what the module docstring always
+    # promised ("values stay correct, parallelism collapses").
+    if not isinstance(
+        df.schema[name].dataType,
+        (NumericType, BooleanType, TimestampType, TimestampNTZType),
+    ):
+        return lit(0)
     bounds = _bounds(df, name, parts)
     if not bounds:  # empty input
         return lit(0)
@@ -310,8 +329,9 @@ def attach_running_grouped(
     integral sources, ``order_cols`` must totally order rows WITHIN each
     group, and the leading order column should be numeric and
     high-cardinality (a string leading column degrades every row to one
-    slice — values stay correct, parallelism collapses back to
-    per-group). A NULL group key is a group of its own, consistently:
+    slice BY CONSTRUCTION — _slice_id only slices types whose double
+    cast is monotone in the sort order — so values stay correct and
+    parallelism collapses back to per-group). A NULL group key is a group of its own, consistently:
     the windows/groupBy treat NULL as one group and the recombine join
     is null-safe (``eqNullSafe``), so null-group rows carry correct
     running sums instead of vanishing (ADVICE r06 #1)."""

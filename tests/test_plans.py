@@ -695,3 +695,87 @@ def test_gemm_classify_tail_single_exchange(spark):
     # the GEMM stage streams: no broadcast node above it
     above = plan.split("MapInArrow")[0]
     assert "BroadcastExchange" not in above, plan
+
+
+def test_prefix_string_leading_order_degrades_not_misorders(spark):
+    """Review r08: a numeric-parsable STRING leading order column must
+    not be quantile-sliced (cast('double') is not monotone in string
+    sort order — '10' < '9' as strings but 10.0 > 9.0 as doubles);
+    _slice_id degrades it to one slice and the running sums stay
+    correct against the plain global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knn_with_mapreduce_cuda_spark.plans import prefix
+
+    data = [(str(i), i) for i in range(1, 30)]  # '1'..'29' — sorts as text
+    d = spark.createDataFrame(data, "o string, v long").repartition(5)
+    got = prefix.attach_running(d, ["o"], sums={"v": "cs"}, parts=4)
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    want = d.withColumn("cs", F.sum("v").over(w))
+    assert sorted(map(tuple, got.select("o", "v", "cs").collect())) == sorted(
+        map(tuple, want.select("o", "v", "cs").collect())
+    )
+
+
+def test_gemm_chunked_honors_explicit_sink_at_one_block(spark, tmp_path):
+    """Review r08: n_blocks==1 with an explicit sink_path must still
+    write the sink (a bypass would leave a previous run's rows there
+    stale while returning fresh ones in memory)."""
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
+    from knn_with_mapreduce_cuda_spark import tables as T
+
+    e = T.embeddings(spark, SF_SMOKE)
+    q = e.selectExpr("vec_id as qid", "emb as qemb").filter("qid < 20")
+    t = e.selectExpr("vec_id as tid", "emb as temb")
+    sink = str(tmp_path / "sink")
+    out = G.knn_topk_gemm_chunked(
+        q, t, 3, query_block_rows=10_000, n_queries=20, sink_path=sink
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == sorted(
+        map(tuple, rows)
+    )
+
+
+def test_cosine_zero_vector_not_dropped(spark):
+    """Review r08: an all-zero embedding must appear in the cosine
+    top-k output (cosine 0 against everything, tid tie-break), not be
+    silently dropped as a NaN row."""
+    from pyspark.sql import Row
+
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
+
+    rows = [Row(qid=0, qemb=[0.0, 0.0]), Row(qid=1, qemb=[1.0, 0.0])]
+    trows = [Row(tid=10, temb=[1.0, 0.0]), Row(tid=11, temb=[0.0, 1.0]),
+             Row(tid=12, temb=[0.0, 0.0])]
+    q = spark.createDataFrame(rows)
+    t = spark.createDataFrame(trows)
+    got = G.cosine_topk_gemm(q, t, 2, exclude_self=False).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rnk, r.tid, r.cos))
+    assert 0 in by_q, "zero-vector query dropped"
+    assert sorted(by_q[0]) == [(1, 10, 0.0), (2, 11, 0.0)]  # tid tie-break
+    assert sorted(t for _, t, _ in by_q[1])  # normal query still present
+
+
+def test_rows_upper_bound_refuses_python_map_nodes(spark):
+    """Review r08: mapInArrow/mapInPandas can emit MORE rows than their
+    input, so footer-derived counts must refuse such plans (fall back
+    to a real count) rather than under-state the block residency."""
+    import pandas as pd
+
+    import knn_with_mapreduce_cuda_spark.plans.gemm_knn as G
+    from knn_with_mapreduce_cuda_spark import tables as T
+
+    e = T.embeddings(spark, SF_SMOKE)
+    assert G._rows_upper_bound(e.select("vec_id")) is not None  # plain scan ok
+
+    def dup(it):
+        for pdf in it:
+            yield pd.concat([pdf, pdf])
+
+    fanned = e.select("vec_id").mapInPandas(dup, "vec_id long")
+    assert G._rows_upper_bound(fanned) is None
