@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import col, lit
 
 from .. import tables
-from ..functions.vector import cosine, euclidean, sq_euclidean
+from ..functions.vector import cosine, euclidean
 
 N_MINHASH = 8
 N_BANDS = 4  # band size 2
@@ -572,7 +572,12 @@ def _q_dedup_minhash_mllib(spark, sf_dir):
     if _fixture_rows(sf_dir, "documents") > MINHASH_MLLIB_EXACT_MAX_DOCS:
         bucket = F.substring(F.md5(col("doc_id").cast("string")), 1, 2)
         t = t.filter(bucket < "1a")
-    cv = CountVectorizer(inputCol="ts", outputCol="v", binary=True, vocabSize=1 << 12)
+    # vocabSize must dominate the corpus vocabulary or the MLlib
+    # Jaccard runs on TRUNCATED token sets while the exact twin below
+    # uses full sets — a recall gate flip with nothing actually broken
+    # (review r08). 2^18 covers any corpus the sampled path admits;
+    # sparse vectors keep the cost proportional to tokens, not vocab.
+    cv = CountVectorizer(inputCol="ts", outputCol="v", binary=True, vocabSize=1 << 18)
     vecs = cv.fit(t).transform(t)
     mh = MinHashLSH(inputCol="v", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(vecs)
@@ -748,7 +753,12 @@ def decode_image(payload: bytes) -> dict:
 
 
 def _fake_decode(payload: bytes) -> dict:
-    first = payload[0] if payload else 0
+    # first decoded CODEPOINT, not the first UTF-8 byte: the oracle's
+    # ascii(left(text,1)) is a codepoint, and the two only agree for
+    # ASCII-leading text (review r08; latent on the fixtures, which
+    # start ASCII — digest-proven unchanged). Same convention as the
+    # framesample sibling's first_cp.
+    first = ord(payload.decode("utf-8")[0]) if payload else 0
     return {"width": first % 64, "n_bytes": len(payload)}
 
 
@@ -766,7 +776,10 @@ def _q_multimodal_features(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "payload_len": [f["n_bytes"] for f in feats],
-                    "first_byte": [(p[0] if len(p) else 0) for p in pdf["payload"]],
+                    "first_byte": [
+                        (ord(p.decode("utf-8")[0]) if len(p) else 0)
+                        for p in pdf["payload"]
+                    ],
                     "fake_width": [f["width"] for f in feats],
                 }
             )
@@ -902,7 +915,11 @@ def _q_text_ngram_char(spark, sf_dir):
     ``transform`` over a sequence (no UDF); the per-lang top-10 is a
     window group-limit, pruned map-side before the shuffle."""
     docs = tables.table(spark, sf_dir, "documents")
-    tri = docs.select(
+    # guard len>=3 like the sibling _shingles/_q_text_ngram guards
+    # (review r08: F.sequence(1, len-2) infers step -1 for len<3 and
+    # emits bogus "trigram" rows the oracle's WHERE i<=len-2 never
+    # does; latent — the fixture has no 1-2-char doc)
+    tri = docs.filter(F.length("text") >= 3).select(
         "lang",
         F.explode(
             F.transform(
@@ -1204,7 +1221,11 @@ def _q_pipeline_e2e(spark, sf_dir):
         "doc_id",
         "text",
         n_words.alias("n_words"),
-        F.floor(F.size(F.array_distinct("ts")) / F.size("ts") * 10000)
+        # (a*10000)/b, matching the oracle exactly — (a/b)*10000
+        # double-rounds at floor boundaries (review r08: 57/100 ->
+        # floor(0.5699...*1e4)=5699 vs floor(570000/100)=5700; latent,
+        # no fixture doc sits on a boundary, digest-proven unchanged)
+        F.floor(F.size(F.array_distinct("ts")) * 10000 / F.size("ts"))
         .cast("long")
         .alias("uniq_q4"),
     ).filter(col("n_words") >= 30)

@@ -1271,3 +1271,64 @@ def test_stored_index_memo_tracks_scratch_root(spark, tmp_path, monkeypatch):
     d2 = llm._pq_store(spark, SF_SMOKE)
     assert d2 != d1
     assert os.path.exists(f"{d2}/codes.parquet/_SUCCESS")
+
+
+def test_latent_twin_divergences_fixed(spark, tmp_path):
+    """Review r08 regression net: three Spark↔oracle divergences that
+    the driver fixtures never trigger (short docs, non-ASCII-leading
+    text, floor-boundary uniqueness ratios) — exercise them on a
+    synthetic documents table and compare Spark against the SAME
+    oracle SQL the registry ships, run by DuckDB over the same dir."""
+    import duckdb
+    import pandas as pd
+
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.operators.llm import (
+        _q_multimodal_features,
+        _q_text_ngram_char,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["ab", "中文 doc with enough text here", "abcabcabc", ""],
+            "lang": ["en", "zh", "en", "en"],
+            "source": ["s"] * 4,
+            "n_chars": [2, 29, 9, 0],
+        }
+    )
+    sf = tmp_path / "mini"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for key, fn in (
+        ("llm_text_ngram_char", _q_text_ngram_char),
+        ("llm_multimodal_features", _q_multimodal_features),
+    ):
+        want = sorted(
+            map(tuple, con.execute(registry.oracle_sql(str(sf))[key]).fetchall())
+        )
+        got = sorted(map(tuple, fn(spark, str(sf)).collect()))
+        assert got == want, f"{key}: spark {got[:5]} != oracle {want[:5]}"
+    # uniq_q4 boundary pairs: Spark's floor(a*10000/b) must equal the
+    # oracle's floor(a*10000.0/b) everywhere, including the 127 pairs
+    # where the OLD (a/b)*10000 double-rounded (e.g. 57/100 -> 5699)
+    from pyspark.sql import functions as F
+
+    pairs = [(a, b) for b in range(30, 200) for a in range(1, b + 1)]
+    pdf = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "q", F.floor(F.col("a") * 10000 / F.col("b")).cast("long")
+    )
+    got_q = {(r.a, r.b): r.q for r in pdf.collect()}
+    want_q = {
+        (a, b): q
+        for a, b, q in con.execute(
+            "SELECT a, b, CAST(floor(a*10000.0/b) AS BIGINT) FROM "
+            "(SELECT unnest(range(30,200)) AS b), (SELECT unnest(range(1,200)) AS a) "
+            "WHERE a <= b"
+        ).fetchall()
+    }
+    assert got_q == want_q
