@@ -59,59 +59,88 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-8 rotation window (VERDICT r07 "Next round" #1): union of
-#: driver-green keys after r07 is 327/368, zero red rows ever. This
-#: window fronts ALL 41 remaining never-driver-graded keys (the list
-#: pinned as _ROTATE_NEXT since r07, in stable merged-module order),
-#: closing the driver-graded contract at 368/368. The 9 remaining
-#: slots re-grade the OLDEST driver rows for freshness (the first 9
-#: r01-graded kNN-core keys, including knn_normalize_zscore whose
-#: half-tie exposure ADVICE r06 #5 documented) — listed in _RE_EARNED
-#: so the rotation-policy test admits exactly these repeats.
+#: Round-9 rotation window — the POST-CLOSURE freshness policy
+#: (VERDICT r08 "Next round" #2). The driver-graded contract closed at
+#: 368/368 in r08 (zero red rows across eight rounds), so from r09 on
+#: the 50-slot window re-grades the STALEST keys: staleness = rounds
+#: since a key's newest driver CORRECTNESS row, ties broken by the
+#: stable pre-rotation merged-module order (NOT the rotated registry
+#: order, which this list itself determines — that would be circular).
+#: _RE_EARNED keys (output-changed since their last driver row) jump
+#: the staleness queue; never-graded keys (new additions) rank as
+#: staleness=∞ and front automatically. This list must equal
+#: compute_stale_window(50) — enforced by tests/test_contract.py. This
+#: round: the 27 keys last graded r01 plus the 23 stalest of the 41
+#: last graded r02.
 _ROTATE_FRONT = [
-    # the final 41 never-driver-graded keys (r07's pinned plan)
-    "ts_lag_features", "llm_embed_outliers", "rel_hash_uniformity_chi2",
-    "llm_boilerplate_prefix", "ml_class_weights", "ts_season_strength",
-    "ml_mcnemar_test", "llm_lsh_bucket_stats", "ts_weekday_weekend_profile",
-    "ml_ece", "llm_hapax_stats", "rel_join_natural",
-    "ts_type_correlation_matrix", "ml_dim_ablation", "str_new_vs_returning",
-    "rel_column_profile", "ts_completeness", "ml_label_noise_flags",
-    "ml_lowe_ratio", "ml_balanced_accuracy", "ts_runs_test",
-    "str_stickiness", "ml_youden_threshold", "ml_average_precision",
-    "llm_heaps_law", "ml_f1_scores", "llm_vocab_kl_divergence",
-    "ts_persistence_error_curve", "rel_unique_key_audit",
-    "ml_best_f1_threshold", "ts_gumbel_fit", "llm_term_burstiness",
-    "ml_precision_at_k", "llm_dedup_cluster_langs",
-    "ml_operating_point_card", "ts_median_filter", "ml_vote_margin",
-    "ml_recall_at_k", "str_bounce_rate", "ml_tpr_at_fixed_fpr",
-    "ts_exceedance_episodes",
-    # freshness re-grades: the 9 oldest driver rows (r01, kNN core)
-    "knn_scan", "knn_normalize_minmax", "knn_normalize_zscore",
-    "knn_split", "knn_allpairs", "knn_dist_euclidean",
-    "knn_dist_sqeuclidean", "knn_dist_manhattan", "knn_dist_cosine",
+    "rel_agg_distinct", "rel_agg_approx", "rel_agg_grouping_sets",
+    "rel_window_rank", "rel_window_analytic", "rel_window_frame",
+    "rel_sort_limit", "rel_topk_per_group", "rel_setop_union",
+    "rel_setop_intersect_except", "rel_subquery", "rel_fn_string",
+    "rel_fn_date", "rel_fn_math", "rel_fn_conditional", "rel_fn_array",
+    "rel_fn_map_struct", "rel_fn_json", "rel_dedup_exact", "rel_sample",
+    "rel_explain_pivot", "llm_dedup_hash", "llm_dedup_near_minhash",
+    "llm_simsearch_topk", "llm_text_tokenize", "llm_text_ngram",
+    "llm_text_tfidf", "knn_topk", "knn_classify", "knn_regress",
+    "knn_join", "knn_accuracy", "knn_confusion",
+    "rel_scan_project_filter", "rel_join_broadcast", "rel_join_shuffle",
+    "rel_join_outer", "rel_join_semi_anti", "rel_join_theta_range",
+    "rel_join_asof", "rel_agg_hash", "llm_ann_lsh",
+    "llm_dedup_minhash_mllib", "llm_text_stats", "llm_multimodal_join",
+    "llm_lang_partition", "llm_semdedup", "llm_gopher_repetition",
+    "llm_substring_dup_spans", "llm_filter_funnel",
 ]
 
-#: The r09 window plan: EMPTY — after the r08 window every registry key
-#: carries a driver CORRECTNESS row (368/368). Future rounds rotate the
-#: oldest-graded keys (or _RE_EARNED output-changed keys) for freshness;
-#: any NEW key added lands here first, never-graded by construction.
-_ROTATE_NEXT: list[str] = []
-
-#: Keys deliberately re-fronted into the window despite carrying a
-#: prior driver row (ADVICE r05 #4 discipline): the rotation-policy
-#: test allows exactly these to overlap prior CORRECTNESS_r*.json
-#: artifacts. This round: the 9 oldest rows (r01, 7 rounds stale) are
-#: re-graded for freshness — their outputs are UNCHANGED (cross-SF
-#: sweep in VERDICT_RESPONSE_r08.md proves it); they fill the window
-#: slots left after the final 41 never-graded keys.
-_RE_EARNED: list[str] = [
-    "knn_scan", "knn_normalize_minmax", "knn_normalize_zscore",
-    "knn_split", "knn_allpairs", "knn_dist_euclidean",
-    "knn_dist_sqeuclidean", "knn_dist_manhattan", "knn_dist_cosine",
-]
+#: Keys whose OUTPUT changed since their last driver row (an
+#: intentional semantics edit): they jump the staleness queue and lead
+#: the next window regardless of age (ADVICE r05 #4 discipline, carried
+#: into the post-closure policy). Empty this round — no graded key's
+#: output changed (golden digests pin this; tests/test_golden.py).
+_RE_EARNED: list[str] = []
 
 
-def _collect(attr: str) -> dict:
+def compute_stale_window(n: int = 50) -> list[str]:
+    """The canonical n-key freshness window: _RE_EARNED first, then all
+    registry keys stalest-first (never-graded keys rank stalest of all),
+    ties broken by the stable pre-rotation merged-module order. Reads
+    the repo's CORRECTNESS_r*.json artifacts; the newest artifact is
+    excluded when its key set is exactly _ROTATE_FRONT (that file IS
+    this window's own grading run — counting it would rotate the window
+    every time the driver writes the artifact the window asked for)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[int, set] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            rounds[int(m.group(1))] = set(json.load(open(path)))
+        except Exception:
+            continue
+    if rounds and rounds[max(rounds)] == set(_ROTATE_FRONT):
+        del rounds[max(rounds)]
+    last: dict[str, int] = {}
+    for r, keys in rounds.items():
+        for k in keys:
+            last[k] = max(last.get(k, 0), r)
+    base = list(_collect_raw("QUERIES"))
+    order = {k: i for i, k in enumerate(base)}
+    re_earned = [k for k in _RE_EARNED if k in order]
+    rest = sorted(
+        (k for k in base if k not in re_earned),
+        key=lambda k: (last.get(k, 0), order[k]),
+    )
+    return (re_earned + rest)[:n]
+
+
+def _collect_raw(attr: str) -> dict:
+    """Merged module dicts in stable pre-rotation module order — the
+    tie-break order for staleness (rotation-independent by design)."""
     merged: dict = {}
     for mod_name in _MODULES:
         try:
@@ -122,8 +151,13 @@ def _collect(attr: str) -> dict:
             if key in merged:
                 raise ValueError(f"duplicate query key {key!r} from {mod_name}")
             merged[key] = value
-    # Keys still needing a driver-green row first, then the rest of the
-    # SURVEY contract, then engine extras — all in stable order.
+    return merged
+
+
+def _collect(attr: str) -> dict:
+    merged = _collect_raw(attr)
+    # This round's freshness window first, then the rest of the SURVEY
+    # contract, then engine extras — all in stable order.
     front = [k for k in _ROTATE_FRONT if k in merged]
     front += [k for k in SURVEY_QKEYS if k in merged and k not in front]
     ordered = {k: merged[k] for k in front}

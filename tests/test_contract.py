@@ -35,21 +35,17 @@ def test_doc_counts_match_registry():
 
 
 def test_rotation_window_policy():
-    """The driver grades the first 50 registry keys. The rotation
-    policy (VERDICT r04 #3, tightened per ADVICE r05 #4): the window
-    holds EXACTLY 50 keys, every one registered, and none carrying a
-    driver row from a previous round — a repeated key wastes a grading
-    slot — EXCEPT keys listed in registry._RE_EARNED (deliberate
-    re-grades after an output-changing edit). The current round's own
-    artifact is identified by round NUMBER (the max-r file, and only
-    when its key set is exactly this window — i.e. it IS this
-    rotation's grading), not by an overlap fraction that would mask
-    genuine 25+-key repeats."""
-    import glob
-    import json
-    import os
-    import re
-
+    """The driver grades the first 50 registry keys. POST-CLOSURE
+    policy (VERDICT r08 #2 — the driver-graded union hit 368/368 in
+    r08, so "never-graded first" is vacuous): the window holds EXACTLY
+    50 keys, every one registered, and it must be the STALEST-FIRST
+    window — _RE_EARNED (output-changed) keys lead, then all keys
+    ordered by rounds-since-last-driver-row (never-graded new keys rank
+    stalest of all), ties broken by the stable pre-rotation module
+    order. registry.compute_stale_window() is the canonical
+    computation; the pinned _ROTATE_FRONT must match it exactly, so a
+    new CORRECTNESS artifact (or a new key) forces the next round's
+    window to be re-declared consciously rather than drifting."""
     from knn_with_mapreduce_cuda_spark import registry
 
     front = registry._ROTATE_FRONT
@@ -58,36 +54,55 @@ def test_rotation_window_policy():
     assert set(front) <= set(qs)
     assert list(qs)[:50] == front  # the window IS the registry prefix
     assert set(registry._RE_EARNED) <= set(front)
+    want = registry.compute_stale_window(50)
+    assert front == want, (
+        f"window is not the stalest-first set: "
+        f"unexpected={[k for k in front if k not in want]} "
+        f"missing={[k for k in want if k not in front]}"
+    )
+
+
+def test_stale_window_freshness_bound():
+    """No registry key's driver row may age past the full-rotation
+    bound: 368 keys / 50 slots ≈ 8 rounds of staleness if the rotation
+    never repeats — assert nothing is older than that, so a key dropped
+    from the rotation (e.g. by a bad tie-break edit) surfaces as a test
+    failure instead of silently never re-earning a driver row."""
+    import glob
+    import json
+    import os
+    import re
+
+    from knn_with_mapreduce_cuda_spark import registry
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifacts: dict[int, set[str]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    rounds: dict[int, set] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            artifacts[int(m.group(1))] = set(json.load(open(path)))
-        except Exception:
-            continue
-    if artifacts:
-        latest = max(artifacts)
-        if artifacts[latest] == set(front):
-            # the max-round artifact IS this window's own grading run —
-            # the one legitimate full overlap; everything older counts.
-            del artifacts[latest]
-    graded: set[str] = set().union(*artifacts.values()) if artifacts else set()
-    overlap = [k for k in front if k in graded and k not in registry._RE_EARNED]
-    assert overlap == [], f"window repeats driver-graded keys: {overlap}"
-    # The pinned r08 plan (VERDICT r06 #4): _ROTATE_NEXT + this window
-    # must cover EVERY never-driver-graded registry key exactly once —
-    # no key lost between windows, no slot wasted on a graded key.
-    nxt = registry._ROTATE_NEXT
-    assert set(nxt) <= set(qs)
-    assert not set(nxt) & set(front)
-    assert not set(nxt) & graded, "r08 plan repeats driver-graded keys"
-    never = set(qs) - graded - set(front)
-    assert set(nxt) == never, (
-        f"r08 plan out of sync with never-graded set: "
-        f"missing={sorted(never - set(nxt))} stale={sorted(set(nxt) - never)}"
+        if m:
+            try:
+                rounds[int(m.group(1))] = set(json.load(open(path)))
+            except Exception:
+                continue
+    if not rounds:
+        return
+    latest = max(rounds)
+    last: dict[str, int] = {}
+    for r, keys in rounds.items():
+        for k in keys:
+            last[k] = max(last.get(k, 0), r)
+    qs = registry.queries()
+    graded = [k for k in qs if k in last]
+    # every graded key within ceil(368/50)=8 rounds, AND the current
+    # window covers the oldest stratum (keys the bound is tightest for)
+    overdue = [k for k in graded if latest - last[k] > 8]
+    assert overdue == [], f"keys older than one full rotation: {overdue}"
+    oldest = min(last[k] for k in graded)
+    stratum = [k for k in graded if last[k] == oldest]
+    missed = [k for k in stratum if k not in registry._ROTATE_FRONT]
+    # the window must drain the oldest stratum first (up to its size)
+    assert len(stratum) > 50 or missed == [], (
+        f"oldest stratum (r{oldest:02d}) not fully re-graded: {missed}"
     )
 
 
@@ -108,36 +123,15 @@ def test_queries_run_at_smoke_sf(spark):
 
 
 def test_re_earned_outputs_pinned():
-    """The 9 freshness re-grades in the r08 window (_RE_EARNED) are
-    declared output-UNCHANGED since their r01 driver rows — pin that
-    mechanically against the golden digest file: the digests recorded
-    when the claim was made are literals here, the LIVE values are
-    asserted per-key by tests/test_golden.py against the same file, so
-    an output change either fails test_golden (file not regenerated) or
-    fails here (file regenerated via gen_golden.py --fix without
-    re-fronting the key) — no duplicate Spark runs (review r08)."""
-    import json
-    import os
-
+    """_RE_EARNED declares keys whose OUTPUT changed since their last
+    driver row (they jump the staleness queue). This round it is empty:
+    the r09 window is pure freshness re-grades, and the 'outputs
+    unchanged' claim for every window key is carried mechanically by
+    the golden digest net (tests/test_golden.py asserts every contract
+    key's live digest against the committed file, and the r08 full-net
+    sweep pinned all 368). If a future edit changes a graded key's
+    output, gen_golden --fix will rewrite its digest, test_golden's
+    git-visible diff records it, and that key belongs here."""
     from knn_with_mapreduce_cuda_spark import registry
 
-    pinned = {
-        "knn_scan": "ab3b136b82eee4a3",
-        "knn_normalize_minmax": "faf0eda9faa8763c",
-        "knn_normalize_zscore": "1ae4ee6f70aecafc",
-        "knn_split": "02561560cdea93e6",
-        "knn_allpairs": "49e2b12ca3494814",
-        "knn_dist_euclidean": "879b7bb61d30e47c",
-        "knn_dist_sqeuclidean": "fc9d17606df93ba2",
-        "knn_dist_manhattan": "00723e4f183efe53",
-        "knn_dist_cosine": "9376256cf7fd6b98",
-    }
-    assert set(pinned) == set(registry._RE_EARNED)
-    root = os.path.dirname(os.path.abspath(__file__))
-    golden = json.load(open(os.path.join(root, "golden_smoke_digests.json")))
-    for key, want in pinned.items():
-        assert golden[key] == want, (
-            f"{key}: golden digest changed ({golden[key]} != {want}) — the "
-            f"_RE_EARNED 'outputs unchanged' claim no longer holds; re-front "
-            f"the key and update this pin"
-        )
+    assert registry._RE_EARNED == []
