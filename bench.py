@@ -138,8 +138,20 @@ def minhash_dedup(spark, sf_dir):
     return llm._q_dedup_near_minhash(spark, sf_dir)
 
 
-BUCKET_SCRATCH = "/tmp/spark_graft_bench_bucketed"
 BUCKETS = 32
+
+
+def _bench_scratch() -> str:
+    """Bench scratch (bucketed tables + chunked sink) under the
+    VALIDATED uid-owned 0o700 scratch root — ADVICE r08: the old fixed
+    /tmp/spark_graft_bench_bucketed was the same multi-user /tmp trust
+    class the index scratch eliminated in r05 (another local user could
+    pre-create it or inject parquet between block writes and the final
+    read-back). Resolved lazily: _scratch_root() creates/validates on
+    first touch."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import _scratch_root
+
+    return os.path.join(_scratch_root(), "bench_bucketed")
 
 
 def setup_bucketed(spark, sf_dir) -> None:
@@ -159,7 +171,7 @@ def setup_bucketed(spark, sf_dir) -> None:
         .write.mode("overwrite")
         .bucketBy(BUCKETS, "l_orderkey")
         .sortBy("l_orderkey")
-        .option("path", f"{BUCKET_SCRATCH}/lineitem")
+        .option("path", f"{_bench_scratch()}/lineitem")
         .saveAsTable("bench_li_b")
     )
     (
@@ -167,7 +179,7 @@ def setup_bucketed(spark, sf_dir) -> None:
         .write.mode("overwrite")
         .bucketBy(BUCKETS, "o_orderkey")
         .sortBy("o_orderkey")
-        .option("path", f"{BUCKET_SCRATCH}/orders")
+        .option("path", f"{_bench_scratch()}/orders")
         .saveAsTable("bench_ord_b")
     )
 
@@ -235,9 +247,11 @@ def knn_join_chunked(spark, sf_dir):
         q, t, 10,
         query_block_rows=max(1, -(-n // CHUNKED_BLOCKS)),
         n_queries=n,
-        # fixed sink, block 0 overwrites: the default per-call mkdtemp
-        # would leak one parquet dir per timed run (review r08).
-        sink_path=f"{BUCKET_SCRATCH}_chunked_sink",
+        # fixed sink UNDER THE VALIDATED SCRATCH ROOT, block 0
+        # overwrites: a per-call mkdtemp would leak one parquet dir per
+        # timed run (review r08), and a fixed /tmp path was injectable
+        # by other local users (ADVICE r08).
+        sink_path=f"{_bench_scratch()}_chunked_sink",
     )
 
 
@@ -357,23 +371,66 @@ DUCK_MATCHING_SPARK = {
 }
 
 
-def duckdb_twin_suite(sf_dir: str) -> dict[str, float]:
-    """Best-of-3 warm DuckDB timings for the pinned BASELINE probes,
+#: per-probe contention bar for the DuckDB block: it runs after a
+#: _wait_for_idle gate, DuckDB is 4-thread and each probe sub-second, so
+#: its own load1 contribution is ~0.1-0.3 — a reading past IDLE_LOAD1+1
+#: means external contention, not self-load (VERDICT r08 #1a: the
+#: 1.894→2.178 headline swing was 15% DuckDB-probe variance the old
+#: ungated best-of-3 couldn't reject).
+DUCK_LOAD_ALLOWANCE = 1.0
+#: probe runs: 1 warm-up + DUCK_WARM_RUNS warm samples; the artifact
+#: publishes best AND median-of-warm (VERDICT r08 #1b: best-of on one
+#: side only amplifies the other side's variance into the ratio).
+DUCK_WARM_RUNS = 4
+
+
+def duckdb_twin_suite(
+    sf_dir: str, deadline: float
+) -> tuple[dict[str, float], dict[str, float], dict]:
+    """Per-probe-gated DuckDB timings for the pinned BASELINE probes,
     measured in this same bench session (after the Spark rows, so the
-    4-thread DuckDB bursts never contend with a timed Spark query)."""
+    4-thread DuckDB bursts never contend with a timed Spark query).
+    Each probe runs 1 warm-up + DUCK_WARM_RUNS warm samples; a probe
+    whose pre- or post-load1 crossed the bar is re-gated and re-run
+    once. Returns (best, median_of_warm, provenance-detail)."""
+    import statistics
+
     from knn_with_mapreduce_cuda_spark.oracle import duck_connection
 
     con = duck_connection(sf_dir)
     con.execute("PRAGMA threads=4")  # BASELINE.md's config
-    out: dict[str, float] = {}
-    for key, sql in DUCK_PROBES.items():
+    bar = IDLE_LOAD1 + DUCK_LOAD_ALLOWANCE
+    best: dict[str, float] = {}
+    med: dict[str, float] = {}
+    detail: dict = {"runs": {}, "load1_pre": {}, "load1_post": {}, "regated": []}
+
+    def _probe(sql: str) -> list[float]:
         rs = []
-        for _ in range(3):
+        for _ in range(1 + DUCK_WARM_RUNS):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             rs.append(round(time.perf_counter() - t0, 3))
-        out[key] = min(rs)
-    return out
+        return rs
+
+    for key, sql in DUCK_PROBES.items():
+        pre = round(os.getloadavg()[0], 2)
+        if pre >= bar and time.time() < deadline:
+            detail["regated"].append(key)
+            pre, _, _ = _wait_for_idle(deadline)
+        rs = _probe(sql)
+        post = round(os.getloadavg()[0], 2)
+        if post >= bar and time.time() < deadline:
+            # contention arrived DURING the probe: re-gate, re-run once
+            detail["regated"].append(key)
+            pre, _, _ = _wait_for_idle(deadline)
+            rs = _probe(sql)
+            post = round(os.getloadavg()[0], 2)
+        best[key] = min(rs)
+        med[key] = round(statistics.median(rs[1:]), 3)
+        detail["runs"][key] = rs
+        detail["load1_pre"][key] = pre
+        detail["load1_post"][key] = post
+    return best, med, detail
 
 
 #: hard budget for the FINAL printed line. The driver records only the
@@ -413,6 +470,15 @@ def compact_line(summary: dict) -> str:
         summary = dict(summary)
         summary["warm_medians"] = {}
         line = json.dumps(summary)
+    for per_row in ("matching_ratios", "matching_medians"):
+        # per-row detail maps (4 entries each) — droppable before the
+        # last-resort core so still-fitting headline fields like
+        # spark_matching_subtotal survive (ADVICE r08: the old ladder
+        # jumped straight from warm_medians to the truncated core).
+        if len(line) > SUMMARY_LINE_BUDGET and summary.get(per_row):
+            summary = dict(summary)
+            summary[per_row] = {}
+            line = json.dumps(summary)
     if len(line) > SUMMARY_LINE_BUDGET:
         # Last resort (review r08: an `assert` here is stripped under
         # `python -O` — reintroducing the BENCH_r06 silent-overflow —
@@ -481,6 +547,7 @@ def main() -> None:
     # reproducible claim on a shared machine.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    contended: dict[str, list[float]] = {}  # pre-regate runs, provenance
     loads_pre: dict[str, float] = {}
     loads: dict[str, float] = {}
     retried: list[str] = []
@@ -514,25 +581,43 @@ def main() -> None:
             extra += 1
         return rs
 
+    bar = IDLE_LOAD1 + SELF_LOAD_ALLOWANCE
     for name, fn in BENCH_QUERIES.items():
         pre = round(os.getloadavg()[0], 1)
-        if pre >= IDLE_LOAD1 + SELF_LOAD_ALLOWANCE and time.time() < deadline:
+        if pre >= bar and time.time() < deadline:
             # external contention arrived mid-suite: re-gate, then rerun
             retried.append(name)
             pre, _, _ = _wait_for_idle(deadline)
             pre = round(pre, 1)
         rs = run_block(fn)
+        post = round(os.getloadavg()[0], 1)
+        if post >= bar and time.time() < deadline:
+            # VERDICT r08 #1a: contention that arrives DURING a row
+            # passed the old pre-gate unseen (r08's 5.2/4.1 post-spikes
+            # on bucketed-Q3/pq_stored) — a post-reading past the bar
+            # re-gates and re-runs the row ONCE; the contended runs stay
+            # in the detail artifact as provenance.
+            retried.append(name)
+            contended[name] = rs
+            pre, _, _ = _wait_for_idle(deadline)
+            pre = round(pre, 1)
+            rs = run_block(fn)
+            post = round(os.getloadavg()[0], 1)
         timings[name] = min(rs)
         runs[name] = rs
         loads_pre[name] = pre
-        loads[name] = round(os.getloadavg()[0], 1)
+        loads[name] = post
 
     total = round(
         sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
     )
-    duck_pre = round(os.getloadavg()[0], 1)
-    duck = duckdb_twin_suite(sf_dir)
+    # gate again before the DuckDB block: the Spark suite's own decaying
+    # load1 (~3+ right after the last row) would otherwise trip every
+    # probe's contention bar or, worse, sit invisibly under it.
+    duck_pre, _, _ = _wait_for_idle(deadline)
+    duck, duck_med, duck_detail = duckdb_twin_suite(sf_dir, deadline)
     duck_total = round(sum(duck.values()), 3)
+    duck_med_total = round(sum(duck_med.values()), 3)
     matching = round(
         sum(timings[s] for s in DUCK_MATCHING_SPARK.values() if s in timings), 3
     )
@@ -553,24 +638,41 @@ def main() -> None:
         for k, sp in spreads.items()
         if sp > 0.2
     }
+    # Both-side warm medians for the matching rows (VERDICT r08 #1b):
+    # the headline strict ratio is now median-of-warm vs median-of-warm
+    # — best-of-N on one side and plain timing on the other amplified a
+    # 15% DuckDB-side swing into the r08 1.894→2.178 headline move.
+    # matching_medians = {duck_key: [spark_median_warm, duck_median_warm]}
+    spark_med = {
+        sk: round(statistics.median(runs[sk][1:]), 3)
+        for sk in DUCK_MATCHING_SPARK.values()
+        if sk in runs and len(runs[sk]) > 1
+    }
+    matching_medians = {
+        dk: [spark_med.get(sk), duck_med.get(dk)]
+        for dk, sk in DUCK_MATCHING_SPARK.items()
+        if sk in spark_med and dk in duck_med
+    }
+    matching_med_total = round(sum(spark_med.values()), 3)
     # Per-row honesty (VERDICT r07 #3): raw and floor-adjusted ratios of
-    # each matching Spark row vs its same-session DuckDB twin. The
-    # aggregate matching ratio is dominated by the kNN row; these expose
-    # each relational row individually.
+    # each matching Spark row vs its same-session DuckDB twin — both
+    # sides' warm medians since r09 (symmetric statistic). The aggregate
+    # matching ratio is dominated by the kNN row; these expose each
+    # relational row individually.
     # a DuckDB twin that rounds to 0.000 yields null ratios rather than
     # silently dropping the row (review r08: the dropped row would be
     # exactly the one where Spark-vs-DuckDB looks worst).
     matching_ratios = {
         dk: (
             [
-                round(timings[sk] / duck[dk], 2),
-                round(max(timings[sk] - job_floor, 0.0) / duck[dk], 2),
+                round(spark_med[sk] / duck_med[dk], 2),
+                round(max(spark_med[sk] - job_floor, 0.0) / duck_med[dk], 2),
             ]
-            if duck.get(dk)
+            if duck_med.get(dk)
             else [None, None]
         )
         for dk, sk in DUCK_MATCHING_SPARK.items()
-        if sk in timings and dk in duck
+        if sk in spark_med and dk in duck_med
     }
 
     # Detail record: full provenance (every run, host load before/after
@@ -582,15 +684,19 @@ def main() -> None:
     detail = {
         "metric": "suite_seconds_detail",
         "runs": runs,
+        "contended_runs": contended,  # pre-regate samples, provenance
         "warm_spread": spreads,
         "warm_medians": warm_medians,
         "extra_run": sorted(k for k, rs in runs.items() if len(rs) > 3),
         "job_floor_s": job_floor,
         "job_floor_runs": floor_runs,
         "matching_ratios": matching_ratios,
+        "matching_medians": matching_medians,
         "load1_pre": loads_pre,
         "load1": loads,
         "duckdb_queries": duck,
+        "duckdb_medians": duck_med,
+        "duckdb_detail": duck_detail,
         "duckdb_load1_pre": duck_pre,
         "regated": retried,
     }
@@ -613,11 +719,23 @@ def main() -> None:
         "duckdb_suite_seconds": duck_total,
         "baseline_static_seconds": 9.221,  # BASELINE.md, round 0
         "spark_matching_subtotal": matching,
+        # the strict same-session framing of record — BOTH-side warm
+        # medians since r09 (VERDICT r08 #1b); the old asymmetric
+        # best-of framing is kept alongside for cross-round continuity.
         "matching_vs_duckdb_same_session": (
+            round(matching_med_total / duck_med_total, 3)
+            if duck_med_total
+            else None
+        ),
+        "matching_stat": "median_warm_both_sides",
+        "matching_vs_duckdb_bestof": (
             round(matching / duck_total, 3) if duck_total else None
         ),
+        "spark_matching_median_subtotal": matching_med_total,
+        "duckdb_median_subtotal": duck_med_total,
         "job_floor_s": job_floor,
         "matching_ratios": matching_ratios,  # [raw, floor-adjusted] per row
+        "matching_medians": matching_medians,  # [spark, duck] per row
         "max_warm_spread": max(spreads.values()) if spreads else None,
         "warm_medians": warm_medians,  # rows left >20% after extra runs
         "idle_gate": {

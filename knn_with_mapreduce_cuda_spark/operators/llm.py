@@ -757,9 +757,17 @@ def _fake_decode(payload: bytes) -> dict:
     # ascii(left(text,1)) is a codepoint, and the two only agree for
     # ASCII-leading text (review r08; latent on the fixtures, which
     # start ASCII — digest-proven unchanged). Same convention as the
-    # framesample sibling's first_cp.
-    first = ord(payload.decode("utf-8")[0]) if payload else 0
-    return {"width": first % 64, "n_bytes": len(payload)}
+    # framesample sibling's first_cp. Decode only a 4-byte prefix (the
+    # max UTF-8 codepoint length, so the first codepoint is always
+    # complete): a full decode was O(payload) per row just for one
+    # character, and invalid bytes — the binary media this slot models —
+    # raised UnicodeDecodeError inside the UDF; errors='replace'
+    # degrades an invalid LEADING sequence to U+FFFD instead (ADVICE
+    # r08). Identical output on any valid-UTF-8 payload.
+    first = (
+        ord(payload[:4].decode("utf-8", errors="replace")[0]) if payload else 0
+    )
+    return {"width": first % 64, "n_bytes": len(payload), "first_cp": first}
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -776,10 +784,10 @@ def _q_multimodal_features(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "payload_len": [f["n_bytes"] for f in feats],
-                    "first_byte": [
-                        (ord(p.decode("utf-8")[0]) if len(p) else 0)
-                        for p in pdf["payload"]
-                    ],
+                    # reuse the decode result — the old second full
+                    # decode per row doubled the per-payload cost for
+                    # the same codepoint (ADVICE r08)
+                    "first_byte": [f["first_cp"] for f in feats],
                     "fake_width": [f["width"] for f in feats],
                 }
             )

@@ -159,6 +159,7 @@ def attach_running(
     lasts: dict[str, str] | None = None,
     rn: str | None = None,
     parts: int | None = None,
+    strategy: str = "distributive",
 ) -> DataFrame:
     """Attach global running aggregates in the total order ``order_cols``.
 
@@ -176,9 +177,35 @@ def attach_running(
     convention) so the two-phase recombination is exact. Null sources
     contribute 0 to sums and are ignored by maxs/lasts, matching the
     window functions they replace.
+
+    ``strategy`` picks how phase 2 (per-slice totals → exclusive prefix
+    offsets) recombines — all four are bit-identical in value
+    (tests/test_prefix.py runs the parametrized net over each):
+
+    - ``"distributive"`` (default since r09): totals stay a DataFrame;
+      the exclusive prefix over ≤ ``parts`` total-rows is a window over
+      that tiny relation and broadcast-joins back — ONE job, so
+      Catalyst's ReuseExchange evaluates the sliced input ONCE (the
+      ``collect`` form's totals job was a full second pass over the
+      window input — invisible at sf0.1, real at 100 TB; VERDICT r08
+      #4, measured in SCALE.md §9k). Nothing is collected to the
+      driver, which also removes attach_running from the driver-side
+      collect() audit surface.
+    - ``"collect"``: the r01–r08 form — totals collected (≤ ``parts``
+      rows), exclusive prefix computed driver-side, offsets re-shipped
+      as a broadcast join. Two jobs ⇒ the sliced input evaluates twice.
+    - ``"localCheckpoint"`` / ``"persist"``: the ``collect`` form with
+      the sliced input materialized first, so pass 2 re-reads blocks
+      instead of recomputing. localCheckpoint truncates lineage — an
+      executor loss at scale makes the result unrecoverable — and
+      persist has no sound unpersist point in a lazy builder (the cache
+      entry outlives the call); both kept for the A/B record, neither
+      is the scale answer.
     """
     sums, maxs = dict(sums or {}), dict(maxs or {})
     maxs_excl, lasts = dict(maxs_excl or {}), dict(lasts or {})
+    if strategy not in ("distributive", "collect", "localCheckpoint", "persist"):
+        raise ValueError(f"unknown attach_running strategy {strategy!r}")
     spark = df.sparkSession
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -186,6 +213,11 @@ def attach_running(
     d = df.withColumn(_PID, _slice_id(df, order_cols, parts).cast("int")).repartition(
         parts, col(_PID)
     )
+    if strategy == "localCheckpoint":
+        # lazy: the totals job materializes the blocks, pass 2 reuses them
+        d = d.localCheckpoint(eager=False)
+    elif strategy == "persist":
+        d = d.persist()
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order)
@@ -214,7 +246,7 @@ def attach_running(
         )
 
     # phase 2: per-partition totals -> exclusive prefix offsets. The agg
-    # reduces each partition to ONE row; ≤ `parts` rows cross the driver.
+    # reduces each partition to ONE row; ≤ `parts` rows total.
     aggs = [F.count(lit(1)).alias("_n")]
     aggs += [F.sum(src).alias(f"_s_{dst}") for src, dst in sums.items()]
     all_maxs = list(maxs.items()) + list(maxs_excl.items())
@@ -232,41 +264,66 @@ def attach_running(
             )
             for src, dst in lasts.items()
         ]
-    totals = {r[_PID]: r for r in dd.groupBy(_PID).agg(*aggs).collect()}
+    totals_df = dd.groupBy(_PID).agg(*aggs)
 
-    rows = []
-    run_n = 0
-    run_s = {dst: 0 for dst in sums.values()}
-    run_m = {dst: None for _, dst in all_maxs}
-    run_l = {dst: None for dst in lasts.values()}
-    for pid in sorted(totals):
-        t = totals[pid]
-        rows.append(
-            (
-                pid,
-                run_n,
-                *[run_s[dst] for dst in sums.values()],
-                *[run_m[dst] for _, dst in all_maxs],
-                *[run_l[dst] for dst in lasts.values()],
+    if strategy == "distributive":
+        # exclusive prefix over the ≤ `parts`-row totals relation as a
+        # window ordered by slice id — deliberately unpartitioned: its
+        # input is one row per SLICE (bounded by the shuffle-partition
+        # ceiling, never corpus-sized), the same bounded-relation shape
+        # attach_running_grouped has always used. Keeping phase 2 lazy
+        # puts both phases in ONE job, where ReuseExchange evaluates
+        # the repartition-by-slice exchange once.
+        w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+        off_cols = [col(_PID), F.coalesce(F.sum("_n").over(w_off), lit(0)).alias("_off_n")]
+        off_cols += [
+            F.coalesce(F.sum(f"_s_{dst}").over(w_off), lit(0)).alias(f"_off_s_{i}")
+            for i, dst in enumerate(sums.values())
+        ]
+        off_cols += [
+            F.max(f"_m_{dst}").over(w_off).alias(f"_off_m_{i}")
+            for i, (_, dst) in enumerate(all_maxs)
+        ]
+        off_cols += [
+            F.last(f"_l_{dst}", ignorenulls=True).over(w_off).alias(f"_off_l_{i}")
+            for i, dst in enumerate(lasts.values())
+        ]
+        off = totals_df.select(*off_cols)
+    else:
+        totals = {r[_PID]: r for r in totals_df.collect()}
+        rows = []
+        run_n = 0
+        run_s = {dst: 0 for dst in sums.values()}
+        run_m = {dst: None for _, dst in all_maxs}
+        run_l = {dst: None for dst in lasts.values()}
+        for pid in sorted(totals):
+            t = totals[pid]
+            rows.append(
+                (
+                    pid,
+                    run_n,
+                    *[run_s[dst] for dst in sums.values()],
+                    *[run_m[dst] for _, dst in all_maxs],
+                    *[run_l[dst] for dst in lasts.values()],
+                )
             )
-        )
-        run_n += t["_n"]
-        for src, dst in sums.items():
-            run_s[dst] += t[f"_s_{dst}"] or 0
-        for _, dst in all_maxs:
-            m = t[f"_m_{dst}"]
-            if m is not None and (run_m[dst] is None or m > run_m[dst]):
-                run_m[dst] = m
-        for _, dst in lasts.items():
-            v = t[f"_l_{dst}"]
-            if v is not None:
-                run_l[dst] = v
+            run_n += t["_n"]
+            for src, dst in sums.items():
+                run_s[dst] += t[f"_s_{dst}"] or 0
+            for _, dst in all_maxs:
+                m = t[f"_m_{dst}"]
+                if m is not None and (run_m[dst] is None or m > run_m[dst]):
+                    run_m[dst] = m
+            for _, dst in lasts.items():
+                v = t[f"_l_{dst}"]
+                if v is not None:
+                    run_l[dst] = v
 
-    fields = [f"{_PID} INT", "_off_n BIGINT"]
-    fields += [f"_off_s_{i} BIGINT" for i in range(len(sums))]
-    fields += [f"_off_m_{i} BIGINT" for i in range(len(all_maxs))]
-    fields += [f"_off_l_{i} BIGINT" for i in range(len(lasts))]
-    off = spark.createDataFrame(rows, ", ".join(fields))
+        fields = [f"{_PID} INT", "_off_n BIGINT"]
+        fields += [f"_off_s_{i} BIGINT" for i in range(len(sums))]
+        fields += [f"_off_m_{i} BIGINT" for i in range(len(all_maxs))]
+        fields += [f"_off_l_{i} BIGINT" for i in range(len(lasts))]
+        off = spark.createDataFrame(rows, ", ".join(fields))
 
     out = out.join(F.broadcast(off), _PID)
     for i, dst in enumerate(sums.values()):

@@ -49,6 +49,37 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_confs(total_cores: int = 4000) -> dict[str, str]:
+    """The documented 100 TB deploy profile — SCALE.md §0's knob set as
+    code, so the sizing arithmetic there and the session builder here
+    can't drift (VERDICT r08 #7). ``total_cores`` is the cluster's task
+    slots (the §0 model: 1000 executors × 4 cores = 4000).
+
+    - input splits: 128 MiB ⇒ ~800 k scan tasks over 100 TB;
+    - shuffle partitions: a CEILING of 3× total cores (12 k at the
+      model shape — within §0's "~2–3× total cores, 8–12 k" band) with
+      AQE coalescing shrinking small stages back down;
+    - AQE on (coalesce + skew-join split);
+    - broadcast ceiling: the 10 MB default — every intentional
+      broadcast in this engine is an explicit F.broadcast of a side
+      the operator can bound.
+
+    Local runs keep get_spark()'s 32-partition default; on a real
+    cluster apply this dict on top (spark-submit --conf or
+    builder.config loops) plus RUNTIME_CONFS, which it includes."""
+    confs = {
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    confs.update(RUNTIME_CONFS)
+    return confs
+
+
 def get_spark(app_name: str = "knn-mapreduce-cuda-spark") -> SparkSession:
     """Build (or fetch) the canonical SparkSession.
 

@@ -67,6 +67,14 @@ def main() -> int:
             json.dump(got, fh, indent=1, sort_keys=True)
         print(f"wrote {len(got)} digests to {OUT}")
         return 0
+    if not os.path.exists(OUT):
+        # ADVICE r08: a missing digest file (fresh branch adding keys
+        # before generation; the --all file is round-close-only) is
+        # ALL-drift by the check contract, not a FileNotFoundError
+        # traceback.
+        print(f"MISSING {OUT}: no pinned digests — run with --fix first")
+        print(f"0/{len(got)} match")
+        return 1
     want = json.load(open(OUT))
     drift = {k: (want.get(k), v) for k, v in got.items() if want.get(k) != v}
     for k, (w, g) in drift.items():

@@ -26,9 +26,7 @@ import duckdb
 
 from bench import q3_shape
 from knn_with_mapreduce_cuda_spark.session import get_spark
-from scripts.scale_proof import duck_sql
-
-SCRATCH = os.environ.get("SCALE_SCRATCH", "/tmp/spark_graft_scale10x")
+from scripts.scale_proof import SCRATCH, duck_sql  # noqa: F401 — shared scratch
 
 CONFIGS = [
     ("current", {}),

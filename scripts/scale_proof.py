@@ -20,7 +20,7 @@ scale. This script replaces the argument with a measurement:
    explodes 100× in candidate pairs) with and without max_bucket_size.
 
 Output: one JSON document on stdout; prose lands in SCALE.md §9.
-Scratch lives under /tmp (same convention as the test suite's tmpdirs).
+Scratch lives under the validated uid-owned scratch root (env-overridable).
 """
 
 from __future__ import annotations
@@ -43,7 +43,22 @@ from knn_with_mapreduce_cuda_spark.operators import relational, streaming_batch
 from knn_with_mapreduce_cuda_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCRATCH = os.environ.get("SCALE_SCRATCH", "/tmp/spark_graft_scale10x")
+
+
+def _scale_scratch(env: str, leaf: str) -> str:
+    """Scratch dir for amplified tables / proof sinks: env override, else
+    under the VALIDATED uid-owned scratch root (ADVICE r08: fixed /tmp
+    defaults were pre-creatable/injectable by other local users — the
+    same trust class the index scratch eliminated in r05)."""
+    override = os.environ.get(env)
+    if override:
+        return override
+    from knn_with_mapreduce_cuda_spark.operators.llm import _scratch_root
+
+    return os.path.join(_scratch_root(), leaf)
+
+
+SCRATCH = _scale_scratch("SCALE_SCRATCH", "scale10x")
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 
 
@@ -329,7 +344,9 @@ def gemm_chunked_stress(spark) -> dict:
     try:
         res = G.knn_topk_gemm_chunked(
             q, t, k=10, query_block_rows=block, n_queries=n_q,
-            sink_path="/tmp/spark_graft_scale_gemm_sink",  # fixed, overwritten
+            # fixed leaf under the validated scratch root, overwritten
+            # per run (ADVICE r08: was an injectable fixed /tmp path)
+            sink_path=_scale_scratch("SCALE_SCRATCH_GEMM", "scale_gemm_sink"),
         )
         n = res.count()
     finally:
@@ -379,7 +396,7 @@ def minhash_bucket_guard(spark) -> dict:
 #: 100-way near-clone ties, the pathological worst case for any sketch
 #: (all sign bits equal, sub-quantization-error separations), which
 #: measures the fixture, not the methods.
-SCRATCH_ANN = os.environ.get("SCALE_SCRATCH_ANN", "/tmp/spark_graft_scale_ann")
+SCRATCH_ANN = _scale_scratch("SCALE_SCRATCH_ANN", "scale_ann")
 EMB_FACTOR = int(os.environ.get("EMB_FACTOR", "100"))
 ANN_QMOD = int(os.environ.get("ANN_QMOD", "5000"))
 
@@ -577,7 +594,7 @@ def ann_stress(spark) -> dict:
     return out
 
 
-SCRATCH_SKETCH = os.environ.get("SCALE_SCRATCH_SKETCH", "/tmp/spark_graft_scale_sketch")
+SCRATCH_SKETCH = _scale_scratch("SCALE_SCRATCH_SKETCH", "scale_sketch")
 DOC_FACTOR = int(os.environ.get("DOC_FACTOR", "60"))
 
 

@@ -66,8 +66,15 @@ def test_summary_line_fits_driver_stdout_tail():
         "baseline_static_seconds": 9.221,
         "spark_matching_subtotal": 9999.999,
         "matching_vs_duckdb_same_session": 99.999,
+        "matching_stat": "median_warm_both_sides",
+        "matching_vs_duckdb_bestof": 99.999,
+        "spark_matching_median_subtotal": 9999.999,
+        "duckdb_median_subtotal": 9999.999,
         "job_floor_s": 9.9999,
         "matching_ratios": {k: [99.99, 99.99] for k in bench.DUCK_MATCHING_SPARK},
+        "matching_medians": {
+            k: [9999.999, 9999.999] for k in bench.DUCK_MATCHING_SPARK
+        },
         "max_warm_spread": 9.999,
         "warm_medians": {k: 9999.999 for k in bench.BENCH_QUERIES},
         "idle_gate": {
@@ -75,7 +82,7 @@ def test_summary_line_fits_driver_stdout_tail():
             "load1_at_gate": 99.99,
             "waited_s": 999.9,
             "met": False,
-            "regated": len(bench.BENCH_QUERIES),
+            "regated": 2 * len(bench.BENCH_QUERIES),
         },
     }
     line = bench.compact_line(summary)
@@ -126,6 +133,30 @@ def test_summary_line_fits_driver_stdout_tail():
     parsed = __import__("json").loads(line)
     assert "queries" not in parsed
     assert parsed["value"] == 9999.999
+    # ADVICE r08 #3: when queries + warm_medians are gone but the line
+    # still overflows, the per-row maps (matching_ratios, then
+    # matching_medians) drop BEFORE the truncated core — still-fitting
+    # headline fields like spark_matching_subtotal must survive.
+    summary["matching_overflow_pad"] = "x" * (
+        bench.SUMMARY_LINE_BUDGET
+        - len(
+            __import__("json").dumps(
+                {
+                    k: v
+                    for k, v in summary.items()
+                    if k not in ("queries", "warm_medians", "matching_ratios")
+                }
+            )
+        )
+        - 60
+    )
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    assert parsed.get("truncated") is not True
+    assert parsed["matching_ratios"] == {}  # dropped by the ladder
+    assert parsed["spark_matching_subtotal"] == 9999.999
+    assert parsed["matching_vs_duckdb_same_session"] == 99.999
 
 
 def test_rel_agg_hash_probe_matches_spark_row(spark, duck):

@@ -305,3 +305,44 @@ def test_fingerprint_carries_two_hash_families():
         "hash(ROW('fp2_salt', CAST(7 AS BIGINT)))"
     ).fetchone()
     assert h1 != h2
+
+
+def test_cluster_confs_match_scale_doc():
+    """VERDICT r08 #7: session.cluster_confs() IS SCALE.md §0's knob set
+    — pin the profile to the documented numbers (and to the doc text for
+    the load-bearing literals) so the deploy profile and the sizing
+    arithmetic can't drift apart."""
+    import os
+
+    from knn_with_mapreduce_cuda_spark.session import (
+        RUNTIME_CONFS,
+        cluster_confs,
+    )
+
+    confs = cluster_confs()  # §0 model: 1000 executors x 4 cores
+    # input splits: 128 MiB => ~800k scan tasks over 100 TB
+    assert confs["spark.sql.files.maxPartitionBytes"] == "128m"
+    # shuffle-partition ceiling within the documented 2-3x cores band
+    sp = int(confs["spark.sql.shuffle.partitions"])
+    assert 2 * 4000 <= sp <= 3 * 4000
+    assert int(cluster_confs(total_cores=800)["spark.sql.shuffle.partitions"]) in range(1600, 2401)
+    # AQE: coalesce small stages under the ceiling, split skewed joins
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        assert confs[k] == "true"
+    # broadcast ceiling stays at the 10 MB default (explicit
+    # F.broadcast everywhere an operator bounds a side)
+    assert int(confs["spark.sql.autoBroadcastJoinThreshold"]) == 10 * 1024 * 1024
+    # correctness confs ride along: a cluster session built from this
+    # dict alone must read the fixtures and agree with the oracle
+    for k, v in RUNTIME_CONFS.items():
+        assert confs[k] == v
+    # the doc carries the same literals this profile encodes
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sec0 = open(os.path.join(root, "SCALE.md")).read().split("## 1.")[0]
+    assert "maxPartitionBytes=128m" in sec0
+    assert "2–3× total cores" in sec0
+    assert "10 MB" in sec0

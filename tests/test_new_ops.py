@@ -1332,3 +1332,27 @@ def test_latent_twin_divergences_fixed(spark, tmp_path):
         ).fetchall()
     }
     assert got_q == want_q
+
+
+def test_fake_decode_prefix_only_and_invalid_utf8():
+    """ADVICE r08: _fake_decode must (a) decode only a bounded prefix —
+    the payload models opaque media, and a full decode per row was
+    O(len) twice over for one codepoint — and (b) DEGRADE on invalid
+    UTF-8 (U+FFFD) instead of raising inside the UDF. Valid-UTF-8
+    payloads keep their exact previous values (golden digests pin the
+    fixture outputs)."""
+    from knn_with_mapreduce_cuda_spark.operators.llm import _fake_decode
+
+    # valid ASCII / multi-byte leading codepoints: unchanged semantics
+    assert _fake_decode(b"hello world")["first_cp"] == ord("h")
+    zh = "中文 doc".encode()
+    assert _fake_decode(zh)["first_cp"] == ord("中")
+    assert _fake_decode(zh)["width"] == ord("中") % 64
+    assert _fake_decode(b"")["first_cp"] == 0 and _fake_decode(b"")["n_bytes"] == 0
+    # a 4-byte prefix that cuts INTO the second codepoint still yields
+    # the complete first codepoint (max UTF-8 length is 4 bytes)
+    assert _fake_decode("é中".encode())["first_cp"] == ord("é")
+    # invalid leading bytes (real binary media): U+FFFD, no raise
+    assert _fake_decode(b"\xff\xfe\x00binarymedia")["first_cp"] == 0xFFFD
+    # n_bytes is the FULL payload length even though only 4 bytes decode
+    assert _fake_decode(b"\xff" + b"x" * 1000)["n_bytes"] == 1001

@@ -24,14 +24,18 @@ def _data(spark, n=501, parts_in=5):
     )
 
 
+@pytest.mark.parametrize(
+    "strategy", ["distributive", "collect", "localCheckpoint", "persist"]
+)
 @pytest.mark.parametrize("parts", [1, 3, 32])
 @pytest.mark.parametrize("desc", [False, True])
-def test_attach_running_matches_global_window(spark, parts, desc):
+def test_attach_running_matches_global_window(spark, parts, desc, strategy):
     d = _data(spark)
     spec = [("k", "desc"), "tie"] if desc else ["k", "tie"]
     order = prefix._order(spec)
     got = prefix.attach_running(
-        d, spec, sums={"v": "cs"}, maxs={"v": "cm"}, rn="rn", parts=parts
+        d, spec, sums={"v": "cs"}, maxs={"v": "cm"}, rn="rn", parts=parts,
+        strategy=strategy,
     )
     w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -101,6 +105,52 @@ def test_ntile_exact_matches_spark_ntile(spark, n_rows, k):
     assert sorted(map(tuple, got.select("s", "tie", "b").collect())) == sorted(
         map(tuple, want.select("s", "tie", "b").collect())
     )
+
+
+@pytest.mark.parametrize("strategy", ["distributive", "localCheckpoint", "persist"])
+def test_attach_running_strategies_full_surface(spark, strategy):
+    """Every non-default phase-2 strategy over the FULL aggregate
+    surface at once (sums + maxs + maxs_excl + lasts + rn, nulls in the
+    source) must be bit-identical to the collect form — the r09
+    strategy switch (VERDICT r08 #4) may never change values."""
+    d = _data(spark)
+    kw = dict(
+        sums={"v": "cs"},
+        maxs={"v": "cm"},
+        maxs_excl={"v": "pm"},
+        lasts={"v": "ff"},
+        rn="rn",
+        parts=5,
+    )
+    got = prefix.attach_running(d, ["k", "tie"], strategy=strategy, **kw)
+    want = prefix.attach_running(d, ["k", "tie"], strategy="collect", **kw)
+    cols = ["k", "tie", "v", "cs", "cm", "pm", "ff", "rn"]
+    assert sorted(
+        map(tuple, got.select(cols).collect()), key=repr
+    ) == sorted(map(tuple, want.select(cols).collect()), key=repr)
+
+
+def test_attach_running_distributive_all_null_prefix(spark):
+    # leading rows all-null under the r09 default strategy too
+    d = spark.createDataFrame(
+        [(i, None if i < 4 else i * 2) for i in range(8)], "o INT, v BIGINT"
+    )
+    got = {
+        r["o"]: (r["cm"], r["ff"])
+        for r in prefix.attach_running(
+            d, ["o"], maxs={"v": "cm"}, lasts={"v": "ff"}, parts=3,
+            strategy="distributive",
+        ).collect()
+    }
+    assert got == {
+        0: (None, None), 1: (None, None), 2: (None, None), 3: (None, None),
+        4: (8, 8), 5: (10, 10), 6: (12, 12), 7: (14, 14),
+    }
+
+
+def test_attach_running_rejects_unknown_strategy(spark):
+    with pytest.raises(ValueError, match="strategy"):
+        prefix.attach_running(_data(spark), ["k", "tie"], rn="rn", strategy="eager")
 
 
 def test_order_spec_rejects_column_expressions(spark):
