@@ -20,10 +20,13 @@ associative running aggregate):
 2. **Window WITHIN each slice** (``partitionBy(_pid)`` after a hash
    repartition on the slice id) — fully parallel, per-slice running
    aggregates.
-3. **Shift by slice offsets** — one tiny job reduces each slice to a
-   single row of totals (≤ ``parts`` rows reach the driver), the
-   exclusive prefix over those totals is computed driver-side, and
-   comes back as a broadcast join keyed on the slice id.
+3. **Shift by slice offsets** — each slice reduces to ONE row of
+   totals (≤ ``parts`` rows); the exclusive prefix over that bounded
+   relation is a window ordered by slice id, broadcast-joined back on
+   the slice id. Phase 2 stays lazy (the r09 default — SCALE.md §9l),
+   so both phases share one job and ReuseExchange evaluates the slice
+   exchange once; the historical driver-side recombine (and two
+   materialization variants) remain selectable via ``strategy=``.
 
 Exactness: sums/counts/max/min over int64 are associative, the order
 columns must form a *total* order (pass tie-broken orders, as every
@@ -33,9 +36,9 @@ bit-identical to the global window. Boundary PLACEMENT only affects
 load balance, never values, so the result is reproducible across runs
 even though ``approxQuantile`` itself is merge-order-dependent.
 
-Driver traffic is ≤ ``parts`` boundary values + ≤ ``parts`` rows of
-int64 totals — the same bounded model-broadcast pattern as the GEMM
-query block and the PQ LUT build.
+Driver traffic is ≤ ``parts`` boundary values (the ``collect``
+strategy adds ≤ ``parts`` rows of int64 totals) — the same bounded
+model-broadcast pattern as the GEMM query block and the PQ LUT build.
 """
 
 from __future__ import annotations
