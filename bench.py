@@ -31,17 +31,30 @@ from knn_with_mapreduce_cuda_spark.session import get_spark
 
 
 def q3_shape(spark, sf_dir):
-    """Q3 star join, reduce-first: the BUILDING filter keeps ~1/5 of
-    customers, so orders⋈customer shrinks to a key set small enough to
-    broadcast — then lineitem (the 100 TB side) joins with ZERO shuffle.
-    Both reduction joins are LEFT SEMI (keys are unique on the build
-    side, so inner ≡ semi): the broadcast hashed relation carries keys
-    only and the probe passes rows through without concatenation, which
-    trims both broadcast-build jobs and the 18M-row probe at 30×
-    amplification (scripts/scale_proof.py; SCALE.md §9). The group key
-    is l_orderkey ( = o_orderkey after the semi filter). When the
-    reduced side outgrows the broadcast ceiling, Catalyst falls back to
-    the SMJ plan the engine grades as rel_join_shuffle."""
+    """Q3 star join over flat files, reduce-first + shuffle-semi (the
+    r09 form — VERDICT r08 #5, measured in SCALE.md §9h):
+
+    - orders reduces against a broadcast of the BUILDING customer KEYS
+      (bounded: the dimension side, left semi so the hashed relation
+      carries keys only);
+    - lineitem then semi-joins the reduced orderkeys as a SHUFFLE_HASH
+      join. Through r08 this second step broadcast the ~|orders|/5 key
+      set — at 100 TB that side GROWS WITH THE FACTS (billions of
+      keys), so the broadcast form didn't actually scale; the shuffle
+      form is partition-parallel at any size, lets the lineitem map
+      stage run CONCURRENTLY with the orders-reduction stage (the
+      serialization the r08 verdict flagged — two dependent broadcast
+      builds ran back-to-back), and its hash(l_orderkey) exchange is
+      REUSED by the groupBy, so the whole query still holds one
+      exchange per fact side. Measured at 100×: 2.12 s vs the
+      broadcast form's 2.29 s, and inside the 2× DuckDB gate
+      (scripts/q3_concurrent_r09.json; plan pinned in
+      tests/test_plans.py).
+
+    The group key is l_orderkey ( = o_orderkey after the semi filter).
+    The bucketed-layout twin (q3_bucketed) remains the engine's
+    documented Q3-class plan for recurring joins — zero fact-side
+    exchanges."""
     cust = tables.table(spark, sf_dir, "customer")
     orders = tables.table(spark, sf_dir, "orders")
     li = tables.table(spark, sf_dir, "lineitem")
@@ -53,7 +66,11 @@ def q3_shape(spark, sf_dir):
         "left_semi",
     ).select("o_orderkey")
     return (
-        li.join(F.broadcast(bo), col("l_orderkey") == col("o_orderkey"), "left_semi")
+        li.join(
+            bo.hint("SHUFFLE_HASH"),
+            col("l_orderkey") == col("o_orderkey"),
+            "left_semi",
+        )
         .groupBy(col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")

@@ -779,3 +779,26 @@ def test_rows_upper_bound_refuses_python_map_nodes(spark):
 
     fanned = e.select("vec_id").mapInPandas(dup, "vec_id long")
     assert G._rows_upper_bound(fanned) is None
+
+
+def test_q3_flat_shape_shuffle_semi_one_exchange_per_fact_side(spark):
+    """The r09 flat-Q3 plan (VERDICT r08 #5, SCALE.md §9h): customer
+    KEYS broadcast (bounded dim side), lineitem⋈bo as a SHUFFLE_HASH
+    semi — never a broadcast of the reduced orderkeys, which grow with
+    the facts — and the groupBy REUSES the join's hash(l_orderkey)
+    exchange: exactly one hash exchange per fact side, none between the
+    join and the aggregate."""
+    import re
+
+    import bench
+
+    df = bench.q3_shape(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the cust-keys reduction
+    # reduced-orderkey set must NOT be broadcast: exactly ONE broadcast
+    # exchange (cust keys) in the whole plan
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1, plan
+    # one hash exchange per fact side (lineitem, orders), and the agg
+    # inherits — no third hashpartitioning exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
