@@ -1810,7 +1810,18 @@ def _scratch_root() -> str:
 
     base = _scratch_root_path()
     if base in _SCRATCH_VALIDATED:
-        return base
+        # re-stat on every hit (ADVICE r08: the memo narrowed the r05
+        # foreign-ownership guard to first touch — a root removed or
+        # re-owned mid-process went unnoticed and later writes recreated
+        # or used it unvalidated). A lstat is ~1 µs; only the
+        # makedirs/chmod work is skipped on the memo path.
+        try:
+            st = os.stat(base)
+            if os.path.isdir(base) and st.st_uid == os.getuid():
+                return base
+        except OSError:
+            pass
+        _SCRATCH_VALIDATED.discard(base)  # vanished/re-owned: re-validate
     created = False
     try:
         os.makedirs(base, mode=0o700)

@@ -871,9 +871,11 @@ def test_scratch_root_rejects_regular_file(tmp_path, monkeypatch):
 
 
 def test_scratch_root_memoized_per_process(tmp_path, monkeypatch):
-    """ADVICE r07 #3: the validated root is memoized — the second call
-    does no makedirs/stat/chmod (proved by deleting the dir between
-    calls: a re-validation would recreate it)."""
+    """ADVICE r07 #3 + r08 #5: the validated root is memoized (the
+    second call skips makedirs/chmod) BUT every hit re-stats, so a root
+    removed mid-process is re-validated and recreated rather than
+    trusted blind — the r08 advice noted the memo had narrowed the r05
+    foreign-ownership guard to first touch only."""
     import os
 
     from knn_with_mapreduce_cuda_spark.operators import llm
@@ -882,9 +884,13 @@ def test_scratch_root_memoized_per_process(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(target))
     root = llm._scratch_root()
     assert os.path.isdir(root)
+    # memo hit with the dir intact: same path, still valid
+    assert llm._scratch_root() == root
+    # deletion mid-process: the re-stat notices and re-creates
     os.rmdir(root)
     assert llm._scratch_root() == root
-    assert not os.path.exists(root)  # memo hit: no filesystem work
+    assert os.path.isdir(root)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
 
 
 def test_import_and_oracle_render_need_no_scratch_root(tmp_path):
