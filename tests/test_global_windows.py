@@ -25,7 +25,22 @@ _GLOBAL_WINDOW = re.compile(r"(?<!Group)(?<!GroupLimit )Window \[[^\]]*\], \[[^\
 
 
 def n_global_windows(df) -> int:
-    return len(_GLOBAL_WINDOW.findall(_plan(df, "simple")))
+    # The r09 distributive prefix recombine (SCALE.md §9l) computes the
+    # exclusive-prefix OFFSETS as a window ordered by the slice id over
+    # the per-slice TOTALS relation — one row per slice, bounded by the
+    # shuffle-partition ceiling, never by the data (the same bounded
+    # relation the collect strategy used to pull to the driver). It is
+    # the one partition-less window that is safe at any corpus size, and
+    # it is identifiable by its `_prefix_pid` order key (a name private
+    # to plans/prefix.py), so the audit exempts exactly that form and
+    # keeps the zero-pin strong for everything else.
+    return len(
+        [
+            m
+            for m in _GLOBAL_WINDOW.findall(_plan(df, "simple"))
+            if "_prefix_pid" not in m
+        ]
+    )
 
 
 #: fully converted — no single-partition window anywhere in the plan.
