@@ -161,15 +161,25 @@ def main() -> None:
     import bench
 
     add(
-        "Reduce-first Q3: the fact side never shuffles (bench q3_shape)",
-        "orders LEFT-SEMI broadcast(filtered customer keys) shrinks to a "
-        "key set that broadcasts in turn, so lineitem — the 100 TB side — "
-        "is probed by two key-only LeftSemi BroadcastHashJoins with zero "
-        "Exchange before aggregation (round 3; the co-located bucketed "
-        "layout in SCALE.md §9c removes even the second broadcast at "
-        "scale):",
+        "Reduce-first Q3, shuffle-semi form (bench q3_shape, r09)",
+        "orders LEFT-SEMI broadcast(filtered customer keys) — the bounded "
+        "dim side is the ONLY broadcast; lineitem then semi-joins the "
+        "reduced orderkeys as a SHUFFLE_HASH join whose hash(l_orderkey) "
+        "Exchange is REUSED by the aggregation (one hash Exchange per "
+        "fact side, none between join and agg). The r01–r08 form "
+        "broadcast the reduced orderkeys too — a side that grows with "
+        "the facts and cannot broadcast at 100 TB (SCALE.md §9h "
+        "round-9 addendum; the co-located bucketed layout in §9c removes "
+        "even these exchanges for recurring joins):",
         bench.q3_shape(spark, SF),
-        ["BroadcastHashJoin", "LeftSemi", "BroadcastExchange", "Exchange hash"],
+        [
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "LeftSemi",
+            "BroadcastExchange",
+            "Exchange hash",
+            "HashAggregate",
+        ],
     )
     add(
         "MinHash band self-join shares one exchange (llm_dedup_near_minhash)",
