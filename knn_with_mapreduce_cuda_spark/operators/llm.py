@@ -302,6 +302,29 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return sh.select("doc_id", *comps)
 
 
+def _minhash_bands(spark, sf_dir) -> DataFrame:
+    """(doc_id, band, bsig): the banded-LSH bucket relation — shared by
+    every consumer of the banding step (r08-review follow-up: the
+    band-struct explode was duplicated verbatim in near_dup_pairs and
+    the incremental dedup). One explode instead of an N_BANDS-way
+    union: a union of per-band projections re-evaluates the whole
+    shingle→minhash pipeline once per band (seen in the plan audit as
+    4× the scans), an O(bands) waste at scale."""
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                lit(b).cast("long").alias("band"),
+                F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
+    )
+
+
 def near_dup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
     """Candidate near-dup pairs from MinHash band buckets.
 
@@ -312,22 +335,7 @@ def near_dup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
     silently eat). The graded query passes None: fixture buckets are tiny
     and the oracle must see every pair.
     """
-    sig = minhash_signatures(spark, sf_dir)
-    # one explode instead of a 4-way union: a union of per-band projections
-    # re-evaluates the whole shingle→minhash pipeline once per band (seen
-    # in the plan audit as 4× the scans), an O(bands) waste at scale.
-    band_structs = F.array(
-        *[
-            F.struct(
-                lit(b).cast("long").alias("band"),
-                F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
-    )
+    bands = _minhash_bands(spark, sf_dir)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bsig")
         bands = (
@@ -462,20 +470,40 @@ def _q_simsearch_gemm(spark, sf_dir):
     )
 
 
+def _ivf_ranked(
+    e: DataFrame, id_alias: str = "vid", subset: DataFrame | None = None
+) -> DataFrame:
+    """Coarse-quantizer rank relation shared across the IVF family (the
+    r08 LLM-review follow-up: this exact block — fixed-id centroids,
+    broadcast join, euclidean, per-vector distance-rank window — was
+    duplicated at five sites). The fixed-id centroids ALWAYS come from
+    the full ``e`` (a query-filtered frame would silently drop the
+    centroids whose ids the filter excludes); ``subset`` optionally
+    restricts which vectors get ranked (e.g. the query sample). Rank
+    `rn` is per vector over (cdist, cid): `rn == 1` is the IVF cell
+    assignment, `rn <= n_probe` the probe list. Columns:
+    ``<id_alias>, vemb, cid, cemb, cdist, rn``. Scale: the centroid
+    side is a model-constant broadcast; the rank window partitions on
+    the vector id (corpus-cardinality key)."""
+    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        col("vec_id").alias("cid"), col("emb").alias("cemb")
+    )
+    ac = (
+        (subset if subset is not None else e)
+        .select(col("vec_id").alias(id_alias), col("emb").alias("vemb"))
+        .join(F.broadcast(cents))
+        .withColumn("cdist", euclidean("vemb", "cemb"))
+    )
+    w = Window.partitionBy(id_alias).orderBy("cdist", "cid")
+    return ac.withColumn("rn", F.row_number().over(w))
+
+
 def _q_simsearch_ivf(spark, sf_dir):
     """IVF-style pruned search: assign every vector to its nearest coarse
     centroid, then search only within the query's cluster. The pruning is
     the 100 TB path: candidate set shrinks by the centroid count."""
     e = tables.embeddings(spark, sf_dir)
-    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        col("vec_id").alias("cid"), col("emb").alias("cemb")
-    )
-    v = e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
-    ac = v.join(F.broadcast(cents)).withColumn("cdist", euclidean("vemb", "cemb"))
-    w = Window.partitionBy("vid").orderBy("cdist", "cid")
-    assign = ac.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1).select(
-        "vid", "cid", "vemb"
-    )
+    assign = _ivf_ranked(e).filter(col("rn") == 1).select("vid", "cid", "vemb")
     q = assign.filter(col("vid") % 50 == 0).select(
         col("vid").alias("qid"), col("cid").alias("qcid"), col("vemb").alias("qemb")
     )
@@ -1266,17 +1294,7 @@ def _q_semdedup(spark, sf_dir):
     all-pairs twin is llm_dedup_embed). Deterministic: fixed centroid
     ids, lower-id-survives rule."""
     e = tables.embeddings(spark, sf_dir)
-    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        col("vec_id").alias("cid"), col("emb").alias("cemb")
-    )
-    v = e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
-    ac = v.join(F.broadcast(cents)).withColumn("cdist", euclidean("vemb", "cemb"))
-    w = Window.partitionBy("vid").orderBy("cdist", "cid")
-    assign = (
-        ac.withColumn("rn", F.row_number().over(w))
-        .filter(col("rn") == 1)
-        .select("vid", "cid", "vemb")
-    )
+    assign = _ivf_ranked(e).filter(col("rn") == 1).select("vid", "cid", "vemb")
     a = assign.select(col("vid").alias("va"), "cid", col("vemb").alias("ea"))
     b = assign.select(col("vid").alias("vb"), "cid", col("vemb").alias("eb"))
     dups = (
@@ -1450,19 +1468,7 @@ def _q_dedup_incremental(spark, sf_dir):
         .select("doc_id")
         .withColumn("exact_dup", lit(1))
     )
-    sig = minhash_signatures(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                lit(b).cast("long").alias("band"),
-                F.md5(F.concat(col(f"h{2*b}"), lit("|"), col(f"h{2*b+1}"))).alias("bsig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", col("bs.band").alias("band"), col("bs.bsig").alias("bsig")
-    )
+    bands = _minhash_bands(spark, sf_dir)
     nb = (
         bands.filter(col("doc_id") % 2 == 1)
         .join(
@@ -2074,17 +2080,8 @@ def _ivfpq_store(spark, sf_dir) -> str:
         done = False
     if not done:
         e = tables.embeddings(spark, sf_dir)
-        cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
-            col("vec_id").alias("cid"), col("emb").alias("cemb")
-        )
-        ac = (
-            e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
-            .join(F.broadcast(cents))
-            .withColumn("cdist", euclidean("vemb", "cemb"))
-        )
-        wa = Window.partitionBy("vid").orderBy("cdist", "cid")
         assign = (
-            ac.withColumn("rn", F.row_number().over(wa))
+            _ivf_ranked(e)
             .filter(col("rn") == 1)
             .select(col("vid").alias("tid"), "cid")
         )
@@ -2116,16 +2113,10 @@ def _q_simsearch_ivfpq_stored(spark, sf_dir, qmod: int = 50):
     llm_simsearch_ivfpq."""
     d = _ivfpq_store(spark, sf_dir)
     e = tables.embeddings(spark, sf_dir)
-    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        col("vec_id").alias("cid"), col("emb").alias("cemb")
-    )
-    qs = e.filter(col("vec_id") % qmod == 0).select(
-        col("vec_id").alias("qid"), col("emb").alias("qemb")
-    )
-    qc = qs.join(F.broadcast(cents)).withColumn("cdist", euclidean("qemb", "cemb"))
-    wq = Window.partitionBy("qid").orderBy("cdist", "cid")
     probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
+        _ivf_ranked(
+            e, id_alias="qid", subset=e.filter(col("vec_id") % qmod == 0)
+        )
         .filter(col("rn") <= IVFPQ_NPROBE)
         .select("qid", "cid")
     )
@@ -2177,16 +2168,7 @@ def _q_simsearch_ivfpq(spark, sf_dir, qmod: int = 50):
     broadcast LUT), and raw floats are read for |Q| x IVFPQ_CAND rows.
     Every stage is integer-exact or tid-tie-broken → hash-graded."""
     e = tables.embeddings(spark, sf_dir)
-    cents = e.filter(col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        col("vec_id").alias("cid"), col("emb").alias("cemb")
-    )
-    ac = (
-        e.select(col("vec_id").alias("vid"), col("emb").alias("vemb"))
-        .join(F.broadcast(cents))
-        .withColumn("cdist", euclidean("vemb", "cemb"))
-    )
-    wa = Window.partitionBy("vid").orderBy("cdist", "cid")
-    ranked = ac.withColumn("rn", F.row_number().over(wa))
+    ranked = _ivf_ranked(e)
     assign = ranked.filter(col("rn") == 1).select(col("vid").alias("tid"), "cid")
     probes = (
         ranked.filter((col("vid") % qmod == 0) & (col("rn") <= IVFPQ_NPROBE))
