@@ -78,7 +78,15 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not /: a zero-norm vector (all-zero embedding — a
+    # realistic artifact of a broken upstream encoder) makes the norm
+    # product 0, which under Spark 4's default ANSI mode CRASHES the
+    # whole job (DIVIDE_BY_ZERO) while DuckDB yields NULL for x/0.0.
+    # try_divide returns NULL on a zero divisor — bit-identical to / on
+    # every nonzero norm (golden digests unchanged) and twin-consistent
+    # with the oracle on the degenerate input (r09 degenerate-fixture
+    # sweep; regression-tested in tests/test_degenerate_inputs.py).
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 METRICS = {

@@ -2269,9 +2269,18 @@ def _q_sax_symbols(spark, sf_dir):
         F.sum("c").alias("s"),
         F.sum(col("c") * col("c")).alias("ss"),
     )
+    # try_divide twice: a CONSTANT series has sd = 0 and a 1-point
+    # series has n-1 = 0 — plain / crashes the job under Spark 4's
+    # default ANSI mode, while DuckDB's x/0.0 yields NULL, every CASE
+    # branch compares NULL, and the ELSE assigns 'd'. try_divide
+    # reproduces exactly that (NULL z → 'd'), is bit-identical to / on
+    # every non-degenerate series (golden digests unchanged), and keeps
+    # the engines twin-consistent (r09 degenerate-fixture sweep). The
+    # sqrt argument cannot go negative by float cancellation: c is
+    # integer-backed, so ss−s²/n is exact at fixture scales.
     z = (
-        "(c - CAST(s AS DOUBLE) / n) / "
-        "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+        "try_divide(c - CAST(s AS DOUBLE) / n, "
+        "sqrt(try_divide(ss - CAST(s AS DOUBLE) * s / n, n - 1)))"
     )
     return series.crossJoin(F.broadcast(g)).select(
         "h",
@@ -2466,9 +2475,12 @@ def _q_peak_detect(spark, sf_dir):
     nb = series.withColumn("cp", F.lag("c").over(w)).withColumn(
         "cn", F.lead("c").over(w)
     )
+    # try_divide for the same degenerate-series reasons as
+    # _q_sax_symbols above: a NULL z fails the > 1.0 filter on both
+    # engines instead of crashing Spark under ANSI.
     z = (
-        "(c - CAST(s AS DOUBLE) / n) / "
-        "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+        "try_divide(c - CAST(s AS DOUBLE) / n, "
+        "sqrt(try_divide(ss - CAST(s AS DOUBLE) * s / n, n - 1)))"
     )
     return (
         nb.crossJoin(F.broadcast(g))
@@ -3279,7 +3291,14 @@ def _q_bigram_crossentropy(spark, sf_dir):
         ),
         "ts",
     )
-    big = toks.select(
+    # size >= 2 BEFORE the bigram transform: a single-token doc makes
+    # sequence(1, size-1) = sequence(1, 0), which Spark evaluates
+    # DESCENDING (step -1) — element_at(ts, 0) then crashes the job
+    # under ANSI (INVALID_ARRAY_INDEX) where the oracle's pair
+    # generation simply emits nothing (r09 degenerate-fixture sweep).
+    # Same guard as _q_ngram_novelty; no fixture doc is that short, so
+    # graded values are unchanged.
+    big = toks.filter(F.size("ts") >= 2).select(
         "doc_id",
         "is_train",
         F.explode(

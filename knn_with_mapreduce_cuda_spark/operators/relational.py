@@ -1187,9 +1187,18 @@ def _q_stat_crosstab(spark, sf_dir):
     )
     types = ["click", "error", "purchase", "signup", "view"]
     ct = ev.stat.crosstab("ubucket", "event_type")
+    # crosstab materializes columns only for OBSERVED values — a dataset
+    # missing one event type made the hardcoded col(t) an
+    # UNRESOLVED_COLUMN crash (r09 degenerate-fixture sweep). An absent
+    # type is a zero count, which is also what the oracle's per-type
+    # conditional counts produce.
+    present = set(ct.columns)
     return ct.select(
         col("ubucket_event_type").alias("ubucket"),
-        *[col(t).cast("long").alias(t) for t in types],
+        *[
+            (col(t) if t in present else F.lit(0)).cast("long").alias(t)
+            for t in types
+        ],
     )
 
 

