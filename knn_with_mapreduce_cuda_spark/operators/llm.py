@@ -1970,7 +1970,7 @@ def _pq_stored_model(spark, sf_dir) -> list:
     return model
 
 
-def _stored_codes_df(spark, sf_dir: str, d: str):
+def _stored_codes_df(spark, sf_dir: str, d: str, partitioned: bool = False):
     """Memoized lazy scan of a stored code table — spark.read.parquet
     re-lists files and re-reads footers on every call (~0.1 s warm,
     ~1.5 s cold at sf0.1, the same cost tables.SessionMemo exists to
@@ -1981,12 +1981,23 @@ def _stored_codes_df(spark, sf_dir: str, d: str):
     an EXTERNAL rewrite must call tables.invalidate_caches(sf_dir) —
     as the stale-layout tests do — which purges this entry too (sf_dir
     stem at key[0]); the resolved dir in the key tracks scratch-root
-    changes."""
-    memo_key = (sf_dir.rstrip("/"), "stored_codes_df", d)
+    changes.
+
+    The schema is EXPLICIT, never inferred: the code layout is a model
+    constant (tid + c0..c{PQ_NSUB-1}, + the cid partition column for
+    the IVF-PQ layout), and inference crashes on a ZERO-ROW index —
+    a cell-partitioned write with an empty assignment produces only
+    _SUCCESS, no footers to infer from (r09 empty-slice sweep; an
+    empty build slice must read back as an empty relation, not
+    UNABLE_TO_INFER_SCHEMA)."""
+    memo_key = (sf_dir.rstrip("/"), "stored_codes_df", d, partitioned)
     hit = _PQ_STORED_MEMO.get(spark, memo_key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(f"{d}/codes.parquet")
+    schema = "tid long, " + ", ".join(f"c{s} long" for s in range(PQ_NSUB))
+    if partitioned:
+        schema += ", cid long"
+    df = spark.read.schema(schema).parquet(f"{d}/codes.parquet")
     _PQ_STORED_MEMO.put(spark, memo_key, df)
     return df
 
@@ -2134,7 +2145,7 @@ def _q_simsearch_ivfpq_stored(spark, sf_dir, qmod: int = 50):
     for js, _ in model:
         offs.append(acc)
         acc += len(js)
-    codes = _stored_codes_df(spark, sf_dir, d).filter(
+    codes = _stored_codes_df(spark, sf_dir, d, partitioned=True).filter(
         col("cid").isin(probed_cells)
     )
     lut = _pq_lut_df(spark, _pq_iv(e), model, qmod)

@@ -176,3 +176,89 @@ def test_cosine_null_on_zero_norm(spark):
     rows = sorted(df.collect(), key=repr)
     vals = [r["cos"] for r in rows]
     assert None in vals and 1.0 in vals
+
+
+@pytest.fixture(scope="module")
+def empty_slice_sf(tmp_path_factory):
+    """A fixture where DERIVED slices go empty while every table has
+    rows: no purchase events, no BUILDING customers, no doc_id %10==0
+    test docs, no vec_id %5/%50 query-split members, and NO vectors
+    carrying a fixed IVF centroid id — so centroid assignment, query
+    probes, and the stored cell-partitioned index are all ZERO-ROW."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("empty_slice_sf")
+    con = duckdb.connect()
+
+    def w(name, sql):
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+
+    w("region", "SELECT CAST(0 AS INTEGER) r_regionkey, 'AFRICA' r_name")
+    w(
+        "nation",
+        "SELECT CAST(0 AS INTEGER) n_nationkey, 'ALGERIA' n_name, "
+        "CAST(0 AS INTEGER) n_regionkey",
+    )
+    w(
+        "customer",
+        "SELECT CAST(1 AS BIGINT) c_custkey, 'Customer#1' c_name, "
+        "CAST(0 AS INTEGER) c_nationkey, CAST(100.0 AS DOUBLE) c_acctbal, "
+        "'MACHINERY' c_mktsegment",
+    )
+    w(
+        "supplier",
+        "SELECT CAST(1 AS BIGINT) s_suppkey, 'Supplier#1' s_name, "
+        "CAST(0 AS INTEGER) s_nationkey, CAST(100.0 AS DOUBLE) s_acctbal",
+    )
+    w(
+        "part",
+        "SELECT CAST(1 AS BIGINT) p_partkey, 'part x' p_name, 'Brand#1' p_brand, "
+        "'TYPE A' p_type, CAST(1 AS INTEGER) p_size, CAST(10.0 AS DOUBLE) p_retailprice",
+    )
+    w(
+        "orders",
+        "SELECT CAST(1 AS BIGINT) o_orderkey, CAST(1 AS BIGINT) o_custkey, "
+        "'O' o_orderstatus, CAST(10.0 AS DOUBLE) o_totalprice, "
+        "TIMESTAMP '1995-01-01 00:00:00' o_orderdate, '1-URGENT' o_orderpriority",
+    )
+    w(
+        "lineitem",
+        "SELECT CAST(1 AS BIGINT) l_orderkey, CAST(1 AS BIGINT) l_partkey, "
+        "CAST(1 AS BIGINT) l_suppkey, CAST(1 AS INTEGER) l_linenumber, "
+        "CAST(1.0 AS DOUBLE) l_quantity, CAST(10.0 AS DOUBLE) l_extendedprice, "
+        "CAST(0.0 AS DOUBLE) l_discount, CAST(0.0 AS DOUBLE) l_tax, "
+        "'N' l_returnflag, 'O' l_linestatus, TIMESTAMP '1995-02-01 00:00:00' l_shipdate",
+    )
+    w(
+        "events",
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), "
+        "TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT), 'view', "
+        "CAST(5.0 AS DOUBLE), '{}')) t(event_id, ts, user_id, event_type, value, props)",
+    )
+    w(
+        "documents",
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), "
+        "'hello world foo bar baz qux', 'en', 's', CAST(27 AS BIGINT))"
+        ") t(doc_id, text, lang, source, n_chars)",
+    )
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    for vid in (1, 2, 3):
+        con.execute("INSERT INTO emb VALUES (?, ?, ?)", [vid, [float(vid)] * 64, vid % 2])
+    con.execute(
+        f"COPY (SELECT * FROM emb) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return str(out)
+
+
+def test_zero_row_stored_index_reads_back_empty(spark, empty_slice_sf):
+    """r09 empty-slice sweep: a cell-partitioned index built from an
+    EMPTY centroid assignment writes only _SUCCESS — schema inference
+    on read-back crashed (UNABLE_TO_INFER_SCHEMA). The code layout is
+    a model constant, so _stored_codes_df now reads with an explicit
+    schema and a zero-row index is an empty relation, never a crash."""
+    from knn_with_mapreduce_cuda_spark import registry
+
+    qs = registry.queries()
+    for key in ("llm_simsearch_ivfpq_stored", "llm_simsearch_pq_stored"):
+        assert qs[key](spark, empty_slice_sf).count() == 0
