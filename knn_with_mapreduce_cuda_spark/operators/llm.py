@@ -596,7 +596,10 @@ def _q_dedup_minhash_mllib(spark, sf_dir):
     #5). The graded sf0.01 corpus stays below the threshold: exact."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    t = _tokens(spark, sf_dir).select("doc_id", "ts")
+    # a NULL token array (null document text) crashes CountVectorizer's
+    # fit (r09 null-injection sweep); the exact twin's explode drops the
+    # doc naturally, so the filter keeps both sides on the same corpus
+    t = _tokens(spark, sf_dir).select("doc_id", "ts").filter(col("ts").isNotNull())
     if _fixture_rows(sf_dir, "documents") > MINHASH_MLLIB_EXACT_MAX_DOCS:
         bucket = F.substring(F.md5(col("doc_id").cast("string")), 1, 2)
         t = t.filter(bucket < "1a")
@@ -792,6 +795,12 @@ def _fake_decode(payload: bytes) -> dict:
     # raised UnicodeDecodeError inside the UDF; errors='replace'
     # degrades an invalid LEADING sequence to U+FFFD instead (ADVICE
     # r08). Identical output on any valid-UTF-8 payload.
+    if payload is None:
+        # NULL media payload (a null text/blob column — realistic in any
+        # lake): metadata stays NULL, matching the oracle's
+        # ascii(left(NULL, 1)) / octet_length(NULL) propagation — the old
+        # len(None) crashed the whole job (r09 null-injection sweep).
+        return {"width": None, "n_bytes": None, "first_cp": None}
     first = (
         ord(payload[:4].decode("utf-8", errors="replace")[0]) if payload else 0
     )
@@ -853,6 +862,11 @@ def _q_multimodal_framesample(spark, sf_dir):
         for pdf in batches:
             out = {"doc_id": [], "frame_id": [], "frame_len": [], "first_cp": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload decodes to no frames — the oracle's
+                    # `i*16 < length(NULL)` spine also emits none (r09
+                    # null-injection sweep; was a bytes(None) crash)
+                    continue
                 text = bytes(payload).decode("utf-8")
                 for fid in range(0, -(-len(text) // FRAME_CHARS), FRAME_STRIDE):
                     frame = text[fid * FRAME_CHARS : (fid + 1) * FRAME_CHARS]
@@ -1103,6 +1117,11 @@ def _q_multimodal_resize(spark, sf_dir):
         for pdf in batches:
             out = {"doc_id": [], "resized": [], "orig_len": [], "new_len": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload: no resized row — the oracle's
+                    # `i <= length(NULL)` spine drops the group too (r09
+                    # null-injection sweep; was a bytes(None) crash)
+                    continue
                 data = bytes(payload).decode("utf-8")
                 small = data[::RESIZE_STRIDE]
                 out["doc_id"].append(doc_id)
@@ -1547,8 +1566,12 @@ def _q_pipeline_ingest(spark, sf_dir):
 def _pq_iv(e: DataFrame) -> DataFrame:
     """(vec_id, iv): the embedding quantized to int64 ten-thousandths —
     the PQ determinism boundary. Everything downstream of iv is exact
-    integer arithmetic."""
-    return e.select(
+    integer arithmetic. NULL embeddings are excluded here (the single
+    choke point every PQ fit/encode/LUT path flows through): a null
+    vector cannot be quantized or coded, and letting it through crashed
+    the NumPy reshape inside the Arrow kernels (r09 null-injection
+    sweep) — same exclusion convention as the GEMM entries."""
+    return e.filter(col("emb").isNotNull()).select(
         "vec_id",
         F.transform("emb", lambda x: F.round(x * PQ_IQ).cast("long")).alias("iv"),
     )

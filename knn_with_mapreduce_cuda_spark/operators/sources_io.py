@@ -59,7 +59,12 @@ def _q_knn_text_roundtrip(spark, sf_dir):
     per-label min/max of the first coordinate must equal the parquet
     originals."""
     e = tables.embeddings(spark, sf_dir)
-    lines = e.select(
+    # the reference text format cannot represent a NULL label or vector
+    # (concat_ws silently SKIPS nulls, shifting every field left — the
+    # reader then parses an embedding value as the label and crashes;
+    # r09 null-injection sweep). Unrepresentable rows are excluded on
+    # write; the oracle carries the same predicate.
+    lines = e.filter(col("label").isNotNull() & col("emb").isNotNull()).select(
         F.concat_ws(
             ",", col("label").cast("string"), F.concat_ws(",", col("emb").cast("array<string>"))
         ).alias("value")
@@ -102,12 +107,18 @@ def _q_python_datasource(spark, sf_dir):
     from ..sources import knn_datasource
 
     e = tables.embeddings(spark, sf_dir)
-    lines = e.orderBy("vec_id").select(
-        F.concat_ws(
-            ",",
-            col("label").cast("string"),
-            F.concat_ws(",", col("emb").cast("array<string>")),
-        ).alias("value")
+    # null label/vector rows are unrepresentable in the line format —
+    # see _q_knn_text_roundtrip (r09 null-injection sweep)
+    lines = (
+        e.filter(col("label").isNotNull() & col("emb").isNotNull())
+        .orderBy("vec_id")
+        .select(
+            F.concat_ws(
+                ",",
+                col("label").cast("string"),
+                F.concat_ws(",", col("emb").cast("array<string>")),
+            ).alias("value")
+        )
     )
     path = os.path.join(SCRATCH, "knn_ds_text")
     lines.coalesce(1).write.mode("overwrite").text(path)
@@ -245,7 +256,10 @@ ORACLE = {
         + " AS price_cents FROM orders GROUP BY o_orderstatus"
     ),
     "src_knn_text_roundtrip": (
-        "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings) "
+        # label/embedding IS NOT NULL mirrors the writer: such rows are
+        # unrepresentable in the reference line format (r09 sweep)
+        "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
         "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
         "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
         "FROM emb GROUP BY label"
@@ -263,8 +277,10 @@ ORACLE = {
         "FROM documents WHERE lang = 'en' GROUP BY source"
     ),
     "src_python_datasource": (
+        # embedding IS NOT NULL mirrors the writer (label = 3 already
+        # excludes null labels); see src_knn_text_roundtrip
         "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label "
-        "FROM embeddings WHERE label = 3) "
+        "FROM embeddings WHERE label = 3 AND embedding IS NOT NULL) "
         "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
         "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
         "FROM emb GROUP BY label"

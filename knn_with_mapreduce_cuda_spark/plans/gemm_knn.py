@@ -170,6 +170,13 @@ def knn_topk_gemm(
     spark = queries_df.sparkSession
     use_cupy = (backend or gemm_backend()) == "cupy"
     use_f32 = precision == "float32" and not use_cupy
+    # NULL vectors cannot enter the GEMM (np.stack over a ragged batch
+    # crashes the job — r09 null-injection sweep); a null embedding has
+    # no defined distance, so such rows are excluded from both sides —
+    # the expression twin's NULL distances likewise never outrank a real
+    # candidate. Documented engine convention for every kernel consumer.
+    queries_df = queries_df.filter(F.col("qemb").isNotNull())
+    train_df = train_df.filter(F.col("temb").isNotNull())
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     if len(qpdf) == 0:
@@ -465,6 +472,9 @@ def cosine_topk_gemm(
     spark = queries_df.sparkSession
     use_cupy = (backend or gemm_backend()) == "cupy"
     use_f32 = precision == "float32" and not use_cupy
+    # null-vector exclusion — see knn_topk_gemm (r09 null sweep)
+    queries_df = queries_df.filter(F.col("qemb").isNotNull())
+    train_df = train_df.filter(F.col("temb").isNotNull())
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
     if len(qpdf) == 0:  # see knn_topk_gemm — empty probe set

@@ -262,3 +262,152 @@ def test_zero_row_stored_index_reads_back_empty(spark, empty_slice_sf):
     qs = registry.queries()
     for key in ("llm_simsearch_ivfpq_stored", "llm_simsearch_pq_stored"):
         assert qs[key](spark, empty_slice_sf).count() == 0
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(tmp_path_factory):
+    """NULL-injection fixture: every nullable column carries a NULL in
+    at least one row — null document text/lang, null event value/type,
+    null customer/part attributes, a NULL embedding ARRAY and a null
+    label. All realistic lake artifacts; none appear in the driver
+    fixtures."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("nulls_sf")
+    con = duckdb.connect()
+
+    def w(name, sql):
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+
+    w("region", "SELECT CAST(0 AS INTEGER) r_regionkey, 'AFRICA' r_name")
+    w(
+        "nation",
+        "SELECT CAST(0 AS INTEGER) n_nationkey, 'ALGERIA' n_name, "
+        "CAST(0 AS INTEGER) n_regionkey",
+    )
+    w(
+        "customer",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'Customer#1', CAST(0 AS INTEGER), CAST(100.0 AS DOUBLE), 'BUILDING'), "
+        "(CAST(2 AS BIGINT), NULL, CAST(0 AS INTEGER), NULL, NULL)"
+        ") t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)",
+    )
+    w(
+        "supplier",
+        "SELECT CAST(1 AS BIGINT) s_suppkey, 'Supplier#1' s_name, "
+        "CAST(0 AS INTEGER) s_nationkey, CAST(100.0 AS DOUBLE) s_acctbal",
+    )
+    w(
+        "part",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'part x', 'Brand#1', 'TYPE A', CAST(1 AS INTEGER), CAST(10.0 AS DOUBLE)), "
+        "(CAST(2 AS BIGINT), NULL, NULL, NULL, NULL, NULL)"
+        ") t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)",
+    )
+    w(
+        "orders",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'O', CAST(10.0 AS DOUBLE), "
+        "TIMESTAMP '1995-01-01 00:00:00', '1-URGENT'), "
+        "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), NULL, NULL, NULL, NULL)"
+        ") t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)",
+    )
+    w(
+        "lineitem",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS INTEGER), "
+        "CAST(1.0 AS DOUBLE), CAST(10.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "'N', 'O', TIMESTAMP '1995-02-01 00:00:00'), "
+        "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS INTEGER), "
+        "NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+        ") t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)",
+    )
+    w(
+        "events",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT), 'view', CAST(5.0 AS DOUBLE), '{}'), "
+        "(CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 10:05:00', CAST(1 AS BIGINT), 'purchase', NULL, NULL), "
+        "(CAST(3 AS BIGINT), TIMESTAMP '2024-01-01 10:06:00', CAST(2 AS BIGINT), NULL, CAST(1.0 AS DOUBLE), '{}')"
+        ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    w(
+        "documents",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'hello world foo bar', 'en', 's', CAST(19 AS BIGINT)), "
+        "(CAST(2 AS BIGINT), NULL, NULL, NULL, NULL), "
+        "(CAST(10 AS BIGINT), 'alpha beta gamma delta', 'fr', 's', CAST(22 AS BIGINT))"
+        ") t(doc_id, text, lang, source, n_chars)",
+    )
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.execute("INSERT INTO emb VALUES (0, ?, 0)", [[1.0] * 64])
+    con.execute("INSERT INTO emb VALUES (5, ?, 1)", [[0.5] * 64])
+    con.execute("INSERT INTO emb VALUES (7, ?, NULL)", [[0.25] * 64])
+    con.execute("INSERT INTO emb VALUES (50, NULL, 1)")
+    con.execute(f"COPY (SELECT * FROM emb) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(out)
+
+
+#: the 12 keys the r09 null-injection sweep caught crashing — the null
+#: payload class (NoneType decode in the multimodal kernels), the null
+#: vector class (ragged np.stack in the GEMM/PQ Arrow kernels, MLlib
+#: fit on a null token array), and the null label/vector class (the
+#: reference line format silently shifting fields via concat_ws).
+NULL_SWEEP_FORMER_CRASHERS = [
+    "llm_multimodal_features",
+    "llm_multimodal_framesample",
+    "llm_multimodal_resize",
+    "llm_dedup_minhash_mllib",
+    "llm_simsearch_gemm",
+    "llm_simsearch_pq",
+    "llm_simsearch_ivfpq",
+    "udf_map_arrow",
+    "src_knn_text_roundtrip",
+    "src_python_datasource",
+]
+
+
+def test_null_injection_former_crashers_run(spark, nulls_sf):
+    """r09 null-injection sweep: all 368 keys now run the nulls fixture
+    crash-free; this pins the 12 former crashers (the two stored-index
+    variants are covered by their self-contained twins here — building
+    per-test scratch indexes would couple this module to the scratch
+    root)."""
+    from knn_with_mapreduce_cuda_spark import registry
+
+    qs = registry.queries()
+    for key in NULL_SWEEP_FORMER_CRASHERS:
+        qs[key](spark, nulls_sf).count()  # must not raise
+
+
+def test_null_text_multimodal_matches_oracle(spark, nulls_sf):
+    """The NULL-payload conventions are twin-consistent: features emits
+    the row with NULL metadata (ascii(left(NULL,1)) propagation),
+    framesample/resize emit no frames/row (the oracle's length(NULL)
+    spine), and the text-format roundtrips exclude unrepresentable
+    rows on BOTH sides."""
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import duck_connection
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql(nulls_sf)
+    con = duck_connection(nulls_sf)
+    try:
+        for key in (
+            "llm_multimodal_features",
+            "llm_multimodal_framesample",
+            "llm_multimodal_resize",
+            "src_knn_text_roundtrip",
+        ):
+            got = sorted(map(tuple, qs[key](spark, nulls_sf).collect()), key=repr)
+            want = sorted(map(tuple, con.execute(oracles[key]).fetchall()), key=repr)
+            assert len(got) == len(want), (key, got, want)
+            for g, w in zip(got, want):
+                assert repr(g) == repr(w) or g == pytest.approx(w, abs=1e-4), (
+                    key,
+                    g,
+                    w,
+                )
+    finally:
+        con.close()
