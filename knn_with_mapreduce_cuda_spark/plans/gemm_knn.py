@@ -175,10 +175,14 @@ def knn_topk_gemm(
     # no defined distance, so such rows are excluded from both sides —
     # the expression twin's NULL distances likewise never outrank a real
     # candidate. Documented engine convention for every kernel consumer.
-    queries_df = queries_df.filter(F.col("qemb").isNotNull())
+    # The TRAIN side filters lazily; the QUERY side filters in pandas
+    # AFTER the one permitted collect — a Filter node atop a caller's
+    # limit() would defeat CollectLimit's single-job toPandas and add a
+    # construction job (pinned by test_gemm_no_eager_jobs_on_construction).
     train_df = train_df.filter(F.col("temb").isNotNull())
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
+    qpdf = qpdf[qpdf["qemb"].notna()]
     if len(qpdf) == 0:
         # an empty probe set (e.g. a chunked block whose metadata-derived
         # count over-stated a filtered relation) must not reach np.stack
@@ -472,11 +476,12 @@ def cosine_topk_gemm(
     spark = queries_df.sparkSession
     use_cupy = (backend or gemm_backend()) == "cupy"
     use_f32 = precision == "float32" and not use_cupy
-    # null-vector exclusion — see knn_topk_gemm (r09 null sweep)
-    queries_df = queries_df.filter(F.col("qemb").isNotNull())
+    # null-vector exclusion — see knn_topk_gemm (r09 null sweep; query
+    # side filters in pandas to keep construction at one job)
     train_df = train_df.filter(F.col("temb").isNotNull())
     train_df = _ensure_parallel(train_df, min_partitions)
     qpdf = queries_df.toPandas()
+    qpdf = qpdf[qpdf["qemb"].notna()]
     if len(qpdf) == 0:  # see knn_topk_gemm — empty probe set
         return spark.createDataFrame(
             [], "qid long, tid long, rnk long, cos double"
