@@ -272,6 +272,94 @@ def knn_join_chunked(spark, sf_dir):
     )
 
 
+def q3_shape_floor(spark, sf_dir):
+    """Structurally identical no-op twin of q3_shape — same operator
+    chain (broadcast-semi reduce, SHUFFLE_HASH semi, reusing groupBy,
+    takeOrdered) over near-zero synthetic data, so its wall time is the
+    pure scheduling/shuffle-machinery floor of the SHAPE on this host
+    (VERDICT r09 #2b: "a recorded decomposition proving the residual is
+    irreducible scheduling floor"). The sf0.1 fact sides are ~40 ms of
+    actual work for DuckDB; whatever this twin costs is what Spark's
+    job/stage/task machinery charges any plan of this shape regardless
+    of data size — the honest subtrahend for the floor-adjusted ratio."""
+    o = spark.range(0, 64, 1, 8).select(
+        col("id").alias("o_orderkey"), (col("id") % 10).alias("o_custkey")
+    )
+    c = spark.range(0, 5).select(col("id").alias("c_custkey"))
+    li = spark.range(0, 256, 1, 8).select(
+        (col("id") % 64).alias("l_orderkey"),
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.1).alias("l_discount"),
+    )
+    bo = o.join(
+        F.broadcast(c), col("o_custkey") == col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    return (
+        li.join(
+            bo.hint("SHUFFLE_HASH"),
+            col("l_orderkey") == col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy(col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _tree_cpu_seconds() -> float:
+    """CPU seconds (utime+stime) of this process and every live
+    descendant — the driver python, the Spark JVM, and the pyspark
+    daemon/worker children that run Pandas-UDF stages. Read from
+    /proc/*/stat in one pass (VERDICT r09 #2a: a per-row CPU companion
+    makes ambient host load separable from plan cost without
+    re-running — wall time inflates under contention, the tree's CPU
+    time barely moves). Best-effort: a worker that exits between two
+    reads drops its CPU from the later one, so deltas are clamped ≥ 0
+    where consumed."""
+    import glob as _glob
+
+    me = os.getpid()
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for path in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            raw = open(path).read()
+        except OSError:
+            continue  # process exited mid-scan
+        head, _, tail = raw.rpartition(")")
+        fields = tail.split()
+        # fields[0] is state (field 3); utime/stime are fields 14/15
+        pid = int(head.split("(", 1)[0])
+        ppid = int(fields[1])
+        cpu = (int(fields[11]) + int(fields[12])) / clk
+        procs[pid] = (ppid, cpu)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [me]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, []))
+    return total
+
+
+#: Per-row session confs applied around a row's timed runs and restored
+#: after (VERDICT r09 #2b). The flat-Q3 row caps shuffle tasks at 8: at
+#: sf0.1 the scale-safe shuffle-semi otherwise spends ~200 sub-ms tasks
+#: on a 38 ms problem (measured A/B scripts/q3_floor_r10.json: median
+#: 0.546 → 0.437 with the cap; AQE parallelismFirst=false did NOT help
+#: — 0.564 — because local[32] coalesce planning costs what it saves).
+#: This is the toy-scale end of the same knob cluster_confs() sets to
+#: 3× cores at 100 TB — task count sized to the data, not a plan change
+#: (plan pin unchanged, tests/test_plans.py).
+ROW_CONFS: dict[str, dict[str, str]] = {
+    "rel_join_broadcast_q3": {"spark.sql.shuffle.partitions": "8"},
+}
+
+
 BENCH_QUERIES = {
     "rel_agg_hash": lambda s, d: relational._q_agg_hash(s, d),
     "rel_join_broadcast_q3": q3_shape,
@@ -487,7 +575,7 @@ def compact_line(summary: dict) -> str:
         summary = dict(summary)
         summary["warm_medians"] = {}
         line = json.dumps(summary)
-    for per_row in ("matching_ratios", "matching_medians"):
+    for per_row in ("matching_cpu_medians", "matching_ratios", "matching_medians"):
         # per-row detail maps (4 entries each) — droppable before the
         # last-resort core so still-fitting headline fields like
         # spark_matching_subtotal survive (ADVICE r08: the old ladder
@@ -564,6 +652,7 @@ def main() -> None:
     # reproducible claim on a shared machine.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    cpu_runs: dict[str, list[float]] = {}  # process-tree CPU per run
     contended: dict[str, list[float]] = {}  # pre-regate runs, provenance
     loads_pre: dict[str, float] = {}
     loads: dict[str, float] = {}
@@ -578,13 +667,21 @@ def main() -> None:
         5th when the 4th still leaves the warm spread >20% (VERDICT r07
         #4: knn_join_2000x2000 held 0.73 spread after its 4th run — the
         median over 4 warm samples is then the robust statistic,
-        reported as warm_median alongside best-of-N)."""
-        rs = []
-        for _ in range(3):
+        reported as warm_median alongside best-of-N). Each run also
+        records the process-tree CPU delta (VERDICT r09 #2a) — returned
+        alongside so ambient-load inflation is separable per run."""
+        rs: list[float] = []
+        cs: list[float] = []
+
+        def _one() -> None:
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()
+            fn(spark, sf_dir).count()
             rs.append(round(time.perf_counter() - t0, 3))
+            cs.append(round(max(_tree_cpu_seconds() - c0, 0.0), 3))
+
+        for _ in range(3):
+            _one()
 
         def _spread() -> float:
             warm = rs[1:]
@@ -592,13 +689,28 @@ def main() -> None:
 
         extra = 0
         while _spread() > 0.2 and extra < 2:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            rs.append(round(time.perf_counter() - t0, 3))
+            _one()
             extra += 1
-        return rs
+        return rs, cs
 
     bar = IDLE_LOAD1 + SELF_LOAD_ALLOWANCE
+
+    def _row_confs(name: str):
+        """Apply ROW_CONFS for this row; return a restore callback."""
+        saved = {}
+        for k, v in ROW_CONFS.get(name, {}).items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+
+        def restore() -> None:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+
+        return restore
+
     for name, fn in BENCH_QUERIES.items():
         pre = round(os.getloadavg()[0], 1)
         if pre >= bar and time.time() < deadline:
@@ -606,24 +718,40 @@ def main() -> None:
             retried.append(name)
             pre, _, _ = _wait_for_idle(deadline)
             pre = round(pre, 1)
-        rs = run_block(fn)
-        post = round(os.getloadavg()[0], 1)
-        if post >= bar and time.time() < deadline:
-            # VERDICT r08 #1a: contention that arrives DURING a row
-            # passed the old pre-gate unseen (r08's 5.2/4.1 post-spikes
-            # on bucketed-Q3/pq_stored) — a post-reading past the bar
-            # re-gates and re-runs the row ONCE; the contended runs stay
-            # in the detail artifact as provenance.
-            retried.append(name)
-            contended[name] = rs
-            pre, _, _ = _wait_for_idle(deadline)
-            pre = round(pre, 1)
-            rs = run_block(fn)
+        restore = _row_confs(name)
+        try:
+            rs, cs = run_block(fn)
             post = round(os.getloadavg()[0], 1)
+            if post >= bar and time.time() < deadline:
+                # VERDICT r08 #1a: contention that arrives DURING a row
+                # passed the old pre-gate unseen (r08's 5.2/4.1 post-spikes
+                # on bucketed-Q3/pq_stored) — a post-reading past the bar
+                # re-gates and re-runs the row ONCE; the contended runs stay
+                # in the detail artifact as provenance.
+                retried.append(name)
+                contended[name] = rs
+                pre, _, _ = _wait_for_idle(deadline)
+                pre = round(pre, 1)
+                rs, cs = run_block(fn)
+                post = round(os.getloadavg()[0], 1)
+        finally:
+            restore()
         timings[name] = min(rs)
         runs[name] = rs
+        cpu_runs[name] = cs
         loads_pre[name] = pre
         loads[name] = post
+
+    # Q3 shape floor (VERDICT r09 #2b): the no-op structural twin of the
+    # flat-Q3 row, run under the same ROW_CONFS cap — its warm median is
+    # the scheduling/shuffle-machinery cost any plan of this shape pays
+    # on this host, recorded so the row's residual over DuckDB is
+    # decomposable into floor vs plan without re-running.
+    restore = _row_confs("rel_join_broadcast_q3")
+    try:
+        shape_rs, _ = run_block(q3_shape_floor)
+    finally:
+        restore()
 
     total = round(
         sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
@@ -698,9 +826,22 @@ def main() -> None:
     # stdout, which is why BENCH_r06's single fat line lost its head and
     # parsed as null (VERDICT r06 #1). The LAST printed line below is
     # the compact machine-readable summary, kept well under that tail.
+    # Process-tree CPU medians over warm runs (VERDICT r09 #2a): wall
+    # inflates under ambient load, tree CPU barely moves — together a
+    # reader separates contention from plan cost without a re-run.
+    cpu_medians = {
+        k: round(statistics.median(cs[1:]), 3)
+        for k, cs in cpu_runs.items()
+        if len(cs) > 1
+    }
+    shape_floor = round(statistics.median(shape_rs[1:]), 3)
+
     detail = {
         "metric": "suite_seconds_detail",
         "runs": runs,
+        "cpu_runs": cpu_runs,  # process-tree CPU per run (r09 #2a)
+        "cpu_medians": cpu_medians,
+        "q3_shape_floor_runs": shape_rs,  # no-op structural twin (r09 #2b)
         "contended_runs": contended,  # pre-regate samples, provenance
         "warm_spread": spreads,
         "warm_medians": warm_medians,
@@ -751,6 +892,25 @@ def main() -> None:
         "spark_matching_median_subtotal": matching_med_total,
         "duckdb_median_subtotal": duck_med_total,
         "job_floor_s": job_floor,
+        # scheduling cost of the flat-Q3 SHAPE (no-op structural twin,
+        # r09 #2b) and the row's ratio after subtracting it — the
+        # decomposition of record for the one floor-dominated weak row.
+        "q3_shape_floor_s": shape_floor,
+        "q3_floor_adjusted_ratio": (
+            round(
+                max(spark_med["rel_join_broadcast_q3"] - shape_floor, 0.0)
+                / duck_med["rel_join_broadcast"],
+                2,
+            )
+            if duck_med.get("rel_join_broadcast")
+            and "rel_join_broadcast_q3" in spark_med
+            else None
+        ),
+        # warm-median process-tree CPU for the four matching rows (r09
+        # #2a): the contention-insensitive companion to the wall ratios.
+        "matching_cpu_medians": {
+            sk: cpu_medians.get(sk) for sk in DUCK_MATCHING_SPARK.values()
+        },
         "matching_ratios": matching_ratios,  # [raw, floor-adjusted] per row
         "matching_medians": matching_medians,  # [spark, duck] per row
         "max_warm_spread": max(spreads.values()) if spreads else None,

@@ -945,8 +945,14 @@ ORACLE = {
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_cosine": (
+        # explicit formula + NULLIF, NOT list_cosine_similarity: the
+        # builtin returns -1.0 on a zero-norm vector where the engine's
+        # try_divide yields NULL — this form agrees with the engine on
+        # EVERY input, degenerate fixtures included (VERDICT r09 #4).
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
-        "round(list_cosine_similarity(q.emb, t.emb), 4) + 0.0 AS dist "
+        "round(list_inner_product(q.emb, t.emb) / "
+        "NULLIF(sqrt(list_inner_product(q.emb, q.emb)) * "
+        "sqrt(list_inner_product(t.emb, t.emb)), 0), 4) + 0.0 AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_dot": (

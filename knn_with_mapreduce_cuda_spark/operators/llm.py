@@ -2685,9 +2685,15 @@ ORACLE = {
         f"AND list_cosine_similarity(a.emb, b.emb) >= {EMBED_DUP_THRESHOLD}"
     ),
     "llm_simsearch_topk": (
+        # explicit formula + NULLIF, NOT list_cosine_similarity: the
+        # builtin returns -1.0 on a zero-norm vector where the engine's
+        # try_divide yields NULL (ranked last by both DESC orders) —
+        # twin-exact on EVERY input (VERDICT r09 #4).
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
-        "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
+        "list_inner_product(q.emb, t.emb) / "
+        "NULLIF(sqrt(list_inner_product(q.emb, q.emb)) * "
+        "sqrt(list_inner_product(t.emb, t.emb)), 0) AS cos FROM emb q, emb t "
         "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) "
         "AS rnk FROM pairs) "

@@ -59,36 +59,37 @@ SURVEY_QKEYS = [
 ]
 
 
-#: Round-9 rotation window — the POST-CLOSURE freshness policy
+#: Round-10 rotation window — the POST-CLOSURE freshness policy
 #: (VERDICT r08 "Next round" #2). The driver-graded contract closed at
-#: 368/368 in r08 (zero red rows across eight rounds), so from r09 on
-#: the 50-slot window re-grades the STALEST keys: staleness = rounds
-#: since a key's newest driver CORRECTNESS row, ties broken by the
-#: stable pre-rotation merged-module order (NOT the rotated registry
-#: order, which this list itself determines — that would be circular).
+#: 368/368 in r08 (zero red rows across nine rounds), so the 50-slot
+#: window re-grades the STALEST keys: staleness = rounds since a key's
+#: newest driver CORRECTNESS row, ties broken by the stable
+#: pre-rotation merged-module order (NOT the rotated registry order,
+#: which this list itself determines — that would be circular).
 #: _RE_EARNED keys (output-changed since their last driver row) jump
 #: the staleness queue; never-graded keys (new additions) rank as
 #: staleness=∞ and front automatically. This list must equal
 #: compute_stale_window(50) — enforced by tests/test_contract.py. This
-#: round: the 27 keys last graded r01 plus the 23 stalest of the 41
-#: last graded r02.
+#: round: the full 18-key r02 stratum (the 14 str_*/udf_* SURVEY
+#: contract keys + 4 llm extras — VERDICT r09 #1/#5: drain it) plus
+#: the 32 stalest of the 50 last graded r03.
 _ROTATE_FRONT = [
-    "rel_agg_distinct", "rel_agg_approx", "rel_agg_grouping_sets",
-    "rel_window_rank", "rel_window_analytic", "rel_window_frame",
-    "rel_sort_limit", "rel_topk_per_group", "rel_setop_union",
-    "rel_setop_intersect_except", "rel_subquery", "rel_fn_string",
-    "rel_fn_date", "rel_fn_math", "rel_fn_conditional", "rel_fn_array",
-    "rel_fn_map_struct", "rel_fn_json", "rel_dedup_exact", "rel_sample",
-    "rel_explain_pivot", "llm_dedup_hash", "llm_dedup_near_minhash",
-    "llm_simsearch_topk", "llm_text_tokenize", "llm_text_ngram",
-    "llm_text_tfidf", "knn_topk", "knn_classify", "knn_regress",
-    "knn_join", "knn_accuracy", "knn_confusion",
-    "rel_scan_project_filter", "rel_join_broadcast", "rel_join_shuffle",
-    "rel_join_outer", "rel_join_semi_anti", "rel_join_theta_range",
-    "rel_join_asof", "rel_agg_hash", "llm_ann_lsh",
-    "llm_dedup_minhash_mllib", "llm_text_stats", "llm_multimodal_join",
-    "llm_lang_partition", "llm_semdedup", "llm_gopher_repetition",
-    "llm_substring_dup_spans", "llm_filter_funnel",
+    "llm_chunk_windows", "llm_dedup_incremental", "llm_tokenizer_fertility",
+    "llm_shard_assignment", "str_window_tumbling", "str_window_sliding",
+    "str_window_session", "str_dedup_watermark", "str_late_data",
+    "str_join_stream_static", "str_join_stream_stream", "str_stateful_map",
+    "str_sink", "udf_scalar_py", "udf_pandas_vectorized", "udf_grouped_agg",
+    "udf_map_arrow", "udf_udtf", "rel_cte_recursive", "rel_merge_upsert",
+    "llm_dedup_simhash", "llm_dedup_jaccard", "llm_dedup_embed",
+    "llm_simsearch_gemm", "llm_simsearch_ivf", "llm_lang_id",
+    "llm_quality_score", "llm_token_count", "llm_fingerprint",
+    "llm_contamination", "llm_pii_redact", "llm_search_bm25",
+    "llm_pack_sequences", "ml_naive_bayes", "llm_pipeline_e2e",
+    "llm_pipeline_ingest", "src_parquet_metadata", "src_csv_roundtrip",
+    "src_jsonl_roundtrip", "src_knn_text_roundtrip", "src_orc_roundtrip",
+    "src_partition_prune_read", "src_python_datasource", "ml_kmeans_lloyd",
+    "graph_components_dedup", "llm_dedup_apply", "graph_pagerank",
+    "ml_pca_power", "ml_dbscan", "llm_cluster_topics",
 ]
 
 #: Keys whose OUTPUT changed since their last driver row (an
@@ -99,20 +100,23 @@ _ROTATE_FRONT = [
 _RE_EARNED: list[str] = []
 
 
-def compute_stale_window(n: int = 50) -> list[str]:
-    """The canonical n-key freshness window: _RE_EARNED first, then all
-    registry keys stalest-first (never-graded keys rank stalest of all),
-    ties broken by the stable pre-rotation merged-module order. Reads
-    the repo's CORRECTNESS_r*.json artifacts; the newest artifact is
-    excluded when its key set is exactly _ROTATE_FRONT (that file IS
-    this window's own grading run — counting it would rotate the window
-    every time the driver writes the artifact the window asked for)."""
+def staleness_map(root: str | None = None) -> dict[str, int]:
+    """key → newest driver-CORRECTNESS round, with the NEWEST-ARTIFACT
+    EXCLUSION applied: the newest CORRECTNESS_r*.json is ignored when
+    its key set is exactly _ROTATE_FRONT (that file IS the current
+    window's own grading run — counting it would re-rotate the window,
+    or re-arm freshness assertions, every time the driver writes the
+    artifact the window itself asked for; VERDICT r09 #1). This is THE
+    canonical staleness view — compute_stale_window and the contract
+    tests both read it, so they can never disagree. ``root`` overrides
+    the artifact directory (tests inject synthetic artifacts)."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds: dict[int, set] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -128,6 +132,16 @@ def compute_stale_window(n: int = 50) -> list[str]:
     for r, keys in rounds.items():
         for k in keys:
             last[k] = max(last.get(k, 0), r)
+    return last
+
+
+def compute_stale_window(n: int = 50) -> list[str]:
+    """The canonical n-key freshness window: _RE_EARNED first, then all
+    registry keys stalest-first (never-graded keys rank stalest of all),
+    ties broken by the stable pre-rotation merged-module order.
+    Staleness comes from staleness_map() (newest-artifact exclusion
+    applied there)."""
+    last = staleness_map()
     base = list(_collect_raw("QUERIES"))
     order = {k: i for i, k in enumerate(base)}
     re_earned = [k for k in _RE_EARNED if k in order]

@@ -71,6 +71,11 @@ def test_summary_line_fits_driver_stdout_tail():
         "spark_matching_median_subtotal": 9999.999,
         "duckdb_median_subtotal": 9999.999,
         "job_floor_s": 9.9999,
+        "q3_shape_floor_s": 9999.999,
+        "q3_floor_adjusted_ratio": 99.99,
+        "matching_cpu_medians": {
+            k: 9999.999 for k in bench.DUCK_MATCHING_SPARK.values()
+        },
         "matching_ratios": {k: [99.99, 99.99] for k in bench.DUCK_MATCHING_SPARK},
         "matching_medians": {
             k: [9999.999, 9999.999] for k in bench.DUCK_MATCHING_SPARK

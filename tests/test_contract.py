@@ -67,30 +67,20 @@ def test_stale_window_freshness_bound():
     bound: 368 keys / 50 slots ≈ 8 rounds of staleness if the rotation
     never repeats — assert nothing is older than that, so a key dropped
     from the rotation (e.g. by a bad tie-break edit) surfaces as a test
-    failure instead of silently never re-earning a driver row."""
-    import glob
-    import json
-    import os
-    import re
+    failure instead of silently never re-earning a driver row.
 
+    Staleness MUST come from registry.staleness_map() — it applies the
+    newest-artifact exclusion, so the driver writing the artifact this
+    window asked for cannot re-arm this assertion mid-round (the r09
+    self-arming failure, VERDICT r09 #1: this test reimplemented the
+    map without the exclusion and went red the moment
+    CORRECTNESS_r09.json landed on the frozen tree)."""
     from knn_with_mapreduce_cuda_spark import registry
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds: dict[int, set] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m:
-            try:
-                rounds[int(m.group(1))] = set(json.load(open(path)))
-            except Exception:
-                continue
-    if not rounds:
+    last = registry.staleness_map()
+    if not last:
         return
-    latest = max(rounds)
-    last: dict[str, int] = {}
-    for r, keys in rounds.items():
-        for k in keys:
-            last[k] = max(last.get(k, 0), r)
+    latest = max(last.values())
     qs = registry.queries()
     graded = [k for k in qs if k in last]
     # every graded key within ceil(368/50)=8 rounds, AND the current
@@ -104,6 +94,33 @@ def test_stale_window_freshness_bound():
     assert len(stratum) > 50 or missed == [], (
         f"oldest stratum (r{oldest:02d}) not fully re-graded: {missed}"
     )
+
+
+def test_staleness_map_excludes_mid_round_artifact(tmp_path):
+    """Regression for the r09 self-arming failure: an artifact whose
+    key set is exactly _ROTATE_FRONT (i.e. the driver grading THIS
+    window) must not change the staleness view; any other newest
+    artifact must. Synthetic artifacts in tmp_path via the root
+    override."""
+    import json
+
+    from knn_with_mapreduce_cuda_spark import registry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {}, "b": {}}))
+    base = registry.staleness_map(root=str(tmp_path))
+    assert base == {"a": 1, "b": 1}
+    # the driver writes this window's own grading run → excluded
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({k: {} for k in registry._ROTATE_FRONT}))
+    assert registry.staleness_map(root=str(tmp_path)) == base
+    # a DIFFERENT newest key set (a real later round) counts
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"a": {}}))
+    got = registry.staleness_map(root=str(tmp_path))
+    assert got["a"] == 3 and got["b"] == 1
+    # every key the excluded-then-superseded r02 graded now counts too
+    assert all(got[k] == 2 for k in registry._ROTATE_FRONT)
 
 
 def test_entry_smoke(spark):

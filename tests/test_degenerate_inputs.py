@@ -20,11 +20,10 @@ series, a missing event type) and found five crashers:
 All five are fixed NULL-consistently with DuckDB (try_divide / size
 guards / present-column checks); this module pins the whole class:
 every registry query must RUN on the degenerate fixture, and the fixed
-keys must also value-match the shipped oracle SQL on it (except the two
-documented below whose oracle uses DuckDB's list_cosine_similarity —
-that builtin returns -1.0 for a zero-norm vector where the engine's
-explicit formula yields NULL/undefined; the twins agree on every vector
-with a nonzero norm).
+keys must also value-match the shipped oracle SQL on it. The former
+list_cosine_similarity exception is CLOSED (VERDICT r09 #4): those two
+oracles now use the explicit inner-product formula with NULLIF, so the
+twins agree on every input including zero-norm vectors.
 """
 
 from __future__ import annotations
@@ -40,13 +39,15 @@ TWIN_MATCH_KEYS = [
     "ts_rle_sax",
     "ts_sax_symbols",
     "llm_semdedup",
+    # formerly RUN-ONLY (their oracles used list_cosine_similarity,
+    # which returns -1.0 on a zero-norm vector where the engine's
+    # try_divide yields NULL). VERDICT r09 #4 closed the divergence:
+    # both oracles now carry the explicit inner-product formula with
+    # NULLIF, so engine and oracle agree on EVERY input and the keys
+    # graduate to full twin-matching.
+    "llm_simsearch_topk",
+    "knn_dist_cosine",
 ]
-
-#: formerly-crashing keys whose oracle uses list_cosine_similarity:
-#: DuckDB's builtin maps a zero-norm vector to -1.0, the engine's
-#: explicit fold to NULL — a defined-behavior difference on an input
-#: where cosine is mathematically undefined. Pinned run-without-crash.
-RUN_ONLY_KEYS = ["llm_simsearch_topk", "knn_dist_cosine"]
 
 
 @pytest.fixture(scope="module")
@@ -153,12 +154,6 @@ def test_former_crashers_run_and_match_oracle(spark, degenerate_sf):
         con.close()
 
 
-def test_zero_norm_cosine_keys_run(spark, degenerate_sf):
-    from knn_with_mapreduce_cuda_spark import registry
-
-    qs = registry.queries()
-    for key in RUN_ONLY_KEYS:
-        qs[key](spark, degenerate_sf).count()  # must not raise
 
 
 def test_cosine_null_on_zero_norm(spark):
@@ -411,3 +406,30 @@ def test_null_text_multimodal_matches_oracle(spark, nulls_sf):
                 )
     finally:
         con.close()
+
+
+def test_bench_rows_run_on_degenerate_fixture(spark, degenerate_sf, tmp_path, monkeypatch):
+    """VERDICT r09 #7: the r09 sweeps covered all 368 graded queries but
+    the bench probes build their own frames and were never swept — yet
+    they gate every round's artifact. Every bench row must RUN on the
+    degenerate fixture (zero-norm embedding, single-char docs, 1-row
+    tables), including the rows with index-build-class setup (bucketed
+    layout, stored PQ index, chunked sink), which here exercise their
+    COLD build paths on degenerate data too. Scratch is redirected to
+    tmp_path so the sweep can never collide with (or poison) a real
+    bench run's bucketed tables or chunked sink."""
+    import bench
+    from knn_with_mapreduce_cuda_spark.operators import llm
+
+    monkeypatch.setattr(bench, "_bench_scratch", lambda: str(tmp_path / "bench"))
+    bench.setup_bucketed(spark, degenerate_sf)
+    llm._pq_store(spark, degenerate_sf)
+    try:
+        for name, fn in bench.BENCH_QUERIES.items():
+            assert fn(spark, degenerate_sf).count() >= 0, name
+        # the decomposition twin is data-free but part of the artifact
+        # pipeline — it must run wherever the suite runs
+        assert bench.q3_shape_floor(spark, degenerate_sf).count() >= 0
+    finally:
+        for t in ("bench_li_b", "bench_ord_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
