@@ -307,6 +307,51 @@ def q3_shape_floor(spark, sf_dir):
     )
 
 
+def agg_shape_floor(spark, sf_dir):
+    """Structurally identical no-op twin of the rel_agg_hash row
+    (filter → 2-key groupBy → 8 aggregates → sort) over near-zero
+    synthetic data — the scheduling/shuffle floor of the Q1 shape, same
+    rationale as q3_shape_floor (VERDICT r09 #2: rel_agg_hash is the
+    other floor-dominated matching row; its DuckDB twin runs below
+    Spark's job floor, so only a shape-adjusted ratio separates plan
+    cost from machinery cost)."""
+    df = spark.range(0, 256, 1, 8).select(
+        (col("id") % 3).alias("l_returnflag"),
+        (col("id") % 2).alias("l_linestatus"),
+        (col("id") % 50).alias("l_quantity"),
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        F.lit(0.02).alias("l_tax"),
+        col("id").alias("l_shipdate"),
+    )
+    return (
+        df.filter(col("l_shipdate") <= 10_000)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("sum_disc"),
+            F.sum(
+                col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+#: no-op structural twins measured after the suite (VERDICT r09 #2b):
+#: row wall-time minus its shape floor is the data-dependent plan cost,
+#: the honest numerator for a ratio against a sub-100 ms DuckDB twin.
+SHAPE_FLOORS = {
+    "rel_join_broadcast_q3": q3_shape_floor,
+    "rel_agg_hash": agg_shape_floor,
+}
+
+
 def _tree_cpu_seconds() -> float:
     """CPU seconds (utime+stime) of this process and every live
     descendant — the driver python, the Spark JVM, and the pyspark
@@ -347,16 +392,30 @@ def _tree_cpu_seconds() -> float:
 
 
 #: Per-row session confs applied around a row's timed runs and restored
-#: after (VERDICT r09 #2b). The flat-Q3 row caps shuffle tasks at 8: at
-#: sf0.1 the scale-safe shuffle-semi otherwise spends ~200 sub-ms tasks
-#: on a 38 ms problem (measured A/B scripts/q3_floor_r10.json: median
-#: 0.546 → 0.437 with the cap; AQE parallelismFirst=false did NOT help
-#: — 0.564 — because local[32] coalesce planning costs what it saves).
-#: This is the toy-scale end of the same knob cluster_confs() sets to
-#: 3× cores at 100 TB — task count sized to the data, not a plan change
-#: (plan pin unchanged, tests/test_plans.py).
+#: after (VERDICT r09 #2b) — the toy-scale end of the same two knobs
+#: cluster_confs() pins for 100 TB (128m splits, 3×-cores shuffle
+#: partitions), here sized to 10 MB files instead. Measured A/B, both
+#: in scripts/ (q3_floor_r10.json, q3_splits_r10.json):
+#:
+#: - flat Q3: shuffle cap 8 (median 0.546 → 0.437; ~200 sub-ms tasks
+#:   on a 38 ms problem otherwise; AQE parallelismFirst=false measured
+#:   WORSE, 0.564 — local[32] coalesce planning costs what it saves)
+#:   PLUS 1m input splits (0.44 → 0.39 same-session): lineitem.parquet
+#:   at sf0.1 is 10.8 MB = ONE 128 MB split, so the scan and the
+#:   map-side shuffle write of 600 k rows ran on one core while 31 sat
+#:   idle (DuckDB scans with 4 threads).
+#: - rel_agg_hash: 1m splits only (same-session A/B: uncapped 0.341 →
+#:   split1m 0.214; adding the shuffle cap measured WORSE, 0.243 — the
+#:   Q1 shuffle carries 6 groups and never needed capping).
+#:
+#: Task count and split size sized to the data, not a plan change
+#: (plan pins unchanged, tests/test_plans.py).
 ROW_CONFS: dict[str, dict[str, str]] = {
-    "rel_join_broadcast_q3": {"spark.sql.shuffle.partitions": "8"},
+    "rel_join_broadcast_q3": {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.files.maxPartitionBytes": "1m",
+    },
+    "rel_agg_hash": {"spark.sql.files.maxPartitionBytes": "1m"},
 }
 
 
@@ -509,30 +568,42 @@ def duckdb_twin_suite(
     med: dict[str, float] = {}
     detail: dict = {"runs": {}, "load1_pre": {}, "load1_post": {}, "regated": []}
 
-    def _probe(sql: str) -> list[float]:
-        rs = []
+    def _probe(sql: str) -> tuple[list[float], list[float]]:
+        import resource
+
+        rs, cs = [], []
         for _ in range(1 + DUCK_WARM_RUNS):
+            r0 = resource.getrusage(resource.RUSAGE_SELF)
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             rs.append(round(time.perf_counter() - t0, 3))
-        return rs
+            r1 = resource.getrusage(resource.RUSAGE_SELF)
+            # DuckDB runs in-process: the rusage delta IS the probe's
+            # CPU — the same companion statistic the Spark rows carry
+            # (r09 #2a), so both sides of the ratio are decomposable.
+            cs.append(
+                round(r1.ru_utime - r0.ru_utime + r1.ru_stime - r0.ru_stime, 3)
+            )
+        return rs, cs
 
+    detail["cpu_runs"] = {}
     for key, sql in DUCK_PROBES.items():
         pre = round(os.getloadavg()[0], 2)
         if pre >= bar and time.time() < deadline:
             detail["regated"].append(key)
             pre, _, _ = _wait_for_idle(deadline)
-        rs = _probe(sql)
+        rs, cs = _probe(sql)
         post = round(os.getloadavg()[0], 2)
         if post >= bar and time.time() < deadline:
             # contention arrived DURING the probe: re-gate, re-run once
             detail["regated"].append(key)
             pre, _, _ = _wait_for_idle(deadline)
-            rs = _probe(sql)
+            rs, cs = _probe(sql)
             post = round(os.getloadavg()[0], 2)
         best[key] = min(rs)
         med[key] = round(statistics.median(rs[1:]), 3)
         detail["runs"][key] = rs
+        detail["cpu_runs"][key] = cs
         detail["load1_pre"][key] = pre
         detail["load1_post"][key] = post
     return best, med, detail
@@ -653,6 +724,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     cpu_runs: dict[str, list[float]] = {}  # process-tree CPU per run
+    shape_floor_runs: dict[str, list[float]] = {}  # no-op twins (r09 #2b)
     contended: dict[str, list[float]] = {}  # pre-regate runs, provenance
     loads_pre: dict[str, float] = {}
     loads: dict[str, float] = {}
@@ -742,16 +814,20 @@ def main() -> None:
         loads_pre[name] = pre
         loads[name] = post
 
-    # Q3 shape floor (VERDICT r09 #2b): the no-op structural twin of the
-    # flat-Q3 row, run under the same ROW_CONFS cap — its warm median is
-    # the scheduling/shuffle-machinery cost any plan of this shape pays
-    # on this host, recorded so the row's residual over DuckDB is
-    # decomposable into floor vs plan without re-running.
-    restore = _row_confs("rel_join_broadcast_q3")
-    try:
-        shape_rs, _ = run_block(q3_shape_floor)
-    finally:
-        restore()
+        # Shape floor (VERDICT r09 #2b): the no-op structural twin of a
+        # floor-dominated row, timed IMMEDIATELY AFTER its row under the
+        # same ROW_CONFS — adjacency is load-bearing: a twin measured at
+        # suite end sees different ambient/self-load than its mid-suite
+        # row and the floor subtraction stops meaning anything (measured:
+        # the Q3 twin read 0.49 s mid-suite vs 0.21 s at suite end on
+        # identical code). Twin warm-median is the scheduling machinery
+        # cost of the SHAPE; row minus twin is data-dependent plan cost.
+        if name in SHAPE_FLOORS:
+            restore = _row_confs(name)
+            try:
+                shape_floor_runs[name], _ = run_block(SHAPE_FLOORS[name])
+            finally:
+                restore()
 
     total = round(
         sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
@@ -834,14 +910,26 @@ def main() -> None:
         for k, cs in cpu_runs.items()
         if len(cs) > 1
     }
-    shape_floor = round(statistics.median(shape_rs[1:]), 3)
+    shape_floors = {
+        k: round(statistics.median(rs[1:]), 3)
+        for k, rs in shape_floor_runs.items()
+    }
+    # row warm-median minus its shape floor, over the DuckDB twin's
+    # warm median — the decomposed plan-cost ratio for each
+    # floor-dominated row.
+    _row_to_duck = {sk: dk for dk, sk in DUCK_MATCHING_SPARK.items()}
+    shape_adjusted = {
+        k: round(max(spark_med[k] - fl, 0.0) / duck_med[_row_to_duck[k]], 2)
+        for k, fl in shape_floors.items()
+        if k in spark_med and duck_med.get(_row_to_duck.get(k))
+    }
 
     detail = {
         "metric": "suite_seconds_detail",
         "runs": runs,
         "cpu_runs": cpu_runs,  # process-tree CPU per run (r09 #2a)
         "cpu_medians": cpu_medians,
-        "q3_shape_floor_runs": shape_rs,  # no-op structural twin (r09 #2b)
+        "shape_floor_runs": shape_floor_runs,  # no-op structural twins (r09 #2b)
         "contended_runs": contended,  # pre-regate samples, provenance
         "warm_spread": spreads,
         "warm_medians": warm_medians,
@@ -892,20 +980,12 @@ def main() -> None:
         "spark_matching_median_subtotal": matching_med_total,
         "duckdb_median_subtotal": duck_med_total,
         "job_floor_s": job_floor,
-        # scheduling cost of the flat-Q3 SHAPE (no-op structural twin,
-        # r09 #2b) and the row's ratio after subtracting it — the
-        # decomposition of record for the one floor-dominated weak row.
-        "q3_shape_floor_s": shape_floor,
-        "q3_floor_adjusted_ratio": (
-            round(
-                max(spark_med["rel_join_broadcast_q3"] - shape_floor, 0.0)
-                / duck_med["rel_join_broadcast"],
-                2,
-            )
-            if duck_med.get("rel_join_broadcast")
-            and "rel_join_broadcast_q3" in spark_med
-            else None
-        ),
+        # scheduling cost of each floor-dominated row's SHAPE (no-op
+        # structural twins, r09 #2b) and the rows' ratios after
+        # subtracting it — the decomposition of record for the rows
+        # whose DuckDB twins run below Spark's job floor.
+        "shape_floor_s": shape_floors,
+        "shape_floor_adjusted_ratios": shape_adjusted,
         # warm-median process-tree CPU for the four matching rows (r09
         # #2a): the contention-insensitive companion to the wall ratios.
         "matching_cpu_medians": {

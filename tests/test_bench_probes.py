@@ -71,8 +71,8 @@ def test_summary_line_fits_driver_stdout_tail():
         "spark_matching_median_subtotal": 9999.999,
         "duckdb_median_subtotal": 9999.999,
         "job_floor_s": 9.9999,
-        "q3_shape_floor_s": 9999.999,
-        "q3_floor_adjusted_ratio": 99.99,
+        "shape_floor_s": {k: 9999.999 for k in bench.SHAPE_FLOORS},
+        "shape_floor_adjusted_ratios": {k: 99.99 for k in bench.SHAPE_FLOORS},
         "matching_cpu_medians": {
             k: 9999.999 for k in bench.DUCK_MATCHING_SPARK.values()
         },
@@ -149,7 +149,13 @@ def test_summary_line_fits_driver_stdout_tail():
                 {
                     k: v
                     for k, v in summary.items()
-                    if k not in ("queries", "warm_medians", "matching_ratios")
+                    if k
+                    not in (
+                        "queries",
+                        "warm_medians",
+                        "matching_cpu_medians",
+                        "matching_ratios",
+                    )
                 }
             )
         )
@@ -159,7 +165,9 @@ def test_summary_line_fits_driver_stdout_tail():
     assert len(line) <= bench.SUMMARY_LINE_BUDGET
     parsed = __import__("json").loads(line)
     assert parsed.get("truncated") is not True
-    assert parsed["matching_ratios"] == {}  # dropped by the ladder
+    # dropped by the ladder, in order, until the line fits
+    assert parsed["matching_cpu_medians"] == {}
+    assert parsed["matching_ratios"] == {}
     assert parsed["spark_matching_subtotal"] == 9999.999
     assert parsed["matching_vs_duckdb_same_session"] == 99.999
 

@@ -427,9 +427,10 @@ def test_bench_rows_run_on_degenerate_fixture(spark, degenerate_sf, tmp_path, mo
     try:
         for name, fn in bench.BENCH_QUERIES.items():
             assert fn(spark, degenerate_sf).count() >= 0, name
-        # the decomposition twin is data-free but part of the artifact
-        # pipeline — it must run wherever the suite runs
-        assert bench.q3_shape_floor(spark, degenerate_sf).count() >= 0
+        # the decomposition twins are data-free but part of the
+        # artifact pipeline — they must run wherever the suite runs
+        for floor_fn in bench.SHAPE_FLOORS.values():
+            assert floor_fn(spark, degenerate_sf).count() >= 0
     finally:
         for t in ("bench_li_b", "bench_ord_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
