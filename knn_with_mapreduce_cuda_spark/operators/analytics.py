@@ -683,9 +683,13 @@ def spearman_rho(pts: DataFrame) -> DataFrame:
     )
     return m.select(
         "n",
+        # try_divide: a zero-variance side zeroes the sqrt and ANSI mode
+        # would crash where DuckDB's x/0 yields the NULL rho the oracle
+        # emits (same hazard class as llm_heaps_law, found by the r10
+        # unicode sweep; fixed proactively across the OLS idiom).
         F.expr(
-            "round((n * sxy - sx * sy) / "
-            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4)"
+            "round(try_divide(CAST(n * sxy - sx * sy AS DOUBLE), "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))), 4)"
         ).alias("rho"),
     )
 
@@ -816,9 +820,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
     return m.select(
         "n",
+        # try_divide: a degree-regular graph zeroes both variances and
+        # ANSI mode would crash where DuckDB's x/0 yields the NULL the
+        # oracle emits (same hazard class as llm_heaps_law, r10 sweep).
         F.expr(
-            "round((n * sxy - sx * sy) / "
-            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4)"
+            "round(try_divide(CAST(n * sxy - sx * sy AS DOUBLE), "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))), 4)"
         ).alias("assortativity"),
     )
 
@@ -4504,9 +4511,14 @@ def _q_heaps_law(spark, sf_dir):
         F.sum(col("xq") * col("xq")).alias("sxx"),
         F.sum(col("xq") * col("yq")).alias("sxy"),
     )
+    # try_divide, not /: a corpus where every checkpoint sees the same
+    # cumulative token count (all docs below the first checkpoint — the
+    # round-10 unicode-degenerate fixture) zeroes the x-variance, and
+    # ANSI mode would crash the whole job where DuckDB's x/0 yields the
+    # NULL beta the oracle already emits (scripts/unicode_sweep_r10.py).
     beta = g.select(
         F.expr(
-            "round(CAST(m * sxy - sx * sy AS DOUBLE) / (m * sxx - sx * sx), 4)"
+            "round(try_divide(CAST(m * sxy - sx * sy AS DOUBLE), m * sxx - sx * sx), 4)"
         ).alias("beta")
     )
     return pts.crossJoin(F.broadcast(beta)).select("cp", "n", "v", "beta")

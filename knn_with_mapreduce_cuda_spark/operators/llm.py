@@ -2450,8 +2450,16 @@ def _q_mix_budget(spark, sf_dir):
     per_src = t.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum(F.size("ts")).alias("avail_tok")
     )
+    # try_cast + coalesce, not cast: a source name without digits past
+    # position 3 (e.g. a 1-char source in the round-10 unicode sweep)
+    # makes the substring '' and ANSI CAST crashes the job; malformed
+    # sources deterministically take weight 1 on BOTH engines
+    # (scripts/unicode_sweep_r10.py). Identical to the plain cast on
+    # every well-formed 'src<N>' name (golden digests unchanged).
     weighted = per_src.withColumn(
-        "weight", (F.substring("source", 4, 10).cast("long") % 3 + 1)
+        "weight",
+        F.coalesce(F.substring("source", 4, 10).try_cast("long"), F.lit(0)) % 3
+        + 1,
     )
     tot = weighted.agg(
         F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("sum_w")
@@ -2909,8 +2917,8 @@ ORACLE = {
         "FROM documents), "
         "per AS (SELECT source, count(*) AS n_docs, CAST(sum(len(ts)) AS BIGINT) "
         "AS avail_tok FROM toks GROUP BY source), "
-        "wt AS (SELECT *, CAST(substring(source, 4, 10) AS BIGINT) % 3 + 1 AS weight "
-        "FROM per), "
+        "wt AS (SELECT *, coalesce(TRY_CAST(substring(source, 4, 10) AS BIGINT), 0) "
+        "% 3 + 1 AS weight FROM per), "
         "tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot_tok, "
         "CAST(sum(weight) AS BIGINT) AS sum_w FROM wt), "
         "al AS (SELECT source, n_docs, avail_tok, weight, "

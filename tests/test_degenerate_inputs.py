@@ -24,6 +24,15 @@ keys must also value-match the shipped oracle SQL on it. The former
 list_cosine_similarity exception is CLOSED (VERDICT r09 #4): those two
 oracles now use the explicit inner-product formula with NULLIF, so the
 twins agree on every input including zero-norm vectors.
+
+Round 10 added the UNICODE dimension (scripts/unicode_sweep_r10.py —
+all 368 keys over CJK/emoji/RTL/combining-mark/NBSP text): two new
+crashers found and fixed (llm_mix_budget ANSI CAST('' AS BIGINT) →
+try_cast weight-1 convention; llm_heaps_law zero-x-variance OLS →
+try_divide NULL beta, with the same guard applied proactively to
+ml_spearman_rho and graph_assortativity), and ZERO unicode twin
+mismatches across the 75 documents-reading oracles. Pinned below by
+the unicode_sf fixture.
 """
 
 from __future__ import annotations
@@ -434,3 +443,167 @@ def test_bench_rows_run_on_degenerate_fixture(spark, degenerate_sf, tmp_path, mo
     finally:
         for t in ("bench_li_b", "bench_ord_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory):
+    """Unicode-degenerate text fixture (round-10 sweep,
+    scripts/unicode_sweep_r10.py): CJK without spaces, ZWJ emoji
+    sequences, combining diacritics, RTL Arabic with tashkeel, NBSP/tab
+    whitespace, supplementary-plane chars, mixed scripts — plus a
+    1-char source name and a corpus entirely below the first Heaps
+    checkpoint. The sweep ran all 368 keys on it and found two ANSI
+    crashers (llm_mix_budget: CAST('' AS BIGINT); llm_heaps_law:
+    zero x-variance OLS divide) and ZERO unicode twin mismatches
+    across the 75 documents-reading oracles — Spark and DuckDB agree
+    on UTF-8 length/substring/split semantics for every case above."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("unicode_sf")
+    con = duckdb.connect()
+
+    def w(name, sql):
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+
+    w("region", "SELECT CAST(0 AS INTEGER) r_regionkey, 'AFRICA' r_name")
+    w(
+        "nation",
+        "SELECT CAST(0 AS INTEGER) n_nationkey, 'ALGERIA' n_name, "
+        "CAST(0 AS INTEGER) n_regionkey",
+    )
+    w(
+        "customer",
+        "SELECT CAST(1 AS BIGINT) c_custkey, 'Customer#1' c_name, "
+        "CAST(0 AS INTEGER) c_nationkey, CAST(100.0 AS DOUBLE) c_acctbal, "
+        "'BUILDING' c_mktsegment",
+    )
+    w(
+        "orders",
+        "SELECT CAST(1 AS BIGINT) o_orderkey, CAST(1 AS BIGINT) o_custkey, "
+        "'O' o_orderstatus, CAST(10.0 AS DOUBLE) o_totalprice, "
+        "TIMESTAMP '1995-01-01 00:00:00' o_orderdate, '1-URGENT' o_orderpriority",
+    )
+    w(
+        "supplier",
+        "SELECT CAST(1 AS BIGINT) s_suppkey, 'Supplier#1' s_name, "
+        "CAST(0 AS INTEGER) s_nationkey, CAST(100.0 AS DOUBLE) s_acctbal",
+    )
+    w(
+        "part",
+        "SELECT CAST(1 AS BIGINT) p_partkey, 'green part' p_name, "
+        "'Brand#1' p_brand, 'TYPE A' p_type, CAST(1 AS INTEGER) p_size, "
+        "CAST(10.0 AS DOUBLE) p_retailprice",
+    )
+    w(
+        "lineitem",
+        "SELECT CAST(1 AS BIGINT) l_orderkey, CAST(1 AS BIGINT) l_partkey, "
+        "CAST(1 AS BIGINT) l_suppkey, CAST(1 AS INTEGER) l_linenumber, "
+        "CAST(1.0 AS DOUBLE) l_quantity, CAST(10.0 AS DOUBLE) l_extendedprice, "
+        "CAST(0.0 AS DOUBLE) l_discount, CAST(0.0 AS DOUBLE) l_tax, "
+        "'N' l_returnflag, 'O' l_linestatus, TIMESTAMP '1995-02-01 00:00:00' l_shipdate",
+    )
+    w(
+        "events",
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT), "
+        "'view', CAST(5.0 AS DOUBLE), '{}'), "
+        "(CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 10:20:00', CAST(1 AS BIGINT), "
+        "'purchase', CAST(7.0 AS DOUBLE), '{}')"
+        ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    for vid in (0, 5, 7, 50):
+        con.execute(
+            "INSERT INTO emb VALUES (?, ?, ?)", [vid, [float(vid % 3 + 1)] * 64, 1]
+        )
+    con.execute(
+        f"COPY (SELECT * FROM emb) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    docs = [
+        (0, "日本語のテキストです。分かち書きなし"),
+        (1, "café café CAFÉ"),
+        (2, "\U0001f469‍\U0001f4bb works \U0001f44d\U0001f3fd ok \U0001f680"),
+        (3, "مَرحَبًا بِالعَالَم"),
+        (4, "tab\tsep nbsp sep line\nbreak"),
+        (5, "\U00010348 gothic \U0001d11e clef"),
+        (6, "latin中文mix Ж Ω א"),
+        (7, "aaa 中中中"),
+        (10, "The quick brown fox jumps over the lazy dog. " * 3),
+    ]
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    for did, text in docs:
+        con.execute(
+            "INSERT INTO docs VALUES (?, ?, 'xx', 's', ?)", [did, text, len(text)]
+        )
+    con.execute(
+        f"COPY (SELECT * FROM docs) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return str(out)
+
+
+#: the two r10 unicode-sweep crashers (now fixed NULL/weight-1
+#: consistently with DuckDB) plus representative members of the
+#: twin-matched unicode surface — all must RUN and value-match the
+#: shipped oracle on the unicode fixture.
+UNICODE_TWIN_KEYS = [
+    "llm_mix_budget",
+    "llm_heaps_law",
+    "llm_text_tokenize",
+    "llm_text_ngram",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_dedup_hash",
+]
+
+
+def test_unicode_keys_run_and_match_oracle(spark, unicode_sf):
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import duck_connection
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql(unicode_sf)
+    con = duck_connection(unicode_sf)
+    try:
+        for key in UNICODE_TWIN_KEYS:
+            got = sorted(map(tuple, qs[key](spark, unicode_sf).collect()), key=repr)
+            want = sorted(map(tuple, con.execute(oracles[key]).fetchall()), key=repr)
+            assert len(got) == len(want), (key, got, want)
+            for g, w in zip(got, want):
+                assert repr(g) == repr(w) or g == pytest.approx(w, abs=1e-4), (
+                    key,
+                    g,
+                    w,
+                )
+    finally:
+        con.close()
+
+
+def test_zero_variance_ols_null_convention(spark):
+    """The OLS/correlation idiom (heaps_law, spearman, assortativity)
+    yields NULL on zero variance — matching DuckDB's x/0 → NULL —
+    never an ANSI DIVIDE_BY_ZERO crash (r10 unicode sweep finding,
+    fixed across the idiom class)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], "xq long, yq long"
+    ).agg(
+        F.count("*").alias("m"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    row = df.select(
+        F.expr(
+            "round(try_divide(CAST(m * sxy - sx * sy AS DOUBLE), "
+            "m * sxx - sx * sx), 4)"
+        ).alias("beta")
+    ).collect()[0]
+    assert row["beta"] is None
