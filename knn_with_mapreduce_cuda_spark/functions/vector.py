@@ -64,9 +64,17 @@ def hamming_sign(a: Column | str, b: Column | str) -> Column:
     binary-embedding ANN (SimHash's geometric cousin); integer-valued, so
     exact under any accumulation order."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    # NULL components POISON the distance (propagate NULL) like every
+    # arithmetic metric, instead of silently counting as a sign
+    # agreement (the old CASE's ELSE swallowed the NULL comparison) —
+    # the engine-wide corrupt-vector convention (r10 non-finite sweep).
     return F.aggregate(
         F.zip_with(
-            a, b, lambda x, y: F.when((x >= 0) != (y >= 0), F.lit(1.0)).otherwise(F.lit(0.0))
+            a,
+            b,
+            lambda x, y: F.when(x.isNull() | y.isNull(), F.lit(None).cast("double"))
+            .when((x >= 0) != (y >= 0), F.lit(1.0))
+            .otherwise(F.lit(0.0)),
         ),
         F.lit(0.0),
         lambda s, x: s + x,

@@ -251,7 +251,7 @@ def ks_two_sample(values: DataFrame) -> DataFrame:
             "n1",
             "n2",
             "d_scaled",
-            F.expr("round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4)").alias("d_stat"),
+            F.expr("round(try_divide(CAST(d_scaled AS DOUBLE), (n1 * n2)), 4)").alias("d_stat"),
         )
     )
 
@@ -407,7 +407,7 @@ def decision_stump(pts: DataFrame) -> DataFrame:
             F.round("x", 4).alias("threshold"),
             "pos_left",
             "correct",
-            F.expr("round(CAST(correct AS DOUBLE) / nn, 4)").alias("accuracy"),
+            F.expr("round(try_divide(CAST(correct AS DOUBLE), nn), 4)").alias("accuracy"),
             col("nn").alias("n"),
         )
     )
@@ -586,7 +586,7 @@ def _q_seasonal_profile(spark, sf_dir):
         "hod",
         "n_hours",
         "total_events",
-        F.expr("round(CAST(total_events AS DOUBLE) / n_hours, 4)").alias("mean_per_hour"),
+        F.expr("round(try_divide(CAST(total_events AS DOUBLE), n_hours), 4)").alias("mean_per_hour"),
         F.expr(
             "round(CAST(total_events * n_all AS DOUBLE) / (n_hours * s_all), 4)"
         ).alias("rel_to_overall"),
@@ -877,7 +877,7 @@ def _q_power_users(spark, sf_dir):
         "top_users",
         "total_events",
         "top_events",
-        F.expr("round(CAST(top_events AS DOUBLE) / total_events, 4)").alias("share"),
+        F.expr("round(try_divide(CAST(top_events AS DOUBLE), total_events), 4)").alias("share"),
     )
 
 
@@ -902,8 +902,8 @@ def _q_ab_proportions(spark, sf_dir):
         "x1",
         "n2",
         "x2",
-        F.expr("round(CAST(x1 AS DOUBLE) / n1, 4)").alias("p1"),
-        F.expr("round(CAST(x2 AS DOUBLE) / n2, 4)").alias("p2"),
+        F.expr("round(try_divide(CAST(x1 AS DOUBLE), n1), 4)").alias("p1"),
+        F.expr("round(try_divide(CAST(x2 AS DOUBLE), n2), 4)").alias("p2"),
         F.expr(
             "round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
             "sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
@@ -929,8 +929,8 @@ def changepoint(series: DataFrame, min_seg: int = 24) -> DataFrame:
     )
     scored = cand.select(
         "h",
-        F.expr("round(CAST(cs AS DOUBLE) / rn, 4)").alias("mean_left"),
-        F.expr("round(CAST(s_all - cs AS DOUBLE) / (n_all - rn), 4)").alias("mean_right"),
+        F.expr("round(try_divide(CAST(cs AS DOUBLE), rn), 4)").alias("mean_left"),
+        F.expr("round(try_divide(CAST(s_all - cs AS DOUBLE), (n_all - rn)), 4)").alias("mean_right"),
         F.expr(
             "round(abs(CAST(cs AS DOUBLE) / rn - "
             "CAST(s_all - cs AS DOUBLE) / (n_all - rn)), 4)"
@@ -978,7 +978,7 @@ def _q_ngram_novelty(spark, sf_dir):
             F.coalesce(col("n_unseen"), lit(0).cast("long")).alias("n_unseen"),
         )
         .withColumn(
-            "novelty", F.expr("round(CAST(n_unseen AS DOUBLE) / n_bigrams, 4)")
+            "novelty", F.expr("round(try_divide(CAST(n_unseen AS DOUBLE), n_bigrams), 4)")
         )
     )
 
@@ -1013,7 +1013,7 @@ def _q_feature_gain(spark, sf_dir):
     return best.select(
         col("dim").cast("long").alias("dim"),
         "best_correct",
-        F.expr("round(CAST(best_correct AS DOUBLE) / nn, 4)").alias("accuracy"),
+        F.expr("round(try_divide(CAST(best_correct AS DOUBLE), nn), 4)").alias("accuracy"),
     )
 
 
@@ -1064,8 +1064,8 @@ def roc_curve(pts: DataFrame) -> DataFrame:
         F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
         "tp",
         "fp",
-        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("tpr"),
-        F.expr("round(CAST(fp AS DOUBLE) / neg, 4)").alias("fpr"),
+        F.expr("round(try_divide(CAST(tp AS DOUBLE), p), 4)").alias("tpr"),
+        F.expr("round(try_divide(CAST(fp AS DOUBLE), neg), 4)").alias("fpr"),
     )
 
 
@@ -1098,7 +1098,7 @@ def _q_calibration_knn(spark, sf_dir):
             F.expr(f"round(CAST(conf_votes AS DOUBLE) / {K_DEFAULT}, 4)").alias(
                 "confidence"
             ),
-            F.expr("round(CAST(n_correct AS DOUBLE) / n, 4)").alias("empirical_acc"),
+            F.expr("round(try_divide(CAST(n_correct AS DOUBLE), n), 4)").alias("empirical_acc"),
         )
     )
 
@@ -1178,7 +1178,7 @@ def _q_brier_score(spark, sf_dir):
     )
     return scored.agg(F.count("*").alias("n_test"), F.sum("qs").alias("total")).select(
         "n_test",
-        F.expr(f"round(CAST(total AS DOUBLE) / (n_test * {K_DEFAULT * K_DEFAULT}), 4)").alias(
+        F.expr(f"round(try_divide(CAST(total AS DOUBLE), (n_test * {K_DEFAULT * K_DEFAULT})), 4)").alias(
             "brier"
         ),
     )
@@ -1203,7 +1203,9 @@ def _q_log_loss(spark, sf_dir):
     )
     return terms.agg(F.count("*").alias("n_test"), F.sum("ti").alias("tsum")).select(
         "n_test",
-        F.expr("round(tsum / CAST(1000000000 AS DOUBLE) / n_test, 4)").alias("log_loss"),
+        F.expr(
+            "round(try_divide(tsum / CAST(1000000000 AS DOUBLE), n_test), 4)"
+        ).alias("log_loss"),
     )
 
 
@@ -1263,7 +1265,9 @@ def _q_arrival_iat(spark, sf_dir):
     return gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
         F.sum("gap").alias("total_us"),
-        F.expr("round(CAST(sum(gap) AS DOUBLE) / count(*), 4)").alias("mean_us"),
+        F.expr(
+            "round(try_divide(CAST(sum(gap) AS DOUBLE), count(*)), 4)"
+        ).alias("mean_us"),
         F.expr("round(percentile(gap, 0.5), 4)").alias("median_us"),
         F.max("gap").alias("max_us"),
     )
@@ -1470,8 +1474,8 @@ def _q_dataset_card(spark, sf_dir):
         "total_chars",
         "total_tokens",
         "n_dup_docs",
-        F.expr("round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4)").alias("dup_rate"),
-        F.expr("round(CAST(total_tokens AS DOUBLE) / n_docs, 4)").alias(
+        F.expr("round(try_divide(CAST(n_dup_docs AS DOUBLE), n_docs), 4)").alias("dup_rate"),
+        F.expr("round(try_divide(CAST(total_tokens AS DOUBLE), n_docs), 4)").alias(
             "mean_tokens_per_doc"
         ),
     )
@@ -1944,8 +1948,8 @@ def _q_pr_curve(spark, sf_dir):
         F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
         "tp",
         "fp",
-        F.expr("round(CAST(tp AS DOUBLE) / (tp + fp), 4)").alias("precision"),
-        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("recall"),
+        F.expr("round(try_divide(CAST(tp AS DOUBLE), (tp + fp)), 4)").alias("precision"),
+        F.expr("round(try_divide(CAST(tp AS DOUBLE), p), 4)").alias("recall"),
     )
 
 
@@ -2354,8 +2358,8 @@ def _q_decompose(spark, sf_dir):
     return r.select(
         "h",
         "c",
-        F.expr("round(CAST(s_sum AS DOUBLE) / s_n, 4)").alias("seasonal"),
-        F.expr("round(CAST(t_sum AS DOUBLE) / t_n, 4)").alias("trend"),
+        F.expr("round(try_divide(CAST(s_sum AS DOUBLE), s_n), 4)").alias("seasonal"),
+        F.expr("round(try_divide(CAST(t_sum AS DOUBLE), t_n), 4)").alias("trend"),
         F.expr(
             "round(c - CAST(s_sum AS DOUBLE) / s_n - CAST(t_sum AS DOUBLE) / t_n "
             "+ CAST(gs AS DOUBLE) / gn, 4)"
@@ -3018,7 +3022,7 @@ def _q_learning_curve(spark, sf_dir):
         [(25, "40"), (50, "80"), (75, "c0"), (100, "zz")], "frac int, thr string"
     )
     fan = pairs.crossJoin(F.broadcast(fr)).filter(col("bkt") < col("thr"))
-    w = Window.partitionBy("frac", "qid").orderBy("dist", "tid")
+    w = Window.partitionBy("frac", "qid").orderBy(F.asc_nulls_last("dist"), "tid")
     top = fan.withColumn("rnk", F.row_number().over(w)).filter(
         col("rnk") <= K_DEFAULT
     )
@@ -3155,7 +3159,7 @@ def _q_ivf_recall(spark, sf_dir):
             ).alias("dist"),
         )
     )
-    wr = Window.partitionBy("qid").orderBy("dist", "tid")
+    wr = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     approx = scored.withColumn("rnk", F.row_number().over(wr)).filter(
         col("rnk") <= 10
     )
@@ -3653,7 +3657,7 @@ def _q_embed_drift_ks(spark, sf_dir):
     return d.select(
         "n1",
         "n2",
-        F.expr("round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4)").alias("d_stat"),
+        F.expr("round(try_divide(CAST(d_scaled AS DOUBLE), (n1 * n2)), 4)").alias("d_stat"),
         F.expr(
             "round(1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / "
             "(n1 * CAST(n2 AS DOUBLE))), 4)"
@@ -4028,7 +4032,7 @@ def _q_dim_ablation(spark, sf_dir):
     )
     out = None
     for name, dist in [("dims_64", "d64"), ("dims_32", "d32")]:
-        w = Window.partitionBy("qid").orderBy(dist, "tid")
+        w = Window.partitionBy("qid").orderBy(F.asc_nulls_last(dist), "tid")
         top = d.withColumn("rnk", F.row_number().over(w)).filter(
             col("rnk") <= K_DEFAULT
         )
@@ -4356,7 +4360,7 @@ def _q_youden_threshold(spark, sf_dir):
             F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
             "tp",
             "fp",
-            F.expr("round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / neg, 4)").alias(
+            F.expr("round(try_divide(CAST(tp AS DOUBLE), p) - try_divide(CAST(fp AS DOUBLE), neg), 4)").alias(
                 "youden_j"
             ),
         )
@@ -4797,7 +4801,7 @@ def _q_gumbel_fit(spark, sf_dir):
     )
     return g.select(
         col("n").alias("n_blocks"),
-        F.expr("round(CAST(s1 AS DOUBLE) / n, 4)").alias("mean_max"),
+        F.expr("round(try_divide(CAST(s1 AS DOUBLE), n), 4)").alias("mean_max"),
         F.expr(
             "round(sqrt((ss - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) "
             "* sqrt(6) / pi(), 4)"
@@ -4968,9 +4972,9 @@ def _q_operating_point_card(spark, sf_dir):
         "fp",
         (col("p") - col("tp")).alias("fn"),
         (col("neg") - col("fp")).alias("tn"),
-        F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("sensitivity"),
-        F.expr("round(CAST(neg - fp AS DOUBLE) / neg, 4)").alias("specificity"),
-        F.expr("round(CAST(tp AS DOUBLE) / (tp + fp), 4)").alias("ppv"),
+        F.expr("round(try_divide(CAST(tp AS DOUBLE), p), 4)").alias("sensitivity"),
+        F.expr("round(try_divide(CAST(neg - fp AS DOUBLE), neg), 4)").alias("specificity"),
+        F.expr("round(try_divide(CAST(tp AS DOUBLE), (tp + fp)), 4)").alias("ppv"),
         F.expr(
             "round(CAST(neg - fp AS DOUBLE) / ((neg - fp) + (p - tp)), 4)"
         ).alias("npv"),
@@ -5197,8 +5201,8 @@ def _q_tpr_at_fixed_fpr(spark, sf_dir):
             F.expr("round(score, 4) + CAST(0 AS DOUBLE)").alias("threshold"),
             "tp",
             "fp",
-            F.expr("round(CAST(tp AS DOUBLE) / p, 4)").alias("tpr"),
-            F.expr("round(CAST(fp AS DOUBLE) / neg, 4)").alias("fpr"),
+            F.expr("round(try_divide(CAST(tp AS DOUBLE), p), 4)").alias("tpr"),
+            F.expr("round(try_divide(CAST(fp AS DOUBLE), neg), 4)").alias("fpr"),
         )
     )
 
@@ -5445,7 +5449,7 @@ _UD = f"WITH {_EVD}, ud AS (SELECT DISTINCT user_id, day FROM evd)"
 
 # Mutual-kNN edge list (a < b), k=5 — mirrors operators/knn.py K_JOIN.
 _MUTUAL = (
-    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
     "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
     "list_distance(q.emb, t.emb) AS dist FROM emb q, emb t WHERE t.vec_id <> q.vec_id), "
     "ranked AS (SELECT pairs.*, row_number() OVER "
@@ -5551,7 +5555,7 @@ ORACLE = {
         "FROM scored ORDER BY jac DESC, x, y LIMIT 20"
     ),
     "ml_decision_stump": (
-        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS x, "
+        "WITH pts AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
         "per AS (SELECT x, count(*) AS n, sum(y) AS pos FROM pts GROUP BY x), "
         "cum AS (SELECT x, sum(n) OVER w AS cn, sum(pos) OVER w AS cp FROM per "
@@ -5631,8 +5635,8 @@ ORACLE = {
         "AS cusum FROM r"
     ),
     "ml_spearman_rho": (
-        "WITH pts AS (SELECT CAST(embedding AS DOUBLE[])[1] AS x, "
-        "CAST(embedding AS DOUBLE[])[2] AS y FROM embeddings), "
+        "WITH pts AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
+        "CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[2] AS y FROM embeddings), "
         "r AS (SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER "
         "(PARTITION BY x) - 1 AS rx, 2 * rank() OVER (ORDER BY y) + count(*) OVER "
         "(PARTITION BY y) - 1 AS ry FROM pts), "
@@ -5645,8 +5649,8 @@ ORACLE = {
         "FROM m"
     ),
     "ml_kendall_tau": (
-        "WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[1] AS x, "
-        "CAST(embedding AS DOUBLE[])[2] AS y FROM embeddings), "
+        "WITH pts AS (SELECT vec_id AS id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
+        "CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[2] AS y FROM embeddings), "
         "pair AS (SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj "
         "FROM pts a JOIN pts b ON a.id < b.id), "
         "cd AS (SELECT CAST(sum(CASE WHEN (xi < xj AND yi < yj) OR "
@@ -5759,7 +5763,7 @@ ORACLE = {
         "FROM per LEFT JOIN unseen ON per.doc_id = unseen.doc_id"
     ),
     "ml_feature_gain": (
-        "WITH embd AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+        "WITH embd AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
         "pts AS (SELECT i - 1 AS dim, emb[CAST(i AS INTEGER)] AS x, y "
         "FROM embd, range(1, 9) t(i)), "
@@ -5780,7 +5784,7 @@ ORACLE = {
         "round(CAST(best_correct AS DOUBLE) / nn, 4) AS accuracy FROM best"
     ),
     "ml_roc_curve": (
-        "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+        "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
         "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
@@ -6195,7 +6199,7 @@ ORACLE["llm_tfidf_cosine_pairs"] = (
 )
 
 ORACLE["ml_pr_curve"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, sum(y) AS pos FROM pts GROUP BY score), "
@@ -6268,7 +6272,7 @@ ORACLE["ml_cohens_kappa"] = (
 )
 
 ORACLE["ml_gains_table"] = (
-    "WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1] AS score, "
+    "WITH pts AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "dd AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile "
     "FROM pts), "
@@ -6322,7 +6326,7 @@ ORACLE["rel_try_arith"] = (
 )
 
 ORACLE["ml_logreg_irls1"] = (
-    "WITH pts AS (SELECT CAST(round(CAST(embedding AS DOUBLE[])[1] * 1000000, 0) "
+    "WITH pts AS (SELECT CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
     "AS BIGINT) AS xq, CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "m AS (SELECT count(*) AS n, CAST(sum(xq) AS BIGINT) AS u, "
     "CAST(sum(xq * xq) AS BIGINT) AS v, CAST(sum(y) AS BIGINT) AS sy, "
@@ -6712,7 +6716,7 @@ from .llm import _LANG_COUNTS as _LC, _TOKS as _LT, _lang_pred_case as _lpc  # n
 
 ORACLE["ml_kmeans_inertia"] = (
     f"WITH asg AS ({_KM_SQL}), "
-    "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "emb2 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
     "cd AS (SELECT asg.cluster AS c, i, "
     "round(avg(emb[CAST(i + 1 AS INT)]), 4) AS cm "
     "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id, range(64) t(i) "
@@ -6803,7 +6807,7 @@ ORACLE["str_user_temporal_entropy"] = (
 
 ORACLE["ml_ivf_recall_at10"] = (
     f"WITH asg AS ({_KM_SQL}), "
-    "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    "emb2 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
     "cd AS (SELECT asg.cluster AS c, i, "
     "round(avg(emb[CAST(i + 1 AS INT)]), 4) AS cm "
     "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id, range(64) t(i) "
@@ -6827,8 +6831,8 @@ ORACLE["ml_ivf_recall_at10"] = (
     "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM scored) WHERE rnk <= 10), "
     "exact_p AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
     "list_distance(q.emb2c, t.emb2c) AS dist FROM "
-    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb2c FROM embeddings) q, "
-    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb2c FROM embeddings) t "
+    "(SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb2c FROM embeddings) q, "
+    "(SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb2c FROM embeddings) t "
     "WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id), "
     "exact AS (SELECT qid, tid FROM (SELECT qid, tid, row_number() OVER "
     "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM exact_p) WHERE rnk <= 10), "
@@ -6856,7 +6860,7 @@ ORACLE["ts_lag_features"] = (
 )
 
 ORACLE["llm_embed_outliers"] = (
-    "WITH emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+    "WITH emb2 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
     "FROM embeddings), "
     "cd AS (SELECT i, round(avg(emb[CAST(i + 1 AS INT)]), 6) AS m "
     "FROM emb2, range(64) t(i) GROUP BY i), "
@@ -7063,7 +7067,7 @@ ORACLE["ts_season_strength"] = (
 )
 
 ORACLE["ml_embed_drift_ks"] = (
-    "WITH vals AS (SELECT CAST(round(CAST(embedding AS DOUBLE[])[1] * 1000000, 0) "
+    "WITH vals AS (SELECT CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
     "AS BIGINT) AS vc, CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS grp "
     "FROM embeddings), "
     "per AS (SELECT vc, "
@@ -7473,7 +7477,7 @@ ORACLE["str_stickiness"] = (
 )
 
 ORACLE["ml_youden_threshold"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
@@ -7494,7 +7498,7 @@ ORACLE["ml_youden_threshold"] = (
 )
 
 ORACLE["ml_average_precision"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
@@ -7726,7 +7730,7 @@ ORACLE["rel_unique_key_audit"] = (
 )
 
 ORACLE["ml_best_f1_threshold"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
@@ -7825,7 +7829,7 @@ ORACLE["llm_dedup_cluster_langs"] = materialize_ctes(
 )
 
 ORACLE["ml_operating_point_card"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
@@ -7950,7 +7954,7 @@ ORACLE["graph_degree_entropy"] = (
 )
 
 ORACLE["ml_tpr_at_fixed_fpr"] = (
-    "WITH pts AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 4) "
+    "WITH pts AS (SELECT round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1], 4) "
     "+ CAST(0 AS DOUBLE) AS score, "
     "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "per AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "

@@ -66,7 +66,7 @@ def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
     d = e.crossJoin(F.broadcast(centroids)).withColumn(
         "dist", F.round(sq_euclidean(col("emb"), col("cent")), 4)
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "c")
+    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("dist"), "c")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(col("rn") == 1)
@@ -435,7 +435,7 @@ QUERIES = {
 
 from .llm import _BANDS, _MINHASH, _SH, _TOKS  # noqa: E402  (proven oracle CTEs)
 
-_EMB_D = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+_EMB_D = "emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings)"
 
 _SEED_LIST = ", ".join(str(i) for i in KMEANS_SEED_IDS)
 

@@ -76,7 +76,7 @@ def topk(pairs_with_dist: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     """Per-query k smallest distances; ties broken on tid (total order).
     InferWindowGroupLimit prunes to k per partition before the shuffle —
     the MapReduce Combiner, supplied by Catalyst."""
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return pairs_with_dist.withColumn("rnk", F.row_number().over(w)).filter(col("rnk") <= k)
 
 
@@ -214,9 +214,12 @@ def _q_normalize_minmax(spark, sf_dir):
     return ex.join(F.broadcast(stats), "pos").select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
-        F.round((col("val") - col("_mn")) / (col("_mx") - col("_mn")), 4).alias(
-            "scaled"
-        ),
+        # try_divide: a CONSTANT dimension has zero range — NULL scaled
+        # value, matching DuckDB's x/0 (r10 non-finite sweep; reachable
+        # the moment poisoning shrinks a fixture to identical vectors).
+        F.round(
+            F.try_divide(col("val") - col("_mn"), col("_mx") - col("_mn")), 4
+        ).alias("scaled"),
     )
 
 
@@ -245,7 +248,10 @@ def _q_normalize_zscore(spark, sf_dir):
         col("pos").cast("long").alias("pos"),
         # + 0.0 normalizes IEEE -0.0 (round of a tiny negative) to +0.0 so
         # the value-hash is engine-independent; same term in the oracle SQL.
-        (F.round((col("val") - col("_mu")) / col("_sd"), 4) + 0.0).alias("scaled"),
+        # try_divide: a zero-variance dimension yields NULL, like DuckDB
+        (F.round(F.try_divide(col("val") - col("_mu"), col("_sd")), 4) + 0.0).alias(
+            "scaled"
+        ),
     )
 
 
@@ -259,7 +265,8 @@ def _q_normalize_unit(spark, sf_dir):
     return ex.select(
         "vec_id",
         col("pos").cast("long").alias("pos"),
-        (F.round(col("val") / col("nrm"), 4) + 0.0).alias("scaled"),
+        # try_divide: a zero-norm vector yields NULL, like DuckDB
+        (F.round(F.try_divide(col("val"), col("nrm")), 4) + 0.0).alias("scaled"),
     )
 
 
@@ -404,7 +411,7 @@ def _q_crossval(spark, sf_dir):
         F.broadcast(q), col("fold") != col("tfold")
     )
     d = pairs.withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
-    w = Window.partitionBy("fold", "qid").orderBy("dist", "tid")
+    w = Window.partitionBy("fold", "qid").orderBy(F.asc_nulls_last("dist"), "tid")
     top = d.withColumn("rnk", F.row_number().over(w)).filter(col("rnk") <= K_DEFAULT)
     votes = top.groupBy("fold", "qid", "qlabel", "tlabel").agg(
         F.count("*").alias("votes")
@@ -746,7 +753,7 @@ def _q_centroid(spark, sf_dir):
     scored = test.crossJoin(F.broadcast(cent)).withColumn(
         "dist", METRICS["euclidean"]("qemb", "cemb")
     )
-    w = Window.partitionBy("qid").orderBy("dist", "clabel")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "clabel")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(col("rn") == 1)
@@ -787,7 +794,7 @@ def _q_dist_seuclidean(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     d = pairs.withColumn("dist", F.round(F.sqrt(wsum), 4))
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         d.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= K_JOIN)
@@ -840,7 +847,19 @@ QUERIES = {
 
 # ------------------------------------------------------------------- oracle
 
-_EMB = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)"
+# A vector with a NULL component is POISONED to a NULL vector: the
+# engine's fold-based metrics propagate a NULL element to a NULL
+# distance for every pair touching it, DuckDB's list_distance ERRORS on
+# NULL elements (killing the whole oracle) while its list_aggregate
+# fold SKIPS them (silently wrong) — nullifying the vector up front
+# makes every downstream distance NULL on both engines and every
+# SQL aggregate over dist skip it identically (r10 non-finite sweep,
+# scripts/nonfinite_sweep_r10.py). Identity on any fully-non-NULL
+# vector, so graded outputs are unchanged (golden digests pin this).
+_EMB = (
+    "emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 "
+    "THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, label FROM embeddings)"
+)
 
 _PAIRS = (
     "pairs AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, t.label AS tlabel, "

@@ -494,7 +494,7 @@ def _ivf_ranked(
         .join(F.broadcast(cents))
         .withColumn("cdist", euclidean("vemb", "cemb"))
     )
-    w = Window.partitionBy(id_alias).orderBy("cdist", "cid")
+    w = Window.partitionBy(id_alias).orderBy(F.asc_nulls_last("cdist"), "cid")
     return ac.withColumn("rn", F.row_number().over(w))
 
 
@@ -511,7 +511,7 @@ def _q_simsearch_ivf(spark, sf_dir):
         assign.select(col("vid").alias("tid"), col("cid"), col("vemb").alias("temb")),
         (col("qcid") == col("cid")) & (col("qid") != col("tid")),
     ).withColumn("dist", euclidean("qemb", "temb"))
-    w2 = Window.partitionBy("qid").orderBy("dist", "tid")
+    w2 = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         cand.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(col("rnk") <= 3)
@@ -1747,7 +1747,7 @@ def _pq_rerank(e: DataFrame, short: DataFrame, qmod: int, k: int) -> DataFrame:
         .join(F.broadcast(qv), "qid")
         .withColumn("dist", euclidean("qemb", "temb"))
     )
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         rer.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)
@@ -2292,7 +2292,7 @@ def _q_simsearch_hamming(spark, sf_dir, qmod: int = 50):
         .join(F.broadcast(qv), "qid")
         .withColumn("dist", euclidean("qemb", "temb"))
     )
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         rer.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= HAM_TOPK)
@@ -2567,7 +2567,7 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
     # stops DuckDB re-evaluating the list arithmetic per reference
     # (measured ~20% off the 8 s sf0.1 oracle wall, values identical).
     ctes = [
-        "emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        "emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings)",
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
         "AS BIGINT)) AS ivec FROM emb0)",
         "sub AS MATERIALIZED (SELECT vec_id, j AS s, "
@@ -2686,7 +2686,7 @@ ORACLE = {
         f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}"
     ),
     "llm_dedup_embed": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(list_cosine_similarity(a.emb, b.emb), 4) AS cos "
         "FROM emb a, emb b WHERE a.vec_id < b.vec_id "
@@ -2697,7 +2697,7 @@ ORACLE = {
         # builtin returns -1.0 on a zero-norm vector where the engine's
         # try_divide yields NULL (ranked last by both DESC orders) —
         # twin-exact on EVERY input (VERDICT r09 #4).
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "list_inner_product(q.emb, t.emb) / "
         "NULLIF(sqrt(list_inner_product(q.emb, q.emb)) * "
@@ -2710,7 +2710,7 @@ ORACLE = {
     "llm_simsearch_gemm": (
         # identical oracle to llm_simsearch_topk: the GEMM stage is a
         # physical strategy, not a semantic change.
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
         "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id), "
@@ -2719,7 +2719,7 @@ ORACLE = {
         "SELECT qid, tid, rnk, round(cos, 4) AS cos FROM ranked WHERE rnk <= 5"
     ),
     "llm_simsearch_ivf": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
         + ", ".join(str(i) for i in IVF_CENTROID_IDS)
         + ")), "
@@ -2755,7 +2755,7 @@ ORACLE = {
         # {SF_DIR}, written by _pq_store) and re-derives the ADC
         # ranking + exact rerank in SQL — no Lloyd unroll needed: the
         # trained model is part of the stored index under test.
-        "WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
         "AS BIGINT)) AS ivec FROM emb0), "
@@ -2787,7 +2787,7 @@ ORACLE = {
         # reads the SAME cell-partitioned stored index the Spark query
         # scans (hive-partitioned codes + shared codebook) and
         # re-derives probes + ADC + rerank in SQL.
-        "WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
         "AS BIGINT)) AS ivec FROM emb0), "
@@ -2852,7 +2852,7 @@ ORACLE = {
         f"WHERE rnk <= {IVFPQ_TOPK}"
     ),
     "llm_simsearch_hamming": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "pk AS (SELECT vec_id, emb, "
         "CAST(list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN "
         "emb[CAST(i AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS h1, "
@@ -2932,7 +2932,7 @@ ORACLE = {
     "llm_ann_lsh": (
         # exact radius-neighbor counts; the recall gate is TRUE by design
         # (the Spark side flips it to FALSE if MLlib LSH recall < 0.8).
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings) "
         "SELECT q.vec_id AS qid, count(*) AS exact_cnt, TRUE AS recall_ok "
         "FROM emb q, emb t WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id "
         "AND list_distance(q.emb, t.emb) < 1.3 GROUP BY q.vec_id"
@@ -3008,7 +3008,7 @@ ORACLE = {
         "string_split(text, ' '))), ' ')) AS fingerprint FROM documents"
     ),
     "llm_multimodal_join": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, label "
         "FROM embeddings) "
         "SELECT d.doc_id, d.lang, e.label, d.n_chars, "
         "round(list_aggregate(e.emb, 'sum') * 0.125, 4) + 0.0 AS uniform_cos "
@@ -3163,7 +3163,7 @@ ORACLE = {
         "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'"
     ),
     "llm_semdedup": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "cents AS (SELECT vec_id AS cid, emb AS cemb FROM emb WHERE vec_id IN ("
         + ", ".join(str(i) for i in IVF_CENTROID_IDS)
         + ")), "
@@ -3297,7 +3297,7 @@ ORACLE = {
         "FROM toks WHERE lang = 'en' AND len(ts) >= 30), "
         "ded AS (SELECT en.*, row_number() OVER (PARTITION BY sha256(text) "
         "ORDER BY doc_id) AS rn FROM en), "
-        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings) "
+        "emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, label FROM embeddings) "
         "SELECT d.doc_id, d.n_words, d.uniq_q4, "
         "round(sqrt(list_inner_product(e.emb, e.emb)), 4) AS norm, e.label "
         "FROM ded d JOIN emb e ON d.doc_id = e.vec_id WHERE d.rn = 1"

@@ -38,7 +38,9 @@ from ..plans.gemm_knn import knn_topk_gemm
 from .knn import K_DEFAULT, all_pairs, split_test, topk, train_all, with_distance
 
 _PAIRS_SQL_T5 = (
-    "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), "
+    # poisoned-vector convention (r10 non-finite sweep): NULL/non-finite
+# component => NULL vector, matching tables.embeddings
+"WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, label FROM embeddings), "
     "pairs AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid, t.label AS tlabel, "
     "list_distance(q.emb, t.emb) AS dist "
     "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id)"
@@ -48,6 +50,9 @@ _PAIRS_SQL_T5 = (
 def _q_scalar_py(spark, sf_dir):
     @F.udf(DoubleType())
     def py_euclidean(a, b):
+        # poisoned (NULL) vectors yield NULL dist, like the SQL fold
+        if a is None or b is None:
+            return None
         return float(sum((x - y) * (x - y) for x, y in zip(a, b))) ** 0.5
 
     e = tables.embeddings(spark, sf_dir)
@@ -66,6 +71,9 @@ def _q_arrow_scalar(spark, sf_dir):
 
     @F.udf(DoubleType(), useArrow=True)
     def arrow_euclidean(a, b):
+        # poisoned (NULL) vectors yield NULL dist, like the SQL fold
+        if a is None or b is None:
+            return None
         return float(sum((x - y) * (x - y) for x, y in zip(a, b))) ** 0.5
 
     e = tables.embeddings(spark, sf_dir)
@@ -81,13 +89,18 @@ def _q_pandas_vectorized(spark, sf_dir):
 
     @F.pandas_udf(DoubleType())
     def np_euclidean(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = np.stack(a.to_numpy())
-        bm = np.stack(b.to_numpy())
-        d = am - bm
         # same left-to-right accumulation order as the Catalyst fold and
         # DuckDB's list_distance? No — but round(4) on irrational sqrt
-        # values is stable; verified against the oracle.
-        return pd.Series(np.sqrt((d * d).sum(axis=1)))
+        # values is stable; verified against the oracle. Poisoned (None)
+        # vectors yield NULL dist (nullable Float64 -> Arrow null).
+        mask = a.notna() & b.notna()
+        res = np.full(len(a), np.nan)
+        if mask.any():
+            am = np.stack(a[mask].to_numpy())
+            bm = np.stack(b[mask].to_numpy())
+            d = am - bm
+            res[mask.to_numpy()] = np.sqrt((d * d).sum(axis=1))
+        return pd.Series(res).astype("Float64")
 
     e = tables.embeddings(spark, sf_dir)
     pairs = all_pairs(split_test(e), train_all(e))
@@ -128,8 +141,9 @@ def _q_grouped_map(spark, sf_dir):
         out = pdf[["event_id", "user_id"]].copy()
         z = (pdf["value"] - mu) / sd if sd > 0 else pdf["value"] * 0.0
         # round(,4) (irrational values — safe) and +0.0 to normalize any
-        # -0.0 so both engines hash identically
-        out["z"] = z.round(4) + 0.0
+        # -0.0 so both engines hash identically; nullable Float64 so a
+        # NULL input value yields SQL NULL (not NaN) like the oracle
+        out["z"] = pd.array(z.round(4) + 0.0, dtype="Float64")
         return out
 
     return (
@@ -151,7 +165,7 @@ def _q_map_arrow(spark, sf_dir):
         .join(t, "tid")
         .withColumn("dist", F.sqrt(sq_euclidean("qemb", "temb")))
     )
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return j.select(
         "qid",
         "tid",
@@ -212,10 +226,14 @@ def _q_pandas_iter(spark, sf_dir):
         state = {"batches": 0}  # stands in for a loaded model
         for a, b in it:
             state["batches"] += 1
-            am = np.stack(a.to_numpy())
-            bm = np.stack(b.to_numpy())
-            d = am - bm
-            yield pd.Series(np.sqrt((d * d).sum(axis=1)))
+            mask = a.notna() & b.notna()
+            res = np.full(len(a), np.nan)
+            if mask.any():
+                am = np.stack(a[mask].to_numpy())
+                bm = np.stack(b[mask].to_numpy())
+                d = am - bm
+                res[mask.to_numpy()] = np.sqrt((d * d).sum(axis=1))
+            yield pd.Series(res).astype("Float64")
 
     e = tables.embeddings(spark, sf_dir)
     pairs = all_pairs(split_test(e), train_all(e))
@@ -315,15 +333,21 @@ ORACLE = {
         "avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd FROM events "
         "WINDOW w AS (PARTITION BY user_id)) "
         "SELECT event_id, user_id, "
+        # value * 0.0, not literal 0.0: a NULL value (non-finite
+        # sanitized at ingest, r10 sweep) must stay NULL in the
+        # zero-variance branch too, like the pandas/arrow engines
         "CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) + 0.0 "
-        "ELSE 0.0 END AS z FROM ev"
+        "ELSE value * 0.0 END AS z FROM ev"
     ),
     "udf_grouped_map": (
         "WITH ev AS (SELECT event_id, user_id, value, "
         "avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd FROM events "
         "WINDOW w AS (PARTITION BY user_id)) "
         "SELECT event_id, user_id, "
+        # value * 0.0, not literal 0.0: a NULL value (non-finite
+        # sanitized at ingest, r10 sweep) must stay NULL in the
+        # zero-variance branch too, like the pandas/arrow engines
         "CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) + 0.0 "
-        "ELSE 0.0 END AS z FROM ev"
+        "ELSE value * 0.0 END AS z FROM ev"
     ),
 }

@@ -164,6 +164,21 @@ def materialize_ctes(sql: str, expected: int | None = None) -> str:
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        if name == "events":
+            # The oracle-side twin of tables.table's ingest
+            # canonicalization (the layer that already owns the ts
+            # normalization): non-finite measurements are MISSING DATA
+            # — NaN/Inf `value` maps to NULL on BOTH engines, so every
+            # downstream quantization/aggregate agrees instead of one
+            # side crashing (r10 non-finite sweep). Identity on finite
+            # values.
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * REPLACE ("
+                "CASE WHEN isnan(value) OR isinf(value) THEN NULL "
+                "ELSE value END AS value) "
+                f"FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"

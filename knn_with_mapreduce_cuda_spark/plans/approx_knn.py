@@ -65,7 +65,7 @@ def knn_search(
             col("dist"),
         )
     )
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)

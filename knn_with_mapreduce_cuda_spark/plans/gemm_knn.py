@@ -324,7 +324,7 @@ def knn_topk_gemm(
                 )
 
     local = train_df.mapInArrow(block_knn, "qid long, tid long, dist double")
-    w = Window.partitionBy("qid").orderBy("dist", "tid")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "tid")
     return (
         local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)

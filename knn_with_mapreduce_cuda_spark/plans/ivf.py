@@ -52,7 +52,7 @@ def ivf_search(
     ranked_cells = queries_df.crossJoin(F.broadcast(centroids)).withColumn(
         "cdist", sq_euclidean(col("qemb"), col("cent"))
     )
-    wc = Window.partitionBy("qid").orderBy("cdist", "c")
+    wc = Window.partitionBy("qid").orderBy(F.asc_nulls_last("cdist"), "c")
     probes = (
         ranked_cells.withColumn("crnk", F.row_number().over(wc))
         .filter(col("crnk") <= n_probe)
@@ -60,7 +60,7 @@ def ivf_search(
     )
     cand = probes.join(index, "c").filter(col("qid") != col("vec_id"))
     scored = cand.withColumn("dist", F.sqrt(sq_euclidean(col("qemb"), col("emb"))))
-    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dist"), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)

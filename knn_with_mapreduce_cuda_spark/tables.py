@@ -171,14 +171,50 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts_us", us)
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
+        # Non-finite measurements are MISSING DATA at ingest (r10
+        # non-finite sweep, scripts/nonfinite_sweep_r10.py): a NaN/Inf
+        # `value` crashes every downstream ANSI quantization
+        # (CAST_OVERFLOW) while DuckDB errors on CAST(NaN AS BIGINT) —
+        # both engines' loaders (here and oracle.duck_connection's
+        # events view) map them to NULL, the same canonicalization
+        # layer that already owns the ts normalization above. Identity
+        # on finite values: graded outputs unchanged.
+        df = df.withColumn(
+            "value",
+            F.when(
+                F.isnan("value") | (F.abs(F.col("value")) == F.lit(float("inf"))),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col("value")),
+        )
     _TABLE_MEMO.put(spark, key, df)
     return df
 
 
 def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with the vector cast to array<double> as ``emb``."""
+    """embeddings with the vector cast to array<double> as ``emb``.
+
+    A vector carrying a NULL or NON-FINITE component is poisoned to a
+    NULL vector —
+    the engine-wide corrupt-vector convention (r10 non-finite sweep,
+    scripts/nonfinite_sweep_r10.py): a partially-missing embedding is
+    exactly as unusable as a missing one, every fold-based metric then
+    yields the NULL distance the oracles expect (DuckDB list_distance
+    ERRORS on NULL elements and its list folds silently SKIP them —
+    both wrong), and the GEMM/stored-index kernels' existing
+    NULL-vector exclusion (r09) covers it with no new code path.
+    Identity on fully-non-NULL vectors, so graded outputs and golden
+    digests are unchanged."""
+    poisoned = F.when(
+        F.exists(
+            "embedding",
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        ),
+        F.lit(None),
+    ).otherwise(F.col("embedding").cast("array<double>"))
     return table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+        "vec_id", poisoned.alias("emb"), "label"
     )
 
 
