@@ -25,13 +25,28 @@ from knn_with_mapreduce_cuda_spark.session import get_spark
 
 
 def sweep(spark, sf_dir: str, keys: list[str]) -> int:
+    import gc
+
     qs = registry.queries()
     oracles = registry.oracle_sql(sf_dir)  # renders {SF_DIR} per scale
     if keys:
         qs = {k: qs[k] for k in keys}
     con = duck_connection(sf_dir)
     failures = 0
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
+        if i and i % 25 == 0:
+            # heap hygiene for long sweeps in a DRIVER-SHAPED session
+            # (VANILLA = bare local[8], 1g default heap): a full-registry
+            # sf0.1 sweep accumulated enough JVM-side state (cached
+            # relations, MLlib broadcast remnants pinned by py4j refs)
+            # to OOM the heap mid-sweep under concurrent pytest load —
+            # clearing the cache and collecting dropped py4j handles
+            # every 25 keys keeps the high-water bounded.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            gc.collect()
         t0 = time.time()
         if name not in oracles:
             try:
