@@ -2074,7 +2074,7 @@ def _q_gains_table(spark, sf_dir):
         "decile",
         "n",
         "pos",
-        F.expr("round(cum_pos / CAST(p AS DOUBLE), 4)").alias("capture"),
+        F.expr("round(try_divide(cum_pos, CAST(p AS DOUBLE)), 4)").alias("capture"),
         F.expr(
             "round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(p AS DOUBLE) / nn), 4)"
         ).alias("lift"),
@@ -2192,12 +2192,12 @@ def _q_logreg_irls1(spark, sf_dir):
     return m.select(
         "n",
         F.expr(
-            "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
-            "/ (n * v - u * u), 6)"
+            "round(try_divide(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) "
+            "AS DOUBLE), n * v - u * u), 6)"
         ).alias("beta0"),
         F.expr(
-            "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
-            "/ (n * v - u * u) * 1000000, 6)"
+            "round(try_divide(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) "
+            "AS DOUBLE), n * v - u * u) * 1000000, 6)"
         ).alias("beta1"),
     )
 
@@ -2390,8 +2390,8 @@ def _q_mcc(spark, sf_dir):
         "fp",
         "fn",
         F.expr(
-            "round(CAST(tp * tn - fp * fn AS DOUBLE) / "
-            "sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 4)"
+            "round(try_divide(CAST(tp * tn - fp * fn AS DOUBLE), "
+            "sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))), 4)"
         ).alias("mcc"),
     )
 
@@ -2417,12 +2417,12 @@ def _q_platt_1step(spark, sf_dir):
     return m.select(
         "n",
         F.expr(
-            "round(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) AS DOUBLE) "
-            "/ (n * v - u * u), 6)"
+            "round(try_divide(CAST(2 * (v * (2 * sy - n) - u * (2 * sxy - u)) "
+            "AS DOUBLE), n * v - u * u), 6)"
         ).alias("beta0"),
         F.expr(
-            "round(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) AS DOUBLE) "
-            "/ (n * v - u * u), 6)"
+            "round(try_divide(CAST(2 * (n * (2 * sxy - u) - u * (2 * sy - n)) "
+            "AS DOUBLE), n * v - u * u), 6)"
         ).alias("beta1_per_vote"),
     )
 
@@ -2608,9 +2608,9 @@ def _q_cross_correlation(spark, sf_dir):
             "k",
             col("nk").alias("n_pairs"),
             F.expr(
-                "round((p - (CAST(sy AS DOUBLE) / n) * bx - (CAST(sx AS DOUBLE) / n) * ay "
-                "+ nk * (CAST(sy AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / "
-                "(sqrt(ssx - CAST(sx AS DOUBLE) * sx / n) * "
+                "round(try_divide(p - (CAST(sy AS DOUBLE) / n) * bx - (CAST(sx AS DOUBLE) / n) * ay "
+                "+ nk * (CAST(sy AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), "
+                "sqrt(ssx - CAST(sx AS DOUBLE) * sx / n) * "
                 "sqrt(ssy - CAST(sy AS DOUBLE) * sy / n)), 4)"
             ).alias("ccf"),
         )
@@ -2640,7 +2640,7 @@ def _q_variance_time(spark, sf_dir):
         "w",
         col("nb").alias("n_blocks"),
         F.expr(
-            "round((ss - CAST(s AS DOUBLE) * s / nb) / (nb - 1), 4)"
+            "round(try_divide(ss - CAST(s AS DOUBLE) * s / nb, nb - 1), 4)"
         ).alias("block_var"),
     )
 
@@ -3634,9 +3634,9 @@ def _q_season_strength(spark, sf_dir):
     return g.select(
         col("n").alias("n_hours"),
         F.expr(
-            "round(greatest(CAST(0 AS DOUBLE), 1 - "
-            "((ssr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / "
-            "((ssc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))), 4)"
+            "round(greatest(CAST(0 AS DOUBLE), 1 - try_divide("
+            "try_divide(ssr - CAST(sr AS DOUBLE) * sr / n, n - 1), "
+            "try_divide(ssc - CAST(sc AS DOUBLE) * sc / n, n - 1))), 4)"
         ).alias("season_strength"),
     )
 
@@ -3993,8 +3993,8 @@ def _q_type_correlation(spark, sf_dir):
         "ta",
         "tb",
         F.expr(
-            "round((n * sab - CAST(sa AS DOUBLE) * sb) / "
-            "(sqrt(n * ssa - CAST(sa AS DOUBLE) * sa) * "
+            "round(try_divide(n * sab - CAST(sa AS DOUBLE) * sb, "
+            "sqrt(n * ssa - CAST(sa AS DOUBLE) * sa) * "
             "sqrt(n * ssb - CAST(sb AS DOUBLE) * sb)), 4)"
         ).alias("pearson_r"),
     )
@@ -4388,7 +4388,7 @@ def _q_average_precision(spark, sf_dir):
     return terms.agg(F.sum("tq").alias("s")).crossJoin(F.broadcast(g)).select(
         col("p").alias("n_pos"),
         F.expr(
-            "round(s / (p * CAST(1000000000 AS DOUBLE)), 4)"
+            "round(try_divide(s, p * CAST(1000000000 AS DOUBLE)), 4)"
         ).alias("average_precision"),
     )
 
@@ -4594,7 +4594,7 @@ def _q_max_drawdown(spark, sf_dir):
         "max_drawdown_c",
         "max_peak_c",
         F.expr(
-            "round(max_drawdown_c / CAST(max_peak_c AS DOUBLE), 4)"
+            "round(try_divide(max_drawdown_c, CAST(max_peak_c AS DOUBLE)), 4)"
         ).alias("max_dd_over_peak"),
     )
 

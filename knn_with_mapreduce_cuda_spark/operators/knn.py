@@ -669,7 +669,12 @@ def _q_embed_quantize(spark, sf_dir):
         "x",
         "lo",
         "hi",
-        F.round((col("x") - col("lo")) * QUANT_LEVELS / (col("hi") - col("lo")), 0)
+        # try_divide: a constant dimension has hi == lo — NULL code,
+        # matching DuckDB x/0 (r10 non-finite sweep)
+        F.round(
+            F.try_divide((col("x") - col("lo")) * QUANT_LEVELS, col("hi") - col("lo")),
+            0,
+        )
         .cast("long")
         .alias("code"),
     )
@@ -884,9 +889,14 @@ _CLASSIFY_SELECT = (
     "CAST(tlabel = qlabel AS INTEGER) AS correct, votes FROM pred WHERE vr = 1"
 )
 
+# WHERE emb IS NOT NULL: per-component analyses EXCLUDE poisoned
+# vectors — the engine side explodes with posexplode, which emits zero
+# rows for a NULL array, so the oracle must drop them too or the row
+# counts diverge the moment a corrupt vector exists (r10 non-finite
+# sweep). Identity when no vector is poisoned.
 _EX = (
     "ex AS (SELECT vec_id, i AS pos, emb[CAST(i + 1 AS INTEGER)] AS val "
-    "FROM emb, range(64) t(i))"
+    "FROM emb, range(64) t(i) WHERE emb IS NOT NULL)"
 )
 
 ORACLE = {

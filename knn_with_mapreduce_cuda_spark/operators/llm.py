@@ -2569,7 +2569,7 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
     ctes = [
         "emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings)",
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0)",
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL)",
         "sub AS MATERIALIZED (SELECT vec_id, j AS s, "
         "list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j))",
@@ -2708,12 +2708,16 @@ ORACLE = {
         "SELECT qid, tid, rnk, round(cos, 4) AS cos FROM ranked WHERE rnk <= 5"
     ),
     "llm_simsearch_gemm": (
-        # identical oracle to llm_simsearch_topk: the GEMM stage is a
-        # physical strategy, not a semantic change.
+        # same ranking as llm_simsearch_topk, PLUS the kernel-boundary
+        # convention: the GEMM path EXCLUDES poisoned (NULL) vectors
+        # before the kernel (r09 NULL-vector exclusion, covering the r10
+        # NULL/non-finite-component poisoning), so its oracle filters
+        # them out where the SQL topk twin keeps them ranked last.
         "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
         "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
-        "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id), "
+        "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id "
+        "AND q.emb IS NOT NULL AND t.emb IS NOT NULL), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) "
         "AS rnk FROM pairs) "
         "SELECT qid, tid, rnk, round(cos, 4) AS cos FROM ranked WHERE rnk <= 5"
@@ -2758,7 +2762,7 @@ ORACLE = {
         "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0), "
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL), "
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("
@@ -2790,7 +2794,7 @@ ORACLE = {
         "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
         f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0), "
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL), "
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("

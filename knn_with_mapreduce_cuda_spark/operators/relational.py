@@ -799,8 +799,19 @@ def _q_agg_stats(spark, sf_dir):
     constant-size-state property HLL gives distinct counts. Scale-safe at
     100 TB by construction."""
     li = tables.table(spark, sf_dir, "lineitem")
+    # corr assembled from the same one-pass moments with try_divide,
+    # not F.corr: under ANSI mode the builtin CRASHES on a zero-variance
+    # group (r10 non-finite sweep) where DuckDB's corr yields NULL;
+    # covar_pop / (stddev_pop · stddev_pop) carries identical state, so
+    # values are unchanged on every non-degenerate group (golden-pinned).
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(
+            F.try_divide(
+                F.covar_pop("l_quantity", "l_extendedprice"),
+                F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice"),
+            ),
+            4,
+        ).alias("corr_qp"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
@@ -1039,8 +1050,10 @@ def _q_linreg_normal(spark, sf_dir):
         (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").alias("m2y"),
     )
     det = col("m11") * col("m22") - col("m12") * col("m12")
-    b1 = (col("m1y") * col("m22") - col("m2y") * col("m12")) / det
-    b2 = (col("m2y") * col("m11") - col("m1y") * col("m12")) / det
+    # try_divide: a singular normal matrix (constant feature — the r10
+    # degenerate fixtures) yields NULL betas, matching DuckDB x/0
+    b1 = F.try_divide(col("m1y") * col("m22") - col("m2y") * col("m12"), det)
+    b2 = F.try_divide(col("m2y") * col("m11") - col("m1y") * col("m12"), det)
     return c.select(
         "n",
         F.round(b1, 6).alias("beta_qty"),

@@ -47,6 +47,16 @@ _PAIRS_SQL_T5 = (
 )
 
 
+#: GEMM-backed variant: the kernel EXCLUDES poisoned (NULL) vectors at
+#: the boundary (r09 exclusion covering the r10 component poisoning),
+#: so the udf_map_arrow oracle filters them where the row-UDF twins
+#: keep them ranked last.
+_PAIRS_SQL_T5_XP = _PAIRS_SQL_T5.replace(
+    "AND t.vec_id <> q.vec_id)",
+    "AND t.vec_id <> q.vec_id AND q.emb IS NOT NULL AND t.emb IS NOT NULL)",
+)
+
+
 def _q_scalar_py(spark, sf_dir):
     @F.udf(DoubleType())
     def py_euclidean(a, b):
@@ -317,7 +327,7 @@ ORACLE = {
         "SELECT qid, tlabel AS pred_label FROM pred WHERE vr = 1"
     ),
     "udf_map_arrow": (
-        _PAIRS_SQL_T5 + ", "
+        _PAIRS_SQL_T5_XP + ", "
         "ranked AS (SELECT pairs.*, row_number() OVER (PARTITION BY qid "
         "ORDER BY dist, tid) AS rnk FROM pairs) "
         "SELECT qid, tid, rnk, round(dist, 4) AS dist FROM ranked WHERE rnk <= 10"
