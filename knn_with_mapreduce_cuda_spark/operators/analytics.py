@@ -228,7 +228,13 @@ def ks_two_sample(values: DataFrame) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D over (vc, grp∈{1,2}) integer
     values. D·n1·n2 = max|cum1·n2 − cum2·n1| is exact integer; the
     statistic floats only in the last division. One shuffle to group by
-    value, one ordered window over the (distinct-value-sized) result."""
+    value, one ordered window over the (distinct-value-sized) result.
+
+    NULL measurements are excluded from the distribution entirely (r10
+    non-finite sweep): a NULL vc has no place on the CDF grid, and the
+    engines ORDER it differently (Spark nulls-first vs DuckDB
+    nulls-last), which silently shifts D."""
+    values = values.filter(col("vc").isNotNull())
     per = values.groupBy("vc").agg(
         F.sum(F.when(col("grp") == 1, 1).otherwise(0)).alias("a"),
         F.sum(F.when(col("grp") == 2, 1).otherwise(0)).alias("b"),
@@ -2076,7 +2082,8 @@ def _q_gains_table(spark, sf_dir):
         "pos",
         F.expr("round(try_divide(cum_pos, CAST(p AS DOUBLE)), 4)").alias("capture"),
         F.expr(
-            "round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(p AS DOUBLE) / nn), 4)"
+            "round(try_divide(try_divide(CAST(cum_pos AS DOUBLE), cum_n), "
+            "try_divide(CAST(p AS DOUBLE), nn)), 4)"
         ).alias("lift"),
     )
 
@@ -5520,9 +5527,11 @@ ORACLE = {
         "FROM contrib GROUP BY ht, ct"
     ),
     "ml_ks_test": (
+        # value IS NOT NULL: NULL measurements are excluded from the
+        # distribution on both engines (see ks_two_sample)
         f"WITH g AS (SELECT {_CENTS.format(x='value')} AS vc, "
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp FROM events "
-        "WHERE event_type IN ('purchase', 'view')), "
+        "WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL), "
         "per AS (SELECT vc, sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a, "
         "sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS b FROM g GROUP BY vc), "
         "cum AS (SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb FROM per "
@@ -5635,8 +5644,12 @@ ORACLE = {
         "AS cusum FROM r"
     ),
     "ml_spearman_rho": (
-        "WITH pts AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
+        # pts0/pts split: the engine reads scalars off the POISONED
+        # vector and drops NULL rows before ranking (posexplode-class
+        # exclusion), so the oracle must too (r10 non-finite sweep)
+        "WITH pts0 AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
         "CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[2] AS y FROM embeddings), "
+        "pts AS (SELECT * FROM pts0 WHERE x IS NOT NULL AND y IS NOT NULL), "
         "r AS (SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER "
         "(PARTITION BY x) - 1 AS rx, 2 * rank() OVER (ORDER BY y) + count(*) OVER "
         "(PARTITION BY y) - 1 AS ry FROM pts), "
@@ -7069,18 +7082,21 @@ ORACLE["ts_season_strength"] = (
 ORACLE["ml_embed_drift_ks"] = (
     "WITH vals AS (SELECT CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
     "AS BIGINT) AS vc, CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS grp "
+    # vc IS NOT NULL: poisoned vectors leave the distribution on both
+    # engines (ks_two_sample's NULL-measurement exclusion)
     "FROM embeddings), "
+    "vals2 AS (SELECT * FROM vals WHERE vc IS NOT NULL), "
     "per AS (SELECT vc, "
     "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, "
     "CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b "
-    "FROM vals GROUP BY vc), "
+    "FROM vals2 GROUP BY vc), "
     "cum AS (SELECT CAST(sum(a) OVER w AS BIGINT) AS ca, "
     "CAST(sum(b) OVER w AS BIGINT) AS cb FROM per "
     "WINDOW w AS (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND "
     "CURRENT ROW)), "
     "g AS (SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) "
     "AS n1, CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
-    "FROM vals), "
+    "FROM vals2), "
     "ds AS (SELECT n1, n2, max(abs(ca * n2 - cb * n1)) AS d_scaled "
     "FROM cum, g GROUP BY n1, n2) "
     "SELECT n1, n2, round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4) AS d_stat, "

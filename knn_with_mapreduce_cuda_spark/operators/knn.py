@@ -703,7 +703,17 @@ def _q_radius_pivot(spark, sf_dir):
     product. Cost: one broadcast of a single row + one extra double per
     side."""
     e = tables.embeddings(spark, sf_dir)
-    pivot = e.filter(col("vec_id") == PIVOT_ID).select(col("emb").alias("pemb"))
+    # agg-first pivot, not filter+crossJoin: with a missing or poisoned
+    # pivot row the old crossJoin went EMPTY and the operator silently
+    # returned zero hits (r10 non-finite sweep) — pruning is an
+    # OPTIMIZATION and must degrade to "no pruning", never to "no
+    # results". first() always yields one row (pemb NULL when absent),
+    # a NULL pivot distance disables the triangle-inequality test for
+    # that pair, and the exact dist < eps filter downstream keeps
+    # semantics identical.
+    pivot = e.filter(col("vec_id") == PIVOT_ID).agg(
+        F.first("emb").alias("pemb")
+    )
     withp = e.crossJoin(F.broadcast(pivot)).select(
         "vec_id", "emb", METRICS["euclidean"]("emb", "pemb").alias("dp")
     )
@@ -718,7 +728,11 @@ def _q_radius_pivot(spark, sf_dir):
     cand = t.repartition(fanout, col("tid")).join(
         F.broadcast(q),
         (col("qid") != col("tid"))
-        & (F.abs(col("qdp") - col("tdp")) < RADIUS_EPS),
+        & (
+            (F.abs(col("qdp") - col("tdp")) < RADIUS_EPS)
+            | col("qdp").isNull()
+            | col("tdp").isNull()
+        ),
     )
     hits = cand.withColumn("dist", METRICS["euclidean"]("qemb", "temb")).filter(
         col("dist") < RADIUS_EPS
@@ -968,9 +982,17 @@ ORACLE = {
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_hamming": (
+        # NULL-vector guard: DuckDB's list_zip(NULL, x) zips to a list
+        # of NULL-firsted structs (not a NULL list), so the sign CASE
+        # would count every element as agreement (0.0) for a poisoned
+        # pair where the engine's fold yields NULL (r10 non-finite
+        # sweep). The arithmetic folds don't need this — their NULL
+        # element arithmetic nulls the sum naturally.
         f"WITH {_EMB} SELECT q.vec_id AS qid, t.vec_id AS tid, "
+        "CASE WHEN q.emb IS NULL OR t.emb IS NULL THEN NULL ELSE "
         "round(list_aggregate(list_transform(list_zip(q.emb, t.emb), "
-        "p -> CASE WHEN (p[1] >= 0) <> (p[2] >= 0) THEN 1.0 ELSE 0.0 END), 'sum'), 4) AS dist "
+        "p -> CASE WHEN (p[1] >= 0) <> (p[2] >= 0) THEN 1.0 ELSE 0.0 END), 'sum'), 4) "
+        "END AS dist "
         "FROM emb q, emb t WHERE q.vec_id % 5 = 0 AND t.vec_id <> q.vec_id"
     ),
     "knn_dist_cosine": (
@@ -1197,9 +1219,11 @@ ORACLE = {
         "FROM agg"
     ),
     "llm_embed_quantize": (
+        # emb IS NOT NULL: poisoned vectors leave per-component
+        # quantization like the engine's posexplode (r10 sweep)
         f"WITH {_EMB}, "
         "ex AS (SELECT vec_id, i AS pos, emb[CAST(i + 1 AS INT)] AS x "
-        "FROM emb, range(64) t(i)), "
+        "FROM emb, range(64) t(i) WHERE emb IS NOT NULL), "
         "b AS (SELECT pos, round(min(x), 6) AS lo, round(max(x), 6) AS hi "
         "FROM ex GROUP BY pos), "
         "q AS (SELECT vec_id, x, lo, hi, "

@@ -532,7 +532,11 @@ def _q_ann_lsh(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = tables.embeddings(spark, sf_dir)
+    # poisoned (NULL) vectors are excluded BEFORE MLlib: the LSH hash
+    # UDF crashes on a NULL vector, and the exact twin's strict
+    # dist < 1.3 could never admit a NULL distance anyway (r10
+    # non-finite sweep) — the filter aligns engine and oracle counts.
+    e = tables.embeddings(spark, sf_dir).filter(col("emb").isNotNull())
     q = e.filter(col("vec_id") % 50 == 0)
     exact = (
         q.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
