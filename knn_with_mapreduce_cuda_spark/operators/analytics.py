@@ -423,7 +423,7 @@ def _q_decision_stump(spark, sf_dir):
     e = tables.embeddings(spark, sf_dir)
     pts = e.select(
         col("emb").getItem(0).alias("x"), (col("label") >= 5).cast("long").alias("y")
-    )
+    ).filter(col("x").isNotNull())  # poisoned vectors leave the stump (r10)
     return decision_stump(pts)
 
 
@@ -4170,7 +4170,10 @@ def _q_lowe_ratio(spark, sf_dir):
     from .knn import _pairs
 
     p = _pairs(spark, sf_dir).withColumn("dr", F.round("dist", 4))
-    w = Window.partitionBy("qid").orderBy("dr", "tid")
+    # nulls-last like DuckDB: a poisoned pair's NULL distance must not
+    # claim rank 1 (r10 non-finite sweep); try_divide for the d5 = 0
+    # identical-neighborhood edge (DuckDB x/0 -> NULL)
+    w = Window.partitionBy("qid").orderBy(F.asc_nulls_last("dr"), "tid")
     r = p.withColumn("rnk", F.row_number().over(w)).filter(col("rnk").isin(1, 5))
     wide = r.groupBy("qid").agg(
         F.max(F.when(col("rnk") == 1, col("dr"))).alias("d1"),
@@ -4180,7 +4183,7 @@ def _q_lowe_ratio(spark, sf_dir):
         "qid",
         "d1",
         "d5",
-        F.expr("round(d1 / d5, 4)").alias("lowe_ratio"),
+        F.expr("round(try_divide(d1, d5), 4)").alias("lowe_ratio"),
     )
 
 
@@ -5564,8 +5567,11 @@ ORACLE = {
         "FROM scored ORDER BY jac DESC, x, y LIMIT 20"
     ),
     "ml_decision_stump": (
-        "WITH pts AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
+        # pts0/pts split: poisoned vectors leave the stump like the
+        # engine's NULL-dropping scalar read (r10 sweep)
+        "WITH pts0 AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] AS x, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        "pts AS (SELECT * FROM pts0 WHERE x IS NOT NULL), "
         "per AS (SELECT x, count(*) AS n, sum(y) AS pos FROM pts GROUP BY x), "
         "cum AS (SELECT x, sum(n) OVER w AS cn, sum(pos) OVER w AS cp FROM per "
         "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
@@ -5778,8 +5784,10 @@ ORACLE = {
     "ml_feature_gain": (
         "WITH embd AS (SELECT CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb, "
         "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
+        # emb IS NOT NULL: poisoned vectors leave the stump sweep like
+        # the engine's posexplode (r10 sweep)
         "pts AS (SELECT i - 1 AS dim, emb[CAST(i AS INTEGER)] AS x, y "
-        "FROM embd, range(1, 9) t(i)), "
+        "FROM embd, range(1, 9) t(i) WHERE emb IS NOT NULL), "
         "per AS (SELECT dim, x, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos "
         "FROM pts GROUP BY dim, x), "
         "cum AS (SELECT dim, x, CAST(sum(n) OVER w AS BIGINT) AS cn, "

@@ -267,15 +267,21 @@ def _q_apply_arrow(spark, sf_dir):
     def zscore(table: pa.Table) -> pa.Table:
         v = table.column("value")
         mu = pc.mean(v).as_py()
-        n = len(v)
-        var = pc.mean(pc.multiply(pc.subtract(v, mu), pc.subtract(v, mu))).as_py()
-        sd = var**0.5
+        var = (
+            pc.mean(pc.multiply(pc.subtract(v, mu), pc.subtract(v, mu))).as_py()
+            if mu is not None
+            else None
+        )
+        sd = var**0.5 if var is not None else 0.0
         if sd > 0:
             # pc.add(…, 0.0): §7.2 negative-zero normalization (the
             # pandas twin does `+ 0.0` too; hit at sf0.1)
             z = pc.add(pc.round(pc.divide(pc.subtract(v, mu), sd), 4), 0.0)
         else:
-            z = pa.array([0.0] * n, type=pa.float64())
+            # v * 0.0, not a literal zero array: a NULL measurement
+            # must stay NULL through the zero-variance branch, matching
+            # the window-SQL oracle and the pandas twin (r10 sweep)
+            z = pc.multiply(v, 0.0)
         return pa.table(
             {
                 "event_id": table.column("event_id"),
