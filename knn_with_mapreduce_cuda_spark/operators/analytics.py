@@ -594,7 +594,7 @@ def _q_seasonal_profile(spark, sf_dir):
         "total_events",
         F.expr("round(try_divide(CAST(total_events AS DOUBLE), n_hours), 4)").alias("mean_per_hour"),
         F.expr(
-            "round(CAST(total_events * n_all AS DOUBLE) / (n_hours * s_all), 4)"
+            "round(try_divide(CAST(total_events * n_all AS DOUBLE), n_hours * s_all), 4)"
         ).alias("rel_to_overall"),
     )
 
@@ -751,7 +751,8 @@ def kendall_tau(pts: DataFrame) -> DataFrame:
             "nc",
             "nd",
             F.expr(
-                "round((nc - nd) / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 4)"
+                "round(try_divide(CAST(nc - nd AS DOUBLE), "
+                "sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2))), 4)"
             ).alias("tau_b"),
         )
     )
@@ -911,10 +912,11 @@ def _q_ab_proportions(spark, sf_dir):
         F.expr("round(try_divide(CAST(x1 AS DOUBLE), n1), 4)").alias("p1"),
         F.expr("round(try_divide(CAST(x2 AS DOUBLE), n2), 4)").alias("p2"),
         F.expr(
-            "round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
-            "sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
-            "(1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) * "
-            "(CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 4)"
+            "round(try_divide(try_divide(CAST(x1 AS DOUBLE), n1) - "
+            "try_divide(CAST(x2 AS DOUBLE), n2), "
+            "sqrt(try_divide(CAST(x1 + x2 AS DOUBLE), n1 + n2) * "
+            "(1 - try_divide(CAST(x1 + x2 AS DOUBLE), n1 + n2)) * "
+            "(try_divide(CAST(1 AS DOUBLE), n1) + try_divide(CAST(1 AS DOUBLE), n2)))), 4)"
         ).alias("z"),
     )
 
@@ -2368,8 +2370,9 @@ def _q_decompose(spark, sf_dir):
         F.expr("round(try_divide(CAST(s_sum AS DOUBLE), s_n), 4)").alias("seasonal"),
         F.expr("round(try_divide(CAST(t_sum AS DOUBLE), t_n), 4)").alias("trend"),
         F.expr(
-            "round(c - CAST(s_sum AS DOUBLE) / s_n - CAST(t_sum AS DOUBLE) / t_n "
-            "+ CAST(gs AS DOUBLE) / gn, 4)"
+            "round(c - try_divide(CAST(s_sum AS DOUBLE), s_n) "
+            "- try_divide(CAST(t_sum AS DOUBLE), t_n) "
+            "+ try_divide(CAST(gs AS DOUBLE), gn), 4)"
         ).alias("residual"),
     )
 
@@ -3142,7 +3145,7 @@ def _q_ivf_recall(spark, sf_dir):
             4,
         ).alias("cd"),
     )
-    wq = Window.partitionBy("qid").orderBy("cd", "c")
+    wq = Window.partitionBy("qid").orderBy(F.asc_nulls_last("cd"), "c")
     probes = qc.withColumn("pr", F.row_number().over(wq)).filter(col("pr") <= 2)
     # candidates = train points in probed cells (self excluded)
     cand = (
@@ -4986,7 +4989,7 @@ def _q_operating_point_card(spark, sf_dir):
         F.expr("round(try_divide(CAST(neg - fp AS DOUBLE), neg), 4)").alias("specificity"),
         F.expr("round(try_divide(CAST(tp AS DOUBLE), (tp + fp)), 4)").alias("ppv"),
         F.expr(
-            "round(CAST(neg - fp AS DOUBLE) / ((neg - fp) + (p - tp)), 4)"
+            "round(try_divide(CAST(neg - fp AS DOUBLE), (neg - fp) + (p - tp)), 4)"
         ).alias("npv"),
     )
 

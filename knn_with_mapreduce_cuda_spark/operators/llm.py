@@ -2717,9 +2717,17 @@ ORACLE = {
         # before the kernel (r09 NULL-vector exclusion, covering the r10
         # NULL/non-finite-component poisoning), so its oracle filters
         # them out where the SQL topk twin keeps them ranked last.
+        # COALESCE(…, 0.0), not list_cosine_similarity: the engine's
+        # _safe_norm (plans/gemm_knn.py:116) maps a FINITE all-zero
+        # vector to cosine 0.0 against everything (r08 convention) where
+        # the builtin returns -1.0 — the explicit formula + COALESCE is
+        # twin-exact on zero-norm inputs (ADVICE r10).
         "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
         "pairs AS (SELECT q.vec_id AS qid, t.vec_id AS tid, "
-        "list_cosine_similarity(q.emb, t.emb) AS cos FROM emb q, emb t "
+        "COALESCE(list_inner_product(q.emb, t.emb) / "
+        "NULLIF(sqrt(list_inner_product(q.emb, q.emb)) * "
+        "sqrt(list_inner_product(t.emb, t.emb)), 0), 0.0) AS cos "
+        "FROM emb q, emb t "
         "WHERE q.vec_id % 50 = 0 AND t.vec_id <> q.vec_id "
         "AND q.emb IS NOT NULL AND t.emb IS NOT NULL), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) "
