@@ -458,8 +458,8 @@ def _q_zipf_slope(spark, sf_dir):
         .withColumn("r", F.row_number().over(w))
     )
     q = top.select(
-        F.expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("xi"),
-        F.expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("yi"),
+        F.expr("TRY_CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("xi"),
+        F.expr("TRY_CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias("yi"),
     )
     m = q.agg(
         F.count("*").alias("n"),
@@ -516,7 +516,7 @@ def _q_mix_temperature(spark, sf_dir):
     byl = docs.groupBy("lang").agg(F.count("*").alias("n"))
     tot = docs.agg(F.count("*").alias("nn"))
     q = byl.crossJoin(F.broadcast(tot)).withColumn(
-        "wi", F.expr("CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT)")
+        "wi", F.expr("TRY_CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT)")
     )
     sw = q.agg(F.sum("wi").alias("sw"))
     return (
@@ -547,7 +547,7 @@ def _q_mi_lang_source(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                "CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
+                "TRY_CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
                 "(CAST(nl AS DOUBLE) * ns)) * 1000000000, 0) AS BIGINT)"
             ).alias("ti")
         )
@@ -559,7 +559,7 @@ def _q_mi_lang_source(spark, sf_dir):
         nl.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                "CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) AS BIGINT)"
+                "TRY_CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) AS BIGINT)"
             ).alias("ti")
         )
         .agg(F.sum("ti").alias("hsum"))
@@ -569,7 +569,7 @@ def _q_mi_lang_source(spark, sf_dir):
         ns.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                "CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) AS BIGINT)"
+                "TRY_CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) AS BIGINT)"
             ).alias("ti")
         )
         .agg(F.sum("ti").alias("hsum"))
@@ -1142,12 +1142,12 @@ def periodogram(series: DataFrame, max_k: int = 36) -> DataFrame:
     agg = terms.groupBy("k", "n").agg(
         F.sum(
             F.expr(
-                "CAST(round(c * cos(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
+                "TRY_CAST(round(c * cos(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
             )
         ).alias("a"),
         F.sum(
             F.expr(
-                "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
+                "TRY_CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT)"
             )
         ).alias("b"),
     )
@@ -1205,7 +1205,7 @@ def _q_log_loss(spark, sf_dir):
     )
     terms = vy.select(
         F.expr(
-            f"CAST(round(-ln((vy + 1) / CAST({K_DEFAULT} + 10 AS DOUBLE)) "
+            f"TRY_CAST(round(-ln((vy + 1) / CAST({K_DEFAULT} + 10 AS DOUBLE)) "
             "* 1000000000, 0) AS BIGINT)"
         ).alias("ti")
     )
@@ -1564,7 +1564,7 @@ def _q_psi_drift(spark, sf_dir):
     )
     terms = per.crossJoin(F.broadcast(g)).select(
         F.expr(
-            "CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
+            "TRY_CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
             "(nb + 1) / CAST(tb + 10 AS DOUBLE)) * "
             "ln(((na + 1) / CAST(ta + 10 AS DOUBLE)) / "
             "((nb + 1) / CAST(tb + 10 AS DOUBLE))) * 1000000000, 0) AS BIGINT)"
@@ -1595,7 +1595,7 @@ def _q_chi2_independence(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                "CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
+                "TRY_CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
                 "(CAST(nr AS DOUBLE) * nc / nn) * 1000000000, 0) AS BIGINT)"
             ).alias("ti")
         )
@@ -1652,7 +1652,7 @@ def _q_dist_concentration(spark, sf_dir):
     from .knn import _pairs
 
     q = _pairs(spark, sf_dir).select(
-        F.expr("CAST(round(dist * 1000000, 0) AS BIGINT)").alias("di")
+        F.expr("TRY_CAST(round(dist * 1000000, 0) AS BIGINT)").alias("di")
     )
     m = q.agg(
         F.count("*").alias("n"),
@@ -1881,7 +1881,7 @@ def _q_keywords_per_doc(spark, sf_dir):
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = tables.table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     siq = F.expr(
-        "CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0) AS BIGINT)"
+        "TRY_CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0) AS BIGINT)"
     )
     scored = (
         tf.join(df_, "term").crossJoin(F.broadcast(n)).select("doc_id", "term", siq.alias("siq"))
@@ -1917,7 +1917,7 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
             "doc_id",
             "term",
             F.expr(
-                "CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0)"
+                "TRY_CAST(round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) * 1000000, 0)"
                 " AS BIGINT)"
             ).alias("w"),
         )
@@ -2013,7 +2013,7 @@ def _q_token_entropy(spark, sf_dir):
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     per = tf.groupBy("doc_id").agg(
         F.sum("c").alias("L"),
-        F.sum(F.expr("CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)")).alias("s"),
+        F.sum(F.expr("TRY_CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)")).alias("s"),
     )
     return per.select(
         "doc_id",
@@ -2170,7 +2170,7 @@ def _q_try_arith(spark, sf_dir):
     return ev.select(
         "event_id",
         F.expr(
-            "round(try_divide(CAST(round(value * 100, 0) AS BIGINT), "
+            "round(try_divide(TRY_CAST(round(value * 100, 0) AS BIGINT), "
             "CAST(get_json_object(props, '$.k') AS INT)), 4)"
         ).alias("cents_per_k"),
         F.expr("try_cast(event_type AS INT)").alias("bad_cast"),
@@ -2187,7 +2187,7 @@ def _q_logreg_irls1(spark, sf_dir):
     algebra; the full optimizer is this step iterated."""
     e = tables.embeddings(spark, sf_dir)
     pts = e.select(
-        F.expr("CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("xq"),
+        F.expr("TRY_CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("xq"),
         (col("label") >= 5).cast("long").alias("y"),
     )
     m = pts.agg(
@@ -2468,7 +2468,7 @@ def _q_ljung_box(spark, sf_dir):
         )
         .select(
             "n",
-            F.expr("CAST(round(r * r / (n - k) * 1000000000000, 0) AS BIGINT)").alias(
+            F.expr("TRY_CAST(round(r * r / (n - k) * 1000000000000, 0) AS BIGINT)").alias(
                 "tq"
             ),
         )
@@ -2664,7 +2664,7 @@ def _q_histogram_log(spark, sf_dir):
     return (
         o.select(
             F.expr(
-                f"CAST(floor(log10({_CENTS.format(x='o_totalprice')})) AS BIGINT)"
+                f"TRY_CAST(floor(log10({_CENTS.format(x='o_totalprice')})) AS BIGINT)"
             ).alias("decade")
         )
         .groupBy("decade")
@@ -2700,7 +2700,7 @@ def _q_perplexity(spark, sf_dir):
         .select(
             "doc_id",
             F.expr(
-                "CAST(round(ln((coalesce(c, 0) + 1) / "
+                "TRY_CAST(round(ln((coalesce(c, 0) + 1) / "
                 "CAST(nt + vs + 1 AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
             ).alias("lp"),
         )
@@ -2734,7 +2734,7 @@ def _q_ndcg(spark, sf_dir):
     )
     dcg = terms.groupBy("qid").agg(
         F.sum(
-            F.expr("CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)")
+            F.expr("TRY_CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)")
         ).alias("dcg_n"),
         F.sum("rel").alias("n_rel"),
     )
@@ -2745,14 +2745,14 @@ def _q_ndcg(spark, sf_dir):
         "n_rel",
         F.expr(
             "aggregate(sequence(1, CAST(greatest(n_rel, 1) AS INT)), 0L, "
-            "(acc, i) -> acc + CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT))"
+            "(acc, i) -> acc + TRY_CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT))"
         ).alias("idcg_n"),
     )
     per = ideal.select(
         "qid",
         F.expr(
             "CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) "
+            "TRY_CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) "
             "END"
         ).alias("ndcg_n"),
     )
@@ -2801,7 +2801,7 @@ def _q_modularity(spark, sf_dir):
         .crossJoin(F.broadcast(mtot))
         .select(
             F.expr(
-                "CAST(round((coalesce(ec, 0) / CAST(m AS DOUBLE) - "
+                "TRY_CAST(round((coalesce(ec, 0) / CAST(m AS DOUBLE) - "
                 "(dc / CAST(2 * m AS DOUBLE)) * (dc / CAST(2 * m AS DOUBLE))) "
                 "* 1000000000, 0) AS BIGINT)"
             ).alias("tq")
@@ -2847,7 +2847,7 @@ def _q_hurst_rs(spark, sf_dir):
     q = ok.select(
         "w",
         F.expr(
-            "CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
+            "TRY_CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
             "sqrt((ss - CAST(s AS DOUBLE) * s / w) / w) * 1000000000, 0) AS BIGINT)"
         ).alias("rsq"),
     )
@@ -2887,7 +2887,7 @@ def _q_cluster_purity_nmi(spark, sf_dir):
         .agg(
             F.sum(
                 F.expr(
-                    "CAST(round(c / CAST(n AS DOUBLE) * "
+                    "TRY_CAST(round(c / CAST(n AS DOUBLE) * "
                     "ln(c * CAST(n AS DOUBLE) / (ac * CAST(bc AS DOUBLE))) "
                     "* 1000000000, 0) AS BIGINT)"
                 )
@@ -2897,7 +2897,7 @@ def _q_cluster_purity_nmi(spark, sf_dir):
     ha = a.crossJoin(F.broadcast(n)).agg(
         F.sum(
             F.expr(
-                "CAST(round(-(ac / CAST(n AS DOUBLE)) * ln(ac / CAST(n AS DOUBLE)) "
+                "TRY_CAST(round(-(ac / CAST(n AS DOUBLE)) * ln(ac / CAST(n AS DOUBLE)) "
                 "* 1000000000, 0) AS BIGINT)"
             )
         ).alias("ha_n")
@@ -2905,7 +2905,7 @@ def _q_cluster_purity_nmi(spark, sf_dir):
     hb = b.crossJoin(F.broadcast(n)).agg(
         F.sum(
             F.expr(
-                "CAST(round(-(bc / CAST(n AS DOUBLE)) * ln(bc / CAST(n AS DOUBLE)) "
+                "TRY_CAST(round(-(bc / CAST(n AS DOUBLE)) * ln(bc / CAST(n AS DOUBLE)) "
                 "* 1000000000, 0) AS BIGINT)"
             )
         ).alias("hb_n")
@@ -2989,7 +2989,7 @@ def _q_kmeans_inertia(spark, sf_dir):
         .select(
             col("c").alias("cluster"),
             F.expr(
-                "CAST(round(aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
+                "TRY_CAST(round(aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), "
                 "0D, (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
             ).alias("sq_u"),
         )
@@ -3103,7 +3103,7 @@ def _q_user_temporal_entropy(spark, sf_dir):
             "user_id",
             "tu",
             F.expr(
-                "CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
+                "TRY_CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
                 "* 1000000000, 0) AS BIGINT)"
             ).alias("hq"),
         )
@@ -3234,7 +3234,7 @@ def _q_embed_outliers(spark, sf_dir):
     d = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         F.expr(
-            "CAST(round(sqrt(aggregate(zip_with(emb, cvec, (x, y) -> (x - y) * (x - y)), "
+            "TRY_CAST(round(sqrt(aggregate(zip_with(emb, cvec, (x, y) -> (x - y) * (x - y)), "
             "0D, (acc, v) -> acc + v)) * 10000, 0) AS BIGINT)"
         ).alias("dq"),
     )
@@ -3342,7 +3342,7 @@ def _q_bigram_crossentropy(spark, sf_dir):
         .crossJoin(F.broadcast(vocab))
         .select(
             F.expr(
-                "CAST(round(-ln((coalesce(c12, 0) + 1) / "
+                "TRY_CAST(round(-ln((coalesce(c12, 0) + 1) / "
                 "CAST(coalesce(c1, 0) + v AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
             ).alias("nl")
         )
@@ -3391,7 +3391,7 @@ def _q_conformal_knn(spark, sf_dir):
     t = topk(_pairs(spark, sf_dir), K_DEFAULT)
     pred = t.groupBy("qid", "qlabel").agg(
         F.expr(
-            "CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            "TRY_CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT)"
         ).alias("pred_u")
     )
     scored = pred.select(
@@ -3630,7 +3630,7 @@ def _q_season_strength(spark, sf_dir):
     )
     q = parts.select(
         F.expr(
-            "CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) AS BIGINT)"
+            "TRY_CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) AS BIGINT)"
         ).alias("rq"),
         F.expr("CAST(c AS BIGINT) * 1000").alias("cq"),
     )
@@ -3660,7 +3660,7 @@ def _q_embed_drift_ks(spark, sf_dir):
     exact integer (the graded KS machinery reused on embeddings)."""
     e = tables.embeddings(spark, sf_dir)
     vals = e.select(
-        F.expr("CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("vc"),
+        F.expr("TRY_CAST(round(emb[0] * 1000000, 0) AS BIGINT)").alias("vc"),
         F.when(col("vec_id") % 5 == 0, 2).otherwise(1).alias("grp"),
     )
     d = ks_two_sample(vals)
@@ -3692,8 +3692,8 @@ def _q_acf_significance(spark, sf_dir):
         "k",
         "acf",
         F.expr(
-            "CAST(CAST(round(acf * 1000000, 0) AS BIGINT) * "
-            "CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 "
+            "CAST(TRY_CAST(round(acf * 1000000, 0) AS BIGINT) * "
+            "TRY_CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 "
             "AS INT)"
         ).alias("significant"),
     )
@@ -3731,7 +3731,7 @@ def _q_kaplan_meier(spark, sf_dir):
         "lnq",
         F.expr(
             "CASE WHEN d = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
+            "TRY_CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
             "AS BIGINT) END"
         ),
     ).withColumn("cum_ln", F.sum("lnq").over(wc))
@@ -4104,7 +4104,7 @@ def _q_column_profile(spark, sf_dir):
     # both engines (raw float formatting differs); ints/strings cast clean
     def _canon(c):
         if c in ("l_quantity", "l_extendedprice"):
-            return F.expr(f"CAST(round({c} * 100, 0) AS BIGINT)")
+            return F.expr(f"TRY_CAST(round({c} * 100, 0) AS BIGINT)")
         return col(c)
 
     agg = li.agg(
@@ -4204,7 +4204,7 @@ def _q_balanced_accuracy(spark, sf_dir):
     )
     q = per.select(
         F.expr(
-            "CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            "TRY_CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("rq")
     )
     return q.agg(F.count("*").alias("n_classes"), F.sum("rq").alias("s")).select(
@@ -4394,7 +4394,7 @@ def _q_average_precision(spark, sf_dir):
     g = pts.agg(F.sum("y").alias("p"))
     terms = cum.select(
         F.expr(
-            "CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) * 1000000000, 0) "
+            "TRY_CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) * 1000000000, 0) "
             "AS BIGINT)"
         ).alias("tq")
     )
@@ -4473,13 +4473,13 @@ def _q_spectral_entropy(spark, sf_dir):
     units."""
     series = _hourly_series(spark, sf_dir)
     p = periodogram(series, max_k=36).select(
-        "k", F.expr("CAST(round(power * 1000000, 0) AS BIGINT)").alias("pq")
+        "k", F.expr("TRY_CAST(round(power * 1000000, 0) AS BIGINT)").alias("pq")
     )
     tot = p.agg(F.sum("pq").alias("tp"))
     terms = p.crossJoin(F.broadcast(tot)).select(
         F.expr(
             "CASE WHEN pq = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
+            "TRY_CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
             "* 1000000000, 0) AS BIGINT) END"
         ).alias("hq")
     )
@@ -4518,8 +4518,8 @@ def _q_heaps_law(spark, sf_dir):
         "cp",
         "n",
         "v",
-        F.expr("CAST(round(ln(n) * 1000000, 0) AS BIGINT)").alias("xq"),
-        F.expr("CAST(round(ln(v) * 1000000, 0) AS BIGINT)").alias("yq"),
+        F.expr("TRY_CAST(round(ln(n) * 1000000, 0) AS BIGINT)").alias("xq"),
+        F.expr("TRY_CAST(round(ln(v) * 1000000, 0) AS BIGINT)").alias("yq"),
     )
     g = pts.agg(
         F.count("*").alias("m"),
@@ -4571,7 +4571,7 @@ def _q_f1_scores(spark, sf_dir):
     q = per.select(
         F.expr(
             "CASE WHEN act + prd = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) "
+            "TRY_CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) "
             "AS BIGINT) END"
         ).alias("f1q")
     )
@@ -4673,7 +4673,7 @@ def _q_vocab_kl(spark, sf_dir):
     )
     terms = per.crossJoin(F.broadcast(tot)).select(
         F.expr(
-            "CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
+            "TRY_CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
             "ln(((ch + 1) / CAST(nh + v AS DOUBLE)) / "
             "((ct + 1) / CAST(nt + v AS DOUBLE))) * 1000000000, 0) AS BIGINT)"
         ).alias("kq")
@@ -4779,7 +4779,7 @@ def _q_best_f1_threshold(spark, sf_dir):
     scored = cum.crossJoin(F.broadcast(g)).withColumn(
         "f1q",
         F.expr(
-            "CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) "
+            "TRY_CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) "
             "* 1000000, 0) AS BIGINT)"
         ),
     )
@@ -4930,7 +4930,7 @@ def _q_precision_at_k(spark, sf_dir):
     cum = t.withColumn("cum_rel", F.sum("rel").over(w)).select(
         col("rnk").cast("long").alias("k"),
         F.expr(
-            "CAST(round(cum_rel / CAST(rnk AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            "TRY_CAST(round(cum_rel / CAST(rnk AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("pq"),
     )
     # integer half-up quantization to 4dp: round(s/(n·1e6), 4) rides a
@@ -5072,7 +5072,7 @@ def _q_recall_at_k(spark, sf_dir):
     cum = t.withColumn("cum_rel", F.sum("rel").over(w)).join(qrel, "qid").select(
         col("rnk").cast("long").alias("k"),
         F.expr(
-            "CAST(round(cum_rel / CAST(n_rel AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            "TRY_CAST(round(cum_rel / CAST(n_rel AS DOUBLE) * 1000000, 0) AS BIGINT)"
         ).alias("rq"),
     )
     return cum.groupBy("k").agg(
@@ -5112,7 +5112,7 @@ def _q_edge_length_stats(spark, sf_dir):
         F.count("*").alias("n_edges"),
         F.min("dr").alias("min_d"),
         F.max("dr").alias("max_d"),
-        F.sum(F.expr("CAST(round(dr * 10000, 0) AS BIGINT)")).alias("s4"),
+        F.sum(F.expr("TRY_CAST(round(dr * 10000, 0) AS BIGINT)")).alias("s4"),
     )
     return agg.crossJoin(med).select(
         "n_edges",
@@ -5181,7 +5181,7 @@ def _q_degree_entropy(spark, sf_dir):
     n = deg.agg(F.count("*").alias("n"))
     terms = hist.crossJoin(F.broadcast(n)).select(
         F.expr(
-            "CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) "
+            "TRY_CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) "
             "* 1000000000, 0) AS BIGINT)"
         ).alias("hq")
     )
@@ -5288,9 +5288,9 @@ def _q_holt_linear(spark, sf_dir):
     return folded.select(
         "event_type",
         "n_hours",
-        F.expr("CAST(round(st.l * 10000) AS BIGINT)").alias("level_q4"),
-        F.expr("CAST(round(st.b * 10000) AS BIGINT)").alias("trend_q4"),
-        F.expr("CAST(round((st.l + st.b) * 10000) AS BIGINT)").alias("forecast1_q4"),
+        F.expr("TRY_CAST(round(st.l * 10000) AS BIGINT)").alias("level_q4"),
+        F.expr("TRY_CAST(round(st.b * 10000) AS BIGINT)").alias("trend_q4"),
+        F.expr("TRY_CAST(round((st.l + st.b) * 10000) AS BIGINT)").alias("forecast1_q4"),
     )
 
 
@@ -5519,9 +5519,9 @@ ORACLE = {
         "0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b "
         "FROM rec r JOIN ordered o ON o.event_type = r.event_type AND o.i = r.i + 1) "
         "SELECT r.event_type, nn.nmax AS n_hours, "
-        "CAST(round(r.l * 10000) AS BIGINT) AS level_q4, "
-        "CAST(round(r.b * 10000) AS BIGINT) AS trend_q4, "
-        "CAST(round((r.l + r.b) * 10000) AS BIGINT) AS forecast1_q4 "
+        "TRY_CAST(round(r.l * 10000) AS BIGINT) AS level_q4, "
+        "TRY_CAST(round(r.b * 10000) AS BIGINT) AS trend_q4, "
+        "TRY_CAST(round((r.l + r.b) * 10000) AS BIGINT) AS forecast1_q4 "
         "FROM rec r JOIN nn ON r.event_type = nn.event_type WHERE r.i = nn.nmax"
     ),
     "ts_ewma": (
@@ -5592,8 +5592,8 @@ ORACLE = {
         f"WITH {_TOKS}, "
         "top AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq "
         "QUALIFY r <= 100), "
-        "q AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS xi, "
-        "CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS yi FROM top), "
+        "q AS (SELECT TRY_CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS xi, "
+        "TRY_CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS yi FROM top), "
         "mom AS (SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy, "
         "sum(xi * yi) AS sxy, sum(xi * xi) AS sxx FROM q) "
         "SELECT n AS n_top, "
@@ -5618,7 +5618,7 @@ ORACLE = {
         "WITH byl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
         "tot AS (SELECT count(*) AS nn FROM documents), "
         "q AS (SELECT lang, n, nn, "
-        "CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT) AS wi FROM byl, tot), "
+        "TRY_CAST(round(sqrt(n / nn) * 1000000, 0) AS BIGINT) AS wi FROM byl, tot), "
         "sw AS (SELECT sum(wi) AS sw FROM q) "
         "SELECT lang, n AS n_docs, round(n / nn, 4) AS share_raw, "
         "round(wi / sw, 4) AS share_temp FROM q, sw"
@@ -5829,9 +5829,9 @@ ORACLE = {
         f"WITH {_EVD}, {_HOURLY_SQL}, "
         "tt AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS t FROM s), "
         "nn AS (SELECT count(*) AS n FROM s), "
-        "terms AS (SELECT k, n, CAST(round(c * cos(2 * pi() * k * t / n) "
+        "terms AS (SELECT k, n, TRY_CAST(round(c * cos(2 * pi() * k * t / n) "
         "* 100000000, 0) AS BIGINT) AS ca, "
-        "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
+        "TRY_CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
         "FROM tt, range(1, 37) r(k), nn), "
         "agg AS (SELECT k, n, CAST(sum(ca) AS BIGINT) AS a, "
         "CAST(sum(cb) AS BIGINT) AS b FROM terms GROUP BY k, n) "
@@ -5845,14 +5845,14 @@ ORACLE = {
         "ml AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang), "
         "ms AS (SELECT source, count(*) AS ns FROM documents GROUP BY source), "
         "tot AS (SELECT count(*) AS nn FROM documents), "
-        "terms AS (SELECT CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
+        "terms AS (SELECT TRY_CAST(round((nls / nn) * ln((CAST(nls AS DOUBLE) * nn) / "
         "(CAST(nl AS DOUBLE) * ns)) * 1000000000, 0) AS BIGINT) AS ti "
         "FROM cells JOIN ml USING (lang) JOIN ms USING (source), tot), "
         "mi AS (SELECT count(*) AS n_cells, "
         "round(sum(ti) / 1000000000.0, 4) AS mi_nats FROM terms), "
-        "hl AS (SELECT round(sum(CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) "
+        "hl AS (SELECT round(sum(TRY_CAST(round(-(nl / nn) * ln(nl / nn) * 1000000000, 0) "
         "AS BIGINT)) / 1000000000.0, 4) AS h_lang_nats FROM ml, tot), "
-        "hs AS (SELECT round(sum(CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) "
+        "hs AS (SELECT round(sum(TRY_CAST(round(-(ns / nn) * ln(ns / nn) * 1000000000, 0) "
         "AS BIGINT)) / 1000000000.0, 4) AS h_source_nats FROM ms, tot) "
         "SELECT * FROM mi, hl, hs"
     ),
@@ -5903,7 +5903,7 @@ ORACLE["ml_log_loss"] = (
     f"WITH {_KNN_EMB}, {_KNN_PAIRS}, {_KNN_TOPK}, "
     "vy AS (SELECT qid, CAST(sum(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) "
     "AS BIGINT) AS vy FROM topk GROUP BY qid), "
-    "terms AS (SELECT CAST(round(-ln((vy + 1) / "
+    "terms AS (SELECT TRY_CAST(round(-ln((vy + 1) / "
     f"CAST({_K} + 10 AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS ti FROM vy), "
     "agg AS (SELECT count(*) AS n_test, CAST(sum(ti) AS BIGINT) AS tsum FROM terms) "
     "SELECT n_test, round(tsum / CAST(1000000000 AS DOUBLE) / n_test, 4) AS log_loss "
@@ -6057,14 +6057,14 @@ ORACLE["rel_group_by_all"] = (
 ORACLE["ml_psi_drift"] = (
     f"WITH {_EVD}, "
     "binned AS (SELECT CASE WHEN day - 19723 < 15 THEN 1 ELSE 2 END AS win, "
-    f"least(CAST(floor({_CENTS.format(x='value')} / 5000) AS BIGINT), 9) AS b "
+    f"least(TRY_CAST(floor({_CENTS.format(x='value')} / 5000) AS BIGINT), 9) AS b "
     "FROM evd), "
     "per AS (SELECT b, CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
     "CAST(sum(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb "
     "FROM binned GROUP BY b), "
     "g AS (SELECT CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ta, "
     "CAST(sum(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tb FROM binned), "
-    "terms AS (SELECT CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
+    "terms AS (SELECT TRY_CAST(round(((na + 1) / CAST(ta + 10 AS DOUBLE) - "
     "(nb + 1) / CAST(tb + 10 AS DOUBLE)) * "
     "ln(((na + 1) / CAST(ta + 10 AS DOUBLE)) / "
     "((nb + 1) / CAST(tb + 10 AS DOUBLE))) * 1000000000, 0) AS BIGINT) AS ti "
@@ -6080,7 +6080,7 @@ ORACLE["ml_chi2_independence"] = (
     "c AS (SELECT user_id % 2 AS bucket, count(*) AS nc FROM events "
     "GROUP BY user_id % 2), "
     "tot AS (SELECT count(*) AS nn FROM events), "
-    "terms AS (SELECT CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
+    "terms AS (SELECT TRY_CAST(round(pow(o - CAST(nr AS DOUBLE) * nc / nn, 2) / "
     "(CAST(nr AS DOUBLE) * nc / nn) * 1000000000, 0) AS BIGINT) AS ti "
     "FROM cells JOIN r USING (event_type) JOIN c USING (bucket), tot), "
     "dims AS (SELECT (SELECT count(*) FROM r) AS rr, (SELECT count(*) FROM c) AS cc) "
@@ -6103,7 +6103,7 @@ ORACLE["ts_ohlc"] = (
 
 ORACLE["ml_dist_concentration"] = (
     f"WITH {_KNN_EMB}, {_KNN_PAIRS}, "
-    "q AS (SELECT CAST(round(dist * 1000000, 0) AS BIGINT) AS di FROM pairs), "
+    "q AS (SELECT TRY_CAST(round(dist * 1000000, 0) AS BIGINT) AS di FROM pairs), "
     "m AS (SELECT count(*) AS n, CAST(sum(di) AS BIGINT) AS s, "
     "CAST(sum(di * di) AS BIGINT) AS ss, CAST(min(di) AS BIGINT) AS mn, "
     "CAST(max(di) AS BIGINT) AS mx FROM q) "
@@ -6193,7 +6193,7 @@ ORACLE["llm_keywords_per_doc"] = (
     "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
     "n AS (SELECT count(*) AS n_docs FROM documents), "
     "scored AS (SELECT tf.doc_id, tf.term, "
-    "CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
+    "TRY_CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
     "AS BIGINT) AS siq FROM tf JOIN df ON tf.term = df.term, n), "
     "r AS (SELECT *, row_number() OVER "
     "(PARTITION BY doc_id ORDER BY siq DESC, term) AS rnk FROM scored) "
@@ -6208,7 +6208,7 @@ ORACLE["llm_tfidf_cosine_pairs"] = (
     "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
     "n AS (SELECT count(*) AS n_docs FROM documents), "
     "wq AS (SELECT tf.doc_id, tf.term, "
-    "CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
+    "TRY_CAST(round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) * 1000000, 0) "
     "AS BIGINT) AS w FROM tf JOIN sel ON tf.doc_id = sel.doc_id "
     "JOIN df ON tf.term = df.term, n), "
     "norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm2 FROM wq "
@@ -6256,7 +6256,7 @@ ORACLE["llm_token_entropy"] = (
     "FROM documents), "
     "tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term), "
     "per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS L, "
-    "CAST(sum(CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS s "
+    "CAST(sum(TRY_CAST(round(c * ln(c) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS s "
     "FROM tf GROUP BY doc_id) "
     "SELECT doc_id, L AS n_tokens, "
     "round(ln(CAST(L AS DOUBLE)) - s / (CAST(L AS DOUBLE) * 1000000000), 4) "
@@ -6342,7 +6342,7 @@ ORACLE["rel_order_by_all"] = (
 
 ORACLE["rel_try_arith"] = (
     "SELECT event_id, "
-    "round(CAST(round(value * 100, 0) AS BIGINT) / "
+    "round(TRY_CAST(round(value * 100, 0) AS BIGINT) / "
     "NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0), 4) AS cents_per_k, "
     "TRY_CAST(event_type AS INT) AS bad_cast, "
     "coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1) AS k_or_default "
@@ -6350,7 +6350,7 @@ ORACLE["rel_try_arith"] = (
 )
 
 ORACLE["ml_logreg_irls1"] = (
-    "WITH pts AS (SELECT CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
+    "WITH pts AS (SELECT TRY_CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
     "AS BIGINT) AS xq, CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings), "
     "m AS (SELECT count(*) AS n, CAST(sum(xq) AS BIGINT) AS u, "
     "CAST(sum(xq * xq) AS BIGINT) AS v, CAST(sum(y) AS BIGINT) AS sy, "
@@ -6367,9 +6367,13 @@ ORACLE["ts_drawdown"] = (
     "CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END * "
     f"{_CENTS.format(x='value')} AS delta_c "
     "FROM events WHERE event_type = 'purchase'), "
+    # COALESCE(…, 0): a NULL delta (ingest-NULLed non-finite value) leaves
+    # the running balance UNMOVED — the engine prefix scan folds from 0 and
+    # skips missing ticks, so an all-NULL prefix is balance 0, not NULL
+    # (r11 non-finite sweep).
     "cc AS (SELECT event_id, t, "
-    "CAST(sum(delta_c) OVER (ORDER BY t, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c "
+    "CAST(COALESCE(sum(delta_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cum_c "
     "FROM p), "
     "r AS (SELECT event_id, cum_c, "
     "CAST(max(cum_c) OVER (ORDER BY t, event_id "
@@ -6494,7 +6498,7 @@ ORACLE["ts_ljung_box"] = (
     "sum(a.c) AS ak, sum(b.c) AS bk "
     "FROM s a, range(1, 11) t(k), s b WHERE a.h - k = b.h GROUP BY k), "
     "g AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS ss FROM s), "
-    "terms AS (SELECT n, CAST(round("
+    "terms AS (SELECT n, TRY_CAST(round("
     "pow((p - (s1 / n) * (ak + bk) + nk * (s1 / n) * (s1 / n)) / "
     "(ss - n * (s1 / n) * (s1 / n)), 2) / (n - k) * 1000000000000, 0) AS BIGINT) "
     "AS tq FROM lagagg, g), "
@@ -6583,7 +6587,7 @@ ORACLE["ts_variance_time"] = (
 )
 
 ORACLE["rel_histogram_log"] = (
-    "SELECT CAST(floor(log10("
+    "SELECT TRY_CAST(floor(log10("
     f"{_CENTS.format(x='o_totalprice')}"
     ")) AS BIGINT) AS decade, count(*) AS n FROM orders GROUP BY decade"
 )
@@ -6598,7 +6602,7 @@ ORACLE["llm_perplexity_unigram"] = (
     "vocab AS (SELECT count(*) AS vs FROM counts), "
     "held AS (SELECT doc_id, term FROM tok WHERE NOT is_train), "
     "scored AS (SELECT doc_id, "
-    "CAST(round(ln((coalesce(c, 0) + 1) / CAST(nt + vs + 1 AS DOUBLE)) "
+    "TRY_CAST(round(ln((coalesce(c, 0) + 1) / CAST(nt + vs + 1 AS DOUBLE)) "
     "* 1000000000, 0) AS BIGINT) AS lp "
     "FROM held LEFT JOIN counts ON held.term = counts.term, tot, vocab), "
     "per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS s "
@@ -6616,17 +6620,17 @@ ORACLE["ml_ndcg_at10"] = (
     "terms AS (SELECT qid, CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END AS rel, "
     "rnk FROM topk), "
     "dcg AS (SELECT qid, "
-    "CAST(sum(CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)) "
+    "CAST(sum(TRY_CAST(round(rel / log2(rnk + 1) * 1000000000, 0) AS BIGINT)) "
     "AS BIGINT) AS dcg_n, CAST(sum(rel) AS BIGINT) AS n_rel "
     "FROM terms GROUP BY qid), "
-    "pos AS (SELECT i, CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT) "
+    "pos AS (SELECT i, TRY_CAST(round(1 / log2(i + 1) * 1000000000, 0) AS BIGINT) "
     "AS g FROM range(1, 11) t(i)), "
     "lut AS (SELECT p1.i AS n, CAST(sum(p2.g) AS BIGINT) AS idcg_n "
     "FROM pos p1 JOIN pos p2 ON p2.i <= p1.i GROUP BY p1.i), "
     "ideal AS (SELECT qid, dcg_n, n_rel, lut.idcg_n FROM dcg "
     "LEFT JOIN lut ON lut.n = greatest(dcg.n_rel, 1)), "
     "per AS (SELECT qid, CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT) ELSE "
-    "CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) END "
+    "TRY_CAST(round(dcg_n / CAST(idcg_n AS DOUBLE) * 1000000000, 0) AS BIGINT) END "
     "AS ndcg_n FROM ideal) "
     "SELECT count(*) AS n_queries, "
     "round(CAST(sum(ndcg_n) AS DOUBLE) / "
@@ -6655,7 +6659,7 @@ ORACLE["graph_modularity"] = (
     "dcs AS (SELECT l2.lbl AS community, "
     "CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS dc FROM l2 "
     "LEFT JOIN deg ON l2.id = deg.node GROUP BY l2.lbl), "
-    "terms AS (SELECT CAST(round((coalesce(ec.ec, 0) / CAST(m AS DOUBLE) - "
+    "terms AS (SELECT TRY_CAST(round((coalesce(ec.ec, 0) / CAST(m AS DOUBLE) - "
     "(dc / CAST(2 * m AS DOUBLE)) * (dc / CAST(2 * m AS DOUBLE))) "
     "* 1000000000, 0) AS BIGINT) AS tq "
     "FROM dcs LEFT JOIN ec ON dcs.community = ec.community, mt) "
@@ -6678,7 +6682,7 @@ ORACLE["ts_hurst_rs"] = (
     "CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS bn "
     "FROM d GROUP BY w, blk), "
     "ok AS (SELECT * FROM blocks WHERE bn = w AND w * ss > s * s), "
-    "q AS (SELECT w, CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
+    "q AS (SELECT w, TRY_CAST(round(((mx - mn) / CAST(w AS DOUBLE)) / "
     "sqrt((ss - CAST(s AS DOUBLE) * s / w) / w) * 1000000000, 0) AS BIGINT) "
     "AS rsq FROM ok) "
     "SELECT w, count(*) AS n_blocks, "
@@ -6698,14 +6702,14 @@ ORACLE["ml_cluster_purity_nmi"] = (
     "(SELECT cluster, max(c) AS mx FROM ct GROUP BY cluster)), "
     "am AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS ac FROM ct GROUP BY cluster), "
     "bm AS (SELECT label, CAST(sum(c) AS BIGINT) AS bc FROM ct GROUP BY label), "
-    "mi AS (SELECT CAST(sum(CAST(round(c / CAST(n AS DOUBLE) * "
+    "mi AS (SELECT CAST(sum(TRY_CAST(round(c / CAST(n AS DOUBLE) * "
     "ln(c * CAST(n AS DOUBLE) / (ac * CAST(bc AS DOUBLE))) * 1000000000, 0) "
     "AS BIGINT)) AS BIGINT) AS mi_n FROM ct "
     "JOIN am ON ct.cluster = am.cluster JOIN bm ON ct.label = bm.label, nn), "
-    "ha AS (SELECT CAST(sum(CAST(round(-(ac / CAST(n AS DOUBLE)) * "
+    "ha AS (SELECT CAST(sum(TRY_CAST(round(-(ac / CAST(n AS DOUBLE)) * "
     "ln(ac / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS ha_n "
     "FROM am, nn), "
-    "hb AS (SELECT CAST(sum(CAST(round(-(bc / CAST(n AS DOUBLE)) * "
+    "hb AS (SELECT CAST(sum(TRY_CAST(round(-(bc / CAST(n AS DOUBLE)) * "
     "ln(bc / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS hb_n "
     "FROM bm, nn) "
     "SELECT n, round(pure / CAST(n AS DOUBLE), 4) AS purity, "
@@ -6725,7 +6729,7 @@ ORACLE["rel_yoy_growth"] = (
 )
 
 ORACLE["ml_tukey_fences"] = (
-    "WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc "
+    "WITH o AS (SELECT TRY_CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc "
     "FROM orders), "
     "q AS (SELECT quantile_cont(tc, 0.25) AS q1, quantile_cont(tc, 0.75) AS q3, "
     "count(*) AS n FROM o) "
@@ -6747,7 +6751,7 @@ ORACLE["ml_kmeans_inertia"] = (
     "GROUP BY c, i), "
     "cent AS (SELECT c, list(cm ORDER BY i) AS cl FROM cd GROUP BY c), "
     "d AS (SELECT asg.cluster, "
-    "CAST(round(list_aggregate(list_transform(list_zip(emb, cl), "
+    "TRY_CAST(round(list_aggregate(list_transform(list_zip(emb, cl), "
     "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 1000000, 0) AS BIGINT) AS sq_u "
     "FROM asg JOIN emb2 ON asg.vec_id = emb2.vec_id "
     "JOIN cent ON asg.cluster = cent.c) "
@@ -6821,7 +6825,7 @@ ORACLE["str_user_temporal_entropy"] = (
     "tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS tu FROM per "
     "GROUP BY user_id), "
     "q AS (SELECT per.user_id, tu, "
-    "CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
+    "TRY_CAST(round(-(c / CAST(tu AS DOUBLE)) * ln(c / CAST(tu AS DOUBLE)) "
     "* 1000000000, 0) AS BIGINT) AS hq "
     "FROM per JOIN tot ON per.user_id = tot.user_id) "
     "SELECT user_id, max(tu) AS n_events, "
@@ -6889,7 +6893,7 @@ ORACLE["llm_embed_outliers"] = (
     "cd AS (SELECT i, round(avg(emb[CAST(i + 1 AS INT)]), 6) AS m "
     "FROM emb2, range(64) t(i) GROUP BY i), "
     "cent AS (SELECT list(m ORDER BY i) AS cvec FROM cd), "
-    "d AS (SELECT vec_id, CAST(round(sqrt(list_aggregate(list_transform("
+    "d AS (SELECT vec_id, TRY_CAST(round(sqrt(list_aggregate(list_transform("
     "list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')) "
     "* 10000, 0) AS BIGINT) AS dq FROM emb2, cent), "
     "g AS (SELECT count(*) AS n, CAST(sum(dq) AS BIGINT) AS s, "
@@ -6938,7 +6942,7 @@ ORACLE["llm_bigram_crossentropy"] = (
     "vocab AS (SELECT count(DISTINCT w) AS v FROM "
     "(SELECT unnest(ts) AS w FROM tok WHERE is_train)), "
     "held AS (SELECT big.w1, big.w2 FROM big WHERE NOT is_train), "
-    "scored AS (SELECT CAST(round(-ln((coalesce(c12.c12, 0) + 1) / "
+    "scored AS (SELECT TRY_CAST(round(-ln((coalesce(c12.c12, 0) + 1) / "
     "CAST(coalesce(c1.c1, 0) + v AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS nl "
     "FROM held LEFT JOIN c12 ON held.w1 = c12.w1 AND held.w2 = c12.w2 "
     "LEFT JOIN c1 ON held.w1 = c1.w1, vocab) "
@@ -6964,7 +6968,7 @@ ORACLE["ml_conformal_knn"] = (
     "(PARTITION BY qid ORDER BY dist, tid) AS rnk FROM pairs), "
     "topk AS (SELECT * FROM ranked WHERE rnk <= 10), "
     "pred AS (SELECT qid, qlabel, "
-    "CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT) AS pred_u "
+    "TRY_CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT) AS pred_u "
     "FROM topk GROUP BY qid, qlabel), "
     "scored AS (SELECT qid, "
     "substring(md5(CAST(qid AS VARCHAR)), 1, 2) < '80' AS is_cal, "
@@ -7078,7 +7082,7 @@ ORACLE["ts_season_strength"] = (
     "parts AS (SELECT h, c, "
     "CAST(sum(c) OVER (PARTITION BY h % 24) AS BIGINT) AS s_sum, "
     "count(*) OVER (PARTITION BY h % 24) AS s_n FROM s), "
-    "q AS (SELECT CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) "
+    "q AS (SELECT TRY_CAST(round((c - CAST(s_sum AS DOUBLE) / s_n) * 1000, 0) "
     "AS BIGINT) AS rq, CAST(c AS BIGINT) * 1000 AS cq FROM parts), "
     "g AS (SELECT count(*) AS n, CAST(sum(rq) AS BIGINT) AS sr, "
     "CAST(sum(rq * rq) AS BIGINT) AS ssr, CAST(sum(cq) AS BIGINT) AS sc, "
@@ -7091,7 +7095,7 @@ ORACLE["ts_season_strength"] = (
 )
 
 ORACLE["ml_embed_drift_ks"] = (
-    "WITH vals AS (SELECT CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
+    "WITH vals AS (SELECT TRY_CAST(round(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END[1] * 1000000, 0) "
     "AS BIGINT) AS vc, CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS grp "
     # vc IS NOT NULL: poisoned vectors leave the distribution on both
     # engines (ks_two_sample's NULL-measurement exclusion)
@@ -7129,8 +7133,8 @@ ORACLE["ts_acf_significance"] = (
     "round((p - m * (ak + bk) + nk * m * m) / (ss - n * m * m), 4) AS acf "
     "FROM j) "
     "SELECT k, acf, "
-    "CAST(CAST(round(acf * 1000000, 0) AS BIGINT) * "
-    "CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 AS INT) "
+    "CAST(TRY_CAST(round(acf * 1000000, 0) AS BIGINT) * "
+    "TRY_CAST(round(acf * 1000000, 0) AS BIGINT) * n > 3841600000000 AS INT) "
     "AS significant FROM r"
 )
 
@@ -7148,7 +7152,7 @@ ORACLE["ml_kaplan_meier"] = (
     "0) AS n_at_risk FROM per, n0), "
     "terms AS (SELECT t, d, n_at_risk, "
     "CASE WHEN d = 0 THEN CAST(0 AS BIGINT) ELSE "
-    "CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
+    "TRY_CAST(round(ln(1 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000, 0) "
     "AS BIGINT) END AS lnq FROM risk), "
     "cum AS (SELECT t, d, n_at_risk, CAST(sum(lnq) OVER "
     "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
@@ -7364,12 +7368,12 @@ ORACLE["rel_column_profile"] = (
     "CAST(min(l_suppkey) AS VARCHAR) AS mn3, CAST(max(l_suppkey) AS VARCHAR) AS mx3, "
     "count(DISTINCT l_quantity) AS d4, "
     "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4, "
-    "CAST(CAST(round(min(l_quantity) * 100, 0) AS BIGINT) AS VARCHAR) AS mn4, "
-    "CAST(CAST(round(max(l_quantity) * 100, 0) AS BIGINT) AS VARCHAR) AS mx4, "
+    "CAST(min(TRY_CAST(round(l_quantity * 100, 0) AS BIGINT)) AS VARCHAR) AS mn4, "
+    "CAST(max(TRY_CAST(round(l_quantity * 100, 0) AS BIGINT)) AS VARCHAR) AS mx4, "
     "count(DISTINCT l_extendedprice) AS d5, "
     "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5, "
-    "CAST(CAST(round(min(l_extendedprice) * 100, 0) AS BIGINT) AS VARCHAR) AS mn5, "
-    "CAST(CAST(round(max(l_extendedprice) * 100, 0) AS BIGINT) AS VARCHAR) AS mx5, "
+    "CAST(min(TRY_CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS VARCHAR) AS mn5, "
+    "CAST(max(TRY_CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS VARCHAR) AS mx5, "
     "count(DISTINCT l_returnflag) AS d6, "
     "CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z6, "
     "CAST(min(l_returnflag) AS VARCHAR) AS mn6, "
@@ -7429,7 +7433,7 @@ ORACLE["ml_balanced_accuracy"] = (
     "FROM votes), "
     "per AS (SELECT qlabel, count(*) AS n_c, CAST(sum(ok) AS BIGINT) AS ok_c "
     "FROM pred WHERE vr = 1 GROUP BY qlabel), "
-    "q AS (SELECT CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) "
+    "q AS (SELECT TRY_CAST(round(ok_c / CAST(n_c AS DOUBLE) * 1000000, 0) "
     "AS BIGINT) AS rq FROM per) "
     "SELECT count(*) AS n_classes, "
     "round(CAST(sum(rq) AS BIGINT) / "
@@ -7537,7 +7541,7 @@ ORACLE["ml_average_precision"] = (
     "steps AS (SELECT tp, fp, tp - coalesce(lag(tp) OVER "
     "(ORDER BY score DESC), 0) AS dtp FROM cum), "
     "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts), "
-    "terms AS (SELECT CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) "
+    "terms AS (SELECT TRY_CAST(round(dtp * (tp / CAST(tp + fp AS DOUBLE)) "
     "* 1000000000, 0) AS BIGINT) AS tq FROM steps) "
     "SELECT p AS n_pos, "
     "round(CAST(sum(tq) AS BIGINT) / (p * CAST(1000000000 AS DOUBLE)), 4) "
@@ -7581,19 +7585,19 @@ ORACLE["ts_spectral_entropy"] = (
     f"WITH {_EVD}, {_HOURLY_SQL}, "
     "tt AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS t FROM s), "
     "nn AS (SELECT count(*) AS n FROM s), "
-    "terms0 AS (SELECT k, n, CAST(round(c * cos(2 * pi() * k * t / n) "
+    "terms0 AS (SELECT k, n, TRY_CAST(round(c * cos(2 * pi() * k * t / n) "
     "* 100000000, 0) AS BIGINT) AS ca, "
-    "CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
+    "TRY_CAST(round(c * sin(2 * pi() * k * t / n) * 100000000, 0) AS BIGINT) AS cb "
     "FROM tt, range(1, 37) r(k), nn), "
     "agg AS (SELECT k, n, CAST(sum(ca) AS BIGINT) AS a, "
     "CAST(sum(cb) AS BIGINT) AS b FROM terms0 GROUP BY k, n), "
-    "pw AS (SELECT k, CAST(round(round(((CAST(a AS DOUBLE) / 100000000) * "
+    "pw AS (SELECT k, TRY_CAST(round(round(((CAST(a AS DOUBLE) / 100000000) * "
     "(CAST(a AS DOUBLE) / 100000000) + (CAST(b AS DOUBLE) / 100000000) * "
     "(CAST(b AS DOUBLE) / 100000000)) / n, 4) * 1000000, 0) AS BIGINT) AS pq "
     "FROM agg), "
     "tot AS (SELECT CAST(sum(pq) AS BIGINT) AS tp FROM pw), "
     "hterms AS (SELECT CASE WHEN pq = 0 THEN CAST(0 AS BIGINT) ELSE "
-    "CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
+    "TRY_CAST(round(-(pq / CAST(tp AS DOUBLE)) * ln(pq / CAST(tp AS DOUBLE)) "
     "* 1000000000, 0) AS BIGINT) END AS hq FROM pw, tot) "
     "SELECT count(*) AS n_freqs, "
     "round(CAST(sum(hq) AS BIGINT) / CAST(1000000000 AS DOUBLE), 4) "
@@ -7611,8 +7615,8 @@ ORACLE["llm_heaps_law"] = (
     "ntok AS (SELECT cp, CAST(sum(nt) AS BIGINT) AS n FROM cps "
     "JOIN doc_tok ON doc_id < cp GROUP BY cp), "
     "pts AS (SELECT cp, n, v, "
-    "CAST(round(ln(n) * 1000000, 0) AS BIGINT) AS xq, "
-    "CAST(round(ln(v) * 1000000, 0) AS BIGINT) AS yq FROM vocab "
+    "TRY_CAST(round(ln(n) * 1000000, 0) AS BIGINT) AS xq, "
+    "TRY_CAST(round(ln(v) * 1000000, 0) AS BIGINT) AS yq FROM vocab "
     "JOIN ntok USING (cp)), "
     "g AS (SELECT count(*) AS m, CAST(sum(xq) AS BIGINT) AS sx, "
     "CAST(sum(yq) AS BIGINT) AS sy, CAST(sum(xq * xq) AS BIGINT) AS sxx, "
@@ -7643,7 +7647,7 @@ ORACLE["ml_f1_scores"] = (
     "coalesce(tp.tp, 0) AS tp FROM act FULL JOIN prd ON act.lbl = prd.lbl "
     "LEFT JOIN tp ON coalesce(act.lbl, prd.lbl) = tp.lbl), "
     "q AS (SELECT CASE WHEN act + prd = 0 THEN CAST(0 AS BIGINT) ELSE "
-    "CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) AS BIGINT) "
+    "TRY_CAST(round(2 * tp / CAST(act + prd AS DOUBLE) * 1000000, 0) AS BIGINT) "
     "END AS f1q FROM per), "
     "nn AS (SELECT count(*) AS n, CAST(sum(CASE WHEN true_label = pred_label "
     "THEN 1 ELSE 0 END) AS BIGINT) AS ok FROM p) "
@@ -7659,9 +7663,13 @@ ORACLE["ts_max_drawdown"] = (
     "CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END * "
     f"{_CENTS.format(x='value')} AS delta_c "
     "FROM events WHERE event_type = 'purchase'), "
+    # COALESCE(…, 0): a NULL delta (ingest-NULLed non-finite value) leaves
+    # the running balance UNMOVED — the engine prefix scan folds from 0 and
+    # skips missing ticks, so an all-NULL prefix is balance 0, not NULL
+    # (r11 non-finite sweep).
     "cc AS (SELECT event_id, t, "
-    "CAST(sum(delta_c) OVER (ORDER BY t, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c "
+    "CAST(COALESCE(sum(delta_c) OVER (ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cum_c "
     "FROM p), "
     "r AS (SELECT event_id, cum_c, "
     "CAST(max(cum_c) OVER (ORDER BY t, event_id "
@@ -7696,7 +7704,7 @@ ORACLE["llm_vocab_kl_divergence"] = (
     "FROM tok GROUP BY term), "
     "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, "
     "CAST(sum(ch) AS BIGINT) AS nh, count(*) AS v FROM per), "
-    "terms AS (SELECT CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
+    "terms AS (SELECT TRY_CAST(round(((ch + 1) / CAST(nh + v AS DOUBLE)) * "
     "ln(((ch + 1) / CAST(nh + v AS DOUBLE)) / "
     "((ct + 1) / CAST(nt + v AS DOUBLE))) * 1000000000, 0) AS BIGINT) AS kq "
     "FROM per, tot) "
@@ -7768,7 +7776,7 @@ ORACLE["ml_best_f1_threshold"] = (
     "AND CURRENT ROW)), "
     "g AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM pts), "
     "scored AS (SELECT score, tp, fp, "
-    "CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) * 1000000, 0) "
+    "TRY_CAST(round(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE) * 1000000, 0) "
     "AS BIGINT) AS f1q FROM cum, g), "
     "best AS (SELECT *, row_number() OVER "
     "(ORDER BY f1q DESC, score DESC) AS rn FROM scored) "
@@ -7839,7 +7847,7 @@ ORACLE["ml_precision_at_k"] = (
     "topk AS (SELECT qid, rnk, CAST(tlabel = qlabel AS INT) AS rel "
     "FROM ranked WHERE rnk <= 10), "
     "cum AS (SELECT qid, rnk AS k, "
-    "CAST(round(CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rnk "
+    "TRY_CAST(round(CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rnk "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
     "/ rnk * 1000000, 0) AS BIGINT) AS pq FROM topk) "
     "SELECT k, count(*) AS n_queries, "
@@ -7920,7 +7928,7 @@ ORACLE["ml_recall_at_k"] = (
     "qrel AS (SELECT DISTINCT topk.qid, lbl.n_lbl - 1 AS n_rel FROM topk "
     "JOIN lbl ON topk.qlabel = lbl.label), "
     "cum AS (SELECT topk.qid, rnk AS k, "
-    "CAST(round(CAST(sum(rel) OVER (PARTITION BY topk.qid ORDER BY rnk "
+    "TRY_CAST(round(CAST(sum(rel) OVER (PARTITION BY topk.qid ORDER BY rnk "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
     "/ n_rel * 1000000, 0) AS BIGINT) AS rq "
     "FROM topk JOIN qrel ON topk.qid = qrel.qid) "
@@ -7939,7 +7947,7 @@ ORACLE["graph_edge_length_stats"] = (
     "(SELECT dr, row_number() OVER (ORDER BY dr) AS r FROM ed), nn "
     "WHERE r = CAST(ceil(n / 2.0) AS BIGINT)), "
     "agg AS (SELECT count(*) AS n_edges, min(dr) AS min_d, max(dr) AS max_d, "
-    "CAST(sum(CAST(round(dr * 10000, 0) AS BIGINT)) AS BIGINT) AS s4 FROM ed) "
+    "CAST(sum(TRY_CAST(round(dr * 10000, 0) AS BIGINT)) AS BIGINT) AS s4 FROM ed) "
     "SELECT n_edges, min_d, "
     "round(s4 / (n_edges * CAST(10000 AS DOUBLE)), 4) AS mean_d, "
     "median_d, max_d FROM agg, med"
@@ -7972,7 +7980,7 @@ ORACLE["graph_degree_entropy"] = (
     "LEFT JOIN dg0 ON embeddings.vec_id = dg0.node), "
     "hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d), "
     "nn AS (SELECT count(*) AS n FROM deg), "
-    "terms AS (SELECT CAST(round(-(c / CAST(n AS DOUBLE)) * "
+    "terms AS (SELECT TRY_CAST(round(-(c / CAST(n AS DOUBLE)) * "
     "ln(c / CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS hq "
     "FROM hist, nn) "
     "SELECT count(*) AS n_degree_values, "

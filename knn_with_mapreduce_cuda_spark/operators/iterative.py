@@ -332,7 +332,7 @@ def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = a.join(b, "vec_id").select(
         "a",
         "b",
-        F.round(col("ca") * col("cb") * PCA_SCALE, 0).cast("long").alias("pq"),
+        F.round(col("ca") * col("cb") * PCA_SCALE, 0).try_cast("long").alias("pq"),
     )
     cov = prods.groupBy("a", "b").agg(F.sum("pq").alias("cq"))
     v1 = cov.groupBy("a").agg(F.sum("cq").alias("v1q"))
@@ -340,7 +340,10 @@ def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.crossJoin(F.broadcast(mx)).select(
         col("a").cast("long").alias("dim"),
         "v1q",
-        F.round(col("v1q") / col("mx"), 6).alias("v1_norm"),
+        # try_divide: an all-excluded covariance (every product outside
+        # the quantizable domain) leaves mx = 0 — NULL on both engines,
+        # not an ANSI DIVIDE_BY_ZERO (r11 non-finite sweep).
+        F.round(F.try_divide(col("v1q"), col("mx")), 6).alias("v1_norm"),
     )
 
 
@@ -405,7 +408,7 @@ def _q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN coalesce(codf, 0) = 0 THEN CAST(-1000000000 AS BIGINT) "
                 "WHEN codf = n THEN CAST(1000000000 AS BIGINT) "
-                "ELSE CAST(round(ln(codf * CAST(n AS DOUBLE) / (df1 * df2)) / "
+                "ELSE TRY_CAST(round(ln(codf * CAST(n AS DOUBLE) / (df1 * df2)) / "
                 "(-ln(codf / CAST(n AS DOUBLE))) * 1000000000, 0) AS BIGINT) END"
             ).alias("npmi_n"),
         )
@@ -530,7 +533,7 @@ ORACLE = {
         "cent AS (SELECT vec_id, ex.pos, x - mu AS c "
         "FROM ex JOIN mu ON mu.pos = ex.pos), "
         "prods AS (SELECT a.pos AS a, b.pos AS b, "
-        f"CAST(round(a.c * b.c * {PCA_SCALE}, 0) AS BIGINT) AS pq "
+        f"TRY_CAST(round(a.c * b.c * {PCA_SCALE}, 0) AS BIGINT) AS pq "
         "FROM cent a JOIN cent b ON a.vec_id = b.vec_id), "
         "cov AS (SELECT a, b, sum(pq) AS cq FROM prods GROUP BY a, b), "
         "v1 AS (SELECT a, CAST(sum(cq) AS BIGINT) AS v1q FROM cov GROUP BY a), "
@@ -607,7 +610,7 @@ ORACLE["llm_topic_coherence"] = (
     "scored AS (SELECT pairs.cluster, "
     "CASE WHEN coalesce(co.codf, 0) = 0 THEN CAST(-1000000000 AS BIGINT) "
     "WHEN co.codf = n THEN CAST(1000000000 AS BIGINT) "
-    "ELSE CAST(round(ln(co.codf * CAST(n AS DOUBLE) / (f1.df * f2.df)) / "
+    "ELSE TRY_CAST(round(ln(co.codf * CAST(n AS DOUBLE) / (f1.df * f2.df)) / "
     "(-ln(co.codf / CAST(n AS DOUBLE))) * 1000000000, 0) AS BIGINT) END AS npmi_n "
     "FROM pairs LEFT JOIN co ON pairs.w1 = co.w1 AND pairs.w2 = co.w2 "
     "JOIN dfq f1 ON pairs.w1 = f1.tok JOIN dfq f2 ON pairs.w2 = f2.tok, nn) "

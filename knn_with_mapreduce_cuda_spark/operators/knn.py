@@ -111,7 +111,7 @@ def weighted_vote(topk_df: DataFrame) -> DataFrame:
     partitioning (the cents convention applied to votes, SCALE.md §3).
     """
     weighted = topk_df.withColumn(
-        "w", F.floor(10000.0 / (F.round("dist", 4) + 1.0)).cast("long")
+        "w", F.floor(10000.0 / (F.round("dist", 4) + 1.0)).try_cast("long")
     )
     votes = weighted.groupBy("qid", "qlabel", "tlabel").agg(F.sum("w").alias("wsum"))
     w = Window.partitionBy("qid").orderBy(F.desc("wsum"), "tlabel")
@@ -474,8 +474,12 @@ def _q_lof(spark, sf_dir):
         .select(
             "qid",
             "tid",
+            # try_cast (r11 magnitude convention): a reach distance from
+            # an f32-max component overflows the 1e6 quantization on
+            # both engines — NULL drops it from the k-sum like the
+            # TRY_CAST oracle twin.
             F.round(F.greatest(col("dist"), col("t_kd")) * LOF_SCALE, 0)
-            .cast("long")
+            .try_cast("long")
             .alias("reach_q"),
         )
     )
@@ -491,7 +495,7 @@ def _q_lof(spark, sf_dir):
     )
     return ratio.groupBy("qid").agg(
         F.round(
-            F.sum("t_lrd") / (lit(K_DEFAULT) * F.max("lrd_q")),
+            F.try_divide(F.sum("t_lrd"), lit(K_DEFAULT) * F.max("lrd_q")),
             4,
         ).alias("lof")
     )
@@ -1041,7 +1045,7 @@ ORACLE = {
     "knn_classify_weighted": (
         f"WITH {_EMB}, {_PAIRS}, {_TOPK}, "
         "wv AS (SELECT qid, qlabel, tlabel, "
-        "CAST(floor(10000.0 / (round(dist, 4) + 1.0)) AS BIGINT) AS w FROM topk), "
+        "TRY_CAST(floor(10000.0 / (round(dist, 4) + 1.0)) AS BIGINT) AS w FROM topk), "
         "votes AS (SELECT qid, qlabel, tlabel, CAST(sum(w) AS BIGINT) AS wsum FROM wv "
         "GROUP BY qid, qlabel, tlabel), "
         "pred AS (SELECT qid, qlabel, tlabel, wsum, "
@@ -1143,9 +1147,9 @@ ORACLE = {
         f"WHERE rnk <= {K_DEFAULT}), "
         "kd AS (SELECT qid, max(dist) AS kd FROM base GROUP BY qid), "
         "reach AS (SELECT b.qid, b.tid, "
-        f"CAST(round(greatest(b.dist, k.kd) * {LOF_SCALE}, 0) AS BIGINT) AS reach_q "
+        f"TRY_CAST(round(greatest(b.dist, k.kd) * {LOF_SCALE}, 0) AS BIGINT) AS reach_q "
         "FROM base b JOIN kd k ON k.qid = b.tid), "
-        f"lrd AS (SELECT qid, CAST(floor({K_DEFAULT} * {LOF_SCALE}::BIGINT * "
+        f"lrd AS (SELECT qid, TRY_CAST(floor({K_DEFAULT} * {LOF_SCALE}::BIGINT * "
         f"{LOF_SCALE} / sum(reach_q)) AS BIGINT) AS lrd_q FROM reach GROUP BY qid) "
         "SELECT b.qid, round(sum(lt.lrd_q) / "
         f"({K_DEFAULT} * max(lq.lrd_q)), 4) AS lof "
@@ -1227,7 +1231,7 @@ ORACLE = {
         "b AS (SELECT pos, round(min(x), 6) AS lo, round(max(x), 6) AS hi "
         "FROM ex GROUP BY pos), "
         "q AS (SELECT vec_id, x, lo, hi, "
-        f"CAST(round((x - lo) * {QUANT_LEVELS} / (hi - lo), 0) AS BIGINT) AS code "
+        f"TRY_CAST(round((x - lo) * {QUANT_LEVELS} / (hi - lo), 0) AS BIGINT) AS code "
         "FROM ex JOIN b ON b.pos = ex.pos) "
         "SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum, "
         f"round(max(abs(code * (hi - lo) / {QUANT_LEVELS} + lo - x)), 6) AS max_err "

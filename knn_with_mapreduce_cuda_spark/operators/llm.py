@@ -532,11 +532,19 @@ def _q_ann_lsh(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    # poisoned (NULL) vectors are excluded BEFORE MLlib: the LSH hash
-    # UDF crashes on a NULL vector, and the exact twin's strict
-    # dist < 1.3 could never admit a NULL distance anyway (r10
-    # non-finite sweep) — the filter aligns engine and oracle counts.
-    e = tables.embeddings(spark, sf_dir).filter(col("emb").isNotNull())
+    # poisoned vectors are excluded BEFORE MLlib via embeddings_valid,
+    # and the cleaned corpus is MATERIALIZED (localCheckpoint) before
+    # the index build: approxSimilarityJoin's internal self-join
+    # machinery evaluates its hash/key expressions across the input's
+    # lineage — with the corrupt-vector filter still lazy in that
+    # lineage, poisoned rows reached the hash UDF (NPE on a NULL
+    # vector; r10) and a NaN-component row broke the join's
+    # floating-point key normalization (NOT_NULL_ASSERT, r11 sweep).
+    # Clean-then-materialize is also the real 100 TB shape: an LSH
+    # index is always built over a persisted cleaned corpus, not a
+    # filter view. The exact twin's strict dist < 1.3 could never
+    # admit a NULL distance anyway.
+    e = tables.embeddings_valid(spark, sf_dir).localCheckpoint(eager=True)
     q = e.filter(col("vec_id") % 50 == 0)
     exact = (
         q.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
@@ -735,9 +743,9 @@ def _q_quality_score(spark, sf_dir):
     return t.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.floor(awl * 10000).cast("long").alias("awl_q4"),
-        F.floor(stop_hits / n_words * 10000).cast("long").alias("stopword_ratio_q4"),
-        F.floor(score * 10000).cast("long").alias("quality_q4"),
+        F.floor(awl * 10000).try_cast("long").alias("awl_q4"),
+        F.floor(stop_hits / n_words * 10000).try_cast("long").alias("stopword_ratio_q4"),
+        F.floor(score * 10000).try_cast("long").alias("quality_q4"),
     )
 
 
@@ -1574,10 +1582,22 @@ def _pq_iv(e: DataFrame) -> DataFrame:
     choke point every PQ fit/encode/LUT path flows through): a null
     vector cannot be quantized or coded, and letting it through crashed
     the NumPy reshape inside the Arrow kernels (r09 null-injection
-    sweep) — same exclusion convention as the GEMM entries."""
-    return e.filter(col("emb").isNotNull()).select(
-        "vec_id",
-        F.transform("emb", lambda x: F.round(x * PQ_IQ).cast("long")).alias("iv"),
+    sweep) — same exclusion convention as the GEMM entries. Vectors
+    with a component OUTSIDE the PQ_IQ-quantizable int64 domain
+    (|x|·PQ_IQ ≳ 2⁶³, e.g. an f32-max 3e38 from a broken encoder) are
+    excluded the same way (r11 magnitude convention): try_cast yields a
+    NULL element, and a partially-NULL code is meaningless — the oracle
+    embq CTEs carry the identical list_filter exclusion (README
+    §Corrupt-data contract)."""
+    return (
+        e.filter(col("emb").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: F.round(x * PQ_IQ).try_cast("long")).alias(
+                "iv"
+            ),
+        )
+        .filter(~F.exists("iv", lambda x: x.isNull()))
     )
 
 
@@ -2572,8 +2592,8 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
     # (measured ~20% off the 8 s sf0.1 oracle wall, values identical).
     ctes = [
         "emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings)",
-        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL)",
+        f"embq AS (SELECT vec_id, ivec FROM (SELECT vec_id, list_transform(emb, x -> TRY_CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL) WHERE len(list_filter(ivec, x -> x IS NULL)) = 0)",
         "sub AS MATERIALIZED (SELECT vec_id, j AS s, "
         "list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j))",
@@ -2595,7 +2615,7 @@ def _pq_oracle_ctes(qmod: int = 50) -> str:
         )
         ctes.append(
             f"cb{i} AS MATERIALIZED (SELECT s, j, list(v ORDER BY d) AS csub FROM "
-            f"(SELECT a.s, a.j, d.d, CAST(round(avg(t.sub[CAST(d.d + 1 AS INTEGER)])) "
+            f"(SELECT a.s, a.j, d.d, TRY_CAST(round(avg(t.sub[CAST(d.d + 1 AS INTEGER)])) "
             f"AS BIGINT) AS v FROM a{i} a JOIN tr t ON a.vec_id = t.vec_id "
             "AND a.s = t.s, range(8) d(d) GROUP BY a.s, a.j, d.d) GROUP BY s, j)"
         )
@@ -2773,8 +2793,8 @@ ORACLE = {
         # trained model is part of the stored index under test.
         "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
-        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL), "
+        f"embq AS (SELECT vec_id, ivec FROM (SELECT vec_id, list_transform(emb, x -> TRY_CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL) WHERE len(list_filter(ivec, x -> x IS NULL)) = 0), "
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("
@@ -2805,8 +2825,8 @@ ORACLE = {
         # re-derives probes + ADC + rerank in SQL.
         "WITH emb0 AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb "
         "FROM embeddings), "
-        f"embq AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * {PQ_IQ}) "
-        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL), "
+        f"embq AS (SELECT vec_id, ivec FROM (SELECT vec_id, list_transform(emb, x -> TRY_CAST(round(x * {PQ_IQ}) "
+        "AS BIGINT)) AS ivec FROM emb0 WHERE emb IS NOT NULL) WHERE len(list_filter(ivec, x -> x IS NULL)) = 0), "
         "sub AS (SELECT vec_id, j AS s, list_slice(ivec, CAST(j * 8 + 1 AS INTEGER), "
         "CAST(j * 8 + 8 AS INTEGER)) AS sub FROM embq, range(8) t(j)), "
         f"cb AS (SELECT s, pos, csub FROM read_parquet("
@@ -2869,11 +2889,17 @@ ORACLE = {
     ),
     "llm_simsearch_hamming": (
         "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings), "
+        # CASE WHEN emb IS NULL: a poisoned vector's sign sketch is NULL
+        # (ham NULL, ranked last), not the all-zero sketch the bare
+        # CASE-per-bit would fabricate (emb[i] > 0 is NULL -> ELSE 0,
+        # giving ham = popcount(q) on the engine's NULL — r11 sweep).
         "pk AS (SELECT vec_id, emb, "
+        "CASE WHEN emb IS NULL THEN NULL ELSE "
         "CAST(list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN "
-        "emb[CAST(i AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS h1, "
+        "emb[CAST(i AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) END AS h1, "
+        "CASE WHEN emb IS NULL THEN NULL ELSE "
         "CAST(list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN "
-        "emb[CAST(i + 32 AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS h2 "
+        "emb[CAST(i + 32 AS INTEGER)] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) END AS h2 "
         "FROM emb), "
         "scan AS (SELECT q.vec_id AS qid, q.emb AS qemb, t.vec_id AS tid, "
         "CAST(bit_count(xor(q.h1, t.h1)) + bit_count(xor(q.h2, t.h2)) AS BIGINT) AS ham "
@@ -2938,7 +2964,7 @@ ORACLE = {
         "tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS tot_tok, "
         "CAST(sum(weight) AS BIGINT) AS sum_w FROM wt), "
         "al AS (SELECT source, n_docs, avail_tok, weight, "
-        f"CAST(floor(floor(tot_tok * {MIX_BUDGET_FRAC}) * weight / sum_w) AS BIGINT) "
+        f"TRY_CAST(floor(floor(tot_tok * {MIX_BUDGET_FRAC}) * weight / sum_w) AS BIGINT) "
         "AS alloc_tok FROM wt, tot) "
         "SELECT source, n_docs, avail_tok, weight, alloc_tok, "
         f"least(alloc_tok, avail_tok * {MIX_MAX_EPOCHS}) AS sampled_tok, "
@@ -3009,9 +3035,9 @@ ORACLE = {
         "q AS (SELECT doc_id, n_chars, CAST(len(ts) AS BIGINT) AS n_words, "
         "CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_hits, "
         "(n_chars - (len(ts) - 1)) * 1.0 / len(ts) AS awl FROM toks) "
-        "SELECT doc_id, n_words, CAST(floor(awl * 10000) AS BIGINT) AS awl_q4, "
-        "CAST(floor(stop_hits * 1.0 / n_words * 10000) AS BIGINT) AS stopword_ratio_q4, "
-        "CAST(floor((least(1.0, n_words / 100.0) * 0.5 + least(1.0, awl / 8.0) * 0.5) "
+        "SELECT doc_id, n_words, TRY_CAST(floor(awl * 10000) AS BIGINT) AS awl_q4, "
+        "TRY_CAST(floor(stop_hits * 1.0 / n_words * 10000) AS BIGINT) AS stopword_ratio_q4, "
+        "TRY_CAST(floor((least(1.0, n_words / 100.0) * 0.5 + least(1.0, awl / 8.0) * 0.5) "
         "* 10000) AS BIGINT) AS quality_q4 FROM q"
     ),
     "llm_token_count": (
@@ -3115,7 +3141,7 @@ ORACLE = {
         "idf AS (SELECT tok, avgdl, "
         "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfx, na), "
         "scored AS (SELECT tf.doc_id, "
-        f"CAST(round(idf.idf * tf.tf * ({BM25_K1} + 1) "
+        f"TRY_CAST(round(idf.idf * tf.tf * ({BM25_K1} + 1) "
         f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl)) "
         f"* {BM25_SCALE}, 0) AS BIGINT) AS term_score_q "
         "FROM tf JOIN idf ON idf.tok = tf.tok JOIN dl ON dl.doc_id = tf.doc_id), "
@@ -3139,8 +3165,8 @@ ORACLE = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off_tok "
         "FROM t) "
         "SELECT doc_id, lang, n_tok, off_tok, "
-        f"CAST(floor(off_tok / {PACK_CAPACITY}) AS BIGINT) AS bin_id, "
-        f"CAST(floor(off_tok / {PACK_CAPACITY}) <> "
+        f"TRY_CAST(floor(off_tok / {PACK_CAPACITY}) AS BIGINT) AS bin_id, "
+        f"TRY_CAST(floor(off_tok / {PACK_CAPACITY}) <> "
         f"floor((off_tok + n_tok - 1) / {PACK_CAPACITY}) AS INTEGER) AS straddles "
         "FROM c"
     ),
@@ -3157,13 +3183,13 @@ ORACLE = {
         "dl AS (SELECT true_lang AS clang, count(DISTINCT doc_id) AS d_l "
         "FROM train GROUP BY clang), "
         "dt AS (SELECT sum(d_l) AS d_tot FROM dl), "
-        f"prior AS (SELECT clang, CAST(round(ln(d_l / d_tot) * {NB_SCALE}, 0) "
+        f"prior AS (SELECT clang, TRY_CAST(round(ln(d_l / d_tot) * {NB_SCALE}, 0) "
         "AS BIGINT) AS prior_q FROM dl, dt), "
         "cand AS (SELECT t.doc_id, t.true_lang, tl.clang, t.tok, tl.n_l, vocab.v, "
         "coalesce(c.c, 0) AS c FROM test t CROSS JOIN totals tl CROSS JOIN vocab "
         "LEFT JOIN counts c ON c.clang = tl.clang AND c.tok = t.tok), "
         "ll AS (SELECT doc_id, true_lang, clang, "
-        f"CAST(round(ln((c + 1) / (n_l + v)) * {NB_SCALE}, 0) AS BIGINT) AS ll_q "
+        f"TRY_CAST(round(ln((c + 1) / (n_l + v)) * {NB_SCALE}, 0) AS BIGINT) AS ll_q "
         "FROM cand), "
         "llsum AS (SELECT doc_id, true_lang, clang, sum(ll_q) AS ll_sum "
         "FROM ll GROUP BY doc_id, true_lang, clang), "
@@ -3309,7 +3335,7 @@ ORACLE = {
     "llm_pipeline_e2e": (
         f"WITH {_TOKS}, "
         "en AS (SELECT doc_id, text, len(ts) AS n_words, "
-        "CAST(floor(len(list_distinct(ts)) * 10000.0 / len(ts)) AS BIGINT) AS uniq_q4 "
+        "TRY_CAST(floor(len(list_distinct(ts)) * 10000.0 / len(ts)) AS BIGINT) AS uniq_q4 "
         "FROM toks WHERE lang = 'en' AND len(ts) >= 30), "
         "ded AS (SELECT en.*, row_number() OVER (PARTITION BY sha256(text) "
         "ORDER BY doc_id) AS rn FROM en), "

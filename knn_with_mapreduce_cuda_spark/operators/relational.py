@@ -13,7 +13,8 @@ Scale notes per operator family:
 - Aggregations: expressed as groupBy().agg() so partial aggregation
   (map-side combine) happens before the exchange.
 - Monetary sums are integerized to cents *before* summing
-  (``round(x*100)::bigint``): integer sums are order-independent, so the
+  (``try_cast(round(x*100) as bigint)``): integer sums are
+  order-independent, so the
   result is bit-identical across Spark's partitioned sum, a 1000-executor
   cluster sum, and DuckDB's sequential sum — the float-determinism
   convention of SURVEY.md §7.2 taken to its safe endpoint.
@@ -29,11 +30,39 @@ from .. import tables
 
 
 def cents(x: Column) -> Column:
-    """Integerize a monetary double to exact cents (order-independent sum)."""
-    return F.round(x * 100, 0).cast("long")
+    """Integerize a monetary double to exact cents (order-independent sum).
+
+    try_cast, not cast: a money double outside the cents-representable
+    domain (|x| ≳ 9.2e16, e.g. DBL_MAX from a corrupt feed, or an Inf
+    sum) quantizes to NULL — aggregations then skip the corrupt row on
+    both engines — instead of crashing ANSI CAST_OVERFLOW where DuckDB's
+    TRY_CAST twin yields NULL (r11 magnitude convention — README
+    §Corrupt-data contract; identity on
+    every in-range value, golden digests unchanged)."""
+    return F.round(x * 100, 0).try_cast("long")
 
 
-_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
+_CENTS = "TRY_CAST(round({x} * 100, 0) AS BIGINT)"
+
+#: int64-domain bound for floor/ceil quantization of an unbounded
+#: double. Spark's floor/ceil(DOUBLE) return LONG and silently SATURATE
+#: at ±2⁶³ on overflow (floor(1.7e308) = Long.MAX — try_cast after the
+#: fact cannot help), while DuckDB floors in DOUBLE and TRY_CAST yields
+#: NULL; the only twin-exact idiom is the SAME explicit domain guard on
+#: both engines. 9.2e18 < 2⁶³ ≈ 9.223e18, so every guarded value
+#: floors/ceils into int64 exactly; outside → NULL on both sides.
+_Q_BOUND = 9.2e18
+_Q_GUARD = "CASE WHEN abs({x}) < 9.2e18 THEN TRY_CAST({f}({x}) AS BIGINT) END"
+
+
+def q_floor(x: Column) -> Column:
+    """floor to BIGINT, NULL outside the int64 domain (see _Q_BOUND)."""
+    return F.when(F.abs(x) < lit(_Q_BOUND), F.floor(x))
+
+
+def q_ceil(x: Column) -> Column:
+    """ceil to BIGINT, NULL outside the int64 domain (see _Q_BOUND)."""
+    return F.when(F.abs(x) < lit(_Q_BOUND), F.ceil(x))
 
 
 def _sum_cents_sql(x: str) -> str:
@@ -513,8 +542,8 @@ def _q_fn_math(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(col("l_discount") - 0.05).alias("a"),
-        F.ceil("l_extendedprice").cast("long").alias("c"),
-        F.floor("l_extendedprice").cast("long").alias("f"),
+        q_ceil(col("l_extendedprice")).alias("c"),
+        q_floor(col("l_extendedprice")).alias("f"),
         F.round("l_extendedprice", 1).alias("r1"),
         F.pow("l_quantity", 2).alias("q2"),
         F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
@@ -810,6 +839,12 @@ def _q_agg_stats(spark, sf_dir):
     # group (r10 non-finite sweep) where DuckDB's corr yields NULL;
     # covar_pop / (stddev_pop · stddev_pop) carries identical state, so
     # values are unchanged on every non-degenerate group (golden-pinned).
+    # quantizable-domain row filter (r11 magnitude convention): a money
+    # value whose cents overflow int64 (DBL_MAX from a corrupt feed) is
+    # excluded from the moments on BOTH engines — DuckDB's STDDEV_POP
+    # raises Out of Range on the squared sum where Spark yields Inf, so
+    # neither engine's native overflow behavior can be the twin.
+    li = li.filter(cents(col("l_extendedprice")).isNotNull())
     return li.groupBy("l_returnflag").agg(
         F.round(
             F.try_divide(
@@ -1026,9 +1061,9 @@ def _q_linreg_normal(spark, sf_dir):
     at 100 TB."""
     li = tables.table(spark, sf_dir, "lineitem").select(
         col("l_quantity").cast("long").alias("x1"),
-        F.round(col("l_discount") * 100, 0).cast("long").alias("x2"),
-        F.floor("l_extendedprice").cast("long").alias("y"),
-    )
+        F.round(col("l_discount") * 100, 0).try_cast("long").alias("x2"),
+        q_floor(col("l_extendedprice")).alias("y"),
+    ).filter(col("y").isNotNull())
     m = li.agg(
         F.count("*").alias("n"),
         F.sum("x1").alias("s1"),
@@ -1101,7 +1136,7 @@ def _q_sample_weighted(spark, sf_dir):
     ).cast("long")
     u = (h + lit(1)) / lit(4294967297.0)
     scored = o.withColumn(
-        "score_q", F.round(F.log(u) / col("w_cents") * lit(1e9)).cast("long")
+        "score_q", F.round(F.log(u) / col("w_cents") * lit(1e9)).try_cast("long")
     )
     # explicit top-N via orderBy+limit (TakeOrderedAndProject, bounded
     # per-partition heaps); the rank window then runs over N rows only.
@@ -1232,7 +1267,7 @@ def _q_join_lateral(spark, sf_dir):
         "SELECT o.o_orderkey, t.l_linenumber, t.price_cents "
         "FROM orders_v o, "
         "LATERAL (SELECT l_linenumber, "
-        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
+        "TRY_CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
         "FROM lineitem_v WHERE l_orderkey = o.o_orderkey "
         "ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t "
         "WHERE o.o_orderkey <= 2000"
@@ -1574,8 +1609,10 @@ ORACLE = {
     ),
     "rel_fn_math": (
         "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS a, "
-        "CAST(ceil(l_extendedprice) AS BIGINT) AS c, "
-        "CAST(floor(l_extendedprice) AS BIGINT) AS f, "
+        "CASE WHEN abs(l_extendedprice) < 9.2e18 THEN "
+        "TRY_CAST(ceil(l_extendedprice) AS BIGINT) END AS c, "
+        "CASE WHEN abs(l_extendedprice) < 9.2e18 THEN "
+        "TRY_CAST(floor(l_extendedprice) AS BIGINT) END AS f, "
         "round(l_extendedprice, 1) AS r1, "
         "pow(l_quantity, 2) AS q2, round(sqrt(l_extendedprice), 4) AS sq, "
         "round(exp(l_discount), 4) AS ex, round(ln(1.0 + l_discount), 4) AS ln1p, "
@@ -1592,7 +1629,7 @@ ORACLE = {
         "coalesce(nullif(c_nationkey, 0), -1) AS nat_nz FROM customer"
     ),
     "rel_fn_array": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings) "
         "SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim, round(emb[1], 4) + 0.0 AS first_el, "
         "round(list_aggregate(emb, 'min'), 4) + 0.0 AS min_el, "
         "round(list_aggregate(emb, 'max'), 4) + 0.0 AS max_el, "
@@ -1625,8 +1662,8 @@ ORACLE = {
     ),
     "rel_window_percentiles": (
         "SELECT o_orderkey, o_orderpriority, "
-        "CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_q4, "
-        "CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_q4, "
+        "TRY_CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_q4, "
+        "TRY_CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_q4, "
         "nth_value(o_totalprice, 3) OVER wf AS third_price FROM orders "
         "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), "
         "wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey "
@@ -1714,7 +1751,9 @@ ORACLE = {
         "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
         "round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, "
         "round(regr_r2(l_extendedprice, l_quantity), 4) AS r2 "
-        "FROM lineitem GROUP BY l_returnflag"
+        "FROM lineitem "
+        f"WHERE {_CENTS.format(x='l_extendedprice')} IS NOT NULL "
+        "GROUP BY l_returnflag"
     ),
     "rel_agg_collect": (
         "SELECT n_name, "
@@ -1794,9 +1833,11 @@ ORACLE = {
         "count(*) AS cnt FROM lineitem, b GROUP BY bin"
     ),
     "ml_linreg_normal": (
-        "WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x1, "
-        "CAST(round(l_discount * 100, 0) AS BIGINT) AS x2, "
-        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem), "
+        "WITH d AS (SELECT * FROM (SELECT CAST(l_quantity AS BIGINT) AS x1, "
+        "TRY_CAST(round(l_discount * 100, 0) AS BIGINT) AS x2, "
+        "CASE WHEN abs(l_extendedprice) < 9.2e18 THEN "
+        "TRY_CAST(floor(l_extendedprice) AS BIGINT) END AS y FROM lineitem) "
+        "WHERE y IS NOT NULL), "
         "m AS (SELECT count(*) AS n, CAST(sum(x1) AS BIGINT) AS s1, "
         "CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy, "
         "CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x2 * x2) AS BIGINT) AS s22, "
@@ -1818,7 +1859,7 @@ ORACLE = {
     "rel_sample_weighted": (
         "WITH o AS (SELECT o_orderkey, "
         f"{_CENTS.format(x='o_totalprice')} AS w_cents FROM orders), "
-        "s AS (SELECT o_orderkey, w_cents, CAST(round(ln((CAST(('0x' || "
+        "s AS (SELECT o_orderkey, w_cents, TRY_CAST(round(ln((CAST(('0x' || "
         "substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1) "
         "/ 4294967297.0) / w_cents * 1e9) AS BIGINT) AS score_q FROM o) "
         "SELECT rnk, o_orderkey, w_cents, score_q FROM (SELECT *, row_number() "
@@ -1865,7 +1906,7 @@ ORACLE = {
         "SELECT o.o_orderkey, t.l_linenumber, t.price_cents "
         "FROM orders o, "
         "LATERAL (SELECT l_linenumber, "
-        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
+        "TRY_CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents "
         "FROM lineitem WHERE l_orderkey = o.o_orderkey "
         "ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t "
         "WHERE o.o_orderkey <= 2000"
@@ -1881,8 +1922,7 @@ ORACLE = {
         "JOIN nation n ON n.n_regionkey = v.code"
     ),
     "rel_fn_higher_order2": (
-        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
-        "FROM embeddings) "
+        "WITH emb AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS emb FROM embeddings) "
         "SELECT vec_id, "
         "len(list_filter(emb, x -> x > 0.3)) > 0 AS any_big, "
         "len(list_filter(emb, x -> abs(x) < 1.0)) = len(emb) AS all_small, "

@@ -256,10 +256,11 @@ ORACLE = {
         + " AS price_cents FROM orders GROUP BY o_orderstatus"
     ),
     "src_knn_text_roundtrip": (
-        # label/embedding IS NOT NULL mirrors the writer: such rows are
-        # unrepresentable in the reference line format (r09 sweep)
+        # label/embedding IS NOT NULL + the poison predicate mirror the
+        # writer: NULL and poisoned (non-finite-component) vectors are
+        # unrepresentable in the reference line format (r09/r11 sweeps)
         "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings "
-        "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) "
         "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
         "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
         "FROM emb GROUP BY label"
@@ -280,7 +281,7 @@ ORACLE = {
         # embedding IS NOT NULL mirrors the writer (label = 3 already
         # excludes null labels); see src_knn_text_roundtrip
         "WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, label "
-        "FROM embeddings WHERE label = 3 AND embedding IS NOT NULL) "
+        "FROM embeddings WHERE label = 3 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) "
         "SELECT label, count(*) AS cnt, round(min(emb[1]), 4) AS min_f1, "
         "round(max(emb[1]), 4) AS max_f1, CAST(min(len(emb)) AS BIGINT) AS dim "
         "FROM emb GROUP BY label"

@@ -462,7 +462,7 @@ ORACLE = {
         f"WITH {_EV}, evf AS (SELECT * FROM ev WHERE user_id <= 30), "
         f"hourly AS (SELECT user_id, ts_us - ts_us % {_HOUR_US} AS hour_us, "
         "count(*) AS cnt, "
-        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_cents "
+        "CAST(sum(TRY_CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_cents "
         "FROM evf GROUP BY 1, 2), "
         f"bounds AS (SELECT user_id, min(ts_us) - min(ts_us) % {_HOUR_US} AS mn, "
         f"max(ts_us) - max(ts_us) % {_HOUR_US} AS mx FROM evf GROUP BY user_id), "

@@ -13,6 +13,7 @@ import re
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from .tables import TABLE_NAMES
@@ -209,6 +210,21 @@ def _canon_cell(v):
 
 def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    # NULLABLE-BOOLEAN normalization: a NULL in a boolean column comes
+    # back as None from Spark's toPandas but as float NaN from DuckDB's
+    # .df() (both land in an object-dtype column) — a boolean column
+    # cannot hold a REAL NaN, so NaN there is unambiguously NULL and
+    # both spellings must canonicalize identically (r11 non-finite
+    # sweep: rel_fn_higher_order2's any_big/all_small on a poisoned
+    # vector). Float columns are untouched: there NaN is a value.
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object:
+            nonnull = s.dropna()
+            if len(nonnull) and all(
+                isinstance(x, (bool, np.bool_)) for x in nonnull
+            ):
+                pdf[c] = s.where(s.notna(), None)
     rows = [tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)]
     # any deterministic total order works (both sides sort by the same
     # key; equality is checked on the canonical tuples themselves, and

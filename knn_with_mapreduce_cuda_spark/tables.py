@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .session import ensure_runtime_confs
 
@@ -195,7 +195,8 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A vector carrying a NULL or NON-FINITE component is poisoned to a
     NULL vector —
-    the engine-wide corrupt-vector convention (r10 non-finite sweep,
+    the engine-wide corrupt-vector convention (README §Corrupt-data
+    contract; r10 non-finite sweep,
     scripts/nonfinite_sweep_r10.py): a partially-missing embedding is
     exactly as unusable as a missing one, every fold-based metric then
     yields the NULL distance the oracles expect (DuckDB list_distance
@@ -205,16 +206,39 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity on fully-non-NULL vectors, so graded outputs and golden
     digests are unchanged."""
     poisoned = F.when(
-        F.exists(
-            "embedding",
-            lambda x: x.isNull()
-            | F.isnan(x)
-            | (F.abs(x) == F.lit(float("inf"))),
-        ),
+        _corrupt_vector("embedding"),
         F.lit(None),
     ).otherwise(F.col("embedding").cast("array<double>"))
     return table(spark, sf_dir, "embeddings").select(
         "vec_id", poisoned.alias("emb"), "label"
+    )
+
+
+def _corrupt_vector(c) -> Column:
+    """True when the vector carries a NULL or non-finite component —
+    the shared poison predicate of embeddings() / embeddings_valid()."""
+    return F.exists(
+        c,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+
+
+def embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like embeddings(), but poisoned vectors are FILTERED instead of
+    NULLed, so ``emb`` is non-nullable BY CONSTRUCTION (the raw parquet
+    column is required; no CASE ever materializes a NULL array).
+
+    Consumers that hand ``emb`` to a null-intolerant kernel need this
+    stronger shape: Catalyst's subexpression elimination may evaluate a
+    UDF inside a predicate BEFORE the isNotNull conjunct of the same
+    stage (r11 non-finite sweep: MLlib's array_to_vector NPE'd on a
+    poisoned row that a .filter(emb.isNotNull()) had 'already' removed
+    — the filter and the UDF shared one codegen stage and the UDF ran
+    first). Identical surviving-row set to
+    embeddings().filter(emb.isNotNull())."""
+    raw = table(spark, sf_dir, "embeddings")
+    return raw.filter(~_corrupt_vector("embedding")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
 
 

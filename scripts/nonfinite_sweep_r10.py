@@ -36,13 +36,14 @@ from knn_with_mapreduce_cuda_spark.session import get_spark
 NAN, INF = float("nan"), float("inf")
 DMAX, SUB = 1.7e308, 5e-324
 #: NF_SCOPE=closed builds only the CLASSES CLOSED in round 10
-#: (NULL/NaN/Inf embedding components, NaN/Inf event values — the
-#: corrupt-data conventions now pinned in tests). The default FULL
-#: fixture additionally carries the MAGNITUDE classes (DBL_MAX lineitem
-#: money, f32-max embedding components) whose quantization-overflow
-#: surface (~20 extra keys, money-cents/micro CAST AS BIGINT on both
-#: engines) is enumerated, documented next-round work — this script
-#: exits nonzero on the full fixture until that lands.
+#: (NULL/NaN/Inf embedding components, NaN/Inf event values). The
+#: default FULL fixture additionally carries the MAGNITUDE classes
+#: (DBL_MAX lineitem money, f32-max embedding components), CLOSED in
+#: round 11 by the TRY_CAST quantization convention (cents/_CENTS/
+#: q_floor/q_ceil in operators/relational.py, the PQ quantizable-domain
+#: exclusion in llm._pq_iv, and the per-key conventions recorded in
+#: tests/test_degenerate_inputs.py) — the full-fixture sweep must exit
+#: 0; any nonzero exit is a regression.
 CLOSED_SCOPE = os.environ.get("NF_SCOPE") == "closed"
 
 

@@ -607,3 +607,122 @@ def test_zero_variance_ols_null_convention(spark):
         ).alias("beta")
     ).collect()[0]
     assert row["beta"] is None
+
+
+@pytest.fixture(scope="module")
+def magnitude_sf(tmp_path_factory):
+    """The FULL non-finite fixture (scripts/nonfinite_sweep_r10.py):
+    the r10 closed classes (NULL/NaN/Inf embedding components, NaN/Inf
+    event values) PLUS the magnitude classes closed in r11 — a DBL_MAX
+    l_extendedprice (any double SUM over it is +Inf; its cents overflow
+    int64 on both engines) and an f32-max 3e38 embedding component
+    (finite, but 3e44 micros can never quantize into int64)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.nonfinite_sweep_r10 import build_fixture
+
+    out = str(tmp_path_factory.mktemp("magnitude_sf"))
+    build_fixture(out)
+    return out
+
+
+#: representative keys of each r11 magnitude-convention class — all
+#: must RUN and value-match the shipped oracle on the full fixture
+#: (the whole 368-key surface is swept by scripts/nonfinite_sweep_r10.py,
+#: which must exit 0; this pin keeps the convention's core visible in
+#: the fast suite):
+#: - cents/TRY_CAST money quantization: rel_agg_hash, tpch_q1,
+#:   rel_agg_stats (quantizable-domain row filter), ml_linreg_normal
+#:   (q_floor + row filter);
+#: - q_floor/q_ceil int64-domain guard: rel_fn_math (Spark floor/ceil
+#:   of DOUBLE silently SATURATE at ±2^63 — try_cast after the fact is
+#:   a no-op; only the shared abs(x) < 9.2e18 guard is twin-exact);
+#: - per-row-quantize-then-aggregate order: rel_column_profile;
+#: - PQ quantizable-domain vector exclusion: llm_simsearch_pq;
+#: - NULL-sketch convention: llm_simsearch_hamming;
+#: - running-balance COALESCE(…, 0) convention: ts_drawdown,
+#:   ts_max_drawdown;
+#: - materialized clean corpus before MLlib LSH: llm_ann_lsh;
+#: - nullable-boolean canonicalization (oracle.canonical_rows):
+#:   rel_fn_higher_order2.
+MAGNITUDE_TWIN_KEYS = [
+    "rel_agg_hash",
+    "tpch_q1",
+    "rel_agg_stats",
+    "ml_linreg_normal",
+    "rel_fn_math",
+    "rel_column_profile",
+    "llm_simsearch_pq",
+    "llm_simsearch_hamming",
+    "ts_drawdown",
+    "ts_max_drawdown",
+    "llm_ann_lsh",
+    "rel_fn_higher_order2",
+    "ml_lof",
+    "ml_pca_power",
+]
+
+
+def test_magnitude_keys_run_and_match_oracle(spark, magnitude_sf):
+    """r11 magnitude conventions, value-matched end to end through the
+    DRIVER-STRICT comparator (oracle.compare — same machinery as the
+    grading driver), not a hand-rolled repr compare."""
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import compare, duck_connection
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql(magnitude_sf)
+    con = duck_connection(magnitude_sf)
+    try:
+        for key in MAGNITUDE_TWIN_KEYS:
+            res = compare(key, qs[key](spark, magnitude_sf), oracles[key], con)
+            assert res.ok, (key, res.detail)
+    finally:
+        con.close()
+
+
+def test_quantization_try_cast_convention(spark):
+    """The r11 magnitude convention at the expression level, both
+    engines: cents(DBL_MAX) is NULL (not CAST_OVERFLOW), q_floor/q_ceil
+    are NULL outside the int64 domain (not the silent ±2^63 saturation
+    Spark's bare floor/ceil produce), and all are identity in-range."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from knn_with_mapreduce_cuda_spark.operators.relational import (
+        _CENTS,
+        cents,
+        q_ceil,
+        q_floor,
+    )
+
+    df = spark.createDataFrame(
+        [(1.7e308,), (float("inf"),), (float("nan"),), (12.345,), (-3.0,)],
+        "x double",
+    )
+    rows = df.select(
+        cents(F.col("x")).alias("c"),
+        q_floor(F.col("x")).alias("f"),
+        q_ceil(F.col("x")).alias("g"),
+    ).collect()
+    got = [(r["c"], r["f"], r["g"]) for r in rows]
+    assert got == [
+        (None, None, None),
+        (None, None, None),
+        (None, None, None),
+        (1235, 12, 13),
+        (-300, -3, -3),
+    ]
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT "
+        + _CENTS.format(x="x")
+        + ", CASE WHEN abs(x) < 9.2e18 THEN TRY_CAST(floor(x) AS BIGINT) END, "
+        "CASE WHEN abs(x) < 9.2e18 THEN TRY_CAST(ceil(x) AS BIGINT) END "
+        "FROM (VALUES (1.7e308), (CAST('inf' AS DOUBLE)), "
+        "(CAST('nan' AS DOUBLE)), (12.345), (-3.0)) t(x)"
+    ).fetchall()
+    assert [tuple(r) for r in duck] == got
+    con.close()
