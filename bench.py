@@ -31,30 +31,36 @@ from knn_with_mapreduce_cuda_spark.session import get_spark
 
 
 def q3_shape(spark, sf_dir):
-    """Q3 star join over flat files, reduce-first + shuffle-semi (the
-    r09 form — VERDICT r08 #5, measured in SCALE.md §9h):
+    """Q3 star join over flat files, AGGREGATE-FIRST + shuffle-semi
+    (the r11 form — VERDICT r10 #2, A/B'd in scripts/q3_aggfirst_r11.py
+    and scripts/q3_aggfirst_100x_r11.py, losers recorded there):
 
+    - lineitem aggregates revenue by l_orderkey FIRST: the map-side
+      partial aggregate collapses ~4 lines/order BEFORE the exchange,
+      so the one hash(l_orderkey) shuffle carries skinny partial
+      groups, not raw rows (plan shows partial_sum below the Exchange;
+      pinned in tests/test_plans.py);
     - orders reduces against a broadcast of the BUILDING customer KEYS
       (bounded: the dimension side, left semi so the hashed relation
       carries keys only);
-    - lineitem then semi-joins the reduced orderkeys as a SHUFFLE_HASH
-      join. Through r08 this second step broadcast the ~|orders|/5 key
-      set — at 100 TB that side GROWS WITH THE FACTS (billions of
-      keys), so the broadcast form didn't actually scale; the shuffle
-      form is partition-parallel at any size, lets the lineitem map
-      stage run CONCURRENTLY with the orders-reduction stage (the
-      serialization the r08 verdict flagged — two dependent broadcast
-      builds ran back-to-back), and its hash(l_orderkey) exchange is
-      REUSED by the groupBy, so the whole query still holds one
-      exchange per fact side. Measured at 100×: 2.12 s vs the
-      broadcast form's 2.29 s, and inside the 2× DuckDB gate
-      (scripts/q3_concurrent_r09.json; plan pinned in
-      tests/test_plans.py).
+    - the aggregated side then semi-joins the reduced orderkeys as a
+      SHUFFLE_HASH join that CONSUMES the aggregation's partitioning —
+      still exactly one hash exchange per fact side, none between the
+      aggregate and the join.
 
-    The group key is l_orderkey ( = o_orderkey after the semi filter).
+    Trade vs the r09 reduce-first form (semi-filter raw lineitem, then
+    aggregate): aggregate-first computes revenue for every orderkey
+    (~5× the BUILDING-qualifying set) but shuffles partial aggregates
+    instead of raw rows. Measured BOTH scales, same session, answers
+    asserted identical: sf0.1 median 0.494 vs 0.616; 100× (60 M
+    lineitem rows) 2.42 s vs 3.65 s — 1.68× vs 2.53× against the
+    4-thread DuckDB twin. The shrink wins wherever lines-per-order > 1;
+    on a filter so selective that qualifying orders are rare, the
+    reduce-first form (kept in the A/B script) is the fallback.
+
     The bucketed-layout twin (q3_bucketed) remains the engine's
-    documented Q3-class plan for recurring joins — zero fact-side
-    exchanges."""
+    documented 100 TB lake layout for recurring orderkey joins — zero
+    fact-side exchanges."""
     cust = tables.table(spark, sf_dir, "customer")
     orders = tables.table(spark, sf_dir, "orders")
     li = tables.table(spark, sf_dir, "lineitem")
@@ -65,14 +71,11 @@ def q3_shape(spark, sf_dir):
         col("o_custkey") == col("c_custkey"),
         "left_semi",
     ).select("o_orderkey")
+    rev = li.groupBy(col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue")
+    )
     return (
-        li.join(
-            bo.hint("SHUFFLE_HASH"),
-            col("l_orderkey") == col("o_orderkey"),
-            "left_semi",
-        )
-        .groupBy(col("l_orderkey").alias("o_orderkey"))
-        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        rev.join(bo.hint("SHUFFLE_HASH"), "o_orderkey", "left_semi")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -274,14 +277,16 @@ def knn_join_chunked(spark, sf_dir):
 
 def q3_shape_floor(spark, sf_dir):
     """Structurally identical no-op twin of q3_shape — same operator
-    chain (broadcast-semi reduce, SHUFFLE_HASH semi, reusing groupBy,
-    takeOrdered) over near-zero synthetic data, so its wall time is the
-    pure scheduling/shuffle-machinery floor of the SHAPE on this host
-    (VERDICT r09 #2b: "a recorded decomposition proving the residual is
-    irreducible scheduling floor"). The sf0.1 fact sides are ~40 ms of
-    actual work for DuckDB; whatever this twin costs is what Spark's
-    job/stage/task machinery charges any plan of this shape regardless
-    of data size — the honest subtrahend for the floor-adjusted ratio."""
+    chain (partial/final groupBy, broadcast-semi reduce, SHUFFLE_HASH
+    semi consuming the agg partitioning, takeOrdered) over near-zero
+    synthetic data, so its wall time is the pure scheduling/shuffle-
+    machinery floor of the SHAPE on this host (VERDICT r09 #2b: "a
+    recorded decomposition proving the residual is irreducible
+    scheduling floor"). The sf0.1 fact sides are ~40 ms of actual work
+    for DuckDB; whatever this twin costs is what Spark's job/stage/task
+    machinery charges any plan of this shape regardless of data size —
+    the honest subtrahend for the floor-adjusted ratio. Mirrors the
+    r11 aggregate-first plan."""
     o = spark.range(0, 64, 1, 8).select(
         col("id").alias("o_orderkey"), (col("id") % 10).alias("o_custkey")
     )
@@ -294,14 +299,11 @@ def q3_shape_floor(spark, sf_dir):
     bo = o.join(
         F.broadcast(c), col("o_custkey") == col("c_custkey"), "left_semi"
     ).select("o_orderkey")
+    rev = li.groupBy(col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue")
+    )
     return (
-        li.join(
-            bo.hint("SHUFFLE_HASH"),
-            col("l_orderkey") == col("o_orderkey"),
-            "left_semi",
-        )
-        .groupBy(col("l_orderkey").alias("o_orderkey"))
-        .agg(F.sum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"))
+        rev.join(bo.hint("SHUFFLE_HASH"), "o_orderkey", "left_semi")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -730,8 +732,8 @@ def main() -> None:
     loads: dict[str, float] = {}
     retried: list[str] = []
 
-    def run_block(fn) -> list[float]:
-        """3 timed runs; a 4th when the WARM runs (2..n — run 1 carries
+    def run_block(fn, base: int = 3) -> list[float]:
+        """``base`` timed runs; a 4th when the WARM runs (2..n — run 1 carries
         per-query codegen/warm-up and always dominates the raw spread)
         disagree by >20% (VERDICT r06 #5: three rows moved >10% under
         load1_pre 2.4-4.1 in r06; the extra run gives best-of more
@@ -752,7 +754,7 @@ def main() -> None:
             rs.append(round(time.perf_counter() - t0, 3))
             cs.append(round(max(_tree_cpu_seconds() - c0, 0.0), 3))
 
-        for _ in range(3):
+        for _ in range(base):
             _one()
 
         def _spread() -> float:
@@ -832,6 +834,58 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in EXTRA_QUERIES), 3
     )
+
+    # Re-gated matching block (VERDICT r10 #3): the four BASELINE-
+    # matching Spark rows are RE-MEASURED after the suite behind their
+    # own idle gate, adjacent shape-floor twins included. The driver's
+    # BENCH_r10 ran its Spark rows at load1 2.0-3.9 — the suite's own
+    # decaying self-load after a gate met at 1.94 — while its DuckDB
+    # probes ran post-gate at their best-ever times, so the strict
+    # headline compared unequal conditions (its 2.196 was the gate's
+    # blind spot, not the code's). This block gives both sides the same
+    # post-gate footing; the in-suite timings remain the suite total
+    # and stay in the detail as matching_in_suite_medians.
+    # JVM housekeeping first: by this point the session has run the
+    # whole suite plus two index builds, and accumulated heap churn
+    # shows up as multi-second GC stalls WITH matching tree-CPU (the
+    # first matching-block validation run read knn_classify_full
+    # [8.79, 2.5, 0.691, 0.764, 6.457] with cpu [9.84, ..., 6.85] —
+    # process-burned CPU, not ambient wall-stall). An explicit GC and
+    # a deeper sample count (1 + 5 warm, median of 5) keep one or two
+    # residual stalls out of the median.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    match_pre, _, _ = _wait_for_idle(deadline)
+    match_runs: dict[str, list[float]] = {}
+    match_cpu: dict[str, list[float]] = {}
+    for sk in DUCK_MATCHING_SPARK.values():
+        pre = round(os.getloadavg()[0], 1)
+        if pre >= bar and time.time() < deadline:
+            retried.append(f"match:{sk}")
+            pre, _, _ = _wait_for_idle(deadline)
+        restore = _row_confs(sk)
+        try:
+            rs, cs = run_block(BENCH_QUERIES[sk], base=6)
+            post = round(os.getloadavg()[0], 1)
+            if post >= bar and time.time() < deadline:
+                retried.append(f"match:{sk}")
+                contended[f"match:{sk}"] = rs
+                _wait_for_idle(deadline)
+                rs, cs = run_block(BENCH_QUERIES[sk], base=6)
+            if sk in SHAPE_FLOORS:
+                # adjacency is load-bearing (r10 measurement, above):
+                # the twin used for the strict headline's floor
+                # adjustment is re-timed right here, same confs, same
+                # gate; the in-suite twin stays as provenance.
+                shape_floor_runs[f"suite:{sk}"] = shape_floor_runs.get(sk, [])
+                shape_floor_runs[sk], _ = run_block(SHAPE_FLOORS[sk])
+        finally:
+            restore()
+        match_runs[sk] = rs
+        match_cpu[sk] = cs
+
     # gate again before the DuckDB block: the Spark suite's own decaying
     # load1 (~3+ right after the last row) would otherwise trip every
     # probe's contention bar or, worse, sit invisibly under it.
@@ -864,10 +918,17 @@ def main() -> None:
     # — best-of-N on one side and plain timing on the other amplified a
     # 15% DuckDB-side swing into the r08 1.894→2.178 headline move.
     # matching_medians = {duck_key: [spark_median_warm, duck_median_warm]}
-    spark_med = {
-        sk: round(statistics.median(runs[sk][1:]), 3)
+    # strict-headline medians come from the RE-GATED matching block
+    # (VERDICT r10 #3); in-suite runs are the fallback only if the
+    # block was skipped (deadline exhausted before it could gate).
+    m_src = {
+        sk: match_runs.get(sk) or runs.get(sk)
         for sk in DUCK_MATCHING_SPARK.values()
-        if sk in runs and len(runs[sk]) > 1
+    }
+    spark_med = {
+        sk: round(statistics.median(rs[1:]), 3)
+        for sk, rs in m_src.items()
+        if rs and len(rs) > 1
     }
     matching_medians = {
         dk: [spark_med.get(sk), duck_med.get(dk)]
@@ -913,6 +974,7 @@ def main() -> None:
     shape_floors = {
         k: round(statistics.median(rs[1:]), 3)
         for k, rs in shape_floor_runs.items()
+        if len(rs) > 1
     }
     # row warm-median minus its shape floor, over the DuckDB twin's
     # warm median — the decomposed plan-cost ratio for each
@@ -940,6 +1002,16 @@ def main() -> None:
         "matching_medians": matching_medians,
         "load1_pre": loads_pre,
         "load1": loads,
+        # re-gated matching block (VERDICT r10 #3): the strict-headline
+        # samples, measured post-suite behind their own gate
+        "matching_regated_runs": match_runs,
+        "matching_regated_cpu_runs": match_cpu,
+        "matching_block_load1_pre": match_pre,
+        "matching_in_suite_medians": {
+            sk: round(statistics.median(runs[sk][1:]), 3)
+            for sk in DUCK_MATCHING_SPARK.values()
+            if sk in runs and len(runs[sk]) > 1
+        },
         "duckdb_queries": duck,
         "duckdb_medians": duck_med,
         "duckdb_detail": duck_detail,
@@ -973,7 +1045,7 @@ def main() -> None:
             if duck_med_total
             else None
         ),
-        "matching_stat": "median_warm_both_sides",
+        "matching_stat": "median_warm_both_sides_regated",
         "matching_vs_duckdb_bestof": (
             round(matching / duck_total, 3) if duck_total else None
         ),
@@ -987,9 +1059,15 @@ def main() -> None:
         "shape_floor_s": shape_floors,
         "shape_floor_adjusted_ratios": shape_adjusted,
         # warm-median process-tree CPU for the four matching rows (r09
-        # #2a): the contention-insensitive companion to the wall ratios.
+        # #2a), from the re-gated block when it ran: the contention-
+        # insensitive companion to the wall ratios.
         "matching_cpu_medians": {
-            sk: cpu_medians.get(sk) for sk in DUCK_MATCHING_SPARK.values()
+            sk: (
+                round(statistics.median(match_cpu[sk][1:]), 3)
+                if len(match_cpu.get(sk, [])) > 1
+                else cpu_medians.get(sk)
+            )
+            for sk in DUCK_MATCHING_SPARK.values()
         },
         "matching_ratios": matching_ratios,  # [raw, floor-adjusted] per row
         "matching_medians": matching_medians,  # [spark, duck] per row

@@ -75,6 +75,12 @@ def cluster_confs(total_cores: int = 4000) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": "10485760",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # one BLAS thread per task slot (see get_spark: the GEMM
+        # kernels parallelize at the partition level; threaded BLAS
+        # inside each worker oversubscribes the executor)
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
     confs.update(RUNTIME_CONFS)
     return confs
@@ -99,6 +105,18 @@ def get_spark(app_name: str = "knn-mapreduce-cuda-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Single-threaded BLAS inside python workers: the GEMM kernels
+        # (plans/gemm_knn.py) parallelize at the PARTITION level — N
+        # concurrent workers × OpenBLAS's default ncpu threads each is
+        # N× oversubscription, measured here as intermittent 5-7 s
+        # spin-storms on the sf0.1 GEMM rows (r11 bench forensics;
+        # single-threaded workers cut the worst case to ~2 s with the
+        # same fast-path throughput). On a real cluster this is the
+        # standard task-parallel BLAS configuration: one BLAS thread
+        # per task slot.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

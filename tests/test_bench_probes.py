@@ -66,7 +66,7 @@ def test_summary_line_fits_driver_stdout_tail():
         "baseline_static_seconds": 9.221,
         "spark_matching_subtotal": 9999.999,
         "matching_vs_duckdb_same_session": 99.999,
-        "matching_stat": "median_warm_both_sides",
+        "matching_stat": "median_warm_both_sides_regated",
         "matching_vs_duckdb_bestof": 99.999,
         "spark_matching_median_subtotal": 9999.999,
         "duckdb_median_subtotal": 9999.999,

@@ -782,12 +782,15 @@ def test_rows_upper_bound_refuses_python_map_nodes(spark):
 
 
 def test_q3_flat_shape_shuffle_semi_one_exchange_per_fact_side(spark):
-    """The r09 flat-Q3 plan (VERDICT r08 #5, SCALE.md §9h): customer
-    KEYS broadcast (bounded dim side), lineitem⋈bo as a SHUFFLE_HASH
-    semi — never a broadcast of the reduced orderkeys, which grow with
-    the facts — and the groupBy REUSES the join's hash(l_orderkey)
-    exchange: exactly one hash exchange per fact side, none between the
-    join and the aggregate."""
+    """The r11 flat-Q3 plan (VERDICT r10 #2, A/B in
+    scripts/q3_aggfirst_r11.py + 100× companion): lineitem aggregates
+    FIRST with the partial sum BELOW its exchange (map-side combine
+    shrinks raw rows to partial groups before the shuffle), customer
+    KEYS broadcast (bounded dim side), and the SHUFFLE_HASH semi join
+    CONSUMES the aggregation's hash(l_orderkey) partitioning — never a
+    broadcast of the reduced orderkeys, which grow with the facts:
+    exactly one hash exchange per fact side, none between the aggregate
+    and the join."""
     import re
 
     import bench
@@ -796,9 +799,12 @@ def test_q3_flat_shape_shuffle_semi_one_exchange_per_fact_side(spark):
     plan = _plan(df, "simple")
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # the cust-keys reduction
+    # map-side combine: the partial aggregate sits BELOW the exchange
+    assert "partial_sum" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning"), plan
     # reduced-orderkey set must NOT be broadcast: exactly ONE broadcast
     # exchange (cust keys) in the whole plan
     assert len(re.findall(r"BroadcastExchange", plan)) == 1, plan
-    # one hash exchange per fact side (lineitem, orders), and the agg
-    # inherits — no third hashpartitioning exchange
+    # one hash exchange per fact side (lineitem, orders), and the semi
+    # join consumes the agg's — no third hashpartitioning exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
