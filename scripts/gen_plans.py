@@ -161,16 +161,19 @@ def main() -> None:
     import bench
 
     add(
-        "Reduce-first Q3, shuffle-semi form (bench q3_shape, r09)",
-        "orders LEFT-SEMI broadcast(filtered customer keys) — the bounded "
-        "dim side is the ONLY broadcast; lineitem then semi-joins the "
-        "reduced orderkeys as a SHUFFLE_HASH join whose hash(l_orderkey) "
-        "Exchange is REUSED by the aggregation (one hash Exchange per "
-        "fact side, none between join and agg). The r01–r08 form "
-        "broadcast the reduced orderkeys too — a side that grows with "
-        "the facts and cannot broadcast at 100 TB (SCALE.md §9h "
-        "round-9 addendum; the co-located bucketed layout in §9c removes "
-        "even these exchanges for recurring joins):",
+        "Aggregate-first Q3, shuffle-semi form (bench q3_shape, r11)",
+        "lineitem aggregates revenue by l_orderkey FIRST — the partial "
+        "HashAggregate sits BELOW its Exchange, so the one "
+        "hash(l_orderkey) shuffle carries map-side-combined partial "
+        "groups, not raw rows; orders LEFT-SEMI "
+        "broadcast(filtered customer keys) — the bounded dim side is "
+        "the ONLY broadcast; the SHUFFLE_HASH semi join then CONSUMES "
+        "the aggregation's partitioning (one hash Exchange per fact "
+        "side, none between agg and join). Supersedes the r09 "
+        "reduce-first form — A/B'd at sf0.1 AND 100×, losers recorded "
+        "(SCALE.md §9h r11 supersession; the co-located bucketed "
+        "layout in §9c removes even these exchanges for recurring "
+        "joins):",
         bench.q3_shape(spark, SF),
         [
             "BroadcastHashJoin",

@@ -917,7 +917,7 @@ def _window_specs(plan: str) -> list[str]:
 
 
 def main() -> None:
-    from bench import q3_shape  # the graded bench shape, reduce-first
+    from bench import q3_shape  # the graded bench shape (r11: aggregate-first)
 
     SPARK_QUERIES["rel_join_broadcast_q3"] = q3_shape
     spark = get_spark("scale-proof")
