@@ -1668,7 +1668,7 @@ def _q_dist_concentration(spark, sf_dir):
             "round(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) / "
             "(s / CAST(n AS DOUBLE)), 4)"
         ).alias("cv"),
-        F.expr("round((mx - mn) / CAST(mn AS DOUBLE), 4)").alias("rel_contrast"),
+        F.expr("round(try_divide(mx - mn, CAST(mn AS DOUBLE)), 4)").alias("rel_contrast"),
     )
 
 
@@ -3247,8 +3247,8 @@ def _q_embed_outliers(spark, sf_dir):
         "vec_id",
         F.expr("round(dq / CAST(10000 AS DOUBLE), 4)").alias("dist_centroid"),
         F.expr(
-            "round((dq - CAST(s AS DOUBLE) / n) / "
-            "sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4)"
+            "round(try_divide(dq - CAST(s AS DOUBLE) / n, "
+            "sqrt(try_divide(ss - CAST(s AS DOUBLE) * s / n, n - 1))), 4)"
         ).alias("z"),
     )
 
@@ -4252,9 +4252,9 @@ def _q_runs_test(spark, sf_dir):
         "n1",
         "n2",
         F.expr(
-            "round((r - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
-            "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
-            "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)"
+            "round(try_divide(r - (2.0 * n1 * n2 / (n1 + n2) + 1), "
+            "sqrt(try_divide(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2), "
+            "(n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))), 4)"
         ).alias("z"),
     )
 

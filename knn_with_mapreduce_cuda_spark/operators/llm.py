@@ -1936,6 +1936,37 @@ def _pq_stored_layout_stale(d: str) -> bool:
     return codes_cols != want or cb_cols != {"s", "pos", "csub"}
 
 
+def _ensure_code_files(path: str, hive_cid: bool = False) -> None:
+    """Guarantee at least one .parquet part exists under a stored code
+    table. A corpus whose vectors all fall outside the index (every
+    PQ-quantizable vector missing, or no vec_id matching an IVF
+    centroid — r11 temporal sweep fixture) writes an EMPTY frame, and
+    Spark's partitionBy/plain writers then emit _SUCCESS with zero
+    part files: the engine's scan handles that, but the DuckDB oracle's
+    read_parquet glob raises IO Error instead of returning zero rows.
+    One schema-only part (sentinel cell cid=-1 for the hive layout —
+    never probed, zero rows if scanned) makes the empty index readable
+    identically on both engines."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pattern = f"{path}/*/*.parquet" if hive_cid else f"{path}/*.parquet"
+    if _glob.glob(pattern):
+        return
+    target = os.path.join(path, "cid=-1") if hive_cid else path
+    os.makedirs(target, exist_ok=True)
+    schema = pa.schema(
+        [("tid", pa.int64())] + [(f"c{s}", pa.int64()) for s in range(PQ_NSUB)]
+    )
+    pq.write_table(
+        pa.table({f.name: [] for f in schema}, schema=schema),
+        os.path.join(target, "empty-sentinel.parquet"),
+    )
+
+
 def _pq_store(spark, sf_dir) -> str:
     """Index build (run once, then reused across queries AND sessions):
     persist the PQ code table and the trained codebooks to scratch
@@ -1973,6 +2004,7 @@ def _pq_store(spark, sf_dir) -> str:
         iv = _pq_iv(tables.embeddings(spark, sf_dir))
         enc, _ = _pq_encode(spark, iv, model)
         enc.write.mode("overwrite").parquet(f"{d}/codes.parquet")
+        _ensure_code_files(f"{d}/codes.parquet")
         rows = [
             (s, pos, [int(v) for v in C[pos]])
             for s, (_, C) in enumerate(model)
@@ -2151,6 +2183,7 @@ def _ivfpq_store(spark, sf_dir) -> str:
             .partitionBy("cid")
             .parquet(f"{d}/codes.parquet")
         )
+        _ensure_code_files(f"{d}/codes.parquet", hive_cid=True)
     _pq_store(spark, sf_dir)  # shared codebook artifact
     _PQ_STORED_MEMO.put(spark, memo_key, d)
     return d

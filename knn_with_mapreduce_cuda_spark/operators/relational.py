@@ -217,15 +217,24 @@ def _q_ttest_welch(spark, sf_dir):
         col("n").alias("nb"), col("s").alias("sb"), col("ss").alias("ssb")
     )
     j = a.crossJoin(b)
+    # try_divide on every degenerate-able denominator (r11 temporal
+    # sweep: a single-event group makes n-1 = 0, and identical values
+    # in both groups make the pooled SE 0) — DuckDB's x/0 → NULL is
+    # the twin; values identical on every non-degenerate input.
     mean_a = col("sa") / col("na") / 100.0
     mean_b = col("sb") / col("nb") / 100.0
-    var_a = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1) / 10000.0
-    var_b = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1) / 10000.0
+    var_a = F.try_divide(
+        col("ssa") - col("sa") * col("sa") / col("na"), col("na") - 1
+    ) / 10000.0
+    var_b = F.try_divide(
+        col("ssb") - col("sb") * col("sb") / col("nb"), col("nb") - 1
+    ) / 10000.0
     se2 = var_a / col("na") + var_b / col("nb")
-    t = (mean_a - mean_b) / F.sqrt(se2)
-    dof = se2 * se2 / (
+    t = F.try_divide(mean_a - mean_b, F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
         (var_a / col("na")) * (var_a / col("na")) / (col("na") - 1)
-        + (var_b / col("nb")) * (var_b / col("nb")) / (col("nb") - 1)
+        + (var_b / col("nb")) * (var_b / col("nb")) / (col("nb") - 1),
     )
     return j.select(
         "na",
@@ -524,9 +533,15 @@ def _q_fn_date(spark, sf_dir):
         F.month("o_orderdate").cast("long").alias("mo"),
         F.dayofmonth("o_orderdate").cast("long").alias("dom"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
-        F.date_format(F.date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
-            "plus30"
-        ),
+        # regexp strip of the ISO expanded-year sign: a computed date
+        # past 9999-12-31 renders '+10000-01-30' in Spark but
+        # '10000-01-30' in DuckDB's strftime (r11 temporal sweep) —
+        # identity for every 4-digit year.
+        F.regexp_replace(
+            F.date_format(F.date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"),
+            r"^\+",
+            "",
+        ).alias("plus30"),
         F.datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("epoch_days"),
@@ -890,7 +905,10 @@ def _q_fn_date2(spark, sf_dir):
         F.weekofyear("o_orderdate").cast("long").alias("iso_wk"),
         F.dayofweek("o_orderdate").cast("long").alias("dow"),
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus2m"),
+        # see _q_fn_date plus30: strip the ISO expanded-year '+'
+        F.regexp_replace(
+            F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd"), r"^\+", ""
+        ).alias("plus2m"),
     )
 
 

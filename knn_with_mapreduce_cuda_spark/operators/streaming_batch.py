@@ -429,8 +429,14 @@ ORACLE = {
         "FROM ev GROUP BY 1, 2"
     ),
     "str_window_sliding": (
+        # floor-mod base, NOT `//`: DuckDB integer `//` TRUNCATES toward
+        # zero while Spark's F.window grid FLOORS — for a pre-1970 event
+        # the truncated base lands one slide HIGH, fabricating a window
+        # that starts after the event (r11 temporal sweep; same idiom as
+        # the pareto p_cents split below).
         f"WITH {_EV}, slid AS (SELECT ts_us, "
-        f"(ts_us // {_Q15_US}) * {_Q15_US} - k * {_Q15_US} AS ws_us "
+        f"ts_us - ((ts_us % {_Q15_US}) + {_Q15_US}) % {_Q15_US} "
+        f"- k * {_Q15_US} AS ws_us "
         "FROM ev, range(4) t(k)) "
         f"SELECT ws_us, count(*) AS cnt FROM slid WHERE ws_us > ts_us - {_HOUR_US} "
         "GROUP BY ws_us"

@@ -156,10 +156,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #    µs-truncated): derive µs via unix_micros under the UTC
         #    session zone set by ensure_runtime_confs.
         if dict(df.dtypes).get("ts") == "bigint":
+            # FLOOR division, not `div`: Spark's `div` truncates toward
+            # zero, so a pre-1970 nanosecond (-999_999_999 ns) would map
+            # to -999_999 µs where the native ≥4.1.2 read path, DuckDB's
+            # nanos cast, AND IEEE floor all say -1_000_000 — a silent
+            # 1 µs divergence on every negative-epoch event under the
+            # legacy arrival form (r11 temporal sweep). The adjustment
+            # term is exact integer arithmetic (Spark % follows the
+            # dividend's sign).
             df = (
                 df.withColumn("ts_ns", F.col("ts"))
-                .withColumn("ts_us", F.expr("ts div 1000"))
-                .withColumn("ts", F.timestamp_micros(F.expr("ts_us")))
+                .withColumn(
+                    "ts_us",
+                    F.expr(
+                        "(ts div 1000) + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)"
+                    ),
+                )
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
         else:
             us = F.unix_micros(F.col("ts").cast("timestamp"))

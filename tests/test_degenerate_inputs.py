@@ -726,3 +726,72 @@ def test_quantization_try_cast_convention(spark):
     ).fetchall()
     assert [tuple(r) for r in duck] == got
     con.close()
+
+
+@pytest.fixture(scope="module")
+def temporal_sf(tmp_path_factory):
+    """Bounded-span temporal-degenerate fixture
+    (scripts/temporal_sweep_r11.py): TIMESTAMP_NS events carrying
+    negative-epoch values (-1 ns, -1 s + 1 ns, -13340 s), epoch zero,
+    and sub-µs precision, plus far dates in orders (pre-Gregorian-
+    reform 1500, the 1582 reform gap, 9999-12-31) and lineitem
+    (1900/2500)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.temporal_sweep_r11 import build_fixture
+
+    out = str(tmp_path_factory.mktemp("temporal_sf"))
+    build_fixture(out)
+    return out
+
+
+#: r11 temporal conventions, each with the divergence it pins:
+#: - str_window_sliding: the oracle's window grid uses the FLOOR-mod
+#:   idiom, not DuckDB `//` (integer // truncates toward zero, landing
+#:   a pre-1970 event's base one slide high — a window starting after
+#:   the event);
+#: - rel_fn_date / rel_fn_date2: computed dates past 9999-12-31 render
+#:   '+10000-…' in Spark vs '10000-…' in DuckDB strftime — the ISO
+#:   expanded-year '+' is stripped;
+#: - ml_ttest_welch / ml_dist_concentration / llm_embed_outliers /
+#:   ts_runs_test: single-event groups (n-1 = 0), duplicate vectors
+#:   (min dist 0), and one-sided run sequences (zero variance) are
+#:   NULL via try_divide, matching DuckDB x/0;
+#: - llm_simsearch_ivfpq_stored: a corpus matching no IVF centroid
+#:   writes an EMPTY index — the schema-only sentinel part keeps the
+#:   oracle's hive glob readable (zero rows on both engines);
+#: - str_window_tumbling / str_window_session: date_trunc / gap logic
+#:   are calendar-floor on both engines already (regression guard).
+TEMPORAL_TWIN_KEYS = [
+    "str_window_sliding",
+    "str_window_tumbling",
+    "str_window_session",
+    "rel_fn_date",
+    "rel_fn_date2",
+    "ml_ttest_welch",
+    "ml_dist_concentration",
+    "llm_embed_outliers",
+    "ts_runs_test",
+    "llm_simsearch_ivfpq_stored",
+    "rel_join_asof",
+    "str_dedup_watermark",
+]
+
+
+def test_temporal_keys_run_and_match_oracle(spark, temporal_sf):
+    """r11 temporal conventions, value-matched end to end through the
+    driver-strict comparator."""
+    from knn_with_mapreduce_cuda_spark import registry
+    from knn_with_mapreduce_cuda_spark.oracle import compare, duck_connection
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql(temporal_sf)
+    con = duck_connection(temporal_sf)
+    try:
+        for key in TEMPORAL_TWIN_KEYS:
+            res = compare(key, qs[key](spark, temporal_sf), oracles[key], con)
+            assert res.ok, (key, res.detail)
+    finally:
+        con.close()

@@ -346,3 +346,40 @@ def test_cluster_confs_match_scale_doc():
     assert "maxPartitionBytes=128m" in sec0
     assert "2–3× total cores" in sec0
     assert "10 MB" in sec0
+
+
+def test_legacy_bigint_nanos_floor_to_micros(spark, tmp_path):
+    """The legacy events arrival form (bigint nanoseconds under
+    nanosAsLong) must FLOOR to microseconds, matching the native
+    ≥4.1.2 read path, DuckDB's nanos cast, and IEEE floor — Spark's
+    `div` truncates toward zero, which silently shifted every
+    pre-1970 event by 1 µs (r11 temporal sweep finding). Negative,
+    zero, and positive nanos all pinned."""
+    import duckdb
+
+    from knn_with_mapreduce_cuda_spark import tables
+
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), CAST(-999999999 AS BIGINT), CAST(1 AS BIGINT), "
+        "'view', 1.0, '{}'), "
+        "(CAST(2 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT), "
+        "'view', 1.0, '{}'), "
+        "(CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), "
+        "'view', 1.0, '{}'), "
+        "(CAST(4 AS BIGINT), CAST(1999 AS BIGINT), CAST(1 AS BIGINT), "
+        "'view', 1.0, '{}')"
+        ") t(event_id, ts, user_id, event_type, value, props)) "
+        f"TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    got = {
+        r["event_id"]: r["ts_us"]
+        for r in tables.table(spark, str(tmp_path), "events")
+        .select("event_id", "ts_us")
+        .collect()
+    }
+    # floor(-999999999/1000) = -1000000 (NOT div's -999999),
+    # floor(-1/1000) = -1 (NOT 0), floor(0) = 0, floor(1999/1000) = 1
+    assert got == {1: -1000000, 2: -1, 3: 0, 4: 1}
