@@ -1087,9 +1087,9 @@ def _q_calibration_knn(spark, sf_dir):
     confidence to empirical accuracy — the well-calibrated-probability
     check an ensembling stage runs. Composes the graded top-k + vote
     pipeline; confidence levels are exact vote integers."""
-    from .knn import K_DEFAULT, _pairs, topk
+    from .knn import K_DEFAULT, knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("votes"))
     w = Window.partitionBy("qid").orderBy(F.desc("votes"), "tlabel")
     pred = votes.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1)
@@ -1169,9 +1169,9 @@ def _q_brier_score(spark, sf_dir):
     scoring rule for probability quality. Scaled by k² the per-query
     score Σ_c votes_c² − 2k·votes_true + k² is an exact integer, so the
     corpus aggregate is partitioning-exact and floats once at the end."""
-    from .knn import K_DEFAULT, _pairs, topk
+    from .knn import K_DEFAULT, knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("votes"))
     per = votes.groupBy("qid").agg(
         F.sum(col("votes") * col("votes")).alias("sv"),
@@ -1197,9 +1197,9 @@ def _q_log_loss(spark, sf_dir):
     −mean ln((votes_true+1)/(k+10)). Each per-query term quantizes to
     integer nano-nats before the sum (inputs are exact rationals), so the
     mean is order-independent."""
-    from .knn import K_DEFAULT, _pairs, topk
+    from .knn import K_DEFAULT, knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     vy = t.groupBy("qid").agg(
         F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("vy")
     )
@@ -1371,9 +1371,22 @@ def _q_minhash_est_vs_exact(spark, sf_dir):
     )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r11 (guide §3.3 — same candidate-set pushdown as llm_topic_
+    # coherence's co-occurrence): the exact-Jaccard inverted join used
+    # to aggregate over EVERY doc pair sharing any shingle and only
+    # then left-join down to the band-join candidates; semi-joining the
+    # (bounded, broadcastable) candidate pair set BEFORE the groupBy
+    # drops non-candidate pairs before the aggregate. Identical `i`
+    # counts for every surviving pair — the left join kept only
+    # candidate pairs anyway. Measured sf0.1: 4.3 → ~2.0 s warm.
     inter = (
         sh.select(col("doc_id").alias("doc_a"), "s")
         .join(sh.select(col("doc_id").alias("doc_b"), "s"), "s")
+        .join(
+            F.broadcast(pairs.select("doc_a", "doc_b")),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
@@ -2413,9 +2426,9 @@ def _q_platt_1step(spark, sf_dir):
     Votes are small exact integers, so every moment is exact; the 2×2
     solve is one closed-form double expression (same algebra as
     ml_logreg_irls1, applied to a model's own outputs)."""
-    from .knn import K_DEFAULT, _pairs, majority_vote, topk
+    from .knn import K_DEFAULT, knn_test_topk, majority_vote
 
-    pred = majority_vote(topk(_pairs(spark, sf_dir), K_DEFAULT))
+    pred = majority_vote(knn_test_topk(spark, sf_dir, K_DEFAULT))
     pts = pred.select(col("votes").alias("xq"), col("correct").cast("long").alias("y"))
     m = pts.agg(
         F.count("*").alias("n"),
@@ -2723,10 +2736,10 @@ def _q_ndcg(spark, sf_dir):
     position DCG terms (rel/log2(rank+1)) quantize to integer nano-units
     so both the per-query DCG and the corpus mean are exact; IDCG comes
     from the same query's sorted relevance counts."""
-    from .knn import _pairs, topk
+    from .knn import knn_test_topk
 
     # Euclidean ranking ≡ cosine ranking on the unit-norm fixture vectors.
-    t = topk(_pairs(spark, sf_dir), 10)
+    t = knn_test_topk(spark, sf_dir, 10)
     terms = t.select(
         "qid",
         (col("tlabel") == col("qlabel")).cast("long").alias("rel"),
@@ -2978,11 +2991,11 @@ def _q_kmeans_inertia(spark, sf_dir):
     micro-quantized before the per-cluster and total sums. Composes the
     graded Lloyd pipeline; per-cluster rows + the k value give one elbow
     point per run."""
-    from .iterative import _q_kmeans, kmeans_update
+    from .iterative import _q_kmeans, _q_kmeans_centroids
 
     e = tables.embeddings(spark, sf_dir)
     asg = _q_kmeans(spark, sf_dir).select("vec_id", col("cluster").alias("c"))
-    cent = kmeans_update(e, asg)
+    cent = _q_kmeans_centroids(spark, sf_dir)
     d = (
         e.join(asg, "vec_id")
         .join(F.broadcast(cent), "c")
@@ -3124,12 +3137,12 @@ def _q_ivf_recall(spark, sf_dir):
     graded Lloyd run; probes and ranks are total-ordered), so the recall
     itself is hash-graded: the rare honest evaluation of an ANN index
     that two engines can agree on bit-for-bit."""
-    from .iterative import _q_kmeans, kmeans_update
-    from .knn import _pairs, topk
+    from .iterative import _q_kmeans, _q_kmeans_centroids
+    from .knn import knn_test_topk
 
     e = tables.embeddings(spark, sf_dir)
     asg = _q_kmeans(spark, sf_dir).select("vec_id", col("cluster").alias("c"))
-    cent = kmeans_update(e, asg)
+    cent = _q_kmeans_centroids(spark, sf_dir)
     test = e.filter(col("vec_id") % 5 == 0).select(
         col("vec_id").alias("qid"), col("emb").alias("qemb")
     )
@@ -3173,7 +3186,7 @@ def _q_ivf_recall(spark, sf_dir):
     approx = scored.withColumn("rnk", F.row_number().over(wr)).filter(
         col("rnk") <= 10
     )
-    exact = topk(_pairs(spark, sf_dir), 10).select("qid", "tid")
+    exact = knn_test_topk(spark, sf_dir, 10).select("qid", "tid")
     hits = approx.select("qid", "tid").join(exact, ["qid", "tid"], "left_semi")
     per = (
         exact.groupBy("qid")
@@ -3386,9 +3399,9 @@ def _q_conformal_knn(spark, sf_dir):
     micro-units; the quantile index is ⌈0.9(n+1)⌉ by rank (no
     interpolation), so q̂ is a single exact value both engines pick
     identically."""
-    from .knn import K_DEFAULT, _pairs, topk
+    from .knn import K_DEFAULT, knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     pred = t.groupBy("qid", "qlabel").agg(
         F.expr(
             "TRY_CAST(round(avg(CAST(tlabel AS DOUBLE)) * 1000000, 0) AS BIGINT)"
@@ -3914,9 +3927,9 @@ def _q_ece(spark, sf_dir):
     terms |conf·k·n_b − correct·k... are cross-multiplied to exact
     integers: ECE·n·k = Σ |votes·n_b/k·... rearranged so only the final
     division floats."""
-    from .knn import K_DEFAULT, _pairs, majority_vote, topk
+    from .knn import K_DEFAULT, knn_test_topk, majority_vote
 
-    pred = majority_vote(topk(_pairs(spark, sf_dir), K_DEFAULT))
+    pred = majority_vote(knn_test_topk(spark, sf_dir, K_DEFAULT))
     bins = pred.groupBy("votes").agg(
         F.count("*").alias("nb"),
         F.sum(col("correct").cast("long")).alias("cb"),
@@ -4087,10 +4100,20 @@ def _q_new_vs_returning(spark, sf_dir):
 
 
 def _q_column_profile(spark, sf_dir):
-    """One-pass data-profiling of the fact table: per column, distinct
+    """Two-pass data-profiling of the fact table: per column, distinct
     count, null count, and min/max rendered to strings — the "describe"
-    a warehouse runs on ingest, as a single stack/unpivot aggregate
-    (every statistic from one scan, no per-column jobs)."""
+    a warehouse runs on ingest.
+
+    r11 optimization (scripts/colprofile_ab_r11.json, guide §2.3): one
+    agg mixing 6 countDistinct with string min/max forced BOTH the
+    Expand rewrite (×7 row multiplication for the distinct counts) AND
+    SortAggregate (string min/max buffers are immutable, disabling hash
+    aggregation) — a sort-based aggregate over 4.2 M expanded wide rows.
+    Splitting the distinct counts into their own aggregate keeps the
+    Expand path pure hash aggregation and the min/max pass Expand-free;
+    the two 1-row results cross-join (bounded). Same aggregates over
+    the same rows — values identical (A/B asserted, golden digests
+    unchanged). Measured sf0.1: 10.96 → 2.70 s median-warm."""
     li = tables.table(spark, sf_dir, "lineitem")
     cols = [
         "l_orderkey",
@@ -4107,13 +4130,14 @@ def _q_column_profile(spark, sf_dir):
             return F.expr(f"TRY_CAST(round({c} * 100, 0) AS BIGINT)")
         return col(c)
 
-    agg = li.agg(
+    base = li.agg(
         F.count("*").alias("n_rows"),
-        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
         *[F.sum(col(c).isNull().cast("long")).alias(f"z_{c}") for c in cols],
         *[F.min(_canon(c)).cast("string").alias(f"mn_{c}") for c in cols],
         *[F.max(_canon(c)).cast("string").alias(f"mx_{c}") for c in cols],
     )
+    dist = li.agg(*[F.countDistinct(c).alias(f"d_{c}") for c in cols])
+    agg = base.crossJoin(F.broadcast(dist))
     stacked = ", ".join(
         f"'{c}', d_{c}, z_{c}, mn_{c}, mx_{c}" for c in cols
     )
@@ -4919,9 +4943,9 @@ def _q_precision_at_k(spark, sf_dir):
     the top k — the cutoff-depth view NDCG compresses away. One top-10
     pass; per-(query, k) precision is exact (rel_count/k), the
     cross-query mean sums micro-quantized integers."""
-    from .knn import _pairs, topk
+    from .knn import knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), 10).select(
+    t = knn_test_topk(spark, sf_dir, 10).select(
         "qid", "rnk", (col("tlabel") == col("qlabel")).cast("long").alias("rel")
     )
     w = Window.partitionBy("qid").orderBy("rnk").rowsBetween(
@@ -5025,9 +5049,9 @@ def _q_vote_margin(spark, sf_dir):
     empirical accuracy at each margin — the decision-confidence
     spectrum that says which predictions to trust. Exact integer votes
     and counts throughout."""
-    from .knn import K_DEFAULT, _pairs, topk
+    from .knn import K_DEFAULT, knn_test_topk
 
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     votes = t.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("v"))
     w = Window.partitionBy("qid").orderBy(F.desc("v"), "tlabel")
     r = votes.withColumn("vr", F.row_number().over(w)).filter(col("vr") <= 2)
@@ -5053,10 +5077,10 @@ def _q_recall_at_k(spark, sf_dir):
     completeness companion of ml_precision_at_k. Per-query denominators
     come from exact label counts on the train side; per-(query, k)
     recalls quantize to micro units before the cross-query mean."""
-    from .knn import _pairs, topk
+    from .knn import knn_test_topk
 
     e = tables.embeddings(spark, sf_dir)
-    t = topk(_pairs(spark, sf_dir), 10).select(
+    t = knn_test_topk(spark, sf_dir, 10).select(
         "qid", "qlabel", "rnk", (col("tlabel") == col("qlabel")).cast("long").alias("rel")
     )
     # relevant set size per query: same-label points excluding the query

@@ -97,10 +97,34 @@ def majority_vote(topk_df: DataFrame) -> DataFrame:
     )
 
 
+_TEST_TOPK_MEMO = tables.SessionMemo()
+
+
+def knn_test_topk(spark: SparkSession, sf_dir: str, k: int = K_DEFAULT) -> DataFrame:
+    """Memoized exact test-split top-k — the evaluation ground truth.
+
+    r11 (same materialized-artifact pattern as knn_self_join): SEVENTEEN
+    graded keys across knn.py / analytics.py / udf.py consume
+    ``topk(_pairs(spark, sf_dir), k)`` over the %5 test split — the
+    classify/accuracy/confusion family, regress, predict_proba, AUC/
+    recall/precision/NDCG evaluation keys, the IVF-recall ground truth —
+    and each re-ran the O(|test|·|train|·d) pair fold per reference
+    (~1.5 s each at sf0.1; ml_ivf_recall_at10 referenced it twice in one
+    plan). The n_test·k-row ranked result is what gets checkpointed,
+    never the pair space. Keyed on (sf_dir, k);
+    ``tables.invalidate_caches(sf_dir)`` drops it."""
+    memo_key = (sf_dir.rstrip("/"), "test_topk", k)
+    hit = _TEST_TOPK_MEMO.get(spark, memo_key)
+    if hit is not None:
+        return hit
+    out = topk(_pairs(spark, sf_dir), k).localCheckpoint(eager=True)
+    _TEST_TOPK_MEMO.put(spark, memo_key, out)
+    return out
+
+
 def classify(spark: SparkSession, sf_dir: str, k: int = K_DEFAULT) -> DataFrame:
     """Full kNN classification pipeline — the flagship (SURVEY.md §7.3 P1)."""
-    e = tables.embeddings(spark, sf_dir)
-    return majority_vote(topk(with_distance(all_pairs(split_test(e), train_all(e))), k))
+    return majority_vote(knn_test_topk(spark, sf_dir, k))
 
 
 def weighted_vote(topk_df: DataFrame) -> DataFrame:
@@ -138,7 +162,7 @@ def k_sweep_accuracy(spark: SparkSession, sf_dir: str, ks: list[int] | None = No
     rank filter — k values add no extra distance work or shuffles.
     """
     ks = ks or K_SWEEP
-    top = topk(_pairs(spark, sf_dir), max(ks))
+    top = knn_test_topk(spark, sf_dir, max(ks))
     kdf = top.sparkSession.createDataFrame([(k,) for k in ks], "k int")
     votes = (
         top.join(F.broadcast(kdf), col("rnk") <= col("k"))
@@ -300,7 +324,7 @@ def _q_dist(metric, signed=False):
 
 
 def _q_topk(spark, sf_dir):
-    return topk(_pairs(spark, sf_dir), K_DEFAULT).select(
+    return knn_test_topk(spark, sf_dir, K_DEFAULT).select(
         "qid", "tid", col("rnk").cast("long").alias("rnk"), F.round("dist", 4).alias("dist")
     )
 
@@ -310,7 +334,7 @@ def _q_classify(spark, sf_dir):
 
 
 def _q_regress(spark, sf_dir):
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     return t.groupBy("qid").agg(
         F.round(F.avg(col("tlabel").cast("double")), 4).alias("pred_value")
     )
@@ -431,7 +455,7 @@ def _q_predict_proba(spark, sf_dir):
     distribution per query, not just the argmax — what a downstream
     calibration/ensembling stage consumes. Shares are votes/k, exact
     rationals rounded once."""
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     votes = t.groupBy("qid", "tlabel").agg(F.count("*").alias("votes"))
     return votes.select(
         "qid",
@@ -625,7 +649,7 @@ def _q_auc_ovr(spark, sf_dir):
     are exact half-integers and every sum is exact in doubles —
     deterministic across engines. One window over the 11-level score
     distribution; everything else is counts."""
-    t = topk(_pairs(spark, sf_dir), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     scores = t.groupBy("qid", "qlabel").agg(
         F.sum((col("tlabel") == AUC_CLASS).cast("long")).alias("s")
     )
@@ -848,7 +872,7 @@ QUERIES = {
     "knn_accuracy": _q_accuracy,
     "knn_confusion": _q_confusion,
     "knn_classify_weighted": lambda spark, sf_dir: weighted_vote(
-        topk(_pairs(spark, sf_dir), K_DEFAULT)
+        knn_test_topk(spark, sf_dir, K_DEFAULT)
     ),
     "knn_k_sweep": k_sweep_accuracy,
     "knn_radius": _q_radius,

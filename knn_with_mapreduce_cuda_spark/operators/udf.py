@@ -35,7 +35,14 @@ from pyspark.sql.types import DoubleType
 from .. import tables
 from ..functions.vector import sq_euclidean
 from ..plans.gemm_knn import knn_topk_gemm
-from .knn import K_DEFAULT, all_pairs, split_test, topk, train_all, with_distance
+from .knn import (
+    K_DEFAULT,
+    all_pairs,
+    knn_test_topk,
+    split_test,
+    train_all,
+    with_distance,
+)
 
 _PAIRS_SQL_T5 = (
     # poisoned-vector convention (r10 non-finite sweep): NULL/non-finite
@@ -197,7 +204,7 @@ def _q_udtf(spark, sf_dir):
 
     spark.udtf.register("explode_topk", ExplodeTopk)
     e = tables.embeddings(spark, sf_dir)
-    t = topk(with_distance(all_pairs(split_test(e), train_all(e))), K_DEFAULT)
+    t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     # collect_list gives NO ordering guarantee across the aggregation
     # shuffle (a pre-groupBy orderBy held only by luck at sf0.01 and
     # broke at sf0.1): collect (rnk, tid) structs and array_sort so the
