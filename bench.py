@@ -732,7 +732,7 @@ def main() -> None:
     loads: dict[str, float] = {}
     retried: list[str] = []
 
-    def run_block(fn, base: int = 3) -> list[float]:
+    def run_block(fn, base: int = 3, gc_each: bool = False) -> list[float]:
         """``base`` timed runs; a 4th when the WARM runs (2..n — run 1 carries
         per-query codegen/warm-up and always dominates the raw spread)
         disagree by >20% (VERDICT r06 #5: three rows moved >10% under
@@ -748,6 +748,21 @@ def main() -> None:
         cs: list[float] = []
 
         def _one() -> None:
+            if gc_each:
+                # matching block only (r11): the r10 forensics pinned
+                # multi-second stalls WITH matching process-tree CPU on
+                # accumulated JVM heap churn; the single pre-block
+                # System.gc() still let 5 of 8 warm samples spike in one
+                # r11 validation run (BENCH_DETAIL matching_regated_runs
+                # [5.46, 1.34, 5.48, 1.70, 5.29, 5.88, 6.50, 1.16]).
+                # Collecting BEFORE each timed sample moves leftover
+                # suite housekeeping out of the timed region — the
+                # DuckDB side has no GC, so this is the symmetric
+                # steady-state comparison, not a discount.
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
@@ -867,13 +882,13 @@ def main() -> None:
             pre, _, _ = _wait_for_idle(deadline)
         restore = _row_confs(sk)
         try:
-            rs, cs = run_block(BENCH_QUERIES[sk], base=6)
+            rs, cs = run_block(BENCH_QUERIES[sk], base=6, gc_each=True)
             post = round(os.getloadavg()[0], 1)
             if post >= bar and time.time() < deadline:
                 retried.append(f"match:{sk}")
                 contended[f"match:{sk}"] = rs
                 _wait_for_idle(deadline)
-                rs, cs = run_block(BENCH_QUERIES[sk], base=6)
+                rs, cs = run_block(BENCH_QUERIES[sk], base=6, gc_each=True)
             if sk in SHAPE_FLOORS:
                 # adjacency is load-bearing (r10 measurement, above):
                 # the twin used for the strict headline's floor
