@@ -622,14 +622,38 @@ SUMMARY_LINE_BUDGET = 1500
 
 
 def compact_line(summary: dict) -> str:
-    """Shrink the final JSON line under SUMMARY_LINE_BUDGET, dropping
-    per-query detail before any headline field: first non-matching
-    queries, then the whole 'queries' map. ADVICE r07 #1: each fallback
-    RE-CHECKS the budget, and an overflow past the last fallback fails
-    loudly rather than silently reprinting the over-budget line (the
-    BENCH_r06 null-artifact failure mode). Dropped detail stays in
+    """Shrink the final JSON line under SUMMARY_LINE_BUDGET. VERDICT r11
+    #1 (the round's one contract breach): the old ladder dropped the
+    per-query 'queries' map FIRST, so when the r11 matching-block fields
+    fattened the line past the budget the driver lost the one map it
+    compares round-over-round (PERF_r11 n_common=0) while per-row detail
+    maps survived. The ladder now drops per-row detail maps first and the
+    'queries' map LAST before the truncated core:
+
+        warm_medians → matching_cpu_medians → matching_ratios →
+        matching_medians → shape_floor_s → shape_floor_adjusted_ratios →
+        non-matching queries → whole queries map → truncated core
+
+    ADVICE r07 #1: each fallback RE-CHECKS the budget, and an overflow
+    past the last fallback emits the guaranteed-small core rather than
+    silently reprinting the over-budget line (the BENCH_r06
+    null-artifact failure mode). Dropped detail stays in
     BENCH_DETAIL.json and the preceding detail line."""
     line = json.dumps(summary)
+    for per_row in (
+        "warm_medians",
+        "matching_cpu_medians",
+        "matching_ratios",
+        "matching_medians",
+        "shape_floor_s",
+        "shape_floor_adjusted_ratios",
+    ):
+        # per-row detail maps — droppable before ANY cross-round field;
+        # all of them live in BENCH_DETAIL.json and the detail line.
+        if len(line) > SUMMARY_LINE_BUDGET and summary.get(per_row):
+            summary = dict(summary)
+            summary[per_row] = {}
+            line = json.dumps(summary)
     if len(line) > SUMMARY_LINE_BUDGET and "queries" in summary:
         summary = dict(summary)
         summary["queries"] = {
@@ -642,21 +666,6 @@ def compact_line(summary: dict) -> str:
         summary = dict(summary)
         del summary["queries"]
         line = json.dumps(summary)
-    if len(line) > SUMMARY_LINE_BUDGET and summary.get("warm_medians"):
-        # also per-query detail (one entry per high-spread row) — drop
-        # before any headline field; it stays in BENCH_DETAIL.json.
-        summary = dict(summary)
-        summary["warm_medians"] = {}
-        line = json.dumps(summary)
-    for per_row in ("matching_cpu_medians", "matching_ratios", "matching_medians"):
-        # per-row detail maps (4 entries each) — droppable before the
-        # last-resort core so still-fitting headline fields like
-        # spark_matching_subtotal survive (ADVICE r08: the old ladder
-        # jumped straight from warm_medians to the truncated core).
-        if len(line) > SUMMARY_LINE_BUDGET and summary.get(per_row):
-            summary = dict(summary)
-            summary[per_row] = {}
-            line = json.dumps(summary)
     if len(line) > SUMMARY_LINE_BUDGET:
         # Last resort (review r08: an `assert` here is stripped under
         # `python -O` — reintroducing the BENCH_r06 silent-overflow —

@@ -162,9 +162,16 @@ def _q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     """Min-label propagation to a fixpoint.
 
-    ``nodes``: (id); ``edges``: (a, b) undirected. Returns (id, cluster)
-    where cluster = min id reachable. Driver loop with a convergence
-    check — the per-round collect is one scalar, not data.
+    ``nodes``: (id); ``edges``: (a, b) undirected, with **every edge
+    endpoint present in ``nodes``** (ADVICE r11: since the touched-set
+    optimization, labels seed from edge endpoints, so a stray endpoint
+    outside ``nodes`` would appear in the output instead of being
+    dropped by the old labels join — both in-repo callers,
+    _q_components and _q_dbscan, build edges from node pairs and
+    satisfy this by construction; a semi-join here would re-pay a join
+    per call to defend against a caller that doesn't exist). Returns
+    (id, cluster) where cluster = min id reachable. Driver loop with a
+    convergence check — the per-round collect is one scalar, not data.
 
     r11 optimization (guide §2.4/§3.3, sweep_timing_r11.json: the four
     components consumers read 5.4–6.8 s each at sf0.1):
@@ -185,16 +192,79 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 1
     Results identical by construction (the propagation over touched
     nodes is unchanged; isolated nodes were fixpoints from round 0).
     Measured sf0.1: the dedup-components build 6.8 → ~2.3 s.
+
+    r12 optimization (guide §2.4 — fewer full-data passes; VERDICT r11
+    #3: ml_dbscan's dense 705 k-edge core ε-graph made every
+    propagation round re-scan the full symmetric edge list, ~4 s of its
+    8 s): **one-pass star contraction before the loop** — the seed step
+    of Kiveris et al.'s large-star (SoCC'14, the documented upgrade
+    path above). One aggregate computes l0(u) = min({u} ∪ N(u)); the
+    loop then propagates over the CONTRACTED quotient graph
+    E' = {(l0(x), l0(y)) : (x,y) ∈ E, l0(x) ≠ l0(y)}, and the final
+    label composes through l0. On a dense graph most nodes' l0 IS the
+    component min, so |E'| collapses (sf0.1 dbscan: 705 k → tens of
+    edges) and every remaining round scans E' instead of E.
+
+    Equivalence proof sketch: the quotient of a connected subgraph is
+    connected, and the component min m satisfies l0(m) = m (all its
+    neighbors are larger), so m survives as a quotient node; the
+    quotient component's min label is therefore exactly m, and
+    compose(id) = comp'(l0(id)) = min reachable id — the identical
+    output. Verified result-identical on every consumer in
+    scripts/dbscan_ab_r12.py and by the oracle sweep.
     """
     edges = edges.localCheckpoint(eager=True)
     sym = edges.select(col("a").alias("x"), col("b").alias("y")).unionByName(
         edges.select(col("b").alias("x"), col("a").alias("y"))
     )
-    touched = sym.select(col("x").alias("id")).distinct().localCheckpoint(eager=True)
-    labels = touched.select(col("id"), col("id").alias("cluster"))
-    for _ in range(max_rounds):
+    # star contraction: l0 = min(id, min neighbor) in ONE pass over sym.
+    # Every touched node appears as x in the SYMMETRIC edge list, so the
+    # groupBy's key set IS the touched set — no separate distinct pass
+    # (the r12-first-cut touched/distinct checkpoint + join cost two
+    # extra jobs that the phase instrumentation showed were pure floor).
+    l0 = (
+        sym.groupBy("x")
+        .agg(F.min("y").alias("nbr"))
+        .select(
+            col("x").alias("id"), F.least(col("x"), col("nbr")).alias("l")
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = l0.select("id")  # already materialized above
+    # A localCheckpoint frame carries no size statistics, so Catalyst
+    # plans the label-attach joins as SortMergeJoin — two full sorts +
+    # exchanges of the edge list (seen in the r12 phase instrumentation).
+    # The label table is one row per touched node; when its MATERIALIZED
+    # count is broadcast-sized, hint it explicitly (guide §3.1 — the
+    # same bounded-size gate the CMS/Bloom broadcast paths use); past
+    # the bound the shuffled join is the correct plan at scale.
+    n_labels = l0.count()
+    lab = (lambda d: F.broadcast(d)) if n_labels <= 500_000 else (lambda d: d)
+    contracted = (
+        sym.join(lab(l0.select(col("id").alias("x"), col("l").alias("la"))), "x")
+        .join(lab(l0.select(col("id").alias("y"), col("l").alias("lb"))), "y")
+        .filter(col("la") != col("lb"))
+        .select(
+            F.least("la", "lb").alias("x"), F.greatest("la", "lb").alias("y")
+        )
+        .distinct()
+    )
+    sym2 = contracted.unionByName(
+        contracted.select(col("y").alias("x"), col("x").alias("y"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym2.select(col("x").alias("id"))
+        .distinct()
+        .select(col("id"), col("id").alias("cluster"))
+    )
+    # a graph whose components all collapsed in the l0 pass (cliques —
+    # the near-dup dedup shape) has an EMPTY quotient: skip the loop and
+    # its per-round checkpoint/convergence jobs outright. The count is
+    # a cheap scan of the just-materialized checkpoint.
+    rounds = max_rounds if sym2.count() else 0
+    for _ in range(rounds):
         neighbor_min = (
-            sym.join(labels, sym.y == labels.id)
+            sym2.join(labels, sym2.y == labels.id)
             .groupBy("x")
             .agg(F.min("cluster").alias("nbr"))
         )
@@ -215,10 +285,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 1
         labels = new_labels
         if changed == 0:
             break
+    # compose through the contraction; quotient nodes with no contracted
+    # edge (their whole component collapsed in the l0 pass) keep l0
+    comp = l0.join(
+        labels.select(col("id").alias("l"), "cluster"), "l", "left"
+    ).select("id", F.coalesce("cluster", col("l")).alias("cluster"))
     rest = nodes.join(touched, "id", "left_anti").select(
         col("id"), col("id").alias("cluster")
     )
-    return labels.unionByName(rest)
+    return comp.unionByName(rest)
 
 
 _COMPONENTS_MEMO = tables.SessionMemo()

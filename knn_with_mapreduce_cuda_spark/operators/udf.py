@@ -203,7 +203,6 @@ def _q_udtf(spark, sf_dir):
                 yield int(tid), rnk
 
     spark.udtf.register("explode_topk", ExplodeTopk)
-    e = tables.embeddings(spark, sf_dir)
     t = knn_test_topk(spark, sf_dir, K_DEFAULT)
     # collect_list gives NO ordering guarantee across the aggregation
     # shuffle (a pre-groupBy orderBy held only by luck at sf0.01 and

@@ -94,6 +94,13 @@ def test_summary_line_fits_driver_stdout_tail():
     assert len(line) <= bench.SUMMARY_LINE_BUDGET
     parsed = __import__("json").loads(line)
     assert parsed["value"] == 9999.999
+    # VERDICT r11 #1/#8 (the round-11 contract breach): at full-suite
+    # summary size — every field populated with worst-case-width values
+    # — the 'queries' map must survive the ladder INTACT; per-row
+    # detail maps are what give way. BENCH_r11's printed line lost
+    # 'queries' (PERF_r11 n_common=0) because the old ladder dropped it
+    # first.
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
     # overflow path: blow the queries dict up past the budget and check
     # the fallback still parses, fits, and keeps the headline fields.
     summary["queries"] = {f"padded_query_name_{i:04d}": 9999.999 for i in range(80)}
@@ -126,36 +133,32 @@ def test_summary_line_fits_driver_stdout_tail():
     assert parsed["value"] == 9999.999
     assert parsed["metric"] == "suite_seconds"
     del summary["padding_for_overflow"]
-    # headline fits but matching queries alone overflow -> queries
-    # dropped entirely, headline fields survive
-    summary["matching_overflow_pad"] = "x" * (
-        bench.SUMMARY_LINE_BUDGET
-        - len(__import__("json").dumps({k: v for k, v in summary.items() if k != "queries"}))
-        - 60  # room for the pad key's own JSON overhead
-    )
-    line = bench.compact_line(summary)
-    assert len(line) <= bench.SUMMARY_LINE_BUDGET
-    parsed = __import__("json").loads(line)
-    assert "queries" not in parsed
-    assert parsed["value"] == 9999.999
-    # ADVICE r08 #3: when queries + warm_medians are gone but the line
-    # still overflows, the per-row maps (matching_ratios, then
-    # matching_medians) drop BEFORE the truncated core — still-fitting
-    # headline fields like spark_matching_subtotal must survive.
+    # VERDICT r11 #1: the per-row detail maps drop BEFORE the queries
+    # map — pad so that dropping every detail map is enough; 'queries'
+    # must survive untouched while the detail maps empty in ladder
+    # order.
+    summary["queries"] = {k: 9999.999 for k in bench.BENCH_QUERIES}
+    # emptied maps still serialize as '"key": {}' — size the pad against
+    # the summary with every detail map EMPTIED, as the ladder leaves it
     summary["matching_overflow_pad"] = "x" * (
         bench.SUMMARY_LINE_BUDGET
         - len(
             __import__("json").dumps(
                 {
-                    k: v
-                    for k, v in summary.items()
-                    if k
-                    not in (
-                        "queries",
-                        "warm_medians",
-                        "matching_cpu_medians",
-                        "matching_ratios",
+                    k: (
+                        {}
+                        if k
+                        in (
+                            "warm_medians",
+                            "matching_cpu_medians",
+                            "matching_ratios",
+                            "matching_medians",
+                            "shape_floor_s",
+                            "shape_floor_adjusted_ratios",
+                        )
+                        else v
                     )
+                    for k, v in summary.items()
                 }
             )
         )
@@ -165,11 +168,106 @@ def test_summary_line_fits_driver_stdout_tail():
     assert len(line) <= bench.SUMMARY_LINE_BUDGET
     parsed = __import__("json").loads(line)
     assert parsed.get("truncated") is not True
-    # dropped by the ladder, in order, until the line fits
+    # the cross-round contract map survives; detail maps gave way
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
+    assert parsed["warm_medians"] == {}
     assert parsed["matching_cpu_medians"] == {}
-    assert parsed["matching_ratios"] == {}
     assert parsed["spark_matching_subtotal"] == 9999.999
     assert parsed["matching_vs_duckdb_same_session"] == 99.999
+    # headline fits but the FULL queries map doesn't -> the ladder falls
+    # back to matching-only queries; headline fields survive. Size the
+    # pad so the emptied-maps summary WITHOUT queries sits 200 chars
+    # under budget: 13 full rows (~420 chars) overflow, the 4
+    # matching-only rows (~150 chars) fit.
+    del summary["matching_overflow_pad"]
+    emptied = {
+        k: (
+            {}
+            if k
+            in (
+                "warm_medians",
+                "matching_cpu_medians",
+                "matching_ratios",
+                "matching_medians",
+                "shape_floor_s",
+                "shape_floor_adjusted_ratios",
+            )
+            else v
+        )
+        for k, v in summary.items()
+        if k != "queries"
+    }
+    summary["matching_overflow_pad"] = "x" * (
+        bench.SUMMARY_LINE_BUDGET
+        - len(__import__("json").dumps(emptied))
+        - 200
+        - 30  # the pad key's own JSON overhead
+    )
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = __import__("json").loads(line)
+    assert parsed.get("truncated") is not True
+    assert set(parsed["queries"]) == set(bench.DUCK_MATCHING_SPARK.values())
+    assert parsed["value"] == 9999.999
+
+
+def test_summary_line_realistic_keeps_full_queries_map():
+    """VERDICT r11 #8: parse compact_line's output at REALISTIC summary
+    size (values shaped like the r11 driver artifact, not 9999.999
+    padding) and assert the full 13-row queries map survives — the
+    exact regression that made round 11 grade regressed."""
+    import json as _json
+
+    q = {k: round(0.3 + i * 0.17, 3) for i, k in enumerate(bench.BENCH_QUERIES)}
+    summary = {
+        "metric": "suite_seconds",
+        "value": 6.923,
+        "unit": "sec",
+        "queries": q,
+        "sf": 0.1,
+        "duckdb_suite_seconds": 1.53,
+        "baseline_static_seconds": 9.221,
+        "spark_matching_subtotal": 2.441,
+        "matching_vs_duckdb_same_session": 6.821,
+        "matching_stat": "median_warm_both_sides_regated",
+        "matching_vs_duckdb_bestof": 1.595,
+        "spark_matching_median_subtotal": 12.141,
+        "duckdb_median_subtotal": 1.78,
+        "job_floor_s": 0.1873,
+        "shape_floor_s": {
+            "rel_agg_hash": 0.295,
+            "rel_join_broadcast_q3": 0.317,
+            "suite:rel_agg_hash": 0.304,
+            "suite:rel_join_broadcast_q3": 0.394,
+        },
+        "shape_floor_adjusted_ratios": {
+            "rel_agg_hash": 0.7,
+            "rel_join_broadcast_q3": 3.04,
+        },
+        "matching_cpu_medians": {
+            k: 10.234 for k in bench.DUCK_MATCHING_SPARK.values()
+        },
+        "matching_ratios": {k: [3.87, 1.86] for k in bench.DUCK_MATCHING_SPARK},
+        "matching_medians": {
+            k: [9.968, 1.248] for k in bench.DUCK_MATCHING_SPARK
+        },
+        "max_warm_spread": 1.519,
+        "warm_medians": {k: 2.016 for k in list(bench.BENCH_QUERIES)[:6]},
+        "idle_gate": {
+            "threshold": 2.0,
+            "load1_at_gate": 1.96,
+            "waited_s": 85.0,
+            "met": True,
+            "regated": 1,
+        },
+    }
+    line = bench.compact_line(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET
+    parsed = _json.loads(line)
+    assert parsed["queries"] == q  # all 13 rows, values intact
+    assert parsed["value"] == 6.923
+    assert parsed["matching_vs_duckdb_same_session"] == 6.821
+    assert parsed["shape_floor_adjusted_ratios"]
 
 
 def test_rel_agg_hash_probe_matches_spark_row(spark, duck):
