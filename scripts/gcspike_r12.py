@@ -116,7 +116,14 @@ def main() -> None:
         "samples": {},
     }
 
-    modes = ["nogc", "gceach"]
+    # gcsettle = System.gc() then a short drain sleep BEFORE the timed
+    # region: if it reads like nogc, the post-GC work (reference/cleaner
+    # flood, codegen effects) is short-lived and the r11 gc_each protocol
+    # was injecting exactly that work INTO the timed samples.
+    # sleeponly = the same 1.5 s pause with NO GC: separates "GC
+    # aftermath" from "any idle gap before the sample slows it" (the
+    # slow-after-idle class the r11 forensics kept circling).
+    modes = os.environ.get("GCSPIKE_MODES", "nogc,gceach,gcsettle").split(",")
     for sk in bench.DUCK_MATCHING_SPARK.values():
         fn = bench.BENCH_QUERIES[sk]
         saved = {}
@@ -126,12 +133,17 @@ def main() -> None:
         recs = []
         try:
             fn(spark, sf_dir).count()  # row warm-up (codegen)
-            for i in range(2 * samples):
-                mode = modes[i % 2]  # interleaved A,B,A,B
-                if mode == "gceach":
+            for i in range(len(modes) * samples):
+                mode = modes[i % len(modes)]  # interleaved A,B,C,A,B,C
+                if mode in ("gceach", "gcsettle"):
                     t_gc0 = time.perf_counter()
                     spark.sparkContext._jvm.System.gc()
+                    if mode == "gcsettle":
+                        time.sleep(1.5)
                     gc_call_s = round(time.perf_counter() - t_gc0, 3)
+                elif mode == "sleeponly":
+                    time.sleep(1.5)
+                    gc_call_s = None
                 else:
                     gc_call_s = None
                 n0, g0 = gc_stats(spark)
