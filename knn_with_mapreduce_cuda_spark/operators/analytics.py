@@ -3160,10 +3160,19 @@ def _q_ivf_recall(spark, sf_dir):
     )
     wq = Window.partitionBy("qid").orderBy(F.asc_nulls_last("cd"), "c")
     probes = qc.withColumn("pr", F.row_number().over(wq)).filter(col("pr") <= 2)
-    # candidates = train points in probed cells (self excluded)
+    # candidates = train points in probed cells (self excluded).
+    # r12 (guide §3.1/§2.2, plans/r12/ml_ivf_recall_at10_before.txt):
+    # joined on `c` — a key with only KMEANS_K distinct values — this
+    # planned as a SortMergeJoin whose exchanges hash both sides into
+    # ≤k usable partitions, so the ~320 k-pair euclidean fold below
+    # inherited a near-serial layout. The probes side is 2 rows per
+    # query (bounded, ~800 at sf0.1): broadcast it, and spread the
+    # assignment stream across the session parallelism so the fold
+    # fans out. Same rows, same dist values — plan shape only.
     cand = (
-        probes.select("qid", "c")
-        .join(asg.select(col("vec_id").alias("tid"), "c"), "c")
+        asg.select(col("vec_id").alias("tid"), "c")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(probes.select("qid", "c")), "c")
         .filter(col("qid") != col("tid"))
     )
     tq = test.select("qid", "qemb")
@@ -3187,7 +3196,12 @@ def _q_ivf_recall(spark, sf_dir):
         col("rnk") <= 10
     )
     exact = knn_test_topk(spark, sf_dir, 10).select("qid", "tid")
-    hits = approx.select("qid", "tid").join(exact, ["qid", "tid"], "left_semi")
+    # r12: the exact top-10 is n_test·10 skinny rows (4 k at sf0.1) —
+    # broadcast the semi-join probe side instead of sort-merging two
+    # exchanges (guide §3.1).
+    hits = approx.select("qid", "tid").join(
+        F.broadcast(exact), ["qid", "tid"], "left_semi"
+    )
     per = (
         exact.groupBy("qid")
         .agg(F.count("*").alias("n_exact"))
@@ -4053,22 +4067,43 @@ def _q_dim_ablation(spark, sf_dir):
             4,
         ).alias("d32"),
     )
-    out = None
-    for name, dist in [("dims_64", "d64"), ("dims_32", "d32")]:
-        w = Window.partitionBy("qid").orderBy(F.asc_nulls_last(dist), "tid")
-        top = d.withColumn("rnk", F.row_number().over(w)).filter(
-            col("rnk") <= K_DEFAULT
-        )
-        votes = top.groupBy("qid", "qlabel", "tlabel").agg(F.count("*").alias("v"))
-        wv = Window.partitionBy("qid").orderBy(F.desc("v"), "tlabel")
-        pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
-            col("vr") == 1
-        )
-        acc = pred.agg(
-            F.count("*").alias("n_queries"),
-            F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_correct"),
-        ).select(lit(name).alias("variant"), "n_queries", "n_correct")
-        out = acc if out is None else out.unionByName(acc)
+    # r12 (guide §2.3 — one pass over the pair space, not one per
+    # variant): the old per-variant union re-evaluated the quadratic
+    # BNLJ + BOTH distance folds once per branch (no ReusedExchange
+    # under a BNLJ — plans/r12/ml_dim_ablation_before.txt shows the
+    # join subtree twice). Melt the two rounded distances into
+    # (variant, dist) rows instead: the pair pass runs ONCE, the
+    # ranking/vote/accuracy pipeline is the identical logic with
+    # `variant` prepended to every partition/group key, and
+    # InferWindowGroupLimit still prunes to k per (variant, qid)
+    # map-side. Per-variant rankings, votes, and counts are unchanged
+    # row-for-row (same dist doubles, same tie-breaks).
+    melted = d.select(
+        "qid",
+        "qlabel",
+        "tid",
+        "tlabel",
+        F.explode(
+            F.create_map(
+                lit("dims_64"), col("d64"), lit("dims_32"), col("d32")
+            )
+        ).alias("variant", "dist"),
+    )
+    w = Window.partitionBy("variant", "qid").orderBy(
+        F.asc_nulls_last("dist"), "tid"
+    )
+    top = melted.withColumn("rnk", F.row_number().over(w)).filter(
+        col("rnk") <= K_DEFAULT
+    )
+    votes = top.groupBy("variant", "qid", "qlabel", "tlabel").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("variant", "qid").orderBy(F.desc("v"), "tlabel")
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(col("vr") == 1)
+    out = pred.groupBy("variant").agg(
+        F.count("*").alias("n_queries"),
+        F.sum((col("tlabel") == col("qlabel")).cast("long")).alias("n_correct"),
+    )
     return out.select(
         "variant",
         "n_queries",

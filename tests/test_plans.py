@@ -808,3 +808,33 @@ def test_q3_flat_shape_shuffle_semi_one_exchange_per_fact_side(spark):
     # one hash exchange per fact side (lineitem, orders), and the semi
     # join consumes the agg's — no third hashpartitioning exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_dim_ablation_single_pair_pass(spark):
+    """r12: the per-variant union re-evaluated the quadratic BNLJ pair
+    subtree once per distance variant (no ReusedExchange under a BNLJ).
+    The melted form must run the pair space ONCE: exactly one
+    BroadcastNestedLoopJoin in the plan, and the variant fan-out is a
+    Generate (explode) above it."""
+    import re
+
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    plan = _plan(analytics._q_dim_ablation(spark, SF_SMOKE), "simple")
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_ivf_recall_probe_join_broadcasts_bounded_sides(spark):
+    """r12: the candidate join keyed only on the cluster id `c`
+    (KMEANS_K distinct values) planned as a SortMergeJoin whose
+    exchanges hash into <= k usable partitions — near-serial distance
+    fold. The probes side is bounded (2 rows/query), the exact top-10
+    is n_test*10 skinny rows: both must broadcast, leaving no
+    sort-merge join keyed on `c` in the plan."""
+    import re
+
+    from knn_with_mapreduce_cuda_spark.operators import analytics
+
+    plan = _plan(analytics._q_ivf_recall(spark, SF_SMOKE), "simple")
+    assert not re.search(r"SortMergeJoin \[c[#L0-9]*\]", plan), plan
