@@ -838,3 +838,21 @@ def test_ivf_recall_probe_join_broadcasts_bounded_sides(spark):
 
     plan = _plan(analytics._q_ivf_recall(spark, SF_SMOKE), "simple")
     assert not re.search(r"SortMergeJoin \[c[#L0-9]*\]", plan), plan
+
+
+def test_crossval_folds_half_pair_space_then_mirrors(spark):
+    """r12: the euclidean fold runs ONLY on qid < tid pairs (half the
+    ordered pair space; d(q,t)=d(t,q) bit-identically), mirrored inline
+    by an explode above the BNLJ — so the plan must show the qid < tid
+    predicate in the join condition and a Generate (explode) above it,
+    with the distance fold evaluated once, below the Generate."""
+    from knn_with_mapreduce_cuda_spark.operators.knn import _q_crossval
+
+    plan = _plan(_q_crossval(spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "(qid" in plan and "< tid" in plan.replace("#", " ").replace("L", ""), plan
+    gen = plan.index("Generate")
+    bnlj = plan.index("BroadcastNestedLoopJoin")
+    assert gen < bnlj, plan  # explode ABOVE the join in tree print order
+    # exactly one zip_with distance fold in the whole plan
+    assert plan.count("zip_with") == 1, plan
