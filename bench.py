@@ -354,6 +354,48 @@ SHAPE_FLOORS = {
 }
 
 
+def _jvm_counters(spark) -> dict:
+    """Best-effort JVM health counters for the regated matching block
+    (r12 forensics: one final-bench run read knn 20.2/15.9/11.9 s with
+    CPU ~= wall — one thread's worth of real burn — while even the
+    near-zero-data shape floors read 3.4-4.3 s, i.e. the JVM itself was
+    degraded, not the plan). Recording JIT compilation time, GC
+    time/count, class load/unload and code-cache occupancy per sample
+    puts the diagnosis IN the artifact whenever the bistable state
+    recurs: a code-cache near its max with jit_ms exploding is the
+    compile/flush/interpret spiral; loaded/unloaded churn is codegen
+    regeneration; none of them moving points off-JVM (host). Detail
+    JSON only — the summary line is unchanged."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        gcs = mf.getGarbageCollectorMXBeans()
+        n = t = 0
+        for i in range(gcs.size()):
+            b = gcs.get(i)
+            n += max(b.getCollectionCount(), 0)
+            t += max(b.getCollectionTime(), 0)
+        cl = mf.getClassLoadingMXBean()
+        cc_used = cc_max = 0
+        pools = mf.getMemoryPoolMXBeans()
+        for i in range(pools.size()):
+            p = pools.get(i)
+            if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                u = p.getUsage()
+                cc_used += u.getUsed()
+                cc_max += u.getMax()
+        return {
+            "jit_ms": mf.getCompilationMXBean().getTotalCompilationTime(),
+            "gc_n": n,
+            "gc_ms": t,
+            "loaded": cl.getTotalLoadedClassCount(),
+            "unloaded": cl.getUnloadedClassCount(),
+            "cc_used_mb": round(cc_used / (1 << 20), 1),
+            "cc_max_mb": round(cc_max / (1 << 20), 1),
+        }
+    except Exception:
+        return {}
+
+
 def _tree_cpu_seconds() -> float:
     """CPU seconds (utime+stime) of this process and every live
     descendant — the driver python, the Spark JVM, and the pyspark
@@ -741,7 +783,9 @@ def main() -> None:
     loads: dict[str, float] = {}
     retried: list[str] = []
 
-    def run_block(fn, base: int = 3, gc_each: bool = False) -> list[float]:
+    def run_block(
+        fn, base: int = 3, gc_each: bool = False, diag: list | None = None
+    ) -> list[float]:
         """``base`` timed runs; a 4th when the WARM runs (2..n — run 1 carries
         per-query codegen/warm-up and always dominates the raw spread)
         disagree by >20% (VERDICT r06 #5: three rows moved >10% under
@@ -772,11 +816,24 @@ def main() -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
+            j0 = _jvm_counters(spark) if diag is not None else {}
             c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             rs.append(round(time.perf_counter() - t0, 3))
             cs.append(round(max(_tree_cpu_seconds() - c0, 0.0), 3))
+            if diag is not None:
+                j1 = _jvm_counters(spark)
+                diag.append(
+                    {
+                        k: j1.get(k, 0) - j0.get(k, 0)
+                        for k in ("jit_ms", "gc_ms", "gc_n", "loaded", "unloaded")
+                    }
+                    | {
+                        "cc_used_mb": j1.get("cc_used_mb"),
+                        "cc_max_mb": j1.get("cc_max_mb"),
+                    }
+                )
 
         for _ in range(base):
             _one()
@@ -884,20 +941,25 @@ def main() -> None:
     match_pre, _, _ = _wait_for_idle(deadline)
     match_runs: dict[str, list[float]] = {}
     match_cpu: dict[str, list[float]] = {}
+    match_jvm: dict[str, list[dict]] = {}
     for sk in DUCK_MATCHING_SPARK.values():
         pre = round(os.getloadavg()[0], 1)
         if pre >= bar and time.time() < deadline:
             retried.append(f"match:{sk}")
             pre, _, _ = _wait_for_idle(deadline)
         restore = _row_confs(sk)
+        jdiag: list[dict] = []
         try:
-            rs, cs = run_block(BENCH_QUERIES[sk], base=6, gc_each=True)
+            rs, cs = run_block(BENCH_QUERIES[sk], base=6, gc_each=True, diag=jdiag)
             post = round(os.getloadavg()[0], 1)
             if post >= bar and time.time() < deadline:
                 retried.append(f"match:{sk}")
                 contended[f"match:{sk}"] = rs
                 _wait_for_idle(deadline)
-                rs, cs = run_block(BENCH_QUERIES[sk], base=6, gc_each=True)
+                jdiag = []
+                rs, cs = run_block(
+                    BENCH_QUERIES[sk], base=6, gc_each=True, diag=jdiag
+                )
             if sk in SHAPE_FLOORS:
                 # adjacency is load-bearing (r10 measurement, above):
                 # the twin used for the strict headline's floor
@@ -909,6 +971,7 @@ def main() -> None:
             restore()
         match_runs[sk] = rs
         match_cpu[sk] = cs
+        match_jvm[sk] = jdiag
 
     # gate again before the DuckDB block: the Spark suite's own decaying
     # load1 (~3+ right after the last row) would otherwise trip every
@@ -1030,6 +1093,7 @@ def main() -> None:
         # samples, measured post-suite behind their own gate
         "matching_regated_runs": match_runs,
         "matching_regated_cpu_runs": match_cpu,
+        "matching_regated_jvm": match_jvm,
         "matching_block_load1_pre": match_pre,
         "matching_in_suite_medians": {
             sk: round(statistics.median(runs[sk][1:]), 3)
