@@ -201,8 +201,34 @@ def knn_self_join(spark: SparkSession, sf_dir: str, k: int = K_JOIN) -> DataFram
     if hit is not None:
         return hit
     e = tables.embeddings(spark, sf_dir)
-    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"), col("label").alias("qlabel"))
-    pairs = with_distance(all_pairs(q, train_all(e)))
+    q = e.select(col("vec_id").alias("qid"), col("emb").alias("qemb"))
+    t = e.select(col("vec_id").alias("tid"), col("emb").alias("temb"))
+    # r12 (guide §2.3, scripts/selfjoin_half_ab_r12.py): d(q,t) = d(t,q)
+    # bit-identically ((x-y)² vs (y-x)², same zip_with order, same left
+    # fold), so fold only qid < tid pairs — half the O(n²·d) build —
+    # and mirror each scored pair inline with explode(array(fwd, rev))
+    # ABOVE the fold, below the top-k window: the window receives the
+    # identical (qid, tid, dist) multiset, tie-break (dist, tid)
+    # unchanged. Edges asserted identical in the A/B (2.07 → 1.35 s).
+    # Unlike the ml_dbscan attempt (negative result, same script
+    # family), the mirror here feeds a WindowGroupLimit that prunes to
+    # k per qid immediately — no union-doubled partition count flows
+    # into downstream joins.
+    fanout = spark.sparkContext.defaultParallelism
+    half = (
+        t.repartition(fanout, col("tid"))
+        .join(F.broadcast(q), col("qid") < col("tid"))
+        .withColumn("dist", METRICS["euclidean"]("qemb", "temb"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(col("qid"), col("tid")),
+                F.struct(col("tid").alias("qid"), col("qid").alias("tid")),
+            )
+        ).alias("p"),
+        "dist",
+    ).select("p.*", "dist")
     edges = topk(pairs, k).select(
         "qid", "tid", col("rnk").cast("long").alias("rnk"), F.round("dist", 4).alias("dist")
     ).localCheckpoint(eager=True)

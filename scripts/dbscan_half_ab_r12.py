@@ -91,9 +91,13 @@ def dbscan_half(spark, sf_dir):
     )
 
 
-def t_noop(df) -> float:
+def t_noop(build, spark, sf_dir) -> float:
+    """Time CONSTRUCTION + materialization: _q_dbscan localCheckpoints
+    its edge list eagerly at DataFrame-construction time, so timing a
+    pre-built df would exclude the quadratic join (the first A/B cut
+    read 0.41 s/0.43 s — both variants' builds escaped the window)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -114,8 +118,8 @@ def main() -> int:
 
     runs = {"old": [], "new": []}
     for i in range(ROUNDS):
-        runs["old"].append(t_noop(_q_dbscan(spark, sf_dir)))
-        runs["new"].append(t_noop(dbscan_half(spark, sf_dir)))
+        runs["old"].append(t_noop(_q_dbscan, spark, sf_dir))
+        runs["new"].append(t_noop(dbscan_half, spark, sf_dir))
         print(f"round {i + 1}: old {runs['old'][-1]} new {runs['new'][-1]}", flush=True)
     art = {
         "sf_dir": sf_dir,

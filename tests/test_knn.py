@@ -74,3 +74,30 @@ def test_classify_majority_vote(spark, corpus):
         best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert pred.loc[qid, "pred_label"] == best
         assert pred.loc[qid, "true_label"] == label_of[qid]
+
+
+def test_self_join_half_fold_edges_identical(spark):
+    """r12: knn_self_join folds only qid < tid pairs and mirrors them
+    inline before the top-k window (d symmetric bit-identically). The
+    memoized edge list must equal the straightforward full-ordered-pair
+    construction, row for row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    e = tables.embeddings(spark, SF_SMOKE)
+    q = e.select(
+        col("vec_id").alias("qid"),
+        col("emb").alias("qemb"),
+        col("label").alias("qlabel"),
+    )
+    ref = (
+        knn.topk(knn.with_distance(knn.all_pairs(q, knn.train_all(e))), knn.K_JOIN)
+        .select(
+            "qid", "tid", col("rnk").cast("long").alias("rnk"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .toPandas()
+    )
+    got = knn.knn_self_join(spark, SF_SMOKE, knn.K_JOIN).toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))  # noqa: E731
+    assert key(got) == key(ref)
